@@ -1,0 +1,338 @@
+package graft
+
+import graft.filter.{Compiler, FilterEnv}
+import graft.flow.TestFlowView
+import graft.operators.{Fwm, TopK}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Driver-checked query inventory (one entry per operator family of
+  * SURVEY.md §2 + the LLM-pipeline extensions).
+  *
+  * ORACLE EXACTNESS RULES (every query here follows them):
+  *  - aggregate only integers: doubles are floored to scaled BIGINTs at row
+  *    level first (`FLOOR(x*100)`), so SUMs are order-independent and exact
+  *    in both engines;
+  *  - row-level double math mirrors the op order exactly (IEEE 754 ops are
+  *    deterministic given identical operand order);
+  *  - every result has a total deterministic ORDER BY, with null placement
+  *    explicit in the DuckDB text (Spark: asc→NULLS FIRST, desc→NULLS LAST);
+  *  - DuckDB SUM(BIGINT) returns HUGEINT → always CAST back to BIGINT.
+  */
+final case class Q(name: String,
+                   run: (SparkSession, String) => DataFrame,
+                   oracle: Option[String])
+
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** DuckDB flow CTE shared by all flow queries. */
+  private val F = TestFlowView.duckdbCte
+
+  // ---------------------------------------------------------------- fwm agg
+  private val q01 = Q(
+    "q01_fwm_agg",
+    (s, dir) => {
+      val env = FilterEnv.flow(s)
+      Fwm.batch(TestFlowView.load(s, dir), env,
+        Fwm.Conf("hourly", Seq("octets desc", "proto"), timeSec = 3600),
+        samplingRate = Some(col("sampling_rate")))
+    },
+    Some(s"""WITH $F,
+      agg AS (
+        SELECT ts_sec - (ts_sec % 3600) AS time,
+               protocol AS proto,
+               CAST(SUM(in_bytes * 1 * sampling_rate) AS BIGINT) AS octets
+        FROM flow GROUP BY 1, 2)
+      SELECT time, proto, octets FROM agg
+      ORDER BY time ASC, octets DESC, proto ASC"""))
+
+  // ------------------------------------------------------- top-N + "others"
+  private val q02 = Q(
+    "q02_fwm_topn_others",
+    (s, dir) => {
+      val env = FilterEnv.flow(s)
+      Fwm.batch(TestFlowView.load(s, dir), env,
+        Fwm.Conf("weekly", Seq("octets desc", "src host"),
+          timeSec = 604800, limit = Some(10)),
+        samplingRate = Some(col("sampling_rate")))
+    },
+    Some(s"""WITH $F,
+      agg AS (
+        SELECT ts_sec - (ts_sec % 604800) AS time,
+               ip4_src_addr AS src_host,
+               CAST(SUM(in_bytes * 1 * sampling_rate) AS BIGINT) AS octets
+        FROM flow GROUP BY 1, 2),
+      rn AS (SELECT *, row_number() OVER
+               (PARTITION BY time
+                ORDER BY octets DESC NULLS LAST, src_host ASC NULLS FIRST)
+               AS r FROM agg)
+      SELECT * FROM (
+        SELECT time, src_host, octets FROM rn WHERE r <= 10
+        UNION ALL
+        SELECT time, NULL AS src_host, CAST(SUM(octets) AS BIGINT) AS octets
+        FROM rn WHERE r > 10 GROUP BY time)
+      ORDER BY time ASC, (src_host IS NULL) ASC,
+               octets DESC NULLS LAST, src_host ASC NULLS FIRST"""))
+
+  // ------------------------------------------------------ filter DSL (CIDR)
+  private val q03 = Q(
+    "q03_filter_cidr",
+    (s, dir) => {
+      val env = FilterEnv.flow(s)
+      val pred = Compiler.filterColumn(
+        "dst net 192.0.0.0/10 and proto 6 and not (dst port 22 or 23)", env)
+        .fold(e => sys.error(e), identity)
+      TestFlowView.load(s, dir)
+        .filter(pred)
+        .groupBy(col("dst_as"))
+        .agg(count(lit(1)).as("n"), sum(col("in_bytes")).as("octets"))
+        .orderBy(col("dst_as").asc)
+    },
+    Some(s"""WITH $F
+      SELECT dst_as, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes) AS BIGINT) AS octets
+      FROM flow
+      WHERE (ip4_dst_addr & 4290772992) = 3221225472
+        AND protocol = 6
+        AND NOT (l4_dst_port = 22 OR l4_dst_port = 23)
+      GROUP BY dst_as ORDER BY dst_as ASC"""))
+
+  // ------------------------------------- filter DSL (precedence, functions)
+  private val q04 = Q(
+    "q04_filter_complex",
+    (s, dir) => {
+      val env = FilterEnv.flow(s)
+      val pred = Compiler.filterColumn(
+        "Src net 10.0.0.0/13 and (PORT 443 or 80) " +
+          "or dst port 22 and div(octets, packets) 0-100", env)
+        .fold(e => sys.error(e), identity)
+      TestFlowView.load(s, dir)
+        .filter(pred)
+        .groupBy(col("protocol").as("proto"))
+        .agg(count(lit(1)).as("n"), sum(col("in_bytes")).as("octets"))
+        .orderBy(col("proto").asc)
+    },
+    Some(s"""WITH $F
+      SELECT protocol AS proto, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes) AS BIGINT) AS octets
+      FROM flow
+      WHERE ((ip4_src_addr & 4294443008) = 167772160
+             AND (l4_src_port = 443 OR l4_dst_port = 443
+                  OR l4_src_port = 80 OR l4_dst_port = 80))
+         OR (l4_dst_port = 22
+             AND (CASE WHEN in_pkts = 0 THEN 0
+                  ELSE CAST(FLOOR(CAST(in_bytes AS DOUBLE) / in_pkts)
+                       AS BIGINT) END) BETWEEN 0 AND 100)
+      GROUP BY protocol ORDER BY proto ASC"""))
+
+  // ----------------------------------------- scan: pushdown + column pruning
+  private val q05 = Q(
+    "q05_scan_prune",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf(
+          "1997-01-01 00:00:00")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100)).as("price_c"),
+          sum(floor(col("l_quantity"))).as("qty"))
+        .orderBy(col("l_returnflag").asc),
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS price_c,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag ASC"""))
+
+  // --------------------------------------------------- broadcast dim join
+  private val q06 = Q(
+    "q06_join_bcast",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity"))).as("qty"))
+        .orderBy(col("p_brand").asc),
+    Some("""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand ASC"""))
+
+  // ------------------------------------------------------------- star join
+  private val q07 = Q(
+    "q07_join_star",
+    (s, dir) => {
+      val region = t(s, dir, "region")
+      val nation = t(s, dir, "nation")
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100)).as("price_c"))
+        .orderBy(col("r_name").asc, col("n_name").asc)
+    },
+    Some("""SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name ASC, n_name ASC"""))
+
+  // ------------------------------------------------------- semi / anti join
+  private val q08 = Q(
+    "q08_anti_semi",
+    (s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val anti = customer.join(orders,
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("no_orders"))
+      val semi = customer.join(orders,
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("has_orders"))
+      anti.unionByName(semi)
+        .orderBy(col("kind").asc, col("c_mktsegment").asc)
+    },
+    Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                   'no_orders' AS kind
+      FROM customer WHERE NOT EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      UNION ALL
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             'has_orders' AS kind
+      FROM customer WHERE EXISTS
+        (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY kind ASC, c_mktsegment ASC"""))
+
+  // -------------------------------------------------------- window functions
+  private val q09 = Q(
+    "q09_window_rank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey").asc, col("rn").asc)
+    },
+    Some("""SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
+        SELECT o_custkey, o_orderkey, row_number() OVER
+          (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn <= 3
+      ORDER BY o_custkey ASC, rn ASC"""))
+
+  // --------------------------------------------------------- top-X% cut
+  private val q10 = Q(
+    "q10_toppct_cut",
+    (s, dir) => {
+      val agg = TestFlowView.load(s, dir)
+        .groupBy(col("protocol").as("proto"),
+          col("l4_dst_port").as("port"))
+        .agg(sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+      TopK.topPctCut(agg, Seq.empty, "octets", 90.0,
+          Seq(col("proto").asc, col("port").asc))
+        .orderBy(col("octets").desc, col("proto").asc, col("port").asc)
+    },
+    Some(s"""WITH $F,
+      agg AS (
+        SELECT protocol AS proto, l4_dst_port AS port,
+               CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+        FROM flow GROUP BY 1, 2),
+      c AS (SELECT *,
+        COALESCE(SUM(octets) OVER
+          (ORDER BY octets DESC NULLS LAST, proto ASC, port ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        SUM(octets) OVER () AS tot FROM agg)
+      SELECT proto, port, octets FROM c
+      WHERE cum < (tot * 90.0) / 100.0
+      ORDER BY octets DESC NULLS LAST, proto ASC, port ASC"""))
+
+  // ----------------------------------------------------------- rollup
+  private val q25 = Q(
+    "q25_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(floor(col("l_quantity"))).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  // ----------------------------------------------------------- distinct
+  private val q26 = Q(
+    "q26_distinct",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("o_orderstatus").asc, col("o_orderpriority").asc),
+    Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+      ORDER BY o_orderstatus ASC, o_orderpriority ASC"""))
+
+  // ----------------------------------------------------------- union all
+  private val q27 = Q(
+    "q27_union",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val hi = orders.filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("k"), lit("hi").as("src"))
+      val pri = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"), lit("pri").as("src"))
+      hi.unionByName(pri).orderBy(col("k").asc, col("src").asc)
+    },
+    Some("""SELECT o_orderkey AS k, 'hi' AS src FROM orders
+      WHERE o_totalprice > 400000.0
+      UNION ALL
+      SELECT o_orderkey AS k, 'pri' AS src FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      ORDER BY k ASC, src ASC"""))
+
+  // -------------------------------------------- multi-key mixed-order sort
+  private val q28 = Q(
+    "q28_sort_multikey",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_returnflag").asc, col("l_quantity").desc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(100)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).cast(LongType).as("qty"),
+          col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+             l_orderkey, l_linenumber
+      FROM lineitem
+      ORDER BY l_returnflag ASC, l_quantity DESC NULLS LAST,
+               l_orderkey ASC, l_linenumber ASC
+      LIMIT 100"""))
+
+  // ------------------------------------------------------------ registry
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q25, q26, q27, q28)
+
+  val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

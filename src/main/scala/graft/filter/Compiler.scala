@@ -1,0 +1,180 @@
+package graft.filter
+
+import graft.flow.FlowSchema
+import graft.flow.FlowSchema._
+import graft.functions.{GeoDb, IpList, Lpm, NetFns}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import Ast._
+
+/** Compilation environment: how logical names resolve to Columns of the
+  * concrete DataFrame, plus lookup providers. The reference compiles its
+  * filter to RPN bytecode interpreted per row (filter.c:960-1012); here we
+  * emit a Catalyst Column tree instead, so whole-stage codegen evaluates
+  * the predicate and Catalyst pushes it down (SURVEY.md §3.1).
+  */
+final case class FilterEnv(
+    spark: SparkSession,
+    fields: Map[String, (LKind, Column, Column)], // name → (kind, src, dst)
+    measures: Map[String, Column],                // aggregable name → raw col
+    ipLists: Map[String, IpList] = Map.empty,
+    geo: Option[GeoDb] = None,
+    /** per-batch port-frequency table for mfreq (SURVEY.md §7.3: the
+      * reference's running global counter has no faithful distributed
+      * equivalent; we use a two-pass per-batch table, documented). */
+    mfreq: Map[Long, Long] = Map.empty) {
+
+  def fieldNames: Set[String] = fields.keySet ++ measures.keySet
+}
+
+object FilterEnv {
+  /** Standard env over a DataFrame carrying canonical flow columns. */
+  def flow(spark: SparkSession,
+           ipLists: Map[String, IpList] = Map.empty,
+           geo: Option[GeoDb] = None,
+           mfreq: Map[Long, Long] = Map.empty): FilterEnv =
+    FilterEnv(
+      spark,
+      FlowSchema.logicalFields.map(f =>
+        f.name -> ((f.kind, col(f.srcCol), col(f.dstCol)))).toMap,
+      FlowSchema.measures.map(m => m.name -> col(m.col)).toMap,
+      ipLists, geo, mfreq)
+}
+
+object Compiler {
+
+  /** Parse + compile a filter string to a boolean Column. */
+  def filterColumn(input: String, env: FilterEnv): Either[String, Column] =
+    Parser.parse(input, env.fieldNames).map(compile(_, env))
+
+  def compile(e: Expr, env: FilterEnv): Column = e match {
+    case MatchAll    => lit(true)
+    case Or(l, r)    => compile(l, env) || compile(r, env)
+    case And(l, r)   => compile(l, env) && compile(r, env)
+    case Not(x)      => !compile(x, env)
+    case FieldRule(dir, name, values) =>
+      val (kind, srcC, dstC) = env.fields.getOrElse(name,
+        env.measures.get(name).map(c => (RangeL: LKind, c, c))
+          .getOrElse(sys.error(s"Unknown field '$name'")))
+      val cols: Seq[Column] = dir match {
+        case Dir.Src  => Seq(srcC)
+        case Dir.Dst  => Seq(dstC)
+        case Dir.Both =>
+          // same underlying column → single test; else src OR dst
+          // (reference filter.c:328-337)
+          if (srcC == dstC) Seq(srcC) else Seq(srcC, dstC)
+      }
+      values.flatMap(v => cols.map(c => matchValue(kind, c, v, env)))
+        .reduce(_ || _)
+    case FuncRule(fn, values) =>
+      val c = funcColumn(fn, env)
+      values.map(v => matchFuncValue(c, v)).reduce(_ || _)
+  }
+
+  /** One (column, literal) predicate, by field kind
+    * (reference filter.c:255-656). */
+  private def matchValue(kind: LKind, c: Column, v: Value,
+                         env: FilterEnv): Column = (kind, v) match {
+    case (RangeL, IntRange(lo, hi)) =>
+      if (lo == hi) c === lit(lo) else c.between(lit(lo), lit(hi))
+    case (Addr4L, Cidr4(addr, maskLen)) =>
+      // (addr & mask) == value (reference filter.c:255-357)
+      if (maskLen == 0) c.isNotNull
+      else if (maskLen == 32) c === lit(addr)
+      else {
+        val mask = ((1L << maskLen) - 1) << (32 - maskLen)
+        c.bitwiseAND(lit(mask)) === lit(addr & mask)
+      }
+    case (Addr4L, ListName(nm)) =>
+      val list = env.ipLists.getOrElse(nm,
+        sys.error(s"Unknown IP list '$nm'"))
+      Lpm.contains4(env.spark, list.v4)(c)
+    case (Addr6L, Cidr6(addr, maskLen)) =>
+      val pfx = Lpm.build(Seq(
+        Lpm.Prefix(net6start(addr, maskLen), net6end(addr, maskLen),
+          maskLen, "1")))
+      Lpm.contains6(env.spark, pfx)(c)
+    case (Addr6L, ListName(nm)) =>
+      val list = env.ipLists.getOrElse(nm,
+        sys.error(s"Unknown IP list '$nm'"))
+      Lpm.contains6(env.spark, list.v6)(c)
+    case (MacL, MacV(bytes)) => c === lit(bytes)
+    case (StringL, StrV(s))  => c === lit(s)
+    // int compared where string expected etc. — reference treats a number
+    // after a string field as a literal string
+    case (StringL, IntRange(lo, hi)) if lo == hi => c === lit(lo.toString)
+    case (k, other) =>
+      sys.error(s"Type mismatch: field kind $k vs value $other")
+  }
+
+  private def matchFuncValue(c: Column, v: Value): Column = v match {
+    case IntRange(lo, hi) =>
+      if (lo == hi) c === lit(lo) else c.between(lit(lo), lit(hi))
+    case StrV(s)    => c === lit(s)
+    case ListName(s)=> c === lit(s) // bare word after string fn = literal
+    case other      => sys.error(s"Unsupported function comparison: $other")
+  }
+
+  private def net6start(addr: Array[Byte], maskLen: Int): BigInt = {
+    val a = BigInt(1, addr)
+    val span = BigInt(1) << (128 - maskLen)
+    (a / span) * span
+  }
+  private def net6end(addr: Array[Byte], maskLen: Int): BigInt =
+    net6start(addr, maskLen) + (BigInt(1) << (128 - maskLen)) - 1
+
+  /** Resolve a function argument `[src|dst] name` to a Column. */
+  def argColumn(ref: FieldRef, env: FilterEnv): Column =
+    env.measures.get(ref.name) match {
+      case Some(c) => c
+      case None =>
+        val (_, srcC, dstC) = env.fields.getOrElse(ref.name,
+          sys.error(s"Unknown function arg field '${ref.name}'"))
+        ref.dir match {
+          case Dir.Src => srcC
+          case Dir.Dst => dstC
+          case Dir.Both =>
+            if (srcC == dstC) srcC
+            else sys.error(
+              s"Function arg '${ref.name}' requires src/dst direction")
+        }
+    }
+
+  /** Function call → Column (SURVEY.md §2.3 mapping table). */
+  def funcColumn(fn: FuncCall, env: FilterEnv): Column = fn match {
+    case Div(a, b)      => NetFns.xdiv(argColumn(a, env), argColumn(b, env))
+    case DivR(a, b, k)  => NetFns.xdivR(argColumn(a, env), argColumn(b, env), k)
+    case DivL(a, b, k)  => NetFns.xdivL(argColumn(a, env), argColumn(b, env), k)
+    case MinF(a, b)     => NetFns.xmin(argColumn(a, env), argColumn(b, env))
+    case Tfstr(a)       => NetFns.tfstr(argColumn(a, env))
+    case Portstr(a)     => NetFns.portstr(argColumn(a, env))
+    case Ppstr(a, b)    => NetFns.ppstr(argColumn(a, env), argColumn(b, env))
+    case Mfreq(a, b)    =>
+      // per-batch two-pass approximation of the reference's running
+      // frequency counter (filter.c:711-751; ties → smaller value; the
+      // reference's double-increment of arg1 — filter.c:736-739 — is a
+      // bug we deliberately do not replicate, SURVEY.md §7.4)
+      val fa = freqOf(argColumn(a, env), env)
+      val fb = freqOf(argColumn(b, env), env)
+      val ca = argColumn(a, env)
+      val cb = argColumn(b, env)
+      when(fa > fb, ca).when(fb > fa, cb).otherwise(least(ca, cb))
+    case GeoFn(kind, a) =>
+      env.geo.map(_.geoAttr(env.spark, kind)(argColumn(a, env)))
+        .getOrElse(lit("?"))
+    case AsnFn(a) =>
+      env.geo.map(_.asn(env.spark)(argColumn(a, env))).getOrElse(lit("?"))
+    case AsdFn(a) =>
+      env.geo.map(_.asd(env.spark)(argColumn(a, env))).getOrElse(lit("?"))
+  }
+
+  private def freqOf(c: Column, env: FilterEnv): Column = {
+    if (env.mfreq.isEmpty) lit(0L)
+    else {
+      val m = typedlit(env.mfreq)
+      coalesce(element_at(m, c.cast(LongType)), lit(0L))
+    }
+  }
+}

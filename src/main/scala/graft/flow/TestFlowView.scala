@@ -1,0 +1,70 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Deterministic flow-record view over the driver's `events` table.
+  *
+  * The harness test data is a TPC-H-ish star schema (TESTDATA.md), not
+  * packet captures, so the flow pipeline is exercised by deriving the
+  * canonical columns of FlowSchema from `events` with pure integer
+  * arithmetic. Every derivation below is PORTABLE SQL evaluated by BOTH
+  * engines — Spark via `expr()` and DuckDB via the generated CTE — which
+  * makes the DuckDB oracle exact (integer-only, no float divergence).
+  *
+  * `events.ts` is nanosecond-precision parquet; Spark reads it as a Long
+  * (nanos, legacy nanosAsLong conf) and DuckDB as TIMESTAMP_NS, so the
+  * shared column is `ts_sec` = epoch seconds via integer floor-division
+  * (engine-specific expression, identical result).
+  */
+object TestFlowView {
+
+  /** (column name, portable SQL over events columns). */
+  val derivations: Seq[(String, String)] = Seq(
+    // 10.0.0.0/8 sources: 10.0.x.x over a 2^20 span (= one /12)
+    "ip4_src_addr" -> ("CAST(167772160 + (user_id * 7919) % 1048576 " +
+      "AS BIGINT)"),
+    // 192.0.0.0/8 destinations spread over 16M addresses
+    "ip4_dst_addr" -> ("CAST(3221225472 + (event_id * 2654435761) % " +
+      "16777216 AS BIGINT)"),
+    "l4_src_port" -> ("CAST(CASE WHEN event_id % 3 = 0 THEN 443 " +
+      "WHEN event_id % 5 = 0 THEN 80 WHEN event_id % 7 = 0 THEN 53 " +
+      "ELSE 1024 + (event_id * 7919) % 64511 END AS BIGINT)"),
+    "l4_dst_port" -> ("CAST(CASE WHEN user_id % 2 = 0 THEN 443 " +
+      "WHEN user_id % 5 = 0 THEN 22 " +
+      "ELSE 1 + (user_id * 13) % 65535 END AS BIGINT)"),
+    "protocol" -> ("CAST(CASE WHEN event_id % 4 < 2 THEN 6 " +
+      "WHEN event_id % 4 = 2 THEN 17 ELSE 1 END AS BIGINT)"),
+    "tcp_flags" -> ("CAST(CASE WHEN event_id % 4 < 2 " +
+      "THEN 2 + (event_id % 29) ELSE 0 END AS BIGINT)"),
+    "in_bytes" -> "CAST(FLOOR(value * 100) AS BIGINT) + 64",
+    "in_pkts" -> "CAST((event_id % 100) + 1 AS BIGINT)",
+    "sampling_rate" -> "CAST(1 + (user_id % 3) AS BIGINT)",
+    "src_as" -> "CAST(64496 + (user_id % 8) AS BIGINT)",
+    "dst_as" -> "CAST(64496 + (event_id % 16) AS BIGINT)",
+    "input_snmp" -> "CAST(1 + (user_id % 4) AS BIGINT)",
+    "output_snmp" -> "CAST(1 + (event_id % 4) AS BIGINT)"
+  )
+
+  /** Spark side: events DataFrame (ts already a Long of nanos) → flow. */
+  def fromEvents(events: DataFrame): DataFrame =
+    events.select(
+      (expr("CAST(ts DIV 1000000000 AS BIGINT)").as("ts_sec") +:
+        expr("event_id").as("flow_id") +:
+        derivations.map { case (n, e) => expr(e).as(n) }): _*)
+
+  def load(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as a
+    // TimestampType; read it as raw nanos instead (runtime SQLConf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fromEvents(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** DuckDB side: the same derivations as a CTE body over `events`. */
+  val duckdbCte: String = {
+    val cols = ("CAST(epoch_ms(ts)//1000 AS BIGINT) AS ts_sec" +:
+      "event_id AS flow_id" +:
+      derivations.map { case (n, e) => s"$e AS $n" }).mkString(", ")
+    s"flow AS (SELECT $cols FROM events)"
+  }
+}

@@ -1,0 +1,203 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Longest-prefix-match lookup structures.
+  *
+  * The reference keeps IP lists and GeoIP/AS databases in bitwise tries
+  * (reference ip-btrie.h:4-115, geoip.c:91-183) consulted per record. The
+  * Spark-native equivalent: flatten the prefix set into DISJOINT sorted
+  * intervals at build time (boundary sweep, longest prefix wins inside
+  * overlaps), broadcast the arrays, and binary-search per row. Read-only,
+  * O(log n), executor-local — the same access pattern the reference gets
+  * from its mmap'd tries, but shared across a cluster via the broadcast.
+  */
+object Lpm {
+
+  /** One source prefix: [start,end] inclusive, maskLen for LPM priority. */
+  final case class Prefix(start: BigInt, end: BigInt, maskLen: Int,
+                          value: String)
+
+  /** Disjoint-interval LPM table (values aligned with bounds). */
+  final case class Table(starts: Array[BigInt], ends: Array[BigInt],
+                         values: Array[String]) extends Serializable {
+    def lookup(ip: BigInt): Option[String] = {
+      var lo = 0
+      var hi = starts.length - 1
+      var found = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= ip) { found = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      if (found >= 0 && ends(found) >= ip) Some(values(found)) else None
+    }
+  }
+
+  /** Sweep overlapping prefixes into disjoint intervals; inside an overlap
+    * the longest mask wins (LPM semantics of the reference tries). */
+  def build(prefixes: Seq[Prefix]): Table = {
+    if (prefixes.isEmpty) return Table(Array.empty, Array.empty, Array.empty)
+    // boundary points: every start and every end+1
+    val points = prefixes.flatMap(p => Seq(p.start, p.end + 1))
+      .distinct.sorted.toArray
+    val ss = Array.newBuilder[BigInt]
+    val es = Array.newBuilder[BigInt]
+    val vs = Array.newBuilder[String]
+    var i = 0
+    while (i < points.length - 1) {
+      val lo = points(i)
+      val hi = points(i + 1) - 1
+      // deepest prefix covering this elementary interval
+      var best: Prefix = null
+      prefixes.foreach { p =>
+        if (p.start <= lo && p.end >= hi &&
+            (best == null || p.maskLen > best.maskLen)) best = p
+      }
+      if (best != null) { ss += lo; es += hi; vs += best.value }
+      i += 1
+    }
+    // merge adjacent intervals with equal values
+    val (s0, e0, v0) = (ss.result(), es.result(), vs.result())
+    val ms = Array.newBuilder[BigInt]
+    val me = Array.newBuilder[BigInt]
+    val mv = Array.newBuilder[String]
+    var j = 0
+    while (j < s0.length) {
+      var end = e0(j)
+      var k = j + 1
+      while (k < s0.length && s0(k) == end + 1 && v0(k) == v0(j)) {
+        end = e0(k); k += 1
+      }
+      ms += s0(j); me += end; mv += v0(j)
+      j = k
+    }
+    Table(ms.result(), me.result(), mv.result())
+  }
+
+  def v4Prefix(cidr: String, value: String = ""): Prefix = {
+    val (a, m) = splitCidr(cidr, 32)
+    val addr = BigInt(a.split('.').foldLeft(0L)((acc, p) => acc * 256 + p.toLong))
+    val span = BigInt(1) << (32 - m)
+    val start = (addr / span) * span
+    Prefix(start, start + span - 1, m, value)
+  }
+
+  def v6Prefix(cidr: String, value: String = ""): Prefix = {
+    val (a, m) = splitCidr(cidr, 128)
+    val bytes = java.net.InetAddress.getByName(a).getAddress
+    require(bytes.length == 16, s"not an IPv6 address: $a")
+    val addr = BigInt(1, bytes)
+    val span = BigInt(1) << (128 - m)
+    val start = (addr / span) * span
+    Prefix(start, start + span - 1, m, value)
+  }
+
+  private def splitCidr(cidr: String, maxLen: Int): (String, Int) = {
+    val idx = cidr.indexOf('/')
+    if (idx < 0) (cidr, maxLen)
+    else (cidr.substring(0, idx), cidr.substring(idx + 1).toInt)
+  }
+
+  /** Broadcast-backed lookup as a Column over an unsigned-IPv4 Long. */
+  def lookup4(spark: SparkSession, table: Table)(ip: Column): Column = {
+    val bc: Broadcast[Table] = spark.sparkContext.broadcast(table)
+    val fn = udf { (v: java.lang.Long) =>
+      if (v == null) null
+      else bc.value.lookup(BigInt(v.longValue())).orNull
+    }
+    fn(ip)
+  }
+
+  /** Membership test (IP-list `net <name>` semantics,
+    * reference filter.c:186-218). */
+  def contains4(spark: SparkSession, table: Table)(ip: Column): Column = {
+    val bc: Broadcast[Table] = spark.sparkContext.broadcast(table)
+    val fn = udf { (v: java.lang.Long) =>
+      v != null && bc.value.lookup(BigInt(v.longValue())).isDefined
+    }
+    fn(ip)
+  }
+
+  /** Lookup over a 16-byte IPv6 binary column. */
+  def lookup6(spark: SparkSession, table: Table)(ip: Column): Column = {
+    val bc: Broadcast[Table] = spark.sparkContext.broadcast(table)
+    val fn = udf { (v: Array[Byte]) =>
+      if (v == null) null else bc.value.lookup(BigInt(1, v)).orNull
+    }
+    fn(ip)
+  }
+
+  def contains6(spark: SparkSession, table: Table)(ip: Column): Column = {
+    val bc: Broadcast[Table] = spark.sparkContext.broadcast(table)
+    val fn = udf { (v: Array[Byte]) =>
+      v != null && bc.value.lookup(BigInt(1, v)).isDefined
+    }
+    fn(ip)
+  }
+}
+
+/** A named IP list (v4 + v6 prefixes), the engine's analog of the
+  * reference's IP-list files (reference iplist.c, CONFIG.md:471-481). */
+final case class IpList(name: String, v4: Lpm.Table, v6: Lpm.Table)
+  extends Serializable
+
+object IpList {
+  def apply(name: String, cidrs: Seq[String]): IpList = {
+    val (v6s, v4s) = cidrs.partition(_.contains(":"))
+    IpList(name,
+      Lpm.build(v4s.map(c => Lpm.v4Prefix(c, "1"))),
+      Lpm.build(v6s.map(c => Lpm.v6Prefix(c, "1"))))
+  }
+}
+
+/** GeoIP + AS providers over LPM tables (reference geoip.h:13-41).
+  * Values are pipe-joined records; accessors slice out one attribute.
+  * Missing lookups yield "?" exactly like the reference
+  * (filter.c:753-787: unknown IP → '?').
+  */
+final case class GeoDb(geo4: Lpm.Table, as4: Lpm.Table) extends Serializable {
+  import GeoDb._
+  def geoAttr(spark: SparkSession, kind: String)(ip: Column): Column = {
+    val idx = attrIndex(kind)
+    val bc = spark.sparkContext.broadcast(geo4)
+    val fn = udf { (v: java.lang.Long) =>
+      if (v == null) "?"
+      else bc.value.lookup(BigInt(v.longValue()))
+        .map(_.split('|')(idx)).getOrElse("?")
+    }
+    fn(ip)
+  }
+  /** asn(ip): AS number as string, "?" when unknown. */
+  def asn(spark: SparkSession)(ip: Column): Column = asAttr(spark, 0)(ip)
+  /** asd(ip): AS description, "?" when unknown. */
+  def asd(spark: SparkSession)(ip: Column): Column = asAttr(spark, 1)(ip)
+
+  private def asAttr(spark: SparkSession, idx: Int)(ip: Column): Column = {
+    val bc = spark.sparkContext.broadcast(as4)
+    val fn = udf { (v: java.lang.Long) =>
+      if (v == null) "?"
+      else bc.value.lookup(BigInt(v.longValue()))
+        .map(_.split('|')(idx)).getOrElse("?")
+    }
+    fn(ip)
+  }
+}
+
+object GeoDb {
+  /** Attribute order inside a geo record value
+    * (continent|country_code|country|state|city|zip|lat|long). */
+  val attrs: Seq[String] = Seq("continent", "country_code", "country",
+    "state", "city", "zip", "lat", "long")
+  def attrIndex(kind: String): Int = {
+    val i = attrs.indexOf(kind)
+    require(i >= 0, s"unknown geo attribute '$kind'")
+    i
+  }
+
+  def record(continent: String, cc: String, country: String, state: String,
+             city: String, zip: String, lat: String, long: String): String =
+    Seq(continent, cc, country, state, city, zip, lat, long).mkString("|")
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.filter.{Compiler, FieldSpec, FilterEnv}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fixed-window aggregation ("fwm" in the reference): tumbling
+  * epoch-aligned time buckets × group-by keys × summed measures, with
+  * declared multi-key mixed-order sort and optional top-N+"others"
+  * (reference monit-objects-fwm.c; window boundary `(now / T)` aligned to
+  * the epoch at monit-objects-fwm.c:704; measure update
+  * `vals[j] += v*scale*sampling_rate` at monit-objects.c:988-997).
+  *
+  * The reference's per-thread tries + atomic bank swap + merge become
+  * Catalyst's partial/final hash aggregate over a shuffle — the same
+  * partial-aggregation dance, but elastic across a cluster
+  * (SURVEY.md §2.4). Runs identically over batch DataFrames and
+  * foreachBatch micro-batches.
+  */
+object Fwm {
+
+  /** One fwm section of a monitoring object (reference CONFIG.md:348-376).
+    * @param fields  declared output fields: keys and measures with order
+    * @param timeSec window length, default 30 (reference monit-objects.h:10)
+    * @param limit   optional top-N with others row
+    */
+  final case class Conf(name: String, fields: Seq[String],
+                        timeSec: Long = 30L, limit: Option[Int] = None)
+
+  final case class Compiled(conf: Conf, keys: Seq[FieldSpec],
+                            aggrs: Seq[FieldSpec], sortOrder: Seq[FieldSpec])
+
+  def compile(conf: Conf): Either[String, Compiled] =
+    FieldSpec.parseAll(conf.fields).map { specs =>
+      val (aggrs, keys) = specs.partition(_.isAggr)
+      Compiled(conf, keys, aggrs, specs)
+    }
+
+  /** Epoch-aligned bucket start from an epoch-seconds column. */
+  def bucket(tsSec: Column, timeSec: Long): Column =
+    (tsSec - (tsSec % timeSec)).cast(LongType)
+
+  /** Epoch-seconds of a TimestampType column (streaming/real ingest). */
+  def toEpochSec(ts: Column): Column = unix_timestamp(ts).cast(LongType)
+
+  /** Build the full batch pipeline over a flow DataFrame.
+    *
+    * Output columns: `time` (epoch secs) + one column per declared field
+    * (its SQL-safe name), rows ordered by (time, declared field order),
+    * with the others row (NULL keys) last inside each window.
+    *
+    * @param tsCol epoch-seconds column (use [[toEpochSec]] for timestamps)
+    */
+  def batch(flows: DataFrame, env: FilterEnv, conf: Conf,
+            tsCol: Column = col("ts_sec"),
+            samplingRate: Option[Column] = None): DataFrame = {
+    val compiled = compile(conf).fold(e => sys.error(e), identity)
+    val keys = compiled.keys
+    val aggrs = compiled.aggrs
+    val sortOrder = compiled.sortOrder
+    require(aggrs.nonEmpty,
+      s"fwm '${conf.name}' needs at least one aggregable field")
+
+    val rate = samplingRate.getOrElse(lit(1L))
+    val keyCols = keys.map(k => k.column(env).as(k.sqlName))
+    val aggCols = aggrs.map { a =>
+      val src = a.column(env)
+      sum(src * lit(a.scale) * rate).as(a.sqlName)
+    }
+
+    val grouped = flows
+      .groupBy((bucket(tsCol, conf.timeSec).as("time") +: keyCols): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+
+    val sortCols = sortOrder.map(f =>
+      if (f.descending) col(f.sqlName).desc else col(f.sqlName).asc)
+
+    val limited = conf.limit match {
+      case Some(n) =>
+        TopK.topNOthers(grouped, Seq("time"),
+          keys.map(_.sqlName), aggrs.map(_.sqlName), sortCols, n)
+      case None => grouped
+    }
+
+    // others row (NULL keys) sorts last inside its window
+    val othersLast = keys.headOption
+      .map(k => col(k.sqlName).isNull.cast("int"))
+      .getOrElse(lit(0))
+    limited.orderBy((col("time").asc +: othersLast.asc +: sortCols): _*)
+  }
+}
