@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.NetFns
+import org.apache.spark.sql.functions.{col, lit}
+
+class NetFnsSpec extends SparkTest {
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).collect()(0).get(0)
+
+  test("tfstr table matches reference layout (utils-data.inc)") {
+    assert(NetFns.tcpFlagsTable(0) == "")
+    assert(NetFns.tcpFlagsTable(1) == "FIN")
+    assert(NetFns.tcpFlagsTable(2) == "SYN")
+    assert(NetFns.tcpFlagsTable(3) == "SYN+FIN")
+    assert(NetFns.tcpFlagsTable(5) == "RST+FIN")
+    assert(NetFns.tcpFlagsTable(255) == "CWR+ECE+URG+ACK+PSH+RST+SYN+FIN")
+    assert(eval1(NetFns.tfstr(lit(18L))) == "ACK+SYN")
+  }
+
+  test("portstr formats '<name> (<port>)' or bare number (utils.c:28-37)") {
+    assert(eval1(NetFns.portstr(lit(443L))) == "https (443)")
+    assert(eval1(NetFns.portstr(lit(22L))) == "ssh (22)")
+    assert(eval1(NetFns.portstr(lit(12345L))) == "12345")
+  }
+
+  test("ppstr branch structure (utils.c:39-77)") {
+    assert(eval1(NetFns.ppstr(lit(443L), lit(80L))) ==
+      "https(443) -> http(80)")
+    assert(eval1(NetFns.ppstr(lit(5L), lit(5L))) == "5 -> 5")
+    assert(eval1(NetFns.ppstr(lit(1000L), lit(2000L))) == "1000 ->")
+    assert(eval1(NetFns.ppstr(lit(1000L), lit(443L))) == "-> https(443)")
+    // p1<p2, s1 known, s2 unknown → "%s(%d) ->" (port2 dropped)
+    assert(eval1(NetFns.ppstr(lit(443L), lit(10000L))) == "https(443) ->")
+    // p1>p2, s1 known, s2 unknown → "%s(%d) -> %d"
+    assert(eval1(NetFns.ppstr(lit(443L), lit(10L))) == "https(443) -> 10")
+  }
+
+  test("xdiv: integer division, 0 on zero divisor (filter.h:396-418)") {
+    assert(eval1(NetFns.xdiv(lit(100L), lit(7L))) == 14L)
+    assert(eval1(NetFns.xdiv(lit(100L), lit(0L))) == 0L)
+  }
+
+  test("xdivR rounds down to multiple of k (filter.h:409-415)") {
+    assert(eval1(NetFns.xdivR(lit(1234L), lit(1L), 100)) == 1200L)
+    assert(eval1(NetFns.xdivR(lit(99L), lit(1L), 100)) == 0L)
+  }
+
+  test("xdivL rounds down to power of k (filter.h:407-409)") {
+    assert(eval1(NetFns.xdivL(lit(1234L), lit(1L), 10)) == 1000L)
+    assert(eval1(NetFns.xdivL(lit(1000L), lit(1L), 10)) == 1000L)
+    assert(eval1(NetFns.xdivL(lit(9L), lit(1L), 10)) == 1L)
+    assert(eval1(NetFns.xdivL(lit(0L), lit(1L), 10)) == 0L)
+    assert(eval1(NetFns.xdivL(lit(100L), lit(0L), 10)) == 0L)
+  }
+
+  test("ip4str dotted quad") {
+    assert(eval1(NetFns.ip4str(lit(3221225985L))) == "192.0.2.1")
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.TopK
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkTest {
+
+  private def agg = flowDf(
+    Seq("time", "key", "octets"),
+    Seq(
+      Seq(0L, 1L, 100L), Seq(0L, 2L, 90L), Seq(0L, 3L, 80L),
+      Seq(0L, 4L, 70L), Seq(0L, 5L, 60L),
+      Seq(600L, 1L, 50L), Seq(600L, 2L, 40L)))
+
+  test("topNOthers: head rows + NULL-key residual per window " +
+    "(monit-objects-fwm.c:404-481)") {
+    val out = TopK.topNOthers(agg, Seq("time"), Seq("key"), Seq("octets"),
+      Seq(col("octets").desc, col("key").asc), 3)
+      .orderBy(col("time"), col("key").isNull.cast("int"), col("octets").desc)
+      .collect()
+    // window 0: top-3 (100,90,80) + others 70+60=130 with NULL key
+    val w0 = out.filter(_.getLong(0) == 0L)
+    assert(w0.map(r => Option(r.get(1))).toSeq ==
+      Seq(Some(1L), Some(2L), Some(3L), None))
+    assert(w0.last.getLong(2) == 130L)
+    // window 600: only 2 rows → no others row
+    val w600 = out.filter(_.getLong(0) == 600L)
+    assert(w600.length == 2 && w600.forall(!_.isNullAt(1)))
+  }
+
+  test("topNOthers global (no partition) with empty tail") {
+    val out = TopK.topNOthers(agg.filter(col("time") === 600), Seq.empty,
+      Seq("time", "key"), Seq("octets"), Seq(col("octets").desc), 5)
+      .collect()
+    assert(out.length == 2) // under the limit → no residual row
+  }
+
+  test("topPctCut keeps rows until cumulative reaches pct " +
+    "(classification.c:524-619)") {
+    val df = flowDf(Seq("k", "v"),
+      Seq(Seq(1L, 50L), Seq(2L, 30L), Seq(3L, 15L), Seq(4L, 5L)))
+    // total=100; 90%: cum-excl 0,50,80,95 → keep k=1,2,3
+    val out = TopK.topPctCut(df, Seq.empty, "v", 90.0, Seq(col("k").asc))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L))
+    // 50%: cum-excl 0,50 → keep only k=1 (50 < 50 is false for k=2)
+    val out50 = TopK.topPctCut(df, Seq.empty, "v", 50.0, Seq(col("k").asc))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out50 == Seq(1L))
+  }
+}
