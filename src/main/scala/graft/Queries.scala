@@ -330,9 +330,83 @@ object Queries {
                l_orderkey ASC, l_linenumber ASC
       LIMIT 100"""))
 
+  // --------------------------------------- mavg decayed value (stateful)
+  /** Shared recursive-CTE oracle prefix computing the integer fixed-point
+    * decay recurrence per src_host (reference mavg_recalc
+    * monit-objects-mavg.c:571-593, T=600s). */
+  private val mavgCte = s"""WITH RECURSIVE $F,
+      ev AS (
+        SELECT ip4_src_addr AS src_host, ts_sec,
+               in_bytes * sampling_rate AS v,
+               CAST(row_number() OVER (PARTITION BY ip4_src_addr
+                 ORDER BY ts_sec, flow_id) AS BIGINT) AS i
+        FROM flow),
+      st AS (
+        SELECT src_host, i, ts_sec, v AS n FROM ev WHERE i = 1
+        UNION ALL
+        SELECT ev.src_host, ev.i, ev.ts_sec,
+               CASE WHEN ev.ts_sec - st.ts_sec >= 600 THEN ev.v
+                    ELSE st.n - ((ev.ts_sec - st.ts_sec) * st.n) // 600
+                         + ev.v END
+        FROM st JOIN ev ON ev.src_host = st.src_host AND ev.i = st.i + 1),
+      fin AS (
+        SELECT st.src_host, CAST(st.n AS BIGINT) AS n,
+               CAST(st.ts_sec AS BIGINT) AS t_last
+        FROM st JOIN (SELECT src_host, MAX(i) AS mi FROM ev
+                      GROUP BY src_host) lastn
+          ON st.src_host = lastn.src_host AND st.i = lastn.mi)"""
+
+  private def mavgFinal(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Mavg
+    val flow = TestFlowView.load(s, dir).select(
+      col("ip4_src_addr").as("src_host"), col("ts_sec"), col("flow_id"),
+      (col("in_bytes") * col("sampling_rate")).as("v"))
+    Mavg.decayedFinal(flow,
+      Mavg.Conf(Seq("src_host"), "ts_sec", "flow_id", "v", windowSec = 600))
+  }
+
+  private val q29 = Q(
+    "q29_mavg_decay",
+    (s, dir) => mavgFinal(s, dir).orderBy(col("src_host").asc),
+    Some(s"""$mavgCte
+      SELECT src_host, n, t_last FROM fin ORDER BY src_host ASC"""))
+
+  // ---------------------------- mavg threshold check with per-key limits
+  /** Per-key rate limits (bytes/sec over the 600 s window) with a default
+    * — the engine analog of the limits CSV + `"default"`
+    * (reference CONFIG.md:438-469). Breach: n/T ≥ limit ⇔ n ≥ limit*T. */
+  private val mavgLimits: Map[Long, Long] = Map(
+    167772160L -> 5L,   // src host of user_id 0
+    167780079L -> 8L,   // user_id 1
+    167787998L -> 12L)  // user_id 2
+  private val mavgDefaultLimit = 15L
+
+  private val q30 = Q(
+    "q30_mavg_threshold",
+    (s, dir) => {
+      val limitCol = mavgLimits.foldLeft(lit(mavgDefaultLimit)) {
+        case (acc, (ip, lim)) =>
+          when(col("src_host") === lit(ip), lit(lim)).otherwise(acc)
+      }
+      mavgFinal(s, dir)
+        .withColumn("lim", limitCol)
+        .filter(col("n") >= col("lim") * lit(600L))
+        .select(col("src_host"), col("n"), col("lim"))
+        .orderBy(col("src_host").asc)
+    },
+    Some(s"""$mavgCte,
+      lim AS (
+        SELECT src_host, n,
+               CAST(CASE ${mavgLimits.map { case (ip, l) =>
+                 s"WHEN src_host = $ip THEN $l" }.mkString(" ")}
+               ELSE $mavgDefaultLimit END AS BIGINT) AS lim
+        FROM fin)
+      SELECT src_host, n, lim FROM lim WHERE n >= lim * 600
+      ORDER BY src_host ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q25, q26, q27, q28)
+    q25, q26, q27, q28, q29, q30)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

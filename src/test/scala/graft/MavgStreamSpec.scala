@@ -1,0 +1,97 @@
+package graft
+
+import graft.streaming.MavgStream
+import graft.streaming.MavgStream.{AlertRow, Conf, Input}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** End-to-end Structured Streaming drive of the mavg stateful processor
+  * over a MemoryStream (deterministic: alerts fire on the data path). */
+class MavgStreamSpec extends SparkTest {
+
+  test("overlimit alert fires through a streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val S = 1_000_000_000L
+    val mem = MemoryStream[Input]
+    val alerts = MavgStream(mem.toDS(),
+      Conf(windowSec = 5, defaultLimits = Seq(100.0),
+        back2normSec = 30, isOver = true, tickIntervalMs = 0))
+
+    val q = alerts.writeStream
+      .format("memory").queryName("mavg_alerts")
+      .outputMode(OutputMode.Append)
+      .start()
+    try {
+      // batch 1: key a ramps over the limit (v/T = 600/5 = 120 ≥ 100),
+      // key b stays under (10/5 = 2)
+      mem.addData(
+        Input("a", 10 * S, 600.0), Input("b", 10 * S, 10.0))
+      q.processAllAvailable()
+      // batch 2: another arrival advances the machine (NEW → UPDATE fires)
+      mem.addData(Input("a", 11 * S, 500.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("mavg_alerts").as[AlertRow].collect().toSeq
+      assert(rows.exists(r => r.key == "a" && r.event == "start"),
+        s"expected a start alert, got $rows")
+      assert(!rows.exists(r => r.key == "b"), s"key b must not alert: $rows")
+    } finally q.stop()
+  }
+
+  test("processor is deterministic when driven directly (no timeouts)") {
+    // call the per-key function like the state store would
+    val conf = Conf(windowSec = 5, defaultLimits = Seq(100.0),
+      back2normSec = 30, isOver = true, tickIntervalMs = 0)
+    val state = new TestGroupState[MavgStream.KeyState]
+    val S = 1_000_000_000L
+    val out1 = MavgStream.process(conf)("a",
+      Iterator(Input("a", 10 * S, 600.0)), state).toSeq
+    // breach inserts NEW and the end-of-batch tick fires Started at once
+    // (one batch earlier than the reference's 100ms act-thread lag)
+    assert(out1.exists(_.event == "start"))
+    val out2 = MavgStream.process(conf)("a",
+      Iterator(Input("a", 11 * S, 1.0)), state).toSeq
+    assert(!out2.exists(_.event == "start"), "no duplicate start")
+  }
+
+  test("timeout path ticks silent keys (underlimit scanner analog)") {
+    val conf = Conf(windowSec = 5, defaultLimits = Seq(100.0),
+      back2normSec = 30, isOver = false, tickIntervalMs = 1000)
+    val S = 1_000_000_000L
+    val state = new TestGroupState[MavgStream.KeyState]
+    // arrival at rate 10/s ≤ 100 → underlimit breach inserted
+    val out1 = MavgStream.process(conf)("a",
+      Iterator(Input("a", 10 * S, 50.0)), state).toSeq
+    assert(out1.exists(_.event == "start") || state.get.lims.nonEmpty)
+    // timeout tick with no data advances the machine on wall-clock
+    state.timedOut = true
+    state.processingTimeMs = 20_000L
+    val out2 = MavgStream.process(conf)("a", Iterator.empty, state).toSeq
+    assert(out2.exists(r => r.event == "start" || r.event == "update"),
+      s"expected lifecycle events on timeout tick, got $out2")
+  }
+}
+
+/** Minimal GroupState stub for direct processor tests. */
+class TestGroupState[T] extends org.apache.spark.sql.streaming.GroupState[T] {
+  private var v: Option[T] = None
+  var timedOut: Boolean = false
+  var processingTimeMs: Long = 0L
+  override def exists: Boolean = v.isDefined
+  override def get: T = v.get
+  override def getOption: Option[T] = v
+  override def update(newValue: T): Unit = v = Some(newValue)
+  override def remove(): Unit = v = None
+  override def hasTimedOut: Boolean = timedOut
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long,
+    additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date,
+    additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = processingTimeMs
+}
