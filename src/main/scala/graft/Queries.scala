@@ -404,9 +404,151 @@ object Queries {
       SELECT src_host, n, lim FROM lim WHERE n >= lim * 600
       ORDER BY src_host ASC"""))
 
+  // -------------------------------------------- scalar function pack
+  private val q13 = Q(
+    "q13_func_pack",
+    (s, dir) => {
+      import graft.functions.NetFns
+      TestFlowView.load(s, dir)
+        .filter(col("flow_id") % 97 === 0)
+        .select(
+          col("flow_id"),
+          NetFns.tfstr(col("tcp_flags")).as("tf"),
+          NetFns.portstr(col("l4_dst_port")).as("psvc"),
+          NetFns.ppstr(col("l4_src_port"), col("l4_dst_port")).as("pp"),
+          NetFns.xdivL(col("in_bytes"), col("in_pkts"), 10).as("dl"))
+        .orderBy(col("flow_id").asc)
+    },
+    Some(s"""WITH $F,
+      svc(p, nm) AS (VALUES ${OracleSql.servicesValues}),
+      sub AS (SELECT flow_id, tcp_flags, l4_src_port AS sp,
+                     l4_dst_port AS dp, in_bytes, in_pkts
+              FROM flow WHERE flow_id % 97 = 0),
+      j AS (SELECT sub.*, s1.nm AS n1, s2.nm AS n2,
+              CASE WHEN in_pkts = 0 THEN 0
+                   ELSE CAST(FLOOR(CAST(in_bytes AS DOUBLE) / in_pkts)
+                        AS BIGINT) END AS q
+            FROM sub LEFT JOIN svc s1 ON sub.sp = s1.p
+                     LEFT JOIN svc s2 ON sub.dp = s2.p)
+      SELECT flow_id,
+        ${OracleSql.tfstrSql("tcp_flags")} AS tf,
+        CASE WHEN n2 IS NOT NULL
+             THEN n2 || ' (' || CAST(dp AS VARCHAR) || ')'
+             ELSE CAST(dp AS VARCHAR) END AS psvc,
+        CASE
+          WHEN n1 IS NOT NULL AND n2 IS NOT NULL THEN
+            n1 || '(' || CAST(sp AS VARCHAR) || ') -> ' ||
+            n2 || '(' || CAST(dp AS VARCHAR) || ')'
+          WHEN sp = dp THEN
+            CAST(sp AS VARCHAR) || ' -> ' || CAST(dp AS VARCHAR)
+          WHEN sp < dp THEN
+            CASE WHEN n2 IS NOT NULL THEN
+                   CAST(sp AS VARCHAR) || ' -> ' ||
+                   n2 || '(' || CAST(dp AS VARCHAR) || ')'
+                 WHEN n1 IS NOT NULL THEN
+                   n1 || '(' || CAST(sp AS VARCHAR) || ') ->'
+                 ELSE CAST(sp AS VARCHAR) || ' ->' END
+          ELSE
+            CASE WHEN n1 IS NULL AND n2 IS NULL THEN
+                   '-> ' || CAST(dp AS VARCHAR)
+                 WHEN n1 IS NULL AND n2 IS NOT NULL THEN
+                   '-> ' || n2 || '(' || CAST(dp AS VARCHAR) || ')'
+                 WHEN n1 IS NOT NULL AND n2 IS NULL THEN
+                   n1 || '(' || CAST(sp AS VARCHAR) || ') -> ' ||
+                   CAST(dp AS VARCHAR)
+                 ELSE '' END
+        END AS pp,
+        CAST(CASE WHEN q <= 0 THEN 0
+             ELSE list_max(list_filter(${OracleSql.powersList(10)},
+                           x -> x <= q)) END AS BIGINT) AS dl
+      FROM j ORDER BY flow_id ASC"""))
+
+  // ------------------------------------------------ GeoIP / ASN enrich
+  private val q14 = Q(
+    "q14_geoip",
+    (s, dir) => {
+      import graft.flow.BuiltinTables
+      val geo = BuiltinTables.geoDb
+      TestFlowView.load(s, dir)
+        .select(
+          geo.geoAttr(s, "country")(col("ip4_dst_addr")).as("country"),
+          geo.geoAttr(s, "country_code")(col("ip4_dst_addr")).as("cc"),
+          geo.asn(s)(col("ip4_src_addr")).as("src_asn"),
+          geo.asd(s)(col("ip4_src_addr")).as("src_asd"),
+          col("in_bytes"), col("sampling_rate"))
+        .groupBy(col("country"), col("cc"), col("src_asn"), col("src_asd"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+        .orderBy(col("country").asc, col("cc").asc, col("src_asn").asc)
+    }, {
+      import graft.flow.BuiltinTables
+      val geo4 = graft.functions.Lpm.build(BuiltinTables.geoPrefixes)
+      val as4 = graft.functions.Lpm.build(BuiltinTables.asPrefixes)
+      Some(s"""WITH $F,
+      g AS (SELECT
+        ${OracleSql.lpmCase(geo4, "ip4_dst_addr", 2)} AS country,
+        ${OracleSql.lpmCase(geo4, "ip4_dst_addr", 1)} AS cc,
+        ${OracleSql.lpmCase(as4, "ip4_src_addr", 0)} AS src_asn,
+        ${OracleSql.lpmCase(as4, "ip4_src_addr", 1)} AS src_asd,
+        in_bytes, sampling_rate
+      FROM flow)
+      SELECT country, cc, src_asn, src_asd,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+      FROM g GROUP BY country, cc, src_asn, src_asd
+      ORDER BY country ASC, cc ASC, src_asn ASC""")
+    })
+
+  // ------------------------------------- classification (top-X% classes)
+  private val q31 = Q(
+    "q31_classify",
+    (s, dir) => {
+      import graft.flow.BuiltinTables
+      import graft.functions.NetFns
+      import graft.operators.Classification
+      val flow = TestFlowView.load(s, dir).select(
+        col("protocol").as("proto"), col("l4_dst_port").as("port"),
+        col("in_bytes"), col("sampling_rate"))
+      val nameCol = concat(
+        coalesce(element_at(typedlit(BuiltinTables.protoNames), col("proto")),
+          col("proto").cast("string")),
+        lit(","), NetFns.portstr(col("port")))
+      val classes = Classification.classTable(flow,
+        Classification.Conf(Seq("proto", "port"), "octets", 90.0, nameCol),
+        col("in_bytes") * col("sampling_rate"))
+      Classification.label(flow, classes, Seq("proto", "port"))
+        .groupBy(col("class0"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+        .orderBy(asc_nulls_first("class0"))
+    },
+    Some(s"""WITH $F,
+      agg AS (SELECT protocol AS proto, l4_dst_port AS port,
+                CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+              FROM flow GROUP BY 1, 2),
+      c AS (SELECT *,
+        COALESCE(SUM(octets) OVER
+          (ORDER BY octets DESC NULLS LAST, proto ASC, port ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+        SUM(octets) OVER () AS tot FROM agg),
+      cls AS (SELECT proto, port,
+                ${OracleSql.protoNameSql("proto")} || ',' ||
+                CASE WHEN svc.nm IS NOT NULL
+                     THEN svc.nm || ' (' || CAST(port AS VARCHAR) || ')'
+                     ELSE CAST(port AS VARCHAR) END AS class_name
+              FROM c LEFT JOIN (VALUES ${OracleSql.servicesValues})
+                svc(p, nm) ON c.port = svc.p
+              WHERE cum < (tot * 90.0) / 100.0)
+      SELECT cls.class_name AS class0, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+      FROM flow LEFT JOIN cls
+        ON flow.protocol = cls.proto AND flow.l4_dst_port = cls.port
+      GROUP BY cls.class_name
+      ORDER BY class0 ASC NULLS FIRST"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q25, q26, q27, q28, q29, q30)
+    q13, q14, q25, q26, q27, q28, q29, q30, q31)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
