@@ -51,4 +51,36 @@ object OracleSql {
       .map { case (p, n) => s"WHEN $p THEN '$n'" }.mkString(" ")
     s"CASE $col $whens ELSE CAST($col AS VARCHAR) END"
   }
+
+  /** Word k-shingle list mirroring Dedup.shingles: list of space-joined
+    * k-grams over `string_split(textExpr, ' ')`; [] for short docs. */
+  def shinglesSql(textExpr: String, k: Int): String =
+    s"CASE WHEN len(string_split($textExpr, ' ')) >= $k THEN " +
+      s"list_transform(range(1, len(string_split($textExpr, ' ')) " +
+      s"- ${k - 1} + 1), i -> ${shingleBody(textExpr, k)}) " +
+      s"ELSE [] END"
+
+  private def shingleBody(textExpr: String, k: Int): String = {
+    val w = s"string_split($textExpr, ' ')"
+    (0 until k).map(o => s"$w[i + $o]").mkString(" || ' ' || ")
+  }
+
+  /** Per-bit SimHash sum columns: `SUM(CASE ... ) AS s<b>` list. */
+  def simhashBitSums(hExpr: String, bits: Int): String =
+    (0 until bits).map { b =>
+      s"SUM(CASE WHEN (($hExpr >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+
+  /** Signature assembly from the s<b> sums: Σ (s_b>0 ? 2^b : 0). */
+  def simhashAssemble(bits: Int): String =
+    "CAST(" + (0 until bits).map { b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ") + " AS BIGINT)"
+
+  /** Left-to-right double dot product of two 1-based list columns,
+    * mirroring Similarity.dot's aggregate order (init 0.0 + x1 ≡ x1). */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+      "(acc, x) -> acc + x)"
 }

@@ -546,9 +546,262 @@ object Queries {
       GROUP BY cls.class_name
       ORDER BY class0 ASC NULLS FIRST"""))
 
+  // =================================================== LLM-pipeline ops
+
+  // ------------------------------------------------------- exact dedup
+  private val q15 = Q(
+    "q15_dedup_exact",
+    (s, dir) => {
+      import graft.operators.Dedup
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id").asc)
+    },
+    Some("""SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+             CAST(COUNT(*) AS BIGINT) AS copies
+      FROM documents GROUP BY text ORDER BY keep_id ASC"""))
+
+  // ------------------------------------------------- MinHash+LSH dedup
+  private val q16 = Q(
+    "q16_dedup_minhash",
+    (s, dir) => {
+      import graft.operators.Dedup
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 4)
+        .orderBy(col("a").asc, col("b").asc)
+    },
+    Some(s"""WITH
+      sh AS (SELECT doc_id, ${OracleSql.shinglesSql("text", 3)} AS sh
+             FROM documents),
+      sig AS (SELECT doc_id,
+               list_transform(range(0, 16), j ->
+                 list_min(list_transform(sh, s ->
+                   md5(CAST(j AS VARCHAR) || '|' || s)))) AS sig
+              FROM sh WHERE len(sh) > 0),
+      bands AS (SELECT doc_id, b,
+                 array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '')
+                   AS bucket
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l JOIN bands r
+                  ON l.b = r.b AND l.bucket = r.bucket
+                 AND l.doc_id < r.doc_id)
+      SELECT a, b FROM pairs ORDER BY a ASC, b ASC"""))
+
+  // ----------------------------------------------------------- SimHash
+  private val q17 = Q(
+    "q17_simhash",
+    (s, dir) => {
+      import graft.operators.Dedup
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", bits = 16)
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH
+      toks AS (SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS tok
+               FROM documents),
+      h AS (SELECT doc_id,
+              CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+            FROM toks),
+      bitsums AS (SELECT doc_id, ${OracleSql.simhashBitSums("h", 16)}
+                  FROM h GROUP BY doc_id)
+      SELECT doc_id, ${OracleSql.simhashAssemble(16)} AS simhash
+      FROM bitsums ORDER BY doc_id ASC"""))
+
+  // --------------------------------------------------- n-gram Jaccard
+  private val q18 = Q(
+    "q18_ngram_jaccard",
+    (s, dir) => {
+      import graft.operators.Dedup
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 2, blockCol = Some("lang"), minBp = 2000L)
+        .orderBy(col("a").asc, col("b").asc)
+    },
+    Some(s"""WITH
+      g AS (SELECT DISTINCT doc_id AS id, lang, unnest(
+              ${OracleSql.shinglesSql("text", 2)}) AS g
+            FROM documents),
+      sz AS (SELECT id, COUNT(*) AS sz FROM g GROUP BY id),
+      i AS (SELECT l.id AS a, r.id AS b,
+              CAST(COUNT(*) AS BIGINT) AS inter
+            FROM g l JOIN g r
+              ON l.g = r.g AND l.lang = r.lang AND l.id < r.id
+            GROUP BY 1, 2)
+      SELECT a, b,
+        CAST((10000 * inter) // (sa.sz + sb.sz - inter) AS BIGINT) AS j_bp
+      FROM i JOIN sz sa ON i.a = sa.id JOIN sz sb ON i.b = sb.id
+      WHERE (10000 * inter) // (sa.sz + sb.sz - inter) >= 2000
+      ORDER BY a ASC, b ASC"""))
+
+  // ------------------------------------------------------ language ID
+  private val q19 = Q(
+    "q19_langid",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred"))
+        .orderBy(col("doc_id").asc)
+    }, {
+      import graft.operators.TextAnalysis
+      val ordered = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+      val countExprs = ordered.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        lang -> (s"len(list_filter(string_split(lower(text), ' '), " +
+          s"w -> w IN ($inList)))")
+      }
+      val withCols = countExprs
+        .map { case (l, e) => s"$e AS c_$l" }.mkString(", ")
+      val best = "greatest(" + ordered.map(l => s"c_${l._1}")
+        .mkString(", ") + ")"
+      val pred = ordered.map { case (l, _) =>
+        s"WHEN c_$l = __best AND __best > 0 THEN '$l'"
+      }.mkString(" ")
+      Some(s"""WITH c AS (SELECT doc_id, lang, $withCols FROM documents),
+        b AS (SELECT *, $best AS __best FROM c)
+        SELECT doc_id, lang, CASE $pred ELSE 'und' END AS pred
+        FROM b ORDER BY doc_id ASC""")
+    })
+
+  // -------------------------------------------------- quality scoring
+  private val q20 = Q(
+    "q20_quality",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val metrics = TextAnalysis.qualityMetrics(col("text"))
+      t(s, dir, "documents")
+        .select((col("doc_id") +:
+          metrics.map { case (n, c) => c.as(n) }): _*)
+        .orderBy(col("doc_id").asc)
+    }, {
+      import graft.operators.TextAnalysis
+      val en = TextAnalysis.stopwords("en").map(w => s"'$w'")
+        .mkString(", ")
+      Some(s"""WITH m AS (SELECT doc_id,
+        len(list_filter(string_split(text, ' '), w -> w <> ''))
+          AS n_tokens,
+        list_reduce(list_transform(
+          list_filter(string_split(text, ' '), w -> w <> ''),
+          w -> CAST(len(w) AS BIGINT)), (a, x) -> a + x) AS charsum,
+        (len(text) - len(regexp_replace(text, '[.]', '', 'g')))
+         + (len(text) - len(regexp_replace(text, '[,]', '', 'g')))
+         + (len(text) - len(regexp_replace(text, '[!]', '', 'g')))
+         + (len(text) - len(regexp_replace(text, '[?]', '', 'g')))
+          AS n_punct,
+        len(list_filter(string_split(lower(text), ' '),
+          w -> w IN ($en))) AS n_stop
+        FROM documents)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(CASE WHEN n_tokens > 0
+             THEN FLOOR((10000 * charsum) / n_tokens) ELSE 0 END
+             AS BIGINT) AS mean_tok_len_bp,
+        CAST(n_punct AS BIGINT) AS n_punct,
+        CAST(CASE WHEN n_tokens > 0
+             THEN FLOOR((10000 * n_stop) / n_tokens) ELSE 0 END
+             AS BIGINT) AS stopword_bp
+      FROM m ORDER BY doc_id ASC""")
+    })
+
+  // ------------------------------------------------------ token counts
+  private val q21 = Q(
+    "q21_token_count",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_re"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+             AS BIGINT) AS n_ws,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))
+             AS BIGINT) AS n_re
+      FROM documents ORDER BY doc_id ASC"""))
+
+  // ------------------------------------------------ doc fingerprinting
+  private val q22 = Q(
+    "q22_fingerprint",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          size(TextAnalysis.winnowingFingerprints(col("text"), 3, 4))
+            .cast(LongType).as("n_winnow"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH w AS (SELECT doc_id,
+        md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+        ${OracleSql.shinglesSql("text", 3)} AS grams
+      FROM documents),
+      h AS (SELECT doc_id, fp,
+        list_transform(grams, g -> substr(md5(g), 1, 15)) AS hs
+      FROM w)
+      SELECT doc_id, fp,
+        CAST(CASE WHEN len(hs) >= 4 THEN
+          len(list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+            i -> list_min(list_slice(hs, i, i + 3)))))
+        ELSE 0 END AS BIGINT) AS n_winnow
+      FROM h ORDER BY doc_id ASC"""))
+
+  // ------------------------------------------- cosine top-k similarity
+  private val q23 = Q(
+    "q23_cosine_topk",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+      Similarity.topK(emb.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", query, "embedding", 20)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = 0),
+      s AS (SELECT vec_id,
+        ${OracleSql.dotSql("embedding", "qv", 64)} /
+        (sqrt(${OracleSql.dotSql("embedding", "embedding", 64)}) *
+         sqrt(${OracleSql.dotSql("qv", "qv", 64)})) AS sim
+      FROM embeddings, q WHERE vec_id <> 0)
+      SELECT vec_id, round(sim, 6) AS sim_r FROM s
+      ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 20"""))
+
+  // --------------------------------------- multimodal binary metadata
+  private val q24 = Q(
+    "q24_multimodal_meta",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      // deterministic fake payload: 6-byte stub header + utf-8 text body
+      val payload = encode(concat(
+        expr("chr(1 + doc_id % 3)"),
+        expr("chr(0)"), expr("chr(32 + doc_id % 96)"),
+        expr("chr(0)"), expr("chr(32 + (doc_id * 7) % 96)"),
+        expr("chr(0)"), col("text")), "UTF-8")
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+      Multimodal.withImageMeta(withBin, "payload")
+        .select(col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").cast(LongType).as("width"),
+          col("meta.height").cast(LongType).as("height"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.ok").as("ok"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""SELECT doc_id,
+        CASE 1 + doc_id % 3 WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+             ELSE 'webp' END AS format,
+        CAST(32 + doc_id % 96 AS BIGINT) AS width,
+        CAST(32 + (doc_id * 7) % 96 AS BIGINT) AS height,
+        CAST(6 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        TRUE AS ok
+      FROM documents ORDER BY doc_id ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q13, q14, q25, q26, q27, q28, q29, q30, q31)
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26, q27, q28, q29, q30, q31)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for large-scale text corpora (engine extension
+  * beyond the reference surface, BASELINE.json north-star).
+  *
+  * All stages are built from codegen'd higher-order functions (split /
+  * transform / explode / groupBy) — no UDFs — so each scales as ordinary
+  * shuffles:
+  *  - exact: hash group-by on content (or min-id winner per group);
+  *  - MinHash+LSH: shingle → per-hash min → band → bucket join; candidate
+  *    pairs only ever meet inside a bucket, never a cross product;
+  *  - SimHash: per-token hash bits summed per doc → 64-bit signature;
+  *  - n-gram Jaccard: exact pairwise similarity via shared-gram counts
+  *    (use after LSH bucketing at scale; driver queries bound the corpus).
+  *
+  * Hashes are md5-based so any engine (the DuckDB oracle included)
+  * reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical content. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy(col(contentCol)).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup groups: one row per duplicated content with the winner id
+    * and the number of copies. */
+  def exactGroups(df: DataFrame, idCol: String,
+                  contentCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+      .drop(contentCol)
+
+  /** Word k-shingles of a text column: array of space-joined k-grams.
+    * Guarded for short docs — Spark's sequence(1, 0) would count DOWN. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(text, " ")
+    val n = size(words)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        concat_ws(" ", slice(words, i, lit(k)))))
+      .otherwise(typedlit(Seq.empty[String]))
+  }
+
+  /** MinHash signature: for hash j, min over shingles of md5(j || '|' || s).
+    * Hex-string min == numeric min on the uniform md5 space. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      array_min(transform(shingleCol, s =>
+        md5(concat(j.cast("string"), lit("|"), s)))))
+
+  /** LSH bands: split the signature into `bands` concatenated buckets →
+    * (band_idx, bucket_hash) rows per doc. */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignature(shingles(col(textCol), shingleK), numHashes)
+    df.select(col(idCol), sig.as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws("", slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+  }
+
+  /** Candidate near-dup pairs (a < b) sharing ≥1 LSH bucket. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val b = lshBuckets(df, idCol, textCol, shingleK, numHashes, bands)
+    val l = b.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val r = b.select(col(idCol).as("b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the signature is the
+    * sign of Σ_tokens (±1 by bit b of md5(token)). Computed as an exact
+    * integer aggregation (explode → groupBy doc) with the token hash from
+    * the first 15 md5 hex chars (60 bits). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    val tokens = df.select(col(idCol),
+      explode(filter(split(col(textCol), " "), w => w =!= "")).as("tok"))
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType)
+    val withBits = tokens.select(
+      (col(idCol) +: (0 until bits).map(b =>
+        (when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$b"))): _*)
+    val sums = withBits.groupBy(col(idCol))
+      .agg(sum(col("b0")).as("s0"),
+        (1 until bits).map(b => sum(col(s"b$b")).as(s"s$b")): _*)
+    val sigExpr = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col(idCol), sigExpr.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard over distinct word n-grams, integer basis-point
+    * result: 10000*|A∩B| / (|A|+|B|-|A∩B|). Pairwise within an (optional)
+    * blocking column — at scale, feed LSH buckets as the block. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, blockCol: Option[String],
+                        minBp: Long): DataFrame = {
+    val grams = df.select(
+      (col(idCol).as("id") +:
+        blockCol.map(col).toSeq :+
+        explode(array_distinct(shingles(col(textCol), n))).as("g")): _*)
+      .distinct()
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val l = grams.select((col("id").as("a") +: col("g").as("ga") +:
+      blockCol.map(c => col(c).as("blk")).toSeq): _*)
+    val r = grams.select((col("id").as("b") +: col("g").as("gb") +:
+      blockCol.map(c => col(c).as("blk2")).toSeq): _*)
+    val joinCond = (col("ga") === col("gb")) &&
+      blockCol.map(_ => col("blk") === col("blk2")).getOrElse(lit(true)) &&
+      (col("a") < col("b"))
+    val inter = l.join(r, joinCond)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a")
+        .withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b")
+        .withColumnRenamed("sz", "szb"), "b")
+      .withColumn("j_bp", expr("(10000 * inter) div (sza + szb - inter)"))
+      .filter(col("j_bp") >= minBp)
+      .select("a", "b", "j_bp")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k baseline and an
+  * LSH-bucketed approximate path for scale.
+  *
+  * The dot product / norms are `zip_with` + `aggregate` over the float
+  * array cast to double element-wise, summed left-to-right — a fixed IEEE
+  * op order, so the DuckDB oracle (list_transform + list_reduce in the
+  * same order) reproduces the doubles bit-for-bit.
+  */
+object Similarity {
+
+  /** Σ a[i]*b[i] with left-to-right double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Brute-force top-k nearest to one query vector. The per-row cosine is
+    * embarrassingly parallel; the top-k is a TakeOrdered (no full sort).
+    */
+  def topK(df: DataFrame, idCol: String, vecCol: String,
+           query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(queryVecCol).as("__qv")))
+    df.crossJoin(q)
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature: bit j = sign(dot(v, h_j)) where
+    * h_j[i] ∈ {+1,-1} derives from md5(j|i) — deterministic, engine
+    * independent. Vectors in the same bucket are cosine-close with high
+    * probability; search only scans the query's bucket (the IVF-style
+    * scale path: bucket count grows with nBits, candidate set shrinks). */
+  def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val terms = (0 until dim).map { i =>
+        // deterministic ±1 from one md5 hex nibble
+        val sign =
+          if ((Integer.parseInt(md5Hex(s"$j|$i").substring(0, 1), 16) & 1)
+            == 1) 1.0 else -1.0
+        element_at(vec, i + 1).cast("double") * lit(sign)
+      }
+      val s = terms.reduce(_ + _)
+      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Bucketed ANN: group vectors by LSH signature, search only the
+    * query's bucket. Returns top-k within the bucket. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              nBits: Int, query: DataFrame, queryVecCol: String,
+              k: Int): DataFrame = {
+    val sig = lshSignature(col(vecCol), dim, nBits)
+    val bucketed = df.withColumn("__sig", sig)
+    val q = broadcast(query
+      .select(col(queryVecCol).as("__qv"))
+      .withColumn("__qsig", lshSignature(col("__qv"), dim, nBits)))
+    bucketed.join(q, col("__sig") === col("__qsig"))
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicates by embedding cosine ≥ threshold, blocked
+    * by LSH bucket so no cross product forms. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   nBits: Int, minSim: Double): DataFrame = {
+    val sig = lshSignature(col(vecCol), dim, nBits)
+    val b = df.select(col(idCol), col(vecCol), sig.as("__sig"))
+    val l = b.select(col(idCol).as("a"), col(vecCol).as("va"), col("__sig"))
+    val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      col("__sig").as("__sig2"))
+    l.join(r, col("__sig") === col("__sig2") && col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

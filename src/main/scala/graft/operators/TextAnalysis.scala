@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure codegen'd
+  * column expressions (portable to the DuckDB oracle) — integer or string
+  * outputs only, so results are bit-exact across engines.
+  */
+object TextAnalysis {
+
+  /** Stopword lists per language for the n-gram/stopword-count heuristic
+    * language ID. Deterministic built-ins; real deployments load bigger
+    * tables through the same path. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that", "it",
+      "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit",
+      "von", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "que",
+      "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que",
+      "no"))
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Count of tokens present in a word list. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), w => w.isInCollection(words)))
+      .cast(LongType)
+
+  /** Language-ID: argmax of per-language stopword counts; ties and
+    * all-zero → "und" (undetermined). Langs evaluated in sorted order so
+    * the tie-break is deterministic. */
+  def langId(text: Column): Column = {
+    val ordered = stopwords.toSeq.sortBy(_._1)
+    val counts = ordered.map { case (lang, ws) =>
+      lang -> stopwordCount(text, ws) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((lang, c), acc) =>
+      when(c === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** Word-ish token count via regex ([A-Za-z]+|[0-9]+) — the BPE-ish
+    * pre-tokenizer shape. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+"), lit(0)))
+      .cast(LongType)
+
+  /** Count occurrences of a literal character via length-difference.
+    * Uses a character-class pattern (`[.]`) — valid in both Java regex
+    * and RE2, so the DuckDB oracle can mirror it verbatim. */
+  def charCount(text: Column, ch: String): Column =
+    (length(text) -
+      length(regexp_replace(text, lit(s"[$ch]"), lit("")))).cast(LongType)
+
+  /** Quality metrics, all integer: token count, mean token length in
+    * basis points, punctuation count, stopword basis points. */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(LongType)
+    val charSum = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    Seq(
+      "n_tokens" -> nTok,
+      "mean_tok_len_bp" ->
+        when(nTok > 0, floor((lit(10000L) * charSum) / nTok))
+          .otherwise(lit(0L)).cast(LongType),
+      "n_punct" -> (charCount(text, ".") + charCount(text, ",") +
+        charCount(text, "!") + charCount(text, "?")),
+      "stopword_bp" ->
+        when(nTok > 0,
+          floor((lit(10000L) * stopwordCount(text, stopwords("en"))) / nTok))
+          .otherwise(lit(0L)).cast(LongType))
+  }
+
+  /** Whole-document fingerprint: md5 of lowercased, space-normalized
+    * text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), lit("\\s+"), lit(" ")))
+
+  /** Winnowing-style robust fingerprints: k-gram rolling hashes, then the
+    * minimum hash in each window of w consecutive k-grams (document
+    * fingerprinting as in MOSS). Returns the distinct selected hashes. */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    val grams = Dedup.shingles(text, k)
+    val hashes = transform(grams, g => substring(md5(g), 1, 15))
+    val m = size(hashes)
+    when(m >= w,
+      array_distinct(transform(sequence(lit(1), m - (w - 1)), i =>
+        array_min(slice(hashes, i, lit(w))))))
+      .otherwise(typedlit(Seq.empty[String]))
+  }
+}
