@@ -798,10 +798,67 @@ object Queries {
         TRUE AS ok
       FROM documents ORDER BY doc_id ASC"""))
 
+  // ===================== binary ingest decoders (rows-only checks:
+  // DuckDB cannot decode NetFlow/sFlow wire formats)
+
+  /** Deterministic NetFlow v9 packets: template + data flowsets built
+    * from integers (no external fixtures). */
+  private def v9Packets(n: Int): Seq[Array[Byte]] = {
+    def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    (0 until n).map { i =>
+      val header = u16(9) ++ u16(2) ++ u32(0) ++ u32(1700000000L + i) ++
+        u32(i) ++ u32(1)
+      val tmpl = u16(0) ++ u16(16) ++ u16(256) ++ u16(3) ++
+        u16(1) ++ u16(4) ++ u16(4) ++ u16(1) ++ u16(8) ++ u16(4)
+      val rec = u32(100L + i) ++
+        Array[Byte]((if (i % 2 == 0) 6 else 17).toByte) ++
+        u32(0x0a000000L + i % 16)
+      val data = u16(256) ++ u16(4 + rec.length) ++ rec
+      header ++ tmpl ++ data
+    }
+  }
+
+  private val q40 = Q(
+    "q40_decode_netflow_v9",
+    (s, dir) => {
+      import graft.sources.NetflowDecoder
+      import s.implicits._
+      val packets = v9Packets(64).zipWithIndex
+        .map { case (p, i) => (p, 1700000000L + i, 1L) }
+      val df = s.createDataset(packets).toDF("payload", "ts_sec", "src_ip")
+      NetflowDecoder.decode(df)
+        .groupBy(col("protocol"))
+        .agg(count(lit(1)).as("n"), sum(col("in_bytes")).as("octets"))
+        .orderBy(col("protocol").asc)
+    },
+    None)
+
+  private val q41 = Q(
+    "q41_decode_pipeline",
+    (s, dir) => {
+      // decoded packets → filter DSL → fwm: the reference's full hot path
+      // (netflow_process → filter_match → fwm update, SURVEY.md §3.2)
+      import graft.sources.NetflowDecoder
+      import s.implicits._
+      val packets = v9Packets(64).zipWithIndex
+        .map { case (p, i) => (p, 1700000000L + i, 1L) }
+      val df = s.createDataset(packets).toDF("payload", "ts_sec", "src_ip")
+      val flows = NetflowDecoder.decode(df)
+      val env = FilterEnv.flow(s)
+      val pred = Compiler.filterColumn("proto 6 and src net 10.0.0.0/24",
+        env).fold(e => sys.error(e), identity)
+      Fwm.batch(flows.filter(pred), env,
+        Fwm.Conf("decoded", Seq("octets desc", "src host"), timeSec = 30),
+        tsCol = col("ts_sec"))
+    },
+    None)
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31)
+    q25, q26, q27, q28, q29, q30, q31, q40, q41)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

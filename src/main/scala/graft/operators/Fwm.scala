@@ -85,8 +85,58 @@ object Fwm {
 
     // others row (NULL keys) sorts last inside its window
     val othersLast = keys.headOption
-      .map(k => col(k.sqlName).isNull.cast("int"))
-      .getOrElse(lit(0))
-    limited.orderBy((col("time").asc +: othersLast.asc +: sortCols): _*)
+      .map(k => col(k.sqlName).isNull.cast("int").asc).toSeq
+    limited.orderBy((col("time").asc +: othersLast) ++ sortCols: _*)
+  }
+
+  /** Streaming mode: tumbling event-time windows with a watermark. The
+    * same fieldset compiles to `groupBy(window(ts, T), keys).agg(sums)`;
+    * in Append mode a window emits exactly once when the watermark passes
+    * its end — the streaming analog of the reference's bank swap + dump
+    * (monit-objects-fwm.c:665-682). Run the sort/top-N finish per closed
+    * window via [[finishWindows]] inside foreachBatch.
+    *
+    * @param tsColName TimestampType column to window on
+    * @param delay     watermark delay (reference drops late data by
+    *                  design — INTERNALS.md:126-129 — so "0 seconds")
+    */
+  def stream(flows: DataFrame, env: FilterEnv, conf: Conf,
+             tsColName: String = "ts",
+             samplingRate: Option[Column] = None,
+             delay: String = "0 seconds"): DataFrame = {
+    val compiled = compile(conf).fold(e => sys.error(e), identity)
+    require(compiled.aggrs.nonEmpty,
+      s"fwm '${conf.name}' needs at least one aggregable field")
+    val rate = samplingRate.getOrElse(lit(1L))
+    val keyCols = compiled.keys.map(k => k.column(env).as(k.sqlName))
+    val aggCols = compiled.aggrs.map { a =>
+      sum(a.column(env) * lit(a.scale) * rate).as(a.sqlName)
+    }
+    flows
+      .withWatermark(tsColName, delay)
+      .groupBy((window(col(tsColName), s"${conf.timeSec} seconds") +:
+        keyCols): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("time", unix_timestamp(col("window.start")))
+      .drop("window")
+  }
+
+  /** Per-batch finish for streamed windows: declared sort + top-N+others
+    * (apply inside foreachBatch, where each closed window's rows are
+    * final). */
+  def finishWindows(batch: DataFrame, conf: Conf): DataFrame = {
+    val compiled = compile(conf).fold(e => sys.error(e), identity)
+    val sortCols = compiled.sortOrder.map(f =>
+      if (f.descending) col(f.sqlName).desc else col(f.sqlName).asc)
+    val limited = conf.limit match {
+      case Some(n) =>
+        TopK.topNOthers(batch, Seq("time"),
+          compiled.keys.map(_.sqlName), compiled.aggrs.map(_.sqlName),
+          sortCols, n)
+      case None => batch
+    }
+    val othersLast = compiled.keys.headOption
+      .map(k => col(k.sqlName).isNull.cast("int").asc).toSeq
+    limited.orderBy((col("time").asc +: othersLast) ++ sortCols: _*)
   }
 }

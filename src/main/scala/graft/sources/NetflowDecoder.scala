@@ -1,0 +1,269 @@
+package graft.sources
+
+import graft.flow.FlowSchema
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** NetFlow v5/v9 and IPFIX (RFC 7011) decoders.
+  *
+  * Wire formats are public standards; the decode strategy mirrors the
+  * reference's shape (SURVEY.md §2.1): templates cached per
+  * (exporter, source-id, version, template-id) — reference
+  * netflow-templates.c:100-252 — and each data record dispatched
+  * per-field by NetFlow field id into the canonical FlowSchema columns
+  * (the reference's 65536-entry function table, netflow.c:56,824-837,
+  * becomes a Map lookup).
+  *
+  * Distribution model: packets are decoded with `mapPartitions`; the
+  * template cache is partition-local, so routing an exporter's packets to
+  * a stable partition (repartition by exporter ip) reproduces the
+  * reference's socket-per-thread affinity (STEP-BY-STEP.md:138-156) at
+  * cluster scale. Templates arriving in the same packet as data (the
+  * normal NetFlow startup behavior) always decode.
+  */
+object NetflowDecoder {
+
+  /** Template: field list as (fieldId, length, enterpriseId). */
+  final case class Template(fields: Seq[(Int, Int, Long)])
+
+  final class TemplateCache {
+    private val m = mutable.Map.empty[(Long, Long, Int, Int), Template]
+    def put(src: Long, sourceId: Long, ver: Int, tid: Int,
+            t: Template): Unit = m((src, sourceId, ver, tid)) = t
+    def get(src: Long, sourceId: Long, ver: Int,
+            tid: Int): Option[Template] = m.get((src, sourceId, ver, tid))
+  }
+
+  /** Output schema: ts_sec + the full physical flow schema. */
+  val outSchema: StructType = StructType(
+    StructField("ts_sec", LongType, false) +:
+      FlowSchema.physFields.map(f =>
+        StructField(f.name, f.sparkType, nullable = true)))
+
+  private val fieldIdx: Map[Int, (Int, FlowSchema.PhysField)] =
+    FlowSchema.physFields.zipWithIndex.map { case (f, i) =>
+      f.nfId -> ((i + 1, f)) // +1: slot 0 is ts_sec
+    }.toMap
+
+  private def be(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+  private def u16(b: Array[Byte], off: Int): Int = be(b, off, 2).toInt
+  private def u32(b: Array[Byte], off: Int): Long = be(b, off, 4)
+
+  private def setField(row: Array[Any], fid: Int, b: Array[Byte],
+                       off: Int, len: Int): Unit =
+    fieldIdx.get(fid).foreach { case (slot, f) =>
+      if (len >= 0 && off + len <= b.length) {
+        row(slot) = f.kind match {
+          case FlowSchema.UIntK | FlowSchema.Ip4K =>
+            if (len >= 1 && len <= 8) be(b, off, len)
+            else null
+          case FlowSchema.Ip6K | FlowSchema.MacK =>
+            java.util.Arrays.copyOfRange(b, off, off + len)
+          case FlowSchema.StringK =>
+            val end = {
+              var e = off
+              while (e < off + len && b(e) != 0) e += 1
+              e
+            }
+            new String(b, off, end - off, StandardCharsets.UTF_8)
+        }
+      }
+    }
+
+  /** Decode one UDP payload into flow rows (ts_sec + fields, nulls where
+    * absent). Unknown versions/flowsets are skipped, not fatal. */
+  def decodePacket(payload: Array[Byte], tsSec: Long, srcIp: Long,
+                   cache: TemplateCache): Seq[Array[Any]] = {
+    if (payload.length < 2) return Nil
+    u16(payload, 0) match {
+      case 5  => decodeV5(payload, tsSec)
+      case 9  => decodeV9(payload, tsSec, srcIp, cache)
+      case 10 => decodeIpfix(payload, tsSec, srcIp, cache)
+      case _  => Nil
+    }
+  }
+
+  // NetFlow v5: 24-byte header + 48-byte fixed records
+  // (field order per the public v5 spec; reference netflow.h NF5_FIELDS)
+  private val v5Layout: Seq[(Int, Int)] = Seq(
+    // (netflow field id, length); id -1 = skip
+    8 -> 4, 12 -> 4, 15 -> 4, 10 -> 2, 14 -> 2, 2 -> 4, 1 -> 4,
+    22 -> 4, 21 -> 4, 7 -> 2, 11 -> 2, -1 -> 1, 6 -> 1, 4 -> 1,
+    5 -> 1, 16 -> 2, 17 -> 2, 9 -> 1, 13 -> 1, -1 -> 2)
+
+  private def decodeV5(b: Array[Byte], tsSec: Long): Seq[Array[Any]] = {
+    if (b.length < 24) return Nil
+    val count = u16(b, 2)
+    val out = Vector.newBuilder[Array[Any]]
+    var off = 24
+    var i = 0
+    while (i < count && off + 48 <= b.length) {
+      val row = new Array[Any](outSchema.length)
+      row(0) = tsSec
+      var p = off
+      v5Layout.foreach { case (fid, len) =>
+        if (fid > 0) setField(row, fid, b, p, len)
+        p += len
+      }
+      out += row
+      off += 48
+      i += 1
+    }
+    out.result()
+  }
+
+  private def decodeV9(b: Array[Byte], tsSec: Long, srcIp: Long,
+                       cache: TemplateCache): Seq[Array[Any]] = {
+    if (b.length < 20) return Nil
+    val sourceId = u32(b, 16)
+    val out = Vector.newBuilder[Array[Any]]
+    var off = 20
+    while (off + 4 <= b.length) {
+      val setId = u16(b, off)
+      val setLen = u16(b, off + 2)
+      if (setLen < 4 || off + setLen > b.length) return out.result()
+      if (setId == 0) {
+        // template flowset
+        var p = off + 4
+        while (p + 4 <= off + setLen) {
+          val tid = u16(b, p)
+          val nf = u16(b, p + 2)
+          p += 4
+          if (p + nf * 4 <= off + setLen) {
+            val fields = (0 until nf).map { k =>
+              (u16(b, p + k * 4), u16(b, p + k * 4 + 2), 0L)
+            }
+            cache.put(srcIp, sourceId, 9, tid, Template(fields))
+          }
+          p += nf * 4
+        }
+      } else if (setId >= 256) {
+        cache.get(srcIp, sourceId, 9, setId).foreach { t =>
+          val recLen = t.fields.map(_._2).sum
+          if (recLen > 0) {
+            var p = off + 4
+            while (p + recLen <= off + setLen) {
+              val row = new Array[Any](outSchema.length)
+              row(0) = tsSec
+              var q = p
+              t.fields.foreach { case (fid, len, _) =>
+                setField(row, fid, b, q, len)
+                q += len
+              }
+              out += row
+              p += recLen
+            }
+          }
+        }
+      } // setId 1 (options) and 2..255: skipped
+      off += setLen
+    }
+    out.result()
+  }
+
+  private def decodeIpfix(b: Array[Byte], tsSec: Long, srcIp: Long,
+                          cache: TemplateCache): Seq[Array[Any]] = {
+    if (b.length < 16) return Nil
+    val totalLen = math.min(u16(b, 2), b.length)
+    val domainId = u32(b, 12)
+    val out = Vector.newBuilder[Array[Any]]
+    var off = 16
+    while (off + 4 <= totalLen) {
+      val setId = u16(b, off)
+      val setLen = u16(b, off + 2)
+      if (setLen < 4 || off + setLen > totalLen) return out.result()
+      if (setId == 2) {
+        var p = off + 4
+        while (p + 4 <= off + setLen) {
+          val tid = u16(b, p)
+          val nf = u16(b, p + 2)
+          p += 4
+          val fields = Vector.newBuilder[(Int, Int, Long)]
+          var ok = true
+          (0 until nf).foreach { _ =>
+            if (p + 4 <= off + setLen) {
+              val rawType = u16(b, p)
+              val len = u16(b, p + 2)
+              p += 4
+              val ent =
+                if ((rawType & 0x8000) != 0 && p + 4 <= off + setLen) {
+                  val e = u32(b, p); p += 4; e
+                } else 0L
+              fields += (((rawType & 0x7fff), len, ent))
+            } else ok = false
+          }
+          if (ok) cache.put(srcIp, domainId, 10, tid,
+            Template(fields.result()))
+        }
+      } else if (setId >= 256) {
+        cache.get(srcIp, domainId, 10, setId).foreach { t =>
+          var p = off + 4
+          val hasVar = t.fields.exists(_._2 == 65535)
+          val fixedLen = t.fields.map(_._2).filter(_ != 65535).sum
+          var continue = true
+          while (continue && p < off + setLen &&
+                 (off + setLen - p) >= (if (hasVar) t.fields.count(
+                   _._2 == 65535) + fixedLen else fixedLen) &&
+                 fixedLen + (if (hasVar) 1 else 0) > 0) {
+            val row = new Array[Any](outSchema.length)
+            row(0) = tsSec
+            var q = p
+            t.fields.foreach { case (fid, len0, ent) =>
+              if (continue) {
+                var len = len0
+                if (len == 65535) {
+                  // RFC 7011 §7 variable-length: 1-byte, 255 → 2-byte
+                  if (q >= off + setLen) { continue = false; len = 0 }
+                  else {
+                    val l0 = b(q) & 0xff
+                    q += 1
+                    if (l0 == 255) { len = u16(b, q); q += 2 }
+                    else len = l0
+                  }
+                }
+                if (continue) {
+                  if (q + len > off + setLen) continue = false
+                  else {
+                    if (ent == 0L) setField(row, fid, b, q, len)
+                    q += len
+                  }
+                }
+              }
+            }
+            if (continue) { out += row; p = q }
+          }
+        }
+      }
+      off += setLen
+    }
+    out.result()
+  }
+
+  /** DataFrame-level decode: (payload binary, ts_sec long, src_ip long) →
+    * canonical flow columns. Partition-local template cache. */
+  def decode(df: DataFrame, payloadCol: String = "payload",
+             tsCol: String = "ts_sec",
+             srcIpCol: String = "src_ip"): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val proj = df.select(col(payloadCol), col(tsCol).cast(LongType),
+      col(srcIpCol).cast(LongType))
+    proj.mapPartitions { it =>
+      val cache = new TemplateCache
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](0)
+        decodePacket(payload, r.getLong(1), r.getLong(2), cache)
+          .map(vals => Row.fromSeq(vals.toSeq))
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.sources
+
+import graft.flow.FlowSchema
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
+
+/** sFlow v5 decoder: XDR datagram → flow samples → raw packet header
+  * parse (Ethernet / 802.1Q / IPv4 / IPv6 / TCP / UDP / ICMP) into the
+  * canonical flow columns (reference sflow.c:26-181, rawparse.h —
+  * re-derived here from the public sFlow v5 and IEEE/IETF header layouts,
+  * not translated).
+  *
+  * Each sample yields one flow row: in_pkts = 1, in_bytes = sampled frame
+  * length, sampling_rate from the sample header — so SUM(bytes × rate)
+  * estimates true volume exactly like the reference
+  * (monit-objects.c:988-997).
+  */
+object SflowDecoder {
+
+  import NetflowDecoder.outSchema
+
+  private val slot: Map[String, Int] =
+    FlowSchema.physFields.zipWithIndex.map { case (f, i) =>
+      f.name -> (i + 1)
+    }.toMap
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def u32(b: Array[Byte], o: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 4) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Parse a raw Ethernet frame into flow fields. */
+  private def parseEthernet(b: Array[Byte], row: Array[Any]): Unit = {
+    if (b.length < 14) return
+    row(slot("dst_mac")) = java.util.Arrays.copyOfRange(b, 0, 6)
+    row(slot("src_mac")) = java.util.Arrays.copyOfRange(b, 6, 12)
+    var off = 12
+    var ethType = u16(b, off)
+    off += 2
+    // 802.1Q / QinQ vlan tags
+    var vlanSeen = false
+    while ((ethType == 0x8100 || ethType == 0x88a8) && off + 4 <= b.length) {
+      val vid = u16(b, off) & 0x0fff
+      if (!vlanSeen) { row(slot("src_vlan")) = vid.toLong; vlanSeen = true }
+      else row(slot("dst_vlan")) = vid.toLong
+      ethType = u16(b, off + 2)
+      off += 4
+    }
+    ethType match {
+      case 0x0800 => parseIpv4(b, off, row)
+      case 0x86dd => parseIpv6(b, off, row)
+      case _      => ()
+    }
+  }
+
+  private def parseIpv4(b: Array[Byte], off: Int, row: Array[Any]): Unit = {
+    if (off + 20 > b.length) return
+    val ihl = (b(off) & 0x0f) * 4
+    row(slot("ip_protocol_version")) = 4L
+    row(slot("src_tos")) = (b(off + 1) & 0xff).toLong
+    row(slot("ip_ttl")) = (b(off + 8) & 0xff).toLong
+    val proto = (b(off + 9) & 0xff).toLong
+    row(slot("protocol")) = proto
+    row(slot("frag_id")) = u16(b, off + 4).toLong
+    row(slot("ip4_src_addr")) = u32(b, off + 12)
+    row(slot("ip4_dst_addr")) = u32(b, off + 16)
+    parseL4(b, off + ihl, proto, row)
+  }
+
+  private def parseIpv6(b: Array[Byte], off: Int, row: Array[Any]): Unit = {
+    if (off + 40 > b.length) return
+    row(slot("ip_protocol_version")) = 6L
+    val proto = (b(off + 6) & 0xff).toLong
+    row(slot("protocol")) = proto
+    row(slot("ip_ttl")) = (b(off + 7) & 0xff).toLong
+    row(slot("ip6_src_addr")) = java.util.Arrays.copyOfRange(b, off + 8,
+      off + 24)
+    row(slot("ip6_dst_addr")) = java.util.Arrays.copyOfRange(b, off + 24,
+      off + 40)
+    parseL4(b, off + 40, proto, row)
+  }
+
+  private def parseL4(b: Array[Byte], off: Int, proto: Long,
+                      row: Array[Any]): Unit = proto match {
+    case 6 => // TCP
+      if (off + 14 <= b.length) {
+        row(slot("l4_src_port")) = u16(b, off).toLong
+        row(slot("l4_dst_port")) = u16(b, off + 2).toLong
+        row(slot("tcp_flags")) = (b(off + 13) & 0xff).toLong
+      }
+    case 17 => // UDP
+      if (off + 4 <= b.length) {
+        row(slot("l4_src_port")) = u16(b, off).toLong
+        row(slot("l4_dst_port")) = u16(b, off + 2).toLong
+      }
+    case 1 | 58 => // ICMP / ICMPv6: type+code packed like the reference
+      if (off + 2 <= b.length)
+        row(slot("icmp_type")) =
+          (((b(off) & 0xffL) << 8) | (b(off + 1) & 0xffL))
+    case _ => ()
+  }
+
+  /** Decode one sFlow v5 datagram into flow rows. */
+  def decodePacket(b: Array[Byte], tsSec: Long): Seq[Array[Any]] = {
+    if (b.length < 28 || u32(b, 0) != 5L) return Nil
+    var off = 4
+    val addrType = u32(b, off); off += 4
+    off += (if (addrType == 1L) 4 else 16) // agent address
+    off += 4 // sub-agent id
+    off += 4 // sequence
+    off += 4 // uptime
+    val nSamples = u32(b, off); off += 4
+    val out = Vector.newBuilder[Array[Any]]
+    var s = 0L
+    while (s < nSamples && off + 8 <= b.length) {
+      val sampleType = u32(b, off)
+      val sampleLen = u32(b, off + 4).toInt
+      val sampleEnd = off + 8 + sampleLen
+      if (sampleEnd > b.length) return out.result()
+      if (sampleType == 1L && sampleLen >= 32) {
+        // flow sample
+        var p = off + 8
+        p += 4 // seq
+        p += 4 // source id
+        val samplingRate = u32(b, p); p += 4
+        p += 4 // sample pool
+        p += 4 // drops
+        val input = u32(b, p); p += 4
+        val output = u32(b, p); p += 4
+        val nRecords = u32(b, p); p += 4
+        var r = 0L
+        while (r < nRecords && p + 8 <= sampleEnd) {
+          val recType = u32(b, p)
+          val recLen = u32(b, p + 4).toInt
+          val recEnd = p + 8 + recLen
+          if (recEnd > sampleEnd) { r = nRecords }
+          else {
+            if (recType == 1L && recLen >= 16) {
+              // raw packet header record
+              var q = p + 8
+              val headerProto = u32(b, q); q += 4
+              val frameLen = u32(b, q); q += 4
+              q += 4 // stripped
+              val headerLen = u32(b, q).toInt; q += 4
+              val row = new Array[Any](outSchema.length)
+              row(0) = tsSec
+              row(slot("in_bytes")) = frameLen
+              row(slot("in_pkts")) = 1L
+              row(slot("sampling_rate")) = samplingRate
+              row(slot("input_snmp")) = input
+              row(slot("output_snmp")) = output
+              if (headerProto == 1L && q + headerLen <= recEnd)
+                parseEthernet(
+                  java.util.Arrays.copyOfRange(b, q, q + headerLen), row)
+              out += row
+            }
+            p = recEnd
+            r += 1
+          }
+        }
+      }
+      off = sampleEnd
+      s += 1
+    }
+    out.result()
+  }
+
+  /** DataFrame-level decode, mirroring NetflowDecoder.decode. */
+  def decode(df: DataFrame, payloadCol: String = "payload",
+             tsCol: String = "ts_sec"): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val proj = df.select(col(payloadCol), col(tsCol).cast(LongType))
+    proj.mapPartitions { it =>
+      it.flatMap { r =>
+        decodePacket(r.getAs[Array[Byte]](0), r.getLong(1))
+          .map(vals => Row.fromSeq(vals.toSeq))
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import graft.sources.{NetflowDecoder, PayloadParsers, SflowDecoder}
+import java.nio.ByteBuffer
+
+/** Decoder specs over hand-built wire packets (the reference has no
+  * golden captures; packets are constructed from the public format
+  * specs — SURVEY.md §5). */
+class DecoderSpec extends SparkTest {
+
+  // -------- helpers to build packets --------
+  private def bytes(parts: Any*): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4096)
+    parts.foreach {
+      case b: Byte   => buf.put(b)
+      case i: Int    => buf.putShort(i.toShort) // default: u16
+      case l: Long   => buf.putInt(l.toInt)     // u32
+      case a: Array[Byte] => buf.put(a)
+      case s: String => buf.put(s.getBytes("US-ASCII"))
+    }
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  private def fieldIndexOf(name: String): Int =
+    NetflowDecoder.outSchema.fieldIndex(name)
+
+  test("NetFlow v9: template + data in one packet") {
+    // header: version=9 count=2 uptime unix seq sourceId
+    val header = bytes(9, 2, 1000L, 1700000000L, 1L, 42L)
+    // template 256: in_bytes(1,4), in_pkts(2,4), proto(4,1), src(8,4),
+    // dst(12,4), srcport(7,2), dstport(11,2)
+    val tmpl = bytes(0, 4 + 4 + 7 * 4, 256, 7,
+      1, 4, 2, 4, 4, 1, 8, 4, 12, 4, 7, 2, 11, 2)
+    val rec = bytes(1000L, 2L, 6.toByte, 0x0a000001L, 0xc0000202L,
+      443, 51234)
+    val data = bytes(256, 4 + rec.length, rec)
+    val pkt = header ++ tmpl ++ data
+    val cache = new NetflowDecoder.TemplateCache
+    val rows = NetflowDecoder.decodePacket(pkt, 1700000000L, 1L, cache)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r(fieldIndexOf("in_bytes")) == 1000L)
+    assert(r(fieldIndexOf("in_pkts")) == 2L)
+    assert(r(fieldIndexOf("protocol")) == 6L)
+    assert(r(fieldIndexOf("ip4_src_addr")) == 0x0a000001L)
+    assert(r(fieldIndexOf("ip4_dst_addr")) == 0xc0000202L)
+    assert(r(fieldIndexOf("l4_src_port")) == 443L)
+    assert(r(fieldIndexOf("l4_dst_port")) == 51234L)
+    assert(r(fieldIndexOf("src_as")) == null) // absent field stays null
+  }
+
+  test("NetFlow v9: template cached across packets (per exporter)") {
+    val cache = new NetflowDecoder.TemplateCache
+    val tmplPkt = bytes(9, 1, 0L, 0L, 1L, 7L) ++
+      bytes(0, 12, 300, 1, 1, 4)
+    assert(NetflowDecoder.decodePacket(tmplPkt, 0L, 9L, cache).isEmpty)
+    val dataPkt = bytes(9, 1, 0L, 0L, 2L, 7L) ++
+      bytes(300, 8, 5555L)
+    // same exporter+source-id: decodes
+    val rows = NetflowDecoder.decodePacket(dataPkt, 0L, 9L, cache)
+    assert(rows.length == 1 && rows.head(fieldIndexOf("in_bytes")) == 5555L)
+    // different exporter ip: no template → no rows
+    assert(NetflowDecoder.decodePacket(dataPkt, 0L, 10L, cache).isEmpty)
+  }
+
+  test("NetFlow v5 fixed records") {
+    val h = ByteBuffer.allocate(24)
+    h.putShort(5).putShort(1).putInt(0).putInt(1700000000).putInt(0)
+      .putInt(0).put(0.toByte).put(0.toByte).putShort(0)
+    val r = ByteBuffer.allocate(48)
+    r.putInt(0x0a000002).putInt(0x0a000003).putInt(0) // src dst nh
+      .putShort(1).putShort(2)                        // in out
+      .putInt(7).putInt(4242)                         // pkts octets
+      .putInt(0).putInt(0)                            // first last
+      .putShort(1234).putShort(80)                    // ports
+      .put(0.toByte).put(0x12.toByte)                 // pad tcpflags
+      .put(17.toByte).put(0.toByte)                   // proto tos
+      .putShort(100).putShort(200)                    // src/dst as
+      .put(24.toByte).put(16.toByte).putShort(0)      // masks pad
+    val pkt = h.array() ++ r.array()
+    val cache = new NetflowDecoder.TemplateCache
+    val rows = NetflowDecoder.decodePacket(pkt, 1L, 0L, cache)
+    assert(rows.length == 1)
+    val row = rows.head
+    assert(row(fieldIndexOf("in_bytes")) == 4242L)
+    assert(row(fieldIndexOf("in_pkts")) == 7L)
+    assert(row(fieldIndexOf("protocol")) == 17L)
+    assert(row(fieldIndexOf("tcp_flags")) == 0x12L)
+    assert(row(fieldIndexOf("src_as")) == 100L)
+    assert(row(fieldIndexOf("l4_dst_port")) == 80L)
+  }
+
+  test("IPFIX: enterprise + variable-length fields (RFC 7011)") {
+    // template 256: in_bytes(1,4), dns_name(65510? no - use if_name 82
+    // varlen), enterprise field skipped
+    val tmpl = bytes(2, 4 + 4 + 4 + 4 + (4 + 4), 256, 3,
+      1, 4,                   // in_bytes fixed 4
+      82, 65535,              // if_name variable length
+      (0x8000 | 99), 2, 123L) // enterprise field (skipped on decode)
+    val recBody = bytes(7777L) ++ Array[Byte](3) ++
+      "eth".getBytes("US-ASCII") ++ bytes(1)
+    val data = bytes(256, 4 + recBody.length, recBody)
+    val body = tmpl ++ data
+    val pkt = bytes(10, 16 + body.length, 1700000000L, 1L, 5L) ++ body
+    val cache = new NetflowDecoder.TemplateCache
+    val rows = NetflowDecoder.decodePacket(pkt, 0L, 1L, cache)
+    assert(rows.length == 1)
+    assert(rows.head(fieldIndexOf("in_bytes")) == 7777L)
+    assert(rows.head(fieldIndexOf("if_name")) == "eth")
+  }
+
+  test("sFlow v5: raw ethernet/IPv4/TCP sample") {
+    val eth = bytes(
+      Array[Byte](1, 2, 3, 4, 5, 6), Array[Byte](9, 8, 7, 6, 5, 4),
+      0x8100, (0x0fff & 7), 0x0800) ++ ipv4Tcp()
+    val rec = bytes(1L, (16 + eth.length).toLong, 1L, 64L, 0L,
+      eth.length.toLong) ++ eth
+    val sample = bytes(1L, (32 + rec.length).toLong,
+      1L, 2L, 1024L, 10L, 0L, 3L, 4L, 1L) ++ rec
+    val pkt = bytes(5L, 1L, 0x7f000001L, 0L, 1L, 100L, 1L) ++ sample
+    val rows = SflowDecoder.decodePacket(pkt, 123L)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r(fieldIndexOf("in_bytes")) == 64L)
+    assert(r(fieldIndexOf("sampling_rate")) == 1024L)
+    assert(r(fieldIndexOf("src_vlan")) == 7L)
+    assert(r(fieldIndexOf("protocol")) == 6L)
+    assert(r(fieldIndexOf("ip4_src_addr")) == 0x0a000001L)
+    assert(r(fieldIndexOf("l4_dst_port")) == 443L)
+    assert(r(fieldIndexOf("tcp_flags")) == 0x12L)
+  }
+
+  private def ipv4Tcp(): Array[Byte] = {
+    val ip = ByteBuffer.allocate(20)
+    ip.put(0x45.toByte).put(0.toByte).putShort(40)
+      .putShort(99).putShort(0)
+      .put(64.toByte).put(6.toByte).putShort(0)
+      .putInt(0x0a000001).putInt(0xc0a80101)
+    val tcp = ByteBuffer.allocate(20)
+    tcp.putShort(55555.toShort).putShort(443)
+      .putInt(1).putInt(2)
+      .put(0x50.toByte).put(0x12.toByte).putShort(1024)
+      .putShort(0).putShort(0)
+    ip.array() ++ tcp.array()
+  }
+
+  test("DNS response parse (RFC 1035)") {
+    val q = bytes(0x1234, 0x8180.toShort.toInt, 1, 2, 0, 0) // hdr qd=1 an=2
+    val qname = Array[Byte](3) ++ "www".getBytes ++
+      Array[Byte](7) ++ "example".getBytes ++
+      Array[Byte](3) ++ "com".getBytes ++ Array[Byte](0)
+    val question = qname ++ bytes(1, 1)
+    val ans1 = bytes(0xc00c, 1, 1, 60L, 4) ++
+      Array[Byte](93.toByte, 184.toByte, 216.toByte, 34.toByte)
+    val ans2 = bytes(0xc00c, 28, 1, 60L, 16) ++
+      Array.fill[Byte](15)(0) ++ Array[Byte](1)
+    val payload = q ++ question ++ ans1 ++ ans2
+    val Some((name, ips)) = PayloadParsers.parseDns(payload)
+    assert(name == "www.example.com")
+    assert(ips == "{93.184.216.34, 0:0:0:0:0:0:0:1}")
+  }
+
+  test("TLS SNI extraction (RFC 8446 ClientHello)") {
+    val host = "api.example.org"
+    val sniExt = bytes(0, host.length + 5,
+      host.length + 3, 0.toByte.asInstanceOf[Any], host.length, host)
+    val exts = bytes(sniExt.length) ++ sniExt
+    val chBody = bytes(0x0303) ++ Array.fill[Byte](32)(7) ++
+      Array[Byte](0) ++ bytes(2, 0x1301) ++
+      Array[Byte](1, 0) ++ exts
+    val hs = Array[Byte](1, 0, 0, chBody.length.toByte) ++ chBody
+    val rec = Array[Byte](22, 3, 1) ++ bytes(hs.length) ++ hs
+    assert(PayloadParsers.parseSni(rec).contains(host))
+  }
+
+  test("DataFrame-level decode distributes with partition-local caches") {
+    import spark.implicits._
+    val header = bytes(9, 2, 1000L, 1700000000L, 1L, 42L)
+    val tmpl = bytes(0, 12, 256, 1, 1, 4)
+    val data = bytes(256, 8, 31337L)
+    val pkt = header ++ tmpl ++ data
+    val df = Seq((pkt, 100L, 1L), (pkt, 200L, 2L))
+      .toDF("payload", "ts_sec", "src_ip")
+    val out = NetflowDecoder.decode(df)
+    assert(out.count() == 2)
+    assert(out.select("in_bytes").collect().forall(_.getLong(0) == 31337L))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.config.MoConfig
+import graft.filter.FilterEnv
+import graft.operators.Fwm
+import graft.sinks.SqlExport
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class SinkConfigSpec extends SparkTest {
+
+  test("SQL export: PG DDL + INSERT golden shape " +
+    "(monit-objects-fwm.c:269-414)") {
+    val df = flowDf(Seq("time", "src_host", "octets"),
+      Seq(Seq(1700000000L, 0x0a000001L, 100L),
+        Seq(1700000000L, -1L, 900L))) // -1 placeholder → set null below
+    val withNull = df.withColumn("src_host",
+      when(col("src_host") === -1L, lit(null)).otherwise(col("src_host")))
+    val conf = SqlExport.Conf("mo1", "by_src", ipCols = Set("src_host"))
+    val sql = SqlExport.exportSql(withNull, conf)
+    assert(sql.contains(
+      """CREATE TABLE IF NOT EXISTS "mo1_by_src" ("time" TIMESTAMPTZ, """ +
+        """"src_host" INET, "octets" BIGINT);"""))
+    assert(sql.contains(
+      """CREATE INDEX IF NOT EXISTS "mo1_by_src_time_idx" """ +
+        """ON "mo1_by_src" (time);"""))
+    assert(sql.contains("to_timestamp(1700000000)"))
+    assert(sql.contains("'10.0.0.1'"))
+    assert(sql.contains("NULL")) // the others row's NULL key
+    assert(sql.contains("900"))
+  }
+
+  test("ClickHouse DDL variant (monit-objects-fwm.c:303-325)") {
+    val df = flowDf(Seq("time", "octets"), Seq(Seq(0L, 1L)))
+    val sql = SqlExport.ddl(df.schema,
+      SqlExport.Conf("mo1", "w", clickhouse = true))
+    assert(sql.contains("ENGINE = MergeTree() PRIMARY KEY time"))
+    assert(sql.contains("Nullable(Int64)"))
+  }
+
+  test("mo.conf parse: FIXTURES.md §2 canonical config") {
+    val json = """{
+      /* comment */
+      "filter": "dst net 192.0.0.0/10 and proto 6",
+      "fwm": [
+        { "name": "by_src", "fields": ["octets desc", "src host"],
+          "time": 10, "limit": 5 },
+        { "name": "all", "fields": ["packets", "octets"] },
+        { "extended": true, "name": "ext",
+          "fields": ["octets desc", "src host", "dst host", "proto"] }
+      ],
+      "mavg": [
+        { "name": "mavg1", "time": 20, "dump": 10,
+          "fields": ["src host", "octets"],
+          "overlimit": [
+            { "name": "level1", "default": [10000000],
+              "back2norm-time": 60, "action-script": "on-start.sh",
+              "ext": ["ext"] } ] }
+      ],
+      "classification": [
+        { "fields": ["proto"], "top-percents": 90, "time": 30,
+          "val": "octets desc" }
+      ]
+    }"""
+    val mo = MoConfig.parse("mo1", json)
+    assert(mo.filter.startsWith("dst net"))
+    assert(mo.fwm.map(_.name) == Seq("by_src", "all", "ext"))
+    assert(mo.fwm.head.limit.contains(5))
+    assert(mo.fwm.head.timeSec == 10)
+    assert(mo.fwm(1).timeSec == 30) // default
+    assert(mo.fwm(2).extended)
+    assert(mo.mavg.head.overlimit.head.default == Seq(1e7))
+    assert(mo.mavg.head.overlimit.head.back2normSec == 60)
+    assert(mo.mavg.head.overlimit.head.extNames == Seq("ext"))
+    assert(mo.classification.head.topPct == 90.0)
+  }
+
+  test("MO tree compiles to conjunctive filters over one scan " +
+    "(netflow.c:214-244 recursive dispatch)") {
+    val child = MoConfig.parse("child",
+      """{"filter": "dst port 443",
+         "fwm": [{"name": "c", "fields": ["octets"]}]}""")
+    val parent = MoConfig.parse("parent",
+      """{"filter": "proto 6",
+         "fwm": [{"name": "p", "fields": ["octets"]}]}""",
+      children = Seq(child))
+    val flows = flowDf(
+      Seq("ts_sec", "protocol", "l4_dst_port", "in_bytes"),
+      Seq(Seq(0L, 6L, 443L, 10L), Seq(1L, 6L, 80L, 20L),
+        Seq(2L, 17L, 443L, 40L)))
+    val env = FilterEnv.flow(spark)
+    val plans = MoConfig.compileTree(parent, flows, env,
+      col("ts_sec"), None)
+    assert(plans.map(p => s"${p.mo}/${p.section.name}") ==
+      Seq("parent/p", "child/c"))
+    val pOct = plans(0).plan.agg(sum("octets")).collect()(0).getLong(0)
+    val cOct = plans(1).plan.agg(sum("octets")).collect()(0).getLong(0)
+    assert(pOct == 30L) // proto 6
+    assert(cOct == 10L) // proto 6 AND dst port 443
+  }
+
+  test("streaming fwm: window closes when the watermark passes " +
+    "(two-bank swap analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val flows = mem.toDS()
+      .toDF("ts", "protocol", "in_bytes")
+      .withColumn("ts_sec", expr("CAST(unix_timestamp(ts) AS BIGINT)"))
+    val env = FilterEnv.flow(spark)
+    val conf = Fwm.Conf("w", Seq("octets desc", "proto"), timeSec = 10)
+    val windowed = Fwm.stream(flows, env, conf)
+    val q = windowed.writeStream.format("memory").queryName("fwm_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      mem.addData((ts(1), 6L, 100L), (ts(5), 6L, 50L), (ts(7), 17L, 30L))
+      q.processAllAvailable()
+      // watermark still at batch-1 max (7) → window [0,10) not closed
+      assert(spark.table("fwm_stream").count() == 0)
+      mem.addData((ts(25), 6L, 1L)) // advances watermark past 10
+      q.processAllAvailable()
+      mem.addData((ts(26), 6L, 1L)) // one more batch to flush
+      q.processAllAvailable()
+      val rows = spark.table("fwm_stream")
+        .select("time", "proto", "octets").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((0L, 6L, 150L)))
+      assert(rows.contains((0L, 17L, 30L)))
+    } finally q.stop()
+  }
+}
