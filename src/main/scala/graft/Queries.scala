@@ -725,11 +725,13 @@ object Queries {
     "q22_fingerprint",
     (s, dir) => {
       import graft.operators.TextAnalysis
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"),
-          size(TextAnalysis.winnowingFingerprints(col("text"), 3, 4))
-            .cast(LongType).as("n_winnow"))
+      val docs = t(s, dir, "documents")
+      val fps = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val wc = TextAnalysis.winnowingCounts(docs, "doc_id", "text", 3, 4)
+      fps.join(wc, Seq("doc_id"))
+        .select(col("doc_id"), col("fp"),
+          col("n_winnow").cast(LongType).as("n_winnow"))
         .orderBy(col("doc_id").asc)
     },
     Some(s"""WITH w AS (SELECT doc_id,

@@ -57,16 +57,26 @@ object Dedup {
         md5(concat(j.cast("string"), lit("|"), s)))))
 
   /** LSH bands: split the signature into `bands` concatenated buckets →
-    * (band_idx, bucket_hash) rows per doc. */
+    * (band_idx, bucket_hash) rows per doc.
+    *
+    * Shape: explode shingles once, hash each (shingle, j) pair once, and
+    * let the partial/final min-aggregation build the signature — the
+    * array-expression form would re-evaluate the shingle array for every
+    * hash function (Catalyst inlines lambda-captured subexpressions). */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignature(shingles(col(textCol), shingleK), numHashes)
-    df.select(col(idCol), sig.as("sig"))
-      .filter(size(col("sig")) > 0)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          concat_ws("", slice(col("sig"), b * rows + 1, lit(rows))))))
+    val ex = df.select(col(idCol),
+      explode(shingles(col(textCol), shingleK)).as("s"))
+    val mins = ex.groupBy(col(idCol)).agg(
+      min(md5(concat(lit("0"), lit("|"), col("s")))).as("h0"),
+      (1 until numHashes).map(j =>
+        min(md5(concat(lit(j.toString), lit("|"), col("s"))))
+          .as(s"h$j")): _*)
+    val bandCols = (0 until bands).map { b =>
+      concat((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*)
+    }
+    mins.select(col(idCol), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }

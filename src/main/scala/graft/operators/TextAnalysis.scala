@@ -98,4 +98,30 @@ object TextAnalysis {
         array_min(slice(hashes, i, lit(w))))))
       .otherwise(typedlit(Seq.empty[String]))
   }
+
+  /** Distributed winnowing count per document. The column form above
+    * re-evaluates the hash array per window position (Catalyst inlines
+    * the lambda-captured subexpression — O(n·w) md5 calls per doc); this
+    * explode + sliding-window-min form hashes each k-gram exactly once
+    * and scales as one shuffle. Output: (idCol, n_winnow). */
+  def winnowingCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, k: Int,
+                      w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(idCol),
+      posexplode(Dedup.shingles(col(textCol), k)).as(Seq("pos", "g")))
+    val h = g.select(col(idCol), col("pos"),
+      substring(md5(col("g")), 1, 15).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val withMin = h
+      .withColumn("m", min(col("h")).over(win.rowsBetween(0, w - 1)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col(idCol))))
+    val counts = withMin
+      .filter(col("pos") <= col("n") - w) // 0-based: starts 0..n-w
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("m")).as("n_winnow"))
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_winnow"), lit(0L)).as("n_winnow"))
+  }
 }
