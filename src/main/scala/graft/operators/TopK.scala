@@ -37,28 +37,28 @@ object TopK {
     val w =
       if (partCols.isEmpty) Window.orderBy(sortCols: _*)
       else Window.partitionBy(partCols.map(col): _*).orderBy(sortCols: _*)
+    // SINGLE PASS over the aggregated input (a union of head/tail
+    // branches would scan + aggregate it twice — shows up as a double
+    // parquet scan at any scale): rank rows, null the keys past the
+    // limit, and re-group. Head rows keep their unique rank so the merge
+    // leaves them untouched; all past-limit rows share the (part, NULL
+    // keys, NULL rank) group and collapse into the one residual row.
     val flagged = agg.withColumn("__rn", row_number().over(w))
-    val head = flagged.filter(col("__rn") <= n).drop("__rn")
-    val tail = flagged.filter(col("__rn") > n)
-
     val schema = agg.schema
     def typeOf(c: String) = schema(c).dataType
-
+    val marked = flagged.select(
+      (partCols.map(col) ++
+        keyCols.map(k => when(col("__rn") <= n, col(k))
+          .otherwise(lit(null).cast(typeOf(k))).as(k)) ++
+        measCols.map(col) :+
+        when(col("__rn") <= n, col("__rn")).otherwise(lit(null))
+          .as("__hrn")): _*)
     val sums = measCols.map(m => sum(col(m)).as(m))
-    val othersBase =
-      if (partCols.isEmpty) tail.agg(sums.head, sums.tail: _*)
-        // empty-tail global case yields one all-null row; drop it
-        .filter(measCols.map(m => col(m).isNotNull).reduce(_ || _))
-      else tail.groupBy(partCols.map(col): _*).agg(sums.head, sums.tail: _*)
-
-    val others = othersBase.select(
-      schema.fieldNames.toSeq.map { f =>
-        if (partCols.contains(f)) col(f)
-        else if (measCols.contains(f)) col(f)
-        else lit(null).cast(typeOf(f)).as(f)
-      }: _*)
-
-    head.unionByName(others)
+    marked
+      .groupBy((partCols ++ keyCols :+ "__hrn").map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+      .drop("__hrn")
+      .select(schema.fieldNames.map(col): _*)
   }
 
   /** Keep the top rows by `measure` desc until the cumulative sum reaches
