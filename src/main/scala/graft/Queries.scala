@@ -800,6 +800,41 @@ object Queries {
         TRUE AS ok
       FROM documents ORDER BY doc_id ASC"""))
 
+  // ----------------------------- device enrichment + skip-unmarked
+  private val q32 = Q(
+    "q32_devices",
+    (s, dir) => {
+      import graft.flow.Devices
+      val env = FilterEnv.flow(s)
+      val devices = Seq(
+        Devices.Device(Some(100L), Some(0L), samplingRate = 10L,
+          markRules = Seq("src ifidx 1 or 2"), skipUnmarked = true),
+        Devices.Device(Some(101L), None, samplingRate = 1000L))
+      Devices.enrich(TestFlowView.load(s, dir), devices, env)
+        .groupBy(col("sampling_rate"), col("dev_mark"))
+        .agg(count(lit(1)).as("n"), sum(col("in_bytes")).as("octets"))
+        .orderBy(col("sampling_rate").asc, col("dev_mark").asc)
+    },
+    Some(s"""WITH $F,
+      e AS (SELECT
+        CAST(CASE WHEN dev_ip = 100 AND dev_id = 0 THEN 10
+                  WHEN dev_ip = 101 THEN 1000 ELSE 1 END AS BIGINT)
+          AS sampling_rate,
+        CAST(CASE WHEN dev_ip = 100 AND dev_id = 0 THEN
+                    (CASE WHEN input_snmp = 1 OR input_snmp = 2
+                          THEN 1 ELSE 0 END)
+                  WHEN dev_ip = 101 THEN 0 ELSE NULL END AS BIGINT)
+          AS dev_mark,
+        (dev_ip = 100 AND dev_id = 0
+         AND NOT (input_snmp = 1 OR input_snmp = 2)) AS dropped,
+        in_bytes
+      FROM flow)
+      SELECT sampling_rate, dev_mark, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes) AS BIGINT) AS octets
+      FROM e WHERE NOT dropped
+      GROUP BY sampling_rate, dev_mark
+      ORDER BY sampling_rate ASC, dev_mark ASC NULLS FIRST"""))
+
   // ===================== binary ingest decoders (rows-only checks:
   // DuckDB cannot decode NetFlow/sFlow wire formats)
 
@@ -860,7 +895,7 @@ object Queries {
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q40, q41)
+    q25, q26, q27, q28, q29, q30, q31, q32, q40, q41)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -43,7 +43,9 @@ object TestFlowView {
     "src_as" -> "CAST(64496 + (user_id % 8) AS BIGINT)",
     "dst_as" -> "CAST(64496 + (event_id % 16) AS BIGINT)",
     "input_snmp" -> "CAST(1 + (user_id % 4) AS BIGINT)",
-    "output_snmp" -> "CAST(1 + (event_id % 4) AS BIGINT)"
+    "output_snmp" -> "CAST(1 + (event_id % 4) AS BIGINT)",
+    "dev_ip" -> "CAST(100 + (user_id % 2) AS BIGINT)",
+    "dev_id" -> "CAST(0 AS BIGINT)"
   )
 
   /** Spark side: events DataFrame (ts already a Long of nanos) → flow. */

@@ -1,0 +1,192 @@
+package graft
+
+import graft.filter.FilterEnv
+import graft.flow.Devices
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Specs for the LLM-pipeline operators and device enrichment. */
+class ExtensionOpsSpec extends SparkTest {
+
+  import scala.jdk.CollectionConverters._
+  private def docs(rows: (Long, String)*) = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType, false),
+        StructField("text", StringType, false))))
+  }
+
+  test("exact dedup keeps the smallest id per content") {
+    val df = docs(3L -> "aa", 1L -> "aa", 2L -> "bb")
+    val kept = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(groups == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("shingles: k-grams, short docs yield empty") {
+    val out = docs(1L -> "a b c d", 2L -> "x y")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq.empty)
+  }
+
+  test("minhash LSH: identical docs always collide, disjoint never") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "the quick brown fox jumps over the lazy dog again today",
+      3L -> "entirely different words with nothing shared at all here now")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text → identical signature; signature is " +
+    "deterministic") {
+    val df = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma",
+      3L -> "delta epsilon zeta eta theta")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L) >= 0 && sigs(1L) < (1L << 16))
+  }
+
+  test("ngram jaccard basis points") {
+    val df = docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "z z z z")
+    // bigrams: d1 {ab, bc, cd}, d2 {ab, bc, ce}: inter 2, union 4 → 5000
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, None, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((1L, 2L, 5000L)))
+    assert(!out.exists(p => p._2 == 3L && p._3 > 2500L))
+  }
+
+  test("langId picks the stopword-richest language, und otherwise") {
+    val df = docs(
+      1L -> "the cat and the dog of the house",
+      2L -> "der Hund und die Katze ist ein Tier",
+      3L -> "zzz qqq www")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("quality metrics integer arithmetic") {
+    val df = docs(1L -> "the cat. sat, here!")
+    val m = df.select(TextAnalysis.qualityMetrics(col("text"))
+      .map { case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(m.getAs[Long]("n_tokens") == 4L)
+    assert(m.getAs[Long]("n_punct") == 3L)
+    // chars: the(3) cat.(4) sat,(4) here!(5) = 16 → 16*10000/4 = 40000
+    assert(m.getAs[Long]("mean_tok_len_bp") == 40000L)
+    assert(m.getAs[Long]("stopword_bp") == 2500L) // "the" of 4 tokens
+  }
+
+  test("winnowing counts match the column-expression form") {
+    val df = docs(1L -> "a b c d e f g h i j", 2L -> "x y")
+    val viaCol = df.select(col("doc_id"),
+        size(TextAnalysis.winnowingFingerprints(col("text"), 3, 4))
+          .cast("long").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOp = TextAnalysis.winnowingCounts(df, "doc_id", "text", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOp == viaCol)
+    assert(viaOp(2L) == 0L)
+  }
+
+  test("cosine topK and LSH ANN agree on the nearest neighbor") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val dim = 8
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(i => (math.sin(seed * 31 + i) * 10).toFloat)
+    val base = vec(1)
+    val near = base.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + 0.01f else v }
+    val rows = Seq(Row(1L, base), Row(2L, near), Row(3L, vec(7)),
+      Row(4L, vec(13)), Row(5L, vec(29)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, false),
+      StructField("embedding", ArrayType(FloatType, false), false)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val q = df.filter(col("vec_id") === 1)
+    val brute = Similarity.topK(df.filter(col("vec_id") =!= 1),
+      "vec_id", "embedding", q, "embedding", 1).collect()
+    assert(brute(0).getLong(0) == 2L)
+    val ann = Similarity.annTopK(df.filter(col("vec_id") =!= 1),
+      "vec_id", "embedding", dim, 4, q, "embedding", 1).collect()
+    // the near-duplicate must share the query's LSH bucket
+    assert(ann.nonEmpty && ann(0).getLong(0) == 2L)
+  }
+
+  test("multimodal stub decode round-trips header + flags corrupt rows") {
+    import spark.implicits._
+    val good = Multimodal.encodeImageStub("jpeg", 640, 480, 10)
+    val bad = Array[Byte](9, 9)
+    val df = Seq((1L, good), (2L, bad)).toDF("id", "payload")
+    val out = Multimodal.withImageMeta(df, "payload")
+      .select("id", "meta.format", "meta.width", "meta.height", "meta.ok")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.get(2), r.get(3), r.getBoolean(4))).toMap
+    assert(out(1L) == (("jpeg", 640, 480, true)))
+    assert(out(2L)._4 == false && out(2L)._1 == null)
+    val feats = Multimodal.extractFeatures(df, "payload")
+      .select("features").collect()(0).getSeq[Double](0)
+    assert(feats.length == 4 && feats.head == good.length.toDouble)
+  }
+
+  test("device enrichment: rate, mark count, skip-unmarked " +
+    "(devices.c:238-285)") {
+    val flows = flowDf(
+      Seq("dev_ip", "dev_id", "input_snmp", "output_snmp", "in_bytes"),
+      Seq(
+        Seq(100L, 0L, 10L, 1L, 1L),  // dev A, matches 1 mark rule
+        Seq(100L, 0L, 2L, 1L, 2L),   // dev A, no mark → dropped (skip)
+        Seq(200L, 0L, 2L, 2L, 4L),   // dev B (by ip), rate 1000
+        Seq(999L, 9L, 2L, 2L, 8L)))  // unknown device → rate 1
+    val env = FilterEnv.flow(spark)
+    val devices = Seq(
+      Devices.Device(Some(100L), Some(0L), samplingRate = 10L,
+        markRules = Seq("src ifidx 10 or 11", "dst ifidx 10 or 11"),
+        skipUnmarked = true),
+      Devices.Device(Some(200L), None, samplingRate = 1000L))
+    val out = Devices.enrich(flows, devices, env)
+      .select("in_bytes", "sampling_rate", "dev_mark")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)))).toSet
+    assert(out == Set(
+      (1L, 10L, Some(1L)),     // one rule matched
+      (4L, 1000L, Some(0L)),   // dev B: no rules → mark 0, kept
+      (8L, 1L, None)))         // unknown: default rate, null mark
+  }
+
+  test("classification: class table + labeling (classification.c)") {
+    val flows = flowDf(Seq("proto", "port", "in_bytes"),
+      Seq(Seq(6L, 443L, 800L), Seq(6L, 443L, 100L),
+        Seq(17L, 53L, 90L), Seq(6L, 22L, 10L)))
+    val nameCol = concat(col("proto").cast("string"), lit(":"),
+      col("port").cast("string"))
+    val classes = Classification.classTable(flows,
+      Classification.Conf(Seq("proto", "port"), "octets", 90.0, nameCol),
+      col("in_bytes"))
+    val names = classes.select("class_name").collect()
+      .map(_.getString(0)).sorted.toSeq
+    // total 1000, threshold 900: (6,443)=900 enters (cum-before 0 < 900);
+    // (17,53) sits exactly AT the threshold (cum-before 900) → excluded,
+    // matching the reference's stop-at-crossing cut
+    assert(names == Seq("6:443"))
+    val labeled = Classification.label(flows, classes, Seq("proto", "port"))
+      .groupBy("class0").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(labeled(Some("6:443")) == 2L)
+    assert(labeled(None) == 2L) // 17:53 and 6:22 flows unclassified
+  }
+}
