@@ -2,7 +2,7 @@ package graft.filter
 
 import graft.flow.FlowSchema
 import graft.flow.FlowSchema._
-import graft.functions.{GeoDb, IpList, Lpm, NetFns}
+import graft.functions.{GeoDb, IpList, Lpm, LpmExpr, NetFns}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -90,7 +90,7 @@ object Compiler {
     case (Addr4L, ListName(nm)) =>
       val list = env.ipLists.getOrElse(nm,
         sys.error(s"Unknown IP list '$nm'"))
-      Lpm.contains4(env.spark, list.v4)(c)
+      LpmExpr.contains4(list.v4)(c) // codegen'd, no UDF
     case (Addr6L, Cidr6(addr, maskLen)) =>
       val pfx = Lpm.build(Seq(
         Lpm.Prefix(net6start(addr, maskLen), net6end(addr, maskLen),

@@ -160,30 +160,23 @@ object IpList {
   */
 final case class GeoDb(geo4: Lpm.Table, as4: Lpm.Table) extends Serializable {
   import GeoDb._
-  def geoAttr(spark: SparkSession, kind: String)(ip: Column): Column = {
-    val idx = attrIndex(kind)
-    val bc = spark.sparkContext.broadcast(geo4)
-    val fn = udf { (v: java.lang.Long) =>
-      if (v == null) "?"
-      else bc.value.lookup(BigInt(v.longValue()))
-        .map(_.split('|')(idx)).getOrElse("?")
-    }
-    fn(ip)
-  }
-  /** asn(ip): AS number as string, "?" when unknown. */
-  def asn(spark: SparkSession)(ip: Column): Column = asAttr(spark, 0)(ip)
-  /** asd(ip): AS description, "?" when unknown. */
-  def asd(spark: SparkSession)(ip: Column): Column = asAttr(spark, 1)(ip)
+  import org.apache.spark.sql.functions.{coalesce, lit}
 
-  private def asAttr(spark: SparkSession, idx: Int)(ip: Column): Column = {
-    val bc = spark.sparkContext.broadcast(as4)
-    val fn = udf { (v: java.lang.Long) =>
-      if (v == null) "?"
-      else bc.value.lookup(BigInt(v.longValue()))
-        .map(_.split('|')(idx)).getOrElse("?")
-    }
-    fn(ip)
-  }
+  /** Geo attribute lookup via the codegen'd LPM expression
+    * ([[LpmExpr]]); NULL input → "?" like the reference
+    * (filter.c:753-787). The spark param is kept for API symmetry with
+    * the v6/UDF paths; the expression ships its table in the task
+    * binary (small, read-only — the broadcast analog). */
+  def geoAttr(spark: SparkSession, kind: String)(ip: Column): Column =
+    coalesce(
+      LpmExpr.lookup4(geo4, attrIndex(kind), Some("?"))(ip), lit("?"))
+
+  /** asn(ip): AS number as string, "?" when unknown. */
+  def asn(spark: SparkSession)(ip: Column): Column =
+    coalesce(LpmExpr.lookup4(as4, 0, Some("?"))(ip), lit("?"))
+  /** asd(ip): AS description, "?" when unknown. */
+  def asd(spark: SparkSession)(ip: Column): Column =
+    coalesce(LpmExpr.lookup4(as4, 1, Some("?"))(ip), lit("?"))
 }
 
 object GeoDb {

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** IPv4 LPM lookup as a native Catalyst expression with whole-stage
+  * codegen: primitive-array binary search over a driver-built disjoint
+  * interval table (SURVEY.md §2.9 — "promote to Catalyst Expressions for
+  * codegen"). Unlike a Scala UDF there is no Any-boxing, no encoder
+  * round-trip, and the call stays inside the generated consume loop.
+  *
+  * The table rides along as a referenced object in the generated class —
+  * the Spark-native analog of the reference's mmap'd read-only tries
+  * (reference geoip.c:91-183).
+  */
+final class Lpm4Packed(val starts: Array[Long], val ends: Array[Long],
+                       val values: Array[UTF8String]) extends Serializable
+
+object Lpm4Packed {
+  /** Pack a generic LPM table (v4 range ⊂ Long). Optionally slice one
+    * pipe-joined attribute at build time so per-row work is pure lookup. */
+  def apply(t: Lpm.Table, attr: Int = -1): Lpm4Packed =
+    new Lpm4Packed(
+      t.starts.map(_.toLong),
+      t.ends.map(_.toLong),
+      t.values.map { v =>
+        UTF8String.fromString(if (attr < 0) v else v.split('|')(attr))
+      })
+
+  /** Binary search; called from both interpreted eval and generated
+    * code. Returns null when no interval covers the ip. */
+  def lookup(t: Lpm4Packed, ip: Long): UTF8String = {
+    var lo = 0
+    var hi = t.starts.length - 1
+    var found = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (t.starts(mid) <= ip) { found = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (found >= 0 && t.ends(found) >= ip) t.values(found) else null
+  }
+}
+
+/** `lookup(ip)` → matched value, `default` when unmatched (null default →
+  * nullable result). */
+case class Lpm4LookupExpr(child: Expression, table: Lpm4Packed,
+                          default: Option[String]) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  // nullable even with a default: a NULL input ip still yields NULL
+  // (callers coalesce if they want the reference's "?")
+  override def nullable: Boolean = true
+  override def prettyName: String = "lpm_lookup"
+
+  private val defaultU8: UTF8String =
+    default.map(UTF8String.fromString).orNull
+
+  override def nullSafeEval(ip: Any): Any = {
+    val r = Lpm4Packed.lookup(table, ip.asInstanceOf[Long])
+    if (r == null) defaultU8 else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("lpmTable", table,
+      classOf[Lpm4Packed].getName)
+    val helper = Lpm4Packed.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val defRef = default.map(d =>
+      ctx.addReferenceObj("lpmDefault", UTF8String.fromString(d),
+        classOf[UTF8String].getName))
+    nullSafeCodeGen(ctx, ev, c => {
+      val fallback = defRef match {
+        case Some(d) => s"${ev.value} = $d;"
+        case None    => s"${ev.isNull} = true;"
+      }
+      s"""
+         |${ev.value} = $helper.lookup($tableRef, $c);
+         |if (${ev.value} == null) { $fallback }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Membership test (`net <listname>` semantics). */
+case class Lpm4ContainsExpr(child: Expression,
+                            table: Lpm4Packed) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lpm_contains"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && Lpm4Packed.lookup(table, v.asInstanceOf[Long]) != null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("lpmTable", table,
+      classOf[Lpm4Packed].getName)
+    val helper = Lpm4Packed.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.value} = !${childGen.isNull} &&
+         |  $helper.lookup($tableRef, ${childGen.value}) != null;
+       """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object LpmExpr {
+  /** Column API: LPM value lookup with default. */
+  def lookup4(table: Lpm.Table, attr: Int = -1,
+              default: Option[String] = None)(ip: Column): Column =
+    GraftBridge.toColumn(Lpm4LookupExpr(
+      GraftBridge.toExpression(ip.cast("long")),
+      Lpm4Packed(table, attr), default))
+
+  /** Column API: LPM membership. */
+  def contains4(table: Lpm.Table)(ip: Column): Column =
+    GraftBridge.toColumn(Lpm4ContainsExpr(
+      GraftBridge.toExpression(ip.cast("long")), Lpm4Packed(table)))
+}
