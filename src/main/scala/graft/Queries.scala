@@ -835,6 +835,66 @@ object Queries {
       GROUP BY sampling_rate, dev_mark
       ORDER BY sampling_rate ASC, dev_mark ASC NULLS FIRST"""))
 
+  // ----------------------------------- mfreq (two-pass port frequency)
+  private val q33 = Q(
+    "q33_mfreq",
+    (s, dir) => {
+      import graft.operators.MfreqOp
+      val flow = TestFlowView.load(s, dir)
+      MfreqOp.withMfreq(flow, "l4_src_port", "l4_dst_port", "mport")
+        .groupBy(col("mport"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+        .orderBy(col("mport").asc)
+    },
+    Some(s"""WITH $F,
+      u AS (SELECT l4_src_port AS p FROM flow
+            UNION ALL SELECT l4_dst_port FROM flow),
+      freq AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY p),
+      j AS (SELECT flow.*, f1.c AS c1, f2.c AS c2
+            FROM flow JOIN freq f1 ON l4_src_port = f1.p
+                      JOIN freq f2 ON l4_dst_port = f2.p),
+      m AS (SELECT CASE WHEN c1 > c2 THEN l4_src_port
+                        WHEN c2 > c1 THEN l4_dst_port
+                        ELSE least(l4_src_port, l4_dst_port) END AS mport,
+                   in_bytes, sampling_rate FROM j)
+      SELECT mport, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+      FROM m GROUP BY mport ORDER BY mport ASC"""))
+
+  // --------------------------- fwm with a scaled measure (bits = ×8)
+  private val q34 = Q(
+    "q34_fwm_bits",
+    (s, dir) => {
+      val env = FilterEnv.flow(s)
+      Fwm.batch(TestFlowView.load(s, dir), env,
+        Fwm.Conf("daily_bits", Seq("bits desc", "dst as"),
+          timeSec = 86400),
+        samplingRate = Some(col("sampling_rate")))
+    },
+    Some(s"""WITH $F,
+      agg AS (
+        SELECT ts_sec - (ts_sec % 86400) AS time, dst_as,
+               CAST(SUM(in_bytes * 8 * sampling_rate) AS BIGINT) AS bits
+        FROM flow GROUP BY 1, 2)
+      SELECT time, dst_as, bits FROM agg
+      ORDER BY time ASC, bits DESC, dst_as ASC"""))
+
+  // --------------------------------- ANN (LSH-bucketed cosine top-k)
+  private val q35 = Q(
+    "q35_ann_topk",
+    (s, dir) => {
+      // rows-only: the random-hyperplane bucketing is engine-internal;
+      // recall vs brute force is asserted in ExtensionOpsSpec
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+      Similarity.annTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", dim = 64, nBits = 4, query, "embedding", 20)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+    None)
+
   // ===================== binary ingest decoders (rows-only checks:
   // DuckDB cannot decode NetFlow/sFlow wire formats)
 
@@ -895,7 +955,7 @@ object Queries {
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q40, q41)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q40, q41)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
