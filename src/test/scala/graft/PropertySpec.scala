@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.Lpm
+import graft.operators.Mavg
+import graft.streaming.AlertMachine
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks of the algorithmic cores against naive models
+  * (raw ScalaCheck generators with deterministic seeded sampling — the
+  * scalatest bridge artifact is not in the offline cache). */
+class PropertySpec extends SparkTest {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    var seed = Seed(42L)
+    (1 to n).flatMap { _ =>
+      val r = g.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      r
+    }
+  }
+
+  test("Lpm.build equals naive longest-prefix scan for random prefixes") {
+    val genPrefix = for {
+      addr <- Gen.chooseNum(0L, (1L << 32) - 1)
+      len <- Gen.chooseNum(1, 32)
+    } yield {
+      val span = 1L << (32 - len)
+      val start = (addr / span) * span
+      Lpm.Prefix(BigInt(start), BigInt(start + span - 1), len,
+        s"$start/$len")
+    }
+    samples(Gen.zip(Gen.listOfN(12, genPrefix), Gen.listOfN(40,
+      Gen.chooseNum(0L, (1L << 32) - 1))), 15).foreach { case (prefixes, ips) =>
+      val table = Lpm.build(prefixes)
+      ips.foreach { ip =>
+        val naive = prefixes
+          .filter(p => p.start <= ip && p.end >= ip)
+          .sortBy(-_.maskLen).headOption.map(_.value)
+        assert(table.lookup(BigInt(ip)) == naive,
+          s"ip=$ip prefixes=$prefixes")
+      }
+    }
+  }
+
+  test("xdivL equals naive largest-power-of-k for random inputs") {
+    import org.apache.spark.sql.functions.lit
+    // evaluate the expression in one batch per sample set (fast path)
+    samples(Gen.listOfN(8, for {
+      a <- Gen.chooseNum(0L, 1000000L)
+      b <- Gen.chooseNum(0L, 1000L)
+      k <- Gen.oneOf(2L, 10L, 16L)
+    } yield (a, b, k)), 3).foreach { cases =>
+      cases.foreach { case (a, b, k) =>
+        val expected =
+          if (b == 0 || a / b == 0) 0L
+          else {
+            var p = 1L
+            while (p * k <= a / b && p <= Long.MaxValue / k) p *= k
+            p
+          }
+        val got = spark.range(1)
+          .select(graft.functions.NetFns.xdivL(lit(a), lit(b), k))
+          .collect()(0).getLong(0)
+        assert(got == expected, s"a=$a b=$b k=$k")
+      }
+    }
+  }
+
+  test("mavg scalar trace: value stays within [0, running max V·window]") {
+    val genEvents = Gen.listOfN(30, for {
+      dt <- Gen.chooseNum(0L, 20L)
+      v <- Gen.chooseNum(0L, 1000L)
+    } yield (dt, v))
+    samples(genEvents, 30).foreach { deltas =>
+      var t = 0L
+      val events = deltas.map { case (dt, v) => t += dt; (t, v) }
+      val trace = Mavg.scalarTrace(events, windowSec = 10L)
+      trace.foreach(n => assert(n >= 0.0))
+      // each step: N' ≤ N + V (decay only shrinks)
+      trace.zip(events).zipWithIndex.foreach { case ((n, (_, v)), i) =>
+        val prev = if (i == 0) 0.0 else trace(i - 1)
+        assert(n <= prev + v + 1e-9, s"step $i grew beyond N+V")
+      }
+    }
+  }
+
+  test("alert machine: Started and Ended strictly alternate per key") {
+    val genOps = Gen.listOfN(40, for {
+      isBreach <- Gen.prob(0.4)
+      dtNs <- Gen.chooseNum(1L, 5_000_000_000L)
+      v <- Gen.chooseNum(100.0, 1000.0)
+    } yield (isBreach, dtNs, v))
+    samples(genOps, 30).foreach { ops =>
+      var st: Option[AlertMachine.LimState] = None
+      var now = 0L
+      var depth = 0 // 0 = no active alert, 1 = active
+      ops.foreach { case (isBreach, dt, v) =>
+        now += dt
+        if (isBreach) {
+          st = Some(AlertMachine.onBreach(st, now, v, 100.0,
+            10_000_000_000L))
+        }
+        st.foreach { s =>
+          val (s2, evs) = AlertMachine.onTick(s, now, 5_000_000_000L,
+            isOver = true)
+          st = Some(s2)
+          evs.foreach {
+            case AlertMachine.Started(_, _) =>
+              assert(depth == 0, "Started while already active")
+              depth = 1
+            case AlertMachine.Ended(_) =>
+              assert(depth == 1, "Ended without active alert")
+              depth = 0
+            case AlertMachine.Updated(_) =>
+              assert(depth == 1, "Updated without active alert")
+          }
+        }
+      }
+    }
+  }
+}
