@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-inspection main: dumps formatted physical plans of the headline
+  * queries (the evidence that pushdown/pruning/broadcast/codegen shapes
+  * are what we want — see PLANS.md). */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q05_scan_prune", "q03_filter_cidr", "q06_join_bcast",
+        "q02_fwm_topn_others", "q14_geoip", "q29_mavg_decay")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      println(SparkEntry.queries(n)(spark, dir)
+        .queryExecution.explainString(FormattedMode))
+    }
+    spark.stop()
+  }
+}
