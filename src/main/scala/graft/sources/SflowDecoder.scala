@@ -123,16 +123,22 @@ object SflowDecoder {
       val sampleLen = u32(b, off + 4).toInt
       val sampleEnd = off + 8 + sampleLen
       if (sampleEnd > b.length) return out.result()
-      if (sampleType == 1L && sampleLen >= 32) {
-        // flow sample
+      // type 1 = flow sample, type 3 = expanded flow sample (sFlow v5
+      // spec: expanded uses u32-pair source ids and u32 interface
+      // format+value pairs)
+      val expanded = sampleType == 3L
+      if ((sampleType == 1L && sampleLen >= 32) ||
+          (expanded && sampleLen >= 44)) {
         var p = off + 8
         p += 4 // seq
-        p += 4 // source id
+        p += (if (expanded) 8 else 4) // source id (type+index | packed)
         val samplingRate = u32(b, p); p += 4
         p += 4 // sample pool
         p += 4 // drops
-        val input = u32(b, p); p += 4
-        val output = u32(b, p); p += 4
+        val input = { val v = u32(b, p + (if (expanded) 4 else 0))
+          p += (if (expanded) 8 else 4); v }
+        val output = { val v = u32(b, p + (if (expanded) 4 else 0))
+          p += (if (expanded) 8 else 4); v }
         val nRecords = u32(b, p); p += 4
         var r = 0L
         while (r < nRecords && p + 8 <= sampleEnd) {

@@ -186,3 +186,47 @@ class DecoderSpec extends SparkTest {
     assert(out.select("in_bytes").collect().forall(_.getLong(0) == 31337L))
   }
 }
+
+class SflowExpandedSpec extends SparkTest {
+  test("sFlow v5 expanded flow sample (type 3)") {
+    import graft.sources.SflowDecoder
+    import java.nio.ByteBuffer
+    def u32s(vs: Long*): Array[Byte] = {
+      val buf = ByteBuffer.allocate(vs.length * 4)
+      vs.foreach(v => buf.putInt(v.toInt))
+      buf.array()
+    }
+    val eth = {
+      val b = ByteBuffer.allocate(14)
+      b.put(Array[Byte](1, 2, 3, 4, 5, 6)).put(Array[Byte](6, 5, 4, 3, 2, 1))
+        .putShort(0x0800)
+      b.array()
+    } ++ {
+      val ip = ByteBuffer.allocate(20)
+      ip.put(0x45.toByte).put(0.toByte).putShort(28)
+        .putShort(0).putShort(0).put(64.toByte).put(17.toByte).putShort(0)
+        .putInt(0x0a000009).putInt(0x0a00000a)
+      ip.array()
+    } ++ {
+      val udp = ByteBuffer.allocate(8)
+      udp.putShort(5353.toShort).putShort(53).putShort(8).putShort(0)
+      udp.array()
+    }
+    val rec = u32s(1L, 16L + eth.length) ++
+      u32s(1L, 70L, 0L, eth.length.toLong) ++ eth
+    // expanded: seq, src(type,idx), rate, pool, drops,
+    // input(fmt,val), output(fmt,val), nrec
+    val sample = u32s(3L, 44L + rec.length,
+      1L, 0L, 5L, 2048L, 100L, 0L, 0L, 7L, 0L, 9L, 1L) ++ rec
+    val pkt = u32s(5L, 1L, 0x7f000001L, 0L, 1L, 100L, 1L) ++ sample
+    val rows = SflowDecoder.decodePacket(pkt, 55L)
+    assert(rows.length == 1)
+    val idx = (n: String) => graft.sources.NetflowDecoder.outSchema.fieldIndex(n)
+    val r = rows.head
+    assert(r(idx("sampling_rate")) == 2048L)
+    assert(r(idx("input_snmp")) == 7L)
+    assert(r(idx("output_snmp")) == 9L)
+    assert(r(idx("protocol")) == 17L)
+    assert(r(idx("l4_dst_port")) == 53L)
+  }
+}

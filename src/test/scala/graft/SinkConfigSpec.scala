@@ -131,3 +131,16 @@ class SinkConfigSpec extends SparkTest {
     } finally q.stop()
   }
 }
+
+class MavgDumpSpec extends SparkTest {
+  test("mavg .d/.a dump text (monit-objects-mavg-dump.c)") {
+    import graft.sinks.MavgDump
+    val decayed = flowDf(Seq("src_host", "n", "t_last"),
+      Seq(Seq(10L, 3000L, 100L), Seq(11L, 600L, 100L)))
+    val d = MavgDump.dumpD(decayed, Seq("src_host"), windowSec = 600)
+    assert(d == "10,5.000\n11,1.000")
+    val a = MavgDump.dumpA(Map(
+      Seq("1.2.3.4", "6") -> Seq(100.0), Seq("1.2.3.4", "17") -> Seq(2.5)))
+    assert(a == "1.2.3.4,17,2.500\n1.2.3.4,6,100.000")
+  }
+}
