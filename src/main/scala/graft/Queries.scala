@@ -638,9 +638,11 @@ object Queries {
     "q19_langid",
     (s, dir) => {
       import graft.operators.TextAnalysis
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.langId(col("text")).as("pred"))
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.langIdDistributed(docs, "doc_id", "text"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("pred"))
         .orderBy(col("doc_id").asc)
     }, {
       import graft.operators.TextAnalysis

@@ -46,6 +46,37 @@ object TextAnalysis {
     }
   }
 
+  /** Distributed language-ID: explode tokens once, broadcast-join the
+    * stopword table, pivot counts per language, argmax. Same result as
+    * [[langId]], but each token is examined once — the column form
+    * re-evaluates every per-language filter for the argmax comparison
+    * (Catalyst inlines the shared subexpressions). Output: idCol + pred.
+    */
+  def langIdDistributed(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val langs = stopwords.keys.toSeq.sorted
+    val sw = broadcast(
+      stopwords.toSeq.flatMap { case (l, ws) => ws.map(w => (w, l)) }
+        .toDF("w", "lang"))
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val counts = toks.join(sw, col("tok") === col("w"))
+      .groupBy(col(idCol)).pivot("lang", langs).count()
+    val cnt: Map[String, Column] =
+      langs.map(l => l -> coalesce(col(s"`$l`"), lit(0L))).toMap
+    val best = langs.map(cnt).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und"): Column) { (l, acc) =>
+      when(cnt(l) === best && best > 0, lit(l)).otherwise(acc)
+    }
+    df.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        when(langs.map(l => col(s"`$l`").isNull).reduce(_ && _), lit("und"))
+          .otherwise(pred).as("pred"))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
