@@ -10,4 +10,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully lower a Column's node tree to a Catalyst Expression (the
+    * converter the classic Dataset API itself uses). Needed when the
+    * expression escapes Dataset resolution — e.g. FunctionRegistry
+    * builders, where a lazy ColumnNodeExpression wrapper would reach
+    * codegen unresolved. */
+  def lower(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -58,3 +58,25 @@ class NetFnsSpec extends SparkTest {
     assert(eval1(NetFns.ip4str(lit(3221225985L))) == "192.0.2.1")
   }
 }
+
+class SqlFunctionsSpec extends SparkTest {
+  test("function surface callable from spark.sql") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT tfstr(18L) AS tf, portstr(443L) AS ps,
+             ppstr(443L, 80L) AS pp, xdiv(100L, 7L) AS d,
+             xdiv_l(1234L, 1L, 10) AS dl, ip4str(3221225985L) AS ip,
+             country_code(3221225985L) AS cc, asn(167772161L) AS a,
+             ip_in_list(167772161L, 'bogon') AS inlist
+    """).collect()(0)
+    assert(r.getAs[String]("tf") == "ACK+SYN")
+    assert(r.getAs[String]("ps") == "https (443)")
+    assert(r.getAs[String]("pp") == "https(443) -> http(80)")
+    assert(r.getAs[Long]("d") == 14L)
+    assert(r.getAs[Long]("dl") == 1000L)
+    assert(r.getAs[String]("ip") == "192.0.2.1")
+    assert(r.getAs[String]("cc") == "fr") // 192.0.2.x TEST-NET override
+    assert(r.getAs[String]("a") == "64500")
+    assert(r.getAs[Boolean]("inlist"))
+  }
+}
