@@ -37,27 +37,40 @@ object Lpm {
   }
 
   /** Sweep overlapping prefixes into disjoint intervals; inside an overlap
-    * the longest mask wins (LPM semantics of the reference tries). */
+    * the longest mask wins (LPM semantics of the reference tries).
+    * O(n log n) boundary sweep — production geo/AS databases have
+    * hundreds of thousands of prefixes (reference xemkgeodb builds
+    * them offline; we build at broadcast time). */
   def build(prefixes: Seq[Prefix]): Table = {
     if (prefixes.isEmpty) return Table(Array.empty, Array.empty, Array.empty)
-    // boundary points: every start and every end+1
-    val points = prefixes.flatMap(p => Seq(p.start, p.end + 1))
-      .distinct.sorted.toArray
+    // events: open at start, close at end+1; CIDR prefixes nest, so at
+    // any point the active prefix with the longest mask wins
+    val events = prefixes.zipWithIndex.flatMap { case (p, id) =>
+      Seq((p.start, true, id), (p.end + 1, false, id))
+    }.sortBy(_._1)
+    val byId = prefixes.toArray
+    // active prefixes ordered by (maskLen, id)
+    val active = new java.util.TreeMap[(Int, Int), Int](
+      Ordering.Tuple2[Int, Int])
     val ss = Array.newBuilder[BigInt]
     val es = Array.newBuilder[BigInt]
     val vs = Array.newBuilder[String]
     var i = 0
-    while (i < points.length - 1) {
-      val lo = points(i)
-      val hi = points(i + 1) - 1
-      // deepest prefix covering this elementary interval
-      var best: Prefix = null
-      prefixes.foreach { p =>
-        if (p.start <= lo && p.end >= hi &&
-            (best == null || p.maskLen > best.maskLen)) best = p
+    var prev: BigInt = null
+    while (i < events.length) {
+      val point = events(i)._1
+      if (prev != null && prev < point && !active.isEmpty) {
+        ss += prev
+        es += point - 1
+        vs += byId(active.lastEntry().getValue).value
       }
-      if (best != null) { ss += lo; es += hi; vs += best.value }
-      i += 1
+      while (i < events.length && events(i)._1 == point) {
+        val (_, open, id) = events(i)
+        val key = (byId(id).maskLen, id)
+        if (open) active.put(key, id) else active.remove(key)
+        i += 1
+      }
+      prev = point
     }
     // merge adjacent intervals with equal values
     val (s0, e0, v0) = (ss.result(), es.result(), vs.result())

@@ -49,3 +49,36 @@ class TopKSpec extends SparkTest {
     assert(out50 == Seq(1L))
   }
 }
+
+/** FIXTURES.md §4 golden: {"fields": ["octets desc","src host"],
+  * "limit": 5, "time": 10} → per 10s window top-5 + NULL-key others
+  * (STEP-BY-STEP.md:383-402, monit-objects-fwm.c:404-481). */
+class FwmGoldenSpec extends SparkTest {
+  test("fwm golden: top-5 by octets + others row per 10s window") {
+    import graft.filter.FilterEnv
+    import graft.operators.Fwm
+    import org.apache.spark.sql.functions.col
+    // 7 hosts in window [0,10), 2 in window [10,20)
+    val rows = (1 to 7).map(h =>
+      Seq(3L, 167772160L + h, 1000L * (8 - h), 1L)) ++
+      Seq(Seq(12L, 167772161L, 50L, 1L), Seq(13L, 167772162L, 40L, 1L))
+    val flows = flowDf(
+      Seq("ts_sec", "ip4_src_addr", "in_bytes", "sampling_rate"), rows)
+    val env = FilterEnv.flow(spark)
+    val out = Fwm.batch(flows, env,
+      Fwm.Conf("by_src", Seq("octets desc", "src host"),
+        timeSec = 10, limit = Some(5)),
+      samplingRate = Some(col("sampling_rate"))).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2)))
+    val w0 = out.filter(_._1 == 0L)
+    // top-5: hosts 1..5 with 7000..3000, then others = 2000+1000
+    assert(w0.take(5).map(_._3).toSeq ==
+      Seq(7000L, 6000L, 5000L, 4000L, 3000L))
+    assert(w0.take(5).forall(_._2.isDefined))
+    assert(w0.last == ((0L, None, 3000L))) // NULL-key residual
+    assert(w0.length == 6)
+    // window [10,20): under the limit → no others row
+    val w10 = out.filter(_._1 == 10L)
+    assert(w10.length == 2 && w10.forall(_._2.isDefined))
+  }
+}
