@@ -121,6 +121,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, blockCol: Option[String],
                         minBp: Long): DataFrame = {
+    // NOTE: the .distinct() is semantically redundant (array_distinct
+    // already de-dups per doc) but load-bearing for performance: its
+    // exchange is identical across the three consumers (join left/right
+    // + sizes), so Spark's ReuseExchange computes the gram table once.
+    // Removing it makes every branch recompute the shingle pipeline
+    // (measured 8.3 s → 20.3 s at sf0.1).
     val grams = df.select(
       (col(idCol).as("id") +:
         blockCol.map(col).toSeq :+
