@@ -268,6 +268,20 @@ object Queries {
       WHERE cum < (tot * 90.0) / 100.0
       ORDER BY octets DESC NULLS LAST, proto ASC, port ASC"""))
 
+  // ------------------------------------- distinct aggregate (+ approx)
+  private val q36 = Q(
+    "q36_count_distinct",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc),
+    Some("""SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type ORDER BY event_type ASC"""))
+
   // ----------------------------------------------------------- rollup
   private val q25 = Q(
     "q25_rollup",
@@ -957,7 +971,7 @@ object Queries {
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q40, q41)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q40, q41)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
