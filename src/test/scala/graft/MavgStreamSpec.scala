@@ -95,3 +95,41 @@ class TestGroupState[T] extends org.apache.spark.sql.streaming.GroupState[T] {
   override def getCurrentWatermarkMs(): Long = 0L
   override def getCurrentProcessingTimeMs(): Long = processingTimeMs
 }
+
+/** Spark 4 transformWithState variant: same semantics, native per-key
+  * timers. */
+class MavgTwsSpec extends SparkTest {
+  test("TWS overlimit alert fires through a streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{MavgStream, MavgTwsProcessor}
+    import graft.streaming.MavgStream.{AlertRow, Conf, Input}
+    val S = 1_000_000_000L
+    // transformWithState needs a multi-column-family store (RocksDB)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Input]
+    val alerts = MavgTwsProcessor(mem.toDS(),
+      Conf(windowSec = 5, defaultLimits = Seq(100.0),
+        back2normSec = 30, isOver = true, tickIntervalMs = 0))
+    val q = alerts.writeStream
+      .format("memory").queryName("tws_alerts")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws").toString)
+      .start()
+    try {
+      mem.addData(Input("a", 10 * S, 600.0), Input("b", 10 * S, 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_alerts").as[AlertRow].collect().toSeq
+      assert(rows.exists(r => r.key == "a" && r.event == "start"),
+        s"expected start alert, got $rows")
+      assert(!rows.exists(_.key == "b"))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
