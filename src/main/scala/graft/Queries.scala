@@ -282,6 +282,33 @@ object Queries {
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY event_type ORDER BY event_type ASC"""))
 
+  // ------------------------------------------------ intersect / except
+  private val q37 = Q(
+    "q37_intersect_except",
+    (s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val buyers = orders.select(col("o_custkey").as("k")).distinct()
+      val highBal = customer.filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey").as("k"))
+      val both = highBal.intersect(buyers)
+        .withColumn("src", lit("high_bal_buyer"))
+      val only = highBal.except(buyers)
+        .withColumn("src", lit("high_bal_no_orders"))
+      both.unionByName(only).orderBy(col("k").asc, col("src").asc)
+    },
+    Some("""SELECT * FROM (
+        SELECT c_custkey AS k, 'high_bal_buyer' AS src FROM customer
+        WHERE c_acctbal > 5000.0
+        INTERSECT SELECT o_custkey, 'high_bal_buyer' FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_acctbal > 5000.0
+        UNION ALL
+        SELECT k, 'high_bal_no_orders' AS src FROM (
+          SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000.0
+          EXCEPT SELECT o_custkey FROM orders))
+      ORDER BY k ASC, src ASC"""))
+
   // ----------------------------------------------------------- rollup
   private val q25 = Q(
     "q25_rollup",
@@ -971,7 +998,8 @@ object Queries {
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q40, q41)
+    q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q40, q41)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
