@@ -1,6 +1,10 @@
 package graft
 
+import graft.filter.FilterEnv
+import graft.flow.TestFlowView
+import graft.operators.Fwm
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main: runs every contract query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver (BENCH_r{N}.json).
@@ -10,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   * per-query numbers measure steady-state execution, not JVM startup.
   * Queries are materialized through the noop sink — full computation of
   * every output row, zero write cost.
+  *
+  * Failures are NEVER silent: any exception is logged to stderr with the
+  * query name (the query reports -1.0), so an aborted Spark job cannot
+  * hide inside a positive-looking total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,11 +33,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    def logFailure(what: String, e: Throwable): Unit = {
+      System.err.println(s"BENCH FAILURE in $what: ${e.getClass.getName}: " +
+        s"${e.getMessage}")
+      e.printStackTrace()
+    }
+
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case e: Throwable => logFailure(name, e); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -38,8 +52,9 @@ object Bench {
       Seq("lineitem", "orders", "customer", "part", "events", "documents")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet")
           .limit(1).collect())
-      materialize("q01_fwm_agg")
-    } catch { case _: Throwable => () }
+      SparkEntry.queries("q01_fwm_agg")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable => logFailure("warmup", e) }
 
     val results = SparkEntry.queries.keys.toSeq.sorted
       .map(n => n -> materialize(n))
@@ -51,7 +66,7 @@ object Bench {
     // flows/s on the same shape, BASELINE.md)
     val nEvents =
       try spark.read.parquet(s"$sfDir/events.parquet").count()
-      catch { case _: Throwable => 0L }
+      catch { case e: Throwable => logFailure("events count", e); 0L }
     // steady-state flagship: best of 3 hot runs (amortizes scan setup;
     // the per-job constant dominates at these tiny scale factors)
     val flagship = (1 to 3).map(_ =>
@@ -60,9 +75,42 @@ object Bench {
       case _               => -1.0
     }
     val fps = if (flagship > 0) nEvents / flagship else 0.0
+
+    // amortizing-scale flagship: the same pipeline over the events scan
+    // replicated REP× (union of REP independent scans — REP× the bytes
+    // read, REP× the rows aggregated). At this size the fixed per-job
+    // constant (~1 s of scan setup + 2 shuffle round-trips) is <10% of
+    // the run, so flows/s approximates the steady-state rate a long
+    // window sees (VERDICT r1 "Next round" #7).
+    val rep = sys.env.getOrElse("SPARK_GRAFT_FLAGSHIP_REP", "10").toInt
+    def flagshipScaled(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val env = FilterEnv.flow(spark)
+        val one = TestFlowView.load(spark, sfDir)
+        val big = Seq.fill(rep)(one).reduce(_ union _)
+        Fwm.batch(big, env,
+          Fwm.Conf("weekly", Seq("octets desc", "src host"),
+            timeSec = 604800, limit = Some(10)),
+          samplingRate = Some(col("sampling_rate")))
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable => logFailure("flagship_scaled", e)
+        return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val scaled = (1 to 2).map(_ => flagshipScaled()).filter(_ > 0) match {
+      case s if s.nonEmpty => s.min
+      case _               => -1.0
+    }
+    val scaledFps = if (scaled > 0) nEvents * rep / scaled else 0.0
+
     println(s"""{"metric":"total_query_seconds","value":$total,""" +
       s""""unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""flagship_flows_per_sec":$fps,"n_queries":${results.size}}""")
+      s""""flagship_flows_per_sec":$fps,""" +
+      s""""flagship_scaled_rep":$rep,""" +
+      s""""flagship_scaled_sec":$scaled,""" +
+      s""""flagship_scaled_flows_per_sec":$scaledFps,""" +
+      s""""n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -943,14 +943,14 @@ object Queries {
 
   /** Deterministic NetFlow v9 packets: template + data flowsets built
     * from integers (no external fixtures). */
-  private def v9Packets(n: Int): Seq[Array[Byte]] = {
+  private[graft] def v9Packets(n: Int): Seq[Array[Byte]] = {
     def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     (0 until n).map { i =>
       val header = u16(9) ++ u16(2) ++ u32(0) ++ u32(1700000000L + i) ++
         u32(i) ++ u32(1)
-      val tmpl = u16(0) ++ u16(16) ++ u16(256) ++ u16(3) ++
+      val tmpl = u16(0) ++ u16(20) ++ u16(256) ++ u16(3) ++
         u16(1) ++ u16(4) ++ u16(4) ++ u16(1) ++ u16(8) ++ u16(4)
       val rec = u32(100L + i) ++
         Array[Byte]((if (i % 2 == 0) 6 else 17).toByte) ++

@@ -173,6 +173,21 @@ class DecoderSpec extends SparkTest {
     assert(PayloadParsers.parseSni(rec).contains(host))
   }
 
+  test("contract golden: v9Packets(64) decodes to exactly 64 rows") {
+    // the q40/q41 driver pair feeds these exact bytes; each packet is
+    // self-contained (template + one data record), so every record decodes
+    val cache = new NetflowDecoder.TemplateCache
+    val rows = Queries.v9Packets(64).zipWithIndex.flatMap { case (p, i) =>
+      NetflowDecoder.decodePacket(p, 1700000000L + i, 1L, cache)
+    }
+    assert(rows.length == 64)
+    val protos = rows.map(_(fieldIndexOf("protocol"))).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    assert(protos == Map(6L -> 32, 17L -> 32))
+    assert(rows.map(r => r(fieldIndexOf("in_bytes"))
+      .asInstanceOf[Long]).sum == (0 until 64).map(100L + _).sum)
+  }
+
   test("DataFrame-level decode distributes with partition-local caches") {
     import spark.implicits._
     val header = bytes(9, 2, 1000L, 1700000000L, 1L, 42L)
