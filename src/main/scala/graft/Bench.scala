@@ -12,8 +12,15 @@ import org.apache.spark.sql.functions.col
   * Methodology: a warmup pass first touches every input table and runs
   * one small query end-to-end (JIT + codegen + parquet footer caches), so
   * per-query numbers measure steady-state execution, not JVM startup.
-  * Queries are materialized through the noop sink — full computation of
-  * every output row, zero write cost.
+  * Each query is then timed SPARK_GRAFT_RUNS times (default 3) and the
+  * MEDIAN is reported — single-run timings at these scale factors are
+  * dominated by noise (VERDICT r2 "Performance"). Queries are
+  * materialized through the noop sink — full computation of every output
+  * row, zero write cost.
+  *
+  * `events.ts` is nanosecond parquet; `nanosAsLong` is set at session
+  * build time so the raw warmup scans (which run BEFORE any query path
+  * calls TestFlowView.load) don't abort on PARQUET_TYPE_ILLEGAL.
   *
   * Failures are NEVER silent: any exception is logged to stderr with the
   * query name (the query reports -1.0), so an aborted Spark job cannot
@@ -29,6 +36,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -39,12 +47,30 @@ object Bench {
       e.printStackTrace()
     }
 
-    def materialize(name: String): Double = {
+    def envInt(name: String, default: Int, min: Int): Int =
+      sys.env.get(name) match {
+        case None => default
+        case Some(raw) => raw.toIntOption.filter(_ >= min).getOrElse {
+          System.err.println(
+            s"BENCH: ignoring invalid $name=$raw, using $default")
+          default
+        }
+      }
+
+    val runs = envInt("SPARK_GRAFT_RUNS", 3, 1)
+
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => logFailure(name, e); return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    /** Median of `runs` timings; failures excluded; -1 if all failed. */
+    def median(name: String): Double = {
+      val ok = (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
 
     // warmup: scans + one aggregation through the whole stack
@@ -57,7 +83,7 @@ object Bench {
     } catch { case e: Throwable => logFailure("warmup", e) }
 
     val results = SparkEntry.queries.keys.toSeq.sorted
-      .map(n => n -> materialize(n))
+      .map(n => n -> median(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -70,19 +96,22 @@ object Bench {
     // steady-state flagship: best of 3 hot runs (amortizes scan setup;
     // the per-job constant dominates at these tiny scale factors)
     val flagship = (1 to 3).map(_ =>
-      materialize("q02_fwm_topn_others")).filter(_ > 0) match {
+      timeOnce("q02_fwm_topn_others")).filter(_ > 0) match {
       case s if s.nonEmpty => s.min
       case _               => -1.0
     }
     val fps = if (flagship > 0) nEvents / flagship else 0.0
 
     // amortizing-scale flagship: the same pipeline over the events scan
-    // replicated REP× (union of REP independent scans — REP× the bytes
-    // read, REP× the rows aggregated). At this size the fixed per-job
+    // replicated REP× (union of REP independent scans — REP× the rows
+    // decoded, filtered and aggregated). At this size the fixed per-job
     // constant (~1 s of scan setup + 2 shuffle round-trips) is <10% of
     // the run, so flows/s approximates the steady-state rate a long
-    // window sees (VERDICT r1 "Next round" #7).
-    val rep = sys.env.getOrElse("SPARK_GRAFT_FLAGSHIP_REP", "10").toInt
+    // window sees (VERDICT r1 "Next round" #7). Caveat: after the first
+    // branch the parquet file is OS-page-cache hot, so this measures
+    // compute throughput on warm data, not cold-disk scan rate — which
+    // matches the reference's figure (in-memory flow records).
+    val rep = envInt("SPARK_GRAFT_FLAGSHIP_REP", 10, 1)
     def flagshipScaled(): Double = {
       val t0 = System.nanoTime()
       try {
@@ -106,6 +135,7 @@ object Bench {
 
     println(s"""{"metric":"total_query_seconds","value":$total,""" +
       s""""unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""runs_per_query":$runs,""" +
       s""""flagship_flows_per_sec":$fps,""" +
       s""""flagship_scaled_rep":$rep,""" +
       s""""flagship_scaled_sec":$scaled,""" +
