@@ -4,7 +4,8 @@ import graft.config.MoConfig
 import graft.config.MoConfig.MonitoringObject
 import graft.filter.{Compiler, FilterEnv}
 import graft.operators.{Fwm, Mavg}
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.sinks.AlertSink
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import java.util.concurrent.ConcurrentHashMap
@@ -130,4 +131,32 @@ object Pipeline {
         batch.count() // drain: commit state for the skipped output
         ()
       }
+
+  /** Alert sink for a mavg branch, built from its mo.conf overlimit
+    * sections (names + action/back2norm scripts). */
+  def alertSink(branch: MavgBranch, notifDir: String,
+                execute: Boolean = false): AlertSink =
+    new AlertSink(AlertSink.Conf(notifDir, branch.mo, branch.section.name,
+      branch.section.overlimit.map(o =>
+        AlertSink.Limit(o.name, o.actionScript, o.back2normScript)),
+      execute))
+
+  /** limitIdx → extended-section names of a mavg branch. */
+  def extNames(branch: MavgBranch): Map[Int, Seq[String]] =
+    branch.section.overlimit.zipWithIndex
+      .map { case (o, i) => i -> o.extNames }.toMap
+
+  /** foreachBatch body for a mavg branch's alert stream: feed the events
+    * to the ext-stats gate AND the notification/action sink — the Spark
+    * analog of the reference's act thread consuming the alert db
+    * (monit-objects-mavg-act.c:569-592). Alert events are a bounded
+    * post-hysteresis trickle, so the driver-side collect is by design. */
+  def alertBatchWriter(branch: MavgBranch, gate: ExtStatsGate,
+                       sink: AlertSink): (Dataset[MavgStream.AlertRow],
+      Long) => Unit =
+    (batch, _) => {
+      val events = batch.collect().toSeq
+      gate.applyAlerts(events, extNames(branch))
+      sink.handle(events)
+    }
 }

@@ -2,14 +2,85 @@ package graft
 
 import graft.config.MoConfig
 import graft.filter.FilterEnv
+import graft.sinks.AlertSink
 import graft.streaming.{ExtStatsGate, MavgStream, Pipeline}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 class PipelineSpec extends SparkTest {
+
+  test("alert sink: notification file lifecycle + script invocations " +
+    "(monit-objects-mavg-act.c on_limit/on_update/on_back_to_norm)") {
+    val dir = Files.createTempDirectory("graft_notif").toString
+    val sink = new AlertSink(AlertSink.Conf(dir, "http_flood", "mavg1",
+      Seq(AlertSink.Limit("level1",
+        actionScript = Some("/scripts/on-start.sh"),
+        back2normScript = Some("/scripts/on-stop.sh")))))
+    def row(ev: String, v: Double, t: Long) =
+      MavgStream.AlertRow("15.22.13.99|6", 0, ev, v, 1000000.0, t)
+    val notif = Paths.get(dir,
+      "http_flood-mavg1-level1-15.22.13.99-6")
+
+    // start → file written + action script recorded
+    sink.handle(Seq(row("start", 1234567.0, 1L)))
+    assert(Files.exists(notif))
+    assert(new String(Files.readAllBytes(notif), StandardCharsets.UTF_8)
+      == "15.22.13.99 6 1234567 1000000")
+    val log = Paths.get(dir, "invocations.log")
+    val afterStart = Files.readAllLines(log)
+    assert(afterStart.size == 1)
+    // argv order: script mo mavg limit-name file fields... value limit
+    // (STEP-BY-STEP.md:934-973)
+    assert(afterStart.get(0).split("\t").toSeq == Seq(
+      "/scripts/on-start.sh", "http_flood", "mavg1", "level1",
+      notif.toString, "15.22.13.99", "6", "1234567", "1000000"))
+
+    // update → file refreshed, no new invocation
+    sink.handle(Seq(row("update", 2222222.0, 2L)))
+    assert(new String(Files.readAllBytes(notif), StandardCharsets.UTF_8)
+      == "15.22.13.99 6 2222222 1000000")
+    assert(Files.readAllLines(log).size == 1)
+
+    // end → file removed + back2norm script recorded
+    sink.handle(Seq(row("end", 55.0, 3L)))
+    assert(!Files.exists(notif))
+    val afterEnd = Files.readAllLines(log)
+    assert(afterEnd.size == 2)
+    assert(afterEnd.get(1).startsWith("/scripts/on-stop.sh\thttp_flood"))
+
+    // restart: a later start recreates the file (Gone → New)
+    sink.handle(Seq(row("start", 9999999.0, 4L)))
+    assert(Files.exists(notif))
+    assert(Files.readAllLines(log).size == 3)
+  }
+
+  test("alert sink execute=true really starts the script (detached, " +
+    "reference exec_script double-fork)") {
+    val dir = Files.createTempDirectory("graft_notif_exec")
+    val out = dir.resolve("fired")
+    val script = dir.resolve("on-start.sh")
+    Files.write(script,
+      s"#!/bin/sh\necho \"$$2 $$5 $$7\" > $out\n"
+        .getBytes(StandardCharsets.UTF_8))
+    script.toFile.setExecutable(true)
+    val sink = new AlertSink(AlertSink.Conf(dir.toString, "mo1", "m",
+      Seq(AlertSink.Limit("lim", actionScript = Some(script.toString))),
+      execute = true))
+    sink.handle(Seq(
+      MavgStream.AlertRow("10.0.0.1", 0, "start", 500.0, 100.0, 1L)))
+    // fire-and-forget: poll for the script's side effect
+    val deadline = System.nanoTime() + 5_000_000_000L
+    while (!Files.exists(out) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(Files.exists(out))
+    assert(new String(Files.readAllBytes(out), StandardCharsets.UTF_8)
+      .trim == "m 10.0.0.1 100") // $2=mavg, $5=field, $7=limit
+  }
 
   test("ext-stats gate: alerts open/close extended windows " +
     "(monit-objects-mavg-act.c:192-227)") {
@@ -42,7 +113,8 @@ class PipelineSpec extends SparkTest {
       ],
       "mavg": [
         {"name": "m", "time": 5, "fields": ["src host", "octets"],
-         "overlimit": [{"name": "lim", "default": [100]}]}
+         "overlimit": [{"name": "lim", "default": [100],
+                        "ext": ["ext"]}]}
       ]
     }""")
 
@@ -74,16 +146,24 @@ class PipelineSpec extends SparkTest {
     val q3 = mavgs.head.alerts.writeStream
       .format("memory").queryName("pipe_alerts")
       .outputMode(OutputMode.Append).start()
+    // the full alert path: gate + notification-file sink per batch
+    val notifDir = Files.createTempDirectory("graft_pipe_notif").toString
+    val gate2 = new ExtStatsGate
+    val q4 = mavgs.head.alerts.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(Pipeline.alertBatchWriter(mavgs.head, gate2,
+        Pipeline.alertSink(mavgs.head, notifDir)))
+      .start()
     try {
       def ts(s: Long) = new Timestamp(s * 1000)
       // tcp flows, src a very loud (rate > 100/s), one udp flow filtered
       mem.addData((ts(1), 6L, 10L, 3000L), (ts(2), 6L, 11L, 5L),
         (ts(3), 17L, 12L, 9999L))
-      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      Seq(q1, q2, q3, q4).foreach(_.processAllAvailable())
       mem.addData((ts(25), 6L, 10L, 1L)) // advance watermark past 10
-      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      Seq(q1, q2, q3, q4).foreach(_.processAllAvailable())
       mem.addData((ts(26), 6L, 10L, 1L)) // flush the closed window
-      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      Seq(q1, q2, q3, q4).foreach(_.processAllAvailable())
 
       // fwm: window [0,10) has only tcp rows (udp filtered by the MO)
       val w0 = collected.filter(_._1 == 0L)
@@ -99,6 +179,10 @@ class PipelineSpec extends SparkTest {
       // feeding the start alert into the gate opens the ext section
       gate.applyAlerts(alerts.toSeq, Map(0 -> Seq("ext")))
       assert(gate.isActive("ext"))
-    } finally { q1.stop(); q2.stop(); q3.stop() }
+      // q4 (alertBatchWriter) did both automatically: its gate opened
+      // from the config's "ext" list and the notification file exists
+      assert(gate2.isActive("ext"))
+      assert(Files.exists(Paths.get(notifDir, "mo1-m-lim-10")))
+    } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
   }
 }
