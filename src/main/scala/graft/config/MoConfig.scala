@@ -25,7 +25,8 @@ object MoConfig {
                                     back2normSec: Long,
                                     actionScript: Option[String],
                                     back2normScript: Option[String],
-                                    extNames: Seq[String])
+                                    extNames: Seq[String],
+                                    limitsFile: Option[String])
   final case class MavgSection(name: String, fields: Seq[String],
                                timeSec: Long, dumpSec: Long,
                                overlimit: Seq[OverlimitSection])
@@ -78,7 +79,8 @@ object MoConfig {
                 .getOrElse(30L), // reference monit-objects.h:14
               actionScript = opt(o, "action-script").map(_.asText),
               back2normScript = opt(o, "back2norm-script").map(_.asText),
-              extNames = arr(o, "ext").map(_.asText))
+              extNames = arr(o, "ext").map(_.asText),
+              limitsFile = opt(o, "limits").map(_.asText))
           })
       },
       classification = arr(root, "classification").map { n =>

@@ -44,6 +44,12 @@ object MavgStream {
       defaultLimits: Seq[Double] = Seq.empty,
       back2normSec: Long = 30L,   // reference monit-objects.h:14
       isOver: Boolean = true,
+      /** hot-reloadable per-key limits file; when set it overrides
+        * `limits` and a file edit takes effect on the NEXT micro-batch
+        * without restarting the query (reference SIGHUP +
+        * mavg_limits_update bank swap, monit-objects-mavg.c:756-774) */
+      limitsProvider: Option[graft.config.Reloadable[
+        Map[String, Seq[Double]]]] = None,
       /** processing-time tick for silent keys (reference's 1 s underlimit
         * scanner cadence). <= 0 disables the timer: lifecycle then only
         * advances on arrivals — right for batch replays and tests, where
@@ -79,8 +85,12 @@ object MavgStream {
       state: GroupState[KeyState]): Iterator[AlertRow] = {
     val windowNs = conf.windowSec * 1_000_000_000L
     val b2nNs = conf.back2normSec * 1_000_000_000L
+    val limitsMap = conf.limitsProvider match {
+      case Some(r) => r.get()
+      case None    => conf.limits
+    }
     val limitVals: Seq[Double] =
-      conf.limits.getOrElse(key, conf.defaultLimits)
+      limitsMap.getOrElse(key, conf.defaultLimits)
 
     var st = state.getOption.getOrElse(KeyState(0.0, Long.MinValue, Map.empty))
     var lims: Map[Int, LimState] =

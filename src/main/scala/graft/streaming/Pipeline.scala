@@ -103,6 +103,10 @@ object Pipeline {
         defaultLimits = m.overlimit.flatMap(_.default.headOption),
         back2normSec = m.overlimit.headOption
           .map(_.back2normSec).getOrElse(30L),
+        // per-key thresholds hot-reload from the section's limits file
+        limitsProvider = m.overlimit.headOption.flatMap(_.limitsFile)
+          .map(f => graft.config.Reloadable.limitsCsv(
+            f, compiled.keys.size)),
         tickIntervalMs = mavgTickMs)
       MavgBranch(mo.name, m, MavgStream(input, conf))
     }
