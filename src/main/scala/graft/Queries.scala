@@ -523,8 +523,9 @@ object Queries {
         .orderBy(col("country").asc, col("cc").asc, col("src_asn").asc)
     }, {
       import graft.flow.BuiltinTables
-      val geo4 = graft.functions.Lpm.build(BuiltinTables.geoPrefixes)
-      val as4 = graft.functions.Lpm.build(BuiltinTables.asPrefixes)
+      // oracle mirrors the SAME loader-built tables the query uses
+      val geo4 = BuiltinTables.geoDb.geo4
+      val as4 = BuiltinTables.geoDb.as4
       Some(s"""WITH $F,
       g AS (SELECT
         ${OracleSql.lpmCase(geo4, "ip4_dst_addr", 2)} AS country,

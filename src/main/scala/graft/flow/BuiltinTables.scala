@@ -1,43 +1,68 @@
 package graft.flow
 
-import graft.functions.{GeoDb, IpList, Lpm}
+import graft.functions.{GeoDb, GeoLoader, IpList, Lpm}
 
 /** Deterministic built-in lookup tables for the test/query surface.
   *
   * The reference ships GeoIP/AS databases as external mmap'd files built
-  * by xemkgeodb (reference geoip.c, EXTRA.md:278-292) and IP lists as
-  * config files (CONFIG.md:471-481). The engine loads arbitrary tables the
-  * same way (any Seq[Lpm.Prefix] → broadcast LPM); these literal ones give
-  * the driver-checked queries a reproducible database.
+  * by xemkgeodb from public CSV dumps (reference geoip.c,
+  * EXTRA.md:278-292) and IP lists as config files (CONFIG.md:471-481).
+  * The geo/AS data below is kept in exactly those dump formats and goes
+  * through the production loader ([[GeoLoader]]) — the driver-checked
+  * queries exercise the real load path on a reproducible database.
   */
 object BuiltinTables {
 
-  /** Geo records over the test flow's 192.0.0.0/8 destination space,
-    * including nested prefixes so LPM precedence is actually exercised. */
+  /** Geo dump over the test flow's 192.0.0.0/8 destination space
+    * (ipapi format: ver,first,last,continent,cc,country,state,city,zip,
+    * tz,lat,long), including a nested finer range so LPM precedence is
+    * actually exercised. */
+  val geoCsv: String =
+    """# synthetic geo dump (ip-api.com format, xemkgeodb.c:292-360)
+      |4,192.0.0.0,192.63.255.255,EU,DE,Germany,BY,Munich,80331,Europe/Berlin,48.14,11.58
+      |4,192.64.0.0,192.127.255.255,NA,US,USA,CA,San Jose,95113,America/Los_Angeles,37.34,-121.89
+      |4,192.128.0.0,192.191.255.255,AS,JP,Japan,13,Tokyo,100-0001,Asia/Tokyo,35.68,139.77
+      |4,192.192.0.0,192.255.255.255,SA,BR,Brazil,SP,Sao Paulo,01000-000,America/Sao_Paulo,-23.55,-46.63
+      |# finer override inside the de /10 → LPM must pick this one
+      |4,192.0.2.0,192.0.2.255,EU,FR,France,IDF,Paris,75001,Europe/Paris,48.86,2.35
+      |# sources (10.0.0.0/8 space)
+      |4,10.0.0.0,10.255.255.255,EU,NL,Netherlands,NH,Amsterdam,1011,Europe/Amsterdam,52.37,4.90
+      |""".stripMargin
+
+  /** AS dump over the 10.0.0.0/12 source space
+    * (first,last,asn,description). */
+  val asCsv: String =
+    """10.0.0.0,10.3.255.255,64500,EXAMPLE-NET-A
+      |10.4.0.0,10.7.255.255,64501,EXAMPLE-NET-B
+      |10.8.0.0,10.11.255.255,64502,EXAMPLE-NET-C
+      |10.12.0.0,10.15.255.255,64503,EXAMPLE-NET-D
+      |""".stripMargin
+
+  /** Same data as prefix literals — kept for the loader-equivalence
+    * spec (continent/cc lowercased the way the loader does). */
   val geoPrefixes: Seq[Lpm.Prefix] = Seq(
     Lpm.v4Prefix("192.0.0.0/10",
-      GeoDb.record("EU", "de", "Germany", "BY", "Munich", "80331",
+      GeoDb.record("eu", "de", "Germany", "BY", "Munich", "80331",
         "48.14", "11.58")),
     Lpm.v4Prefix("192.64.0.0/10",
-      GeoDb.record("NA", "us", "USA", "CA", "San Jose", "95113",
+      GeoDb.record("na", "us", "USA", "CA", "San Jose", "95113",
         "37.34", "-121.89")),
     Lpm.v4Prefix("192.128.0.0/10",
-      GeoDb.record("AS", "jp", "Japan", "13", "Tokyo", "100-0001",
+      GeoDb.record("as", "jp", "Japan", "13", "Tokyo", "100-0001",
         "35.68", "139.77")),
     Lpm.v4Prefix("192.192.0.0/10",
-      GeoDb.record("SA", "br", "Brazil", "SP", "Sao Paulo", "01000-000",
+      GeoDb.record("sa", "br", "Brazil", "SP", "Sao Paulo", "01000-000",
         "-23.55", "-46.63")),
-    // finer override inside the de /10 → LPM must pick this one
     Lpm.v4Prefix("192.0.2.0/24",
-      GeoDb.record("EU", "fr", "France", "IDF", "Paris", "75001",
+      GeoDb.record("eu", "fr", "France", "IDF", "Paris", "75001",
         "48.86", "2.35")),
-    // sources (10.0.0.0/8 space)
     Lpm.v4Prefix("10.0.0.0/8",
-      GeoDb.record("EU", "nl", "Netherlands", "NH", "Amsterdam", "1011",
+      GeoDb.record("eu", "nl", "Netherlands", "NH", "Amsterdam", "1011",
         "52.37", "4.90"))
   )
 
-  /** AS records over the 10.0.0.0/12 source space (asn|description). */
+  /** AS records as prefix literals (asn|description), for the same
+    * equivalence spec. */
   val asPrefixes: Seq[Lpm.Prefix] = Seq(
     Lpm.v4Prefix("10.0.0.0/14", "64500|EXAMPLE-NET-A"),
     Lpm.v4Prefix("10.4.0.0/14", "64501|EXAMPLE-NET-B"),
@@ -45,7 +70,8 @@ object BuiltinTables {
     Lpm.v4Prefix("10.12.0.0/14", "64503|EXAMPLE-NET-D")
   )
 
-  lazy val geoDb: GeoDb = GeoDb(Lpm.build(geoPrefixes), Lpm.build(asPrefixes))
+  lazy val geoDb: GeoDb =
+    GeoDb(GeoLoader.geoTables(geoCsv).v4, GeoLoader.asTables(asCsv).v4)
 
   /** Standard IP lists (bogon per RFC 1918 + friends). */
   lazy val ipLists: Map[String, IpList] = Map(
