@@ -23,9 +23,16 @@ import org.apache.spark.sql.types.LongType
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical content. */
+  /** Exact dedup: keep the smallest id per identical content.
+    *
+    * The window partitions by (md5(content), content) — the hash leads
+    * so shuffle-key comparison and in-partition sorting work on 32-char
+    * digests; the raw content stays in the key only to break md5
+    * collisions (two colliding documents land in the same partition but
+    * remain distinct groups). */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val w = Window.partitionBy(col(contentCol)).orderBy(col(idCol).asc)
+    val w = Window.partitionBy(md5(col(contentCol)), col(contentCol))
+      .orderBy(col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -117,21 +124,38 @@ object Dedup {
 
   /** Exact n-gram Jaccard over distinct word n-grams, integer basis-point
     * result: 10000*|A∩B| / (|A|+|B|-|A∩B|). Pairwise within an (optional)
-    * blocking column — at scale, feed LSH buckets as the block. */
+    * blocking column — at scale, feed LSH buckets as the block.
+    *
+    * `maxDf` caps each gram's document frequency: the self-join on a
+    * shared gram emits |docs-with-gram|² candidate pairs, so one
+    * stop-word n-gram in a web-scale corpus is quadratic — the standard
+    * mitigation drops grams appearing in more than maxDf documents from
+    * BOTH the intersection and the set sizes (Jaccard over the pruned
+    * gram sets). Default off: exact semantics, oracle-matched. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, blockCol: Option[String],
-                        minBp: Long): DataFrame = {
+                        minBp: Long, maxDf: Option[Long] = None): DataFrame = {
     // NOTE: the .distinct() is semantically redundant (array_distinct
     // already de-dups per doc) but load-bearing for performance: its
     // exchange is identical across the three consumers (join left/right
     // + sizes), so Spark's ReuseExchange computes the gram table once.
     // Removing it makes every branch recompute the shingle pipeline
     // (measured 8.3 s → 20.3 s at sf0.1).
-    val grams = df.select(
+    val gramsAll = df.select(
       (col(idCol).as("id") +:
         blockCol.map(col).toSeq :+
         explode(array_distinct(shingles(col(textCol), n))).as("g")): _*)
       .distinct()
+    // hot-gram cap: count each gram's df with a window over the same
+    // (block, gram) partitioning the self-join shuffles on anyway
+    val grams = maxDf match {
+      case Some(cap) =>
+        val w = Window.partitionBy(
+          (blockCol.map(col).toSeq :+ col("g")): _*)
+        gramsAll.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= cap).drop("__df")
+      case None => gramsAll
+    }
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val l = grams.select((col("id").as("a") +: col("g").as("ga") +:
       blockCol.map(c => col(c).as("blk")).toSeq): _*)

@@ -66,6 +66,28 @@ class ExtensionOpsSpec extends SparkTest {
     assert(!out.exists(p => p._2 == 3L && p._3 > 2500L))
   }
 
+  test("ngram jaccard maxDf cap bounds hot-gram candidate pairs") {
+    // pathological: every doc shares the stop-gram "of the"; only docs
+    // 1 and 2 also share a rare gram. Uncapped: all 6 pairs meet.
+    val df = docs(
+      1L -> "rare gram of the x1",
+      2L -> "rare gram of the x2",
+      3L -> "alpha beta of the x3",
+      4L -> "gamma delta of the x4")
+    val uncapped = Dedup.ngramJaccardPairs(
+      df, "doc_id", "text", 2, None, 1L)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 6, s"all pairs share 'of the': $uncapped")
+    // df('of the')=4, df('the x_')=1 each, df('rare gram')=2 →
+    // cap 3 kills the stop-gram: only the rare-gram pair survives
+    val capped = Dedup.ngramJaccardPairs(
+      df, "doc_id", "text", 2, None, 1L, maxDf = Some(3L))
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+  }
+
   test("langId picks the stopword-richest language, und otherwise") {
     val df = docs(
       1L -> "the cat and the dog of the house",
