@@ -117,6 +117,129 @@ case class Lpm4ContainsExpr(child: Expression,
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** IPv6 LPM table packed as parallel (hi, lo) unsigned-128 bound arrays.
+  * The reference stores v6 addresses as a native `__int128`
+  * (geoip.h:43-55 `xe_ip`) and walks the same tries as v4
+  * (filter.c:359-466); here the 128-bit bounds split into two longs and
+  * the binary search compares them with `Long.compareUnsigned` — no
+  * BigInt, no boxing, same codegen shape as [[Lpm4Packed]].
+  */
+final class Lpm6Packed(val startsHi: Array[Long], val startsLo: Array[Long],
+                       val endsHi: Array[Long], val endsLo: Array[Long],
+                       val values: Array[UTF8String]) extends Serializable
+
+object Lpm6Packed {
+  private def hiOf(b: BigInt): Long = (b >> 64).longValue
+  private def loOf(b: BigInt): Long = b.longValue // low 64 bits, 2's compl.
+
+  def apply(t: Lpm.Table, attr: Int = -1): Lpm6Packed =
+    new Lpm6Packed(
+      t.starts.map(hiOf), t.starts.map(loOf),
+      t.ends.map(hiOf), t.ends.map(loOf),
+      t.values.map { v =>
+        UTF8String.fromString(if (attr < 0) v else v.split('|')(attr))
+      })
+
+  /** Unsigned 128-bit compare of (aHi,aLo) vs (bHi,bLo). */
+  @inline private def cmp(aHi: Long, aLo: Long, bHi: Long, bLo: Long): Int = {
+    val h = java.lang.Long.compareUnsigned(aHi, bHi)
+    if (h != 0) h else java.lang.Long.compareUnsigned(aLo, bLo)
+  }
+
+  /** Binary search over a 16-byte big-endian address; called from both
+    * interpreted eval and generated code. Non-16-byte input → null. */
+  def lookup(t: Lpm6Packed, ip: Array[Byte]): UTF8String = {
+    if (ip == null || ip.length != 16) return null
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 8)  { hi = (hi << 8) | (ip(b) & 0xffL); b += 1 }
+    while (b < 16) { lo = (lo << 8) | (ip(b) & 0xffL); b += 1 }
+    var l = 0
+    var h = t.startsHi.length - 1
+    var found = -1
+    while (l <= h) {
+      val mid = (l + h) >>> 1
+      if (cmp(t.startsHi(mid), t.startsLo(mid), hi, lo) <= 0) {
+        found = mid; l = mid + 1
+      } else h = mid - 1
+    }
+    if (found >= 0 && cmp(t.endsHi(found), t.endsLo(found), hi, lo) >= 0)
+      t.values(found)
+    else null
+  }
+}
+
+/** `lookup(ip6_binary)` → matched value, `default` when unmatched. */
+case class Lpm6LookupExpr(child: Expression, table: Lpm6Packed,
+                          default: Option[String]) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lpm6_lookup"
+
+  private val defaultU8: UTF8String =
+    default.map(UTF8String.fromString).orNull
+
+  override def nullSafeEval(ip: Any): Any = {
+    val r = Lpm6Packed.lookup(table, ip.asInstanceOf[Array[Byte]])
+    if (r == null) defaultU8 else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("lpm6Table", table,
+      classOf[Lpm6Packed].getName)
+    val helper = Lpm6Packed.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val defRef = default.map(d =>
+      ctx.addReferenceObj("lpm6Default", UTF8String.fromString(d),
+        classOf[UTF8String].getName))
+    nullSafeCodeGen(ctx, ev, c => {
+      val fallback = defRef match {
+        case Some(d) => s"${ev.value} = $d;"
+        case None    => s"${ev.isNull} = true;"
+      }
+      s"""
+         |${ev.value} = $helper.lookup($tableRef, $c);
+         |if (${ev.value} == null) { $fallback }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Membership test over a 16-byte IPv6 binary column
+  * (`host6`/`net6`/v6-list semantics, reference filter.c:359-466). */
+case class Lpm6ContainsExpr(child: Expression,
+                            table: Lpm6Packed) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "lpm6_contains"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null &&
+      Lpm6Packed.lookup(table, v.asInstanceOf[Array[Byte]]) != null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("lpm6Table", table,
+      classOf[Lpm6Packed].getName)
+    val helper = Lpm6Packed.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.value} = !${childGen.isNull} &&
+         |  $helper.lookup($tableRef, ${childGen.value}) != null;
+       """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object LpmExpr {
   /** Column API: LPM value lookup with default. */
   def lookup4(table: Lpm.Table, attr: Int = -1,
@@ -129,4 +252,15 @@ object LpmExpr {
   def contains4(table: Lpm.Table)(ip: Column): Column =
     GraftBridge.toColumn(Lpm4ContainsExpr(
       GraftBridge.toExpression(ip.cast("long")), Lpm4Packed(table)))
+
+  /** Column API: v6 LPM value lookup over a binary(16) column. */
+  def lookup6(table: Lpm.Table, attr: Int = -1,
+              default: Option[String] = None)(ip: Column): Column =
+    GraftBridge.toColumn(Lpm6LookupExpr(
+      GraftBridge.toExpression(ip), Lpm6Packed(table, attr), default))
+
+  /** Column API: v6 LPM membership over a binary(16) column. */
+  def contains6(table: Lpm.Table)(ip: Column): Column =
+    GraftBridge.toColumn(Lpm6ContainsExpr(
+      GraftBridge.toExpression(ip), Lpm6Packed(table)))
 }
