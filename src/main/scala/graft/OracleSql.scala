@@ -45,6 +45,26 @@ object OracleSql {
     s"CASE ${whens.mkString(" ")} ELSE '?' END"
   }
 
+  /** v6 variant of [[lpmCase]] for NAT64-embedded test addresses: every
+    * table interval fully inside [base, base+2^32) is rebased onto the
+    * embedded v4 integer; intervals outside the window (other address
+    * families' ranges in the same table) are skipped. The oracle thereby
+    * checks the v6 tables without blob arithmetic in DuckDB. */
+  def lpmCase6(table: Lpm.Table, ipExpr: String, attr: Int,
+               base: BigInt): String = {
+    val top = base + (BigInt(1) << 32)
+    val whens = table.starts.indices.flatMap { i =>
+      if (table.starts(i) >= base && table.ends(i) < top) {
+        val v =
+          if (attr < 0) table.values(i)
+          else table.values(i).split('|')(attr)
+        Some(s"WHEN $ipExpr BETWEEN ${table.starts(i) - base} " +
+          s"AND ${table.ends(i) - base} THEN '$v'")
+      } else None
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '?' END"
+  }
+
   /** Proto-number → IANA name CASE (fallback: number as string). */
   def protoNameSql(col: String): String = {
     val whens = BuiltinTables.protoNames.toSeq.sortBy(_._1)

@@ -588,6 +588,87 @@ object Queries {
       GROUP BY cls.class_name
       ORDER BY class0 ASC NULLS FIRST"""))
 
+  // -------------------------------------- IPv6 filter (host6/net6/lists)
+  /** NAT64-style bases of the test flow's v6 columns
+    * (TestFlowView.sparkOnlyDerivations). */
+  private val v6SrcBase = (BigInt(0x2001) << 112) | (BigInt(0xdb8) << 96)
+  private val v6DstBase = v6SrcBase | (BigInt(1) << 80)
+
+  /** Embedded-v4 [start,end] of a v6 CIDR under `base` (oracle side). */
+  private def v6Emb(cidr: String, base: BigInt): (Long, Long) = {
+    val p = graft.functions.Lpm.v6Prefix(cidr, "1")
+    ((p.start - base).toLong, (p.end - base).toLong)
+  }
+
+  private val q38 = Q(
+    "q38_filter_v6",
+    (s, dir) => {
+      import graft.flow.BuiltinTables
+      // host6/net6 CIDR + v6 IP-list membership through the compiled
+      // codegen LPM path (no ScalaUDF in the plan — PlansSpec asserts)
+      val env = FilterEnv.flow(s, ipLists = BuiltinTables.ipLists)
+      val pred = Compiler.filterColumn(
+        "src net6 2001:db8::a04:0/110 or (dst net6 docs6 and proto 6)", env)
+        .fold(e => sys.error(e), identity)
+      TestFlowView.load(s, dir)
+        .filter(pred)
+        .groupBy(col("dst_as"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+        .orderBy(col("dst_as").asc)
+    }, {
+      // same prefixes, rebased onto the embedded v4 integers
+      val (ss, se) = v6Emb("2001:db8::a04:0/110", v6SrcBase)
+      val (d1s, d1e) = v6Emb("2001:db8:1::c000:0/106", v6DstBase)
+      val (d2s, d2e) = v6Emb("2001:db8:1::c0a8:0/112", v6DstBase)
+      Some(s"""WITH $F
+      SELECT dst_as, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+      FROM flow
+      WHERE (ip4_src_addr BETWEEN $ss AND $se)
+         OR ((ip4_dst_addr BETWEEN $d1s AND $d1e
+              OR ip4_dst_addr BETWEEN $d2s AND $d2e)
+             AND protocol = 6)
+      GROUP BY dst_as ORDER BY dst_as ASC""")
+    })
+
+  // --------------------------------------------- GeoIP / ASN enrich (v6)
+  private val q39 = Q(
+    "q39_geoip_v6",
+    (s, dir) => {
+      import graft.flow.BuiltinTables
+      val geo = BuiltinTables.geoDb
+      TestFlowView.load(s, dir)
+        .select(
+          geo.geoAttr6(s, "country")(col("ip6_dst_addr")).as("country"),
+          geo.geoAttr6(s, "country_code")(col("ip6_dst_addr")).as("cc"),
+          geo.asn6(s)(col("ip6_src_addr")).as("src_asn"),
+          geo.asd6(s)(col("ip6_src_addr")).as("src_asd"),
+          col("in_bytes"), col("sampling_rate"))
+        .groupBy(col("country"), col("cc"), col("src_asn"), col("src_asd"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+        .orderBy(col("country").asc, col("cc").asc, col("src_asn").asc)
+    }, {
+      import graft.flow.BuiltinTables
+      // oracle mirrors the SAME loader-built v6 tables, rebased to v4
+      val geo6 = BuiltinTables.geoDb.geo6
+      val as6 = BuiltinTables.geoDb.as6
+      Some(s"""WITH $F,
+      g AS (SELECT
+        ${OracleSql.lpmCase6(geo6, "ip4_dst_addr", 2, v6DstBase)} AS country,
+        ${OracleSql.lpmCase6(geo6, "ip4_dst_addr", 1, v6DstBase)} AS cc,
+        ${OracleSql.lpmCase6(as6, "ip4_src_addr", 0, v6SrcBase)} AS src_asn,
+        ${OracleSql.lpmCase6(as6, "ip4_src_addr", 1, v6SrcBase)} AS src_asd,
+        in_bytes, sampling_rate
+      FROM flow)
+      SELECT country, cc, src_asn, src_asd,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+      FROM g GROUP BY country, cc, src_asn, src_asd
+      ORDER BY country ASC, cc ASC, src_asn ASC""")
+    })
+
   // =================================================== LLM-pipeline ops
 
   // ------------------------------------------------------- exact dedup
@@ -1000,7 +1081,7 @@ object Queries {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q40, q41)
+    q38, q39, q40, q41)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

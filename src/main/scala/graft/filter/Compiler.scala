@@ -70,7 +70,7 @@ object Compiler {
         .reduce(_ || _)
     case FuncRule(fn, values) =>
       val c = funcColumn(fn, env)
-      values.map(v => matchFuncValue(c, v)).reduce(_ || _)
+      values.map(v => matchFuncValue(fn, c, v)).reduce(_ || _)
   }
 
   /** One (column, literal) predicate, by field kind
@@ -95,11 +95,11 @@ object Compiler {
       val pfx = Lpm.build(Seq(
         Lpm.Prefix(net6start(addr, maskLen), net6end(addr, maskLen),
           maskLen, "1")))
-      Lpm.contains6(env.spark, pfx)(c)
+      LpmExpr.contains6(pfx)(c) // codegen'd two-long search, no UDF
     case (Addr6L, ListName(nm)) =>
       val list = env.ipLists.getOrElse(nm,
         sys.error(s"Unknown IP list '$nm'"))
-      Lpm.contains6(env.spark, list.v6)(c)
+      LpmExpr.contains6(list.v6)(c)
     case (MacL, MacV(bytes)) => c === lit(bytes)
     case (StringL, StrV(s))  => c === lit(s)
     // int compared where string expected etc. — reference treats a number
@@ -109,13 +109,26 @@ object Compiler {
       sys.error(s"Type mismatch: field kind $k vs value $other")
   }
 
-  private def matchFuncValue(c: Column, v: Value): Column = v match {
-    case IntRange(lo, hi) =>
-      if (lo == hi) c === lit(lo) else c.between(lit(lo), lit(hi))
-    case StrV(s)    => c === lit(s)
-    case ListName(s)=> c === lit(s) // bare word after string fn = literal
-    case other      => sys.error(s"Unsupported function comparison: $other")
+  /** String-returning functions compare textually (reference keeps these
+    * as char* compares, filter.c:753-787) — an ANSI int cast of "?" would
+    * throw otherwise. */
+  private def returnsString(fn: FuncCall): Boolean = fn match {
+    case _: Tfstr | _: Portstr | _: Ppstr | _: GeoFn | _: AsnFn |
+         _: AsdFn => true
+    case _ => false
   }
+
+  private def matchFuncValue(fn: FuncCall, c: Column, v: Value): Column =
+    v match {
+      case IntRange(lo, hi) if returnsString(fn) =>
+        if (lo == hi) c === lit(lo.toString)
+        else sys.error(s"Range compare on string function $fn")
+      case IntRange(lo, hi) =>
+        if (lo == hi) c === lit(lo) else c.between(lit(lo), lit(hi))
+      case StrV(s)    => c === lit(s)
+      case ListName(s)=> c === lit(s) // bare word after string fn = literal
+      case other      => sys.error(s"Unsupported function comparison: $other")
+    }
 
   private def net6start(addr: Array[Byte], maskLen: Int): BigInt = {
     val a = BigInt(1, addr)
@@ -162,13 +175,28 @@ object Compiler {
       val cb = argColumn(b, env)
       when(fa > fb, ca).when(fb > fa, cb).otherwise(least(ca, cb))
     case GeoFn(kind, a) =>
-      env.geo.map(_.geoAttr(env.spark, kind)(argColumn(a, env)))
-        .getOrElse(lit("?"))
+      // v6-typed args (host6/net6, reference geoip.h:43-55 xe_ip covers
+      // both families) route to the v6 tables; everything else v4
+      env.geo.map { g =>
+        if (argKind(a, env) == Addr6L)
+          g.geoAttr6(env.spark, kind)(argColumn(a, env))
+        else g.geoAttr(env.spark, kind)(argColumn(a, env))
+      }.getOrElse(lit("?"))
     case AsnFn(a) =>
-      env.geo.map(_.asn(env.spark)(argColumn(a, env))).getOrElse(lit("?"))
+      env.geo.map { g =>
+        if (argKind(a, env) == Addr6L) g.asn6(env.spark)(argColumn(a, env))
+        else g.asn(env.spark)(argColumn(a, env))
+      }.getOrElse(lit("?"))
     case AsdFn(a) =>
-      env.geo.map(_.asd(env.spark)(argColumn(a, env))).getOrElse(lit("?"))
+      env.geo.map { g =>
+        if (argKind(a, env) == Addr6L) g.asd6(env.spark)(argColumn(a, env))
+        else g.asd(env.spark)(argColumn(a, env))
+      }.getOrElse(lit("?"))
   }
+
+  /** Logical kind of a function-arg field (measures are integer). */
+  private def argKind(ref: FieldRef, env: FilterEnv): LKind =
+    env.fields.get(ref.name).map(_._1).getOrElse(RangeL)
 
   private def freqOf(c: Column, env: FilterEnv): Column = {
     if (env.mfreq.isEmpty) lit(0L)

@@ -157,7 +157,7 @@ object FlowSchema {
     LogicalField("vrf", RangeL, "ingrs_vrf", "egrs_vrf"),
     LogicalField("vashost", StringL, "vas_http_host", "vas_http_host"),
     LogicalField("dev-ip", Addr4L, "dev_ip", "dev_ip"),
-    LogicalField("dev-ip6", Addr4L, "dev_ip6", "dev_ip6"),
+    LogicalField("dev-ip6", Addr6L, "dev_ip6", "dev_ip6"),
     LogicalField("dev-id", RangeL, "dev_id", "dev_id"),
     LogicalField("dev-mark", RangeL, "dev_mark", "dev_mark"),
     LogicalField("class0", StringL, "class0", "class0"),

@@ -48,12 +48,26 @@ object TestFlowView {
     "dev_id" -> "CAST(0 AS BIGINT)"
   )
 
+  /** Spark-only columns (binary, never read by a DuckDB oracle): IPv6
+    * addresses embedding the v4 test addresses NAT64-style (RFC 6052
+    * shape) at 2001:db8::/96 (src) and 2001:db8:1::/96 (dst). v6 oracle
+    * predicates mirror on the embedded v4 integer instead, so oracle
+    * SQL needs no blob support. Catalyst prunes these from every query
+    * that doesn't read them (one projection over the scan). */
+  val sparkOnlyDerivations: Seq[(String, String)] = Seq(
+    "ip6_src_addr" -> ("unhex(concat('20010DB80000000000000000', " +
+      "lpad(hex(167772160 + (user_id * 7919) % 1048576), 8, '0')))"),
+    "ip6_dst_addr" -> ("unhex(concat('20010DB80001000000000000', " +
+      "lpad(hex(3221225472 + (event_id * 2654435761) % 16777216), " +
+      "8, '0')))"))
+
   /** Spark side: events DataFrame (ts already a Long of nanos) → flow. */
   def fromEvents(events: DataFrame): DataFrame =
     events.select(
       (expr("CAST(ts DIV 1000000000 AS BIGINT)").as("ts_sec") +:
         expr("event_id").as("flow_id") +:
-        derivations.map { case (n, e) => expr(e).as(n) }): _*)
+        (derivations ++ sparkOnlyDerivations)
+          .map { case (n, e) => expr(e).as(n) }): _*)
 
   def load(spark: SparkSession, sfDir: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as a

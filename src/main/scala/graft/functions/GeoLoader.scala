@@ -135,6 +135,8 @@ object GeoLoader {
   def fromFiles(geoPath: String, asPath: String): GeoDb = {
     def read(p: String) =
       new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
-    GeoDb(geoTables(read(geoPath)).v4, asTables(read(asPath)).v4)
+    val g = geoTables(read(geoPath))
+    val a = asTables(read(asPath))
+    GeoDb(g.v4, a.v4, g.v6, a.v6)
   }
 }

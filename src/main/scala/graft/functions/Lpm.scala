@@ -1,8 +1,6 @@
 package graft.functions
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
 
 /** Longest-prefix-match lookup structures.
   *
@@ -19,6 +17,9 @@ object Lpm {
   /** One source prefix: [start,end] inclusive, maskLen for LPM priority. */
   final case class Prefix(start: BigInt, end: BigInt, maskLen: Int,
                           value: String)
+
+  /** The empty LPM table (every lookup misses). */
+  val emptyTable: Table = Table(Array.empty, Array.empty, Array.empty)
 
   /** Disjoint-interval LPM table (values aligned with bounds). */
   final case class Table(starts: Array[BigInt], ends: Array[BigInt],
@@ -114,42 +115,6 @@ object Lpm {
     else (cidr.substring(0, idx), cidr.substring(idx + 1).toInt)
   }
 
-  /** Broadcast-backed lookup as a Column over an unsigned-IPv4 Long. */
-  def lookup4(spark: SparkSession, table: Table)(ip: Column): Column = {
-    val bc: Broadcast[Table] = spark.sparkContext.broadcast(table)
-    val fn = udf { (v: java.lang.Long) =>
-      if (v == null) null
-      else bc.value.lookup(BigInt(v.longValue())).orNull
-    }
-    fn(ip)
-  }
-
-  /** Membership test (IP-list `net <name>` semantics,
-    * reference filter.c:186-218). */
-  def contains4(spark: SparkSession, table: Table)(ip: Column): Column = {
-    val bc: Broadcast[Table] = spark.sparkContext.broadcast(table)
-    val fn = udf { (v: java.lang.Long) =>
-      v != null && bc.value.lookup(BigInt(v.longValue())).isDefined
-    }
-    fn(ip)
-  }
-
-  /** Lookup over a 16-byte IPv6 binary column. */
-  def lookup6(spark: SparkSession, table: Table)(ip: Column): Column = {
-    val bc: Broadcast[Table] = spark.sparkContext.broadcast(table)
-    val fn = udf { (v: Array[Byte]) =>
-      if (v == null) null else bc.value.lookup(BigInt(1, v)).orNull
-    }
-    fn(ip)
-  }
-
-  def contains6(spark: SparkSession, table: Table)(ip: Column): Column = {
-    val bc: Broadcast[Table] = spark.sparkContext.broadcast(table)
-    val fn = udf { (v: Array[Byte]) =>
-      v != null && bc.value.lookup(BigInt(1, v)).isDefined
-    }
-    fn(ip)
-  }
 }
 
 /** A named IP list (v4 + v6 prefixes), the engine's analog of the
@@ -169,9 +134,14 @@ object IpList {
 /** GeoIP + AS providers over LPM tables (reference geoip.h:13-41).
   * Values are pipe-joined records; accessors slice out one attribute.
   * Missing lookups yield "?" exactly like the reference
-  * (filter.c:753-787: unknown IP → '?').
+  * (filter.c:753-787: unknown IP → '?'). IPv6 is first-class like the
+  * reference's `xe_ip`/__int128 tries (geoip.h:43-55): the v6 tables
+  * feed the two-long codegen'd search ([[Lpm6Packed]]).
   */
-final case class GeoDb(geo4: Lpm.Table, as4: Lpm.Table) extends Serializable {
+final case class GeoDb(geo4: Lpm.Table, as4: Lpm.Table,
+                       geo6: Lpm.Table = Lpm.emptyTable,
+                       as6: Lpm.Table = Lpm.emptyTable)
+  extends Serializable {
   import GeoDb._
   import org.apache.spark.sql.functions.{coalesce, lit}
 
@@ -190,6 +160,18 @@ final case class GeoDb(geo4: Lpm.Table, as4: Lpm.Table) extends Serializable {
   /** asd(ip): AS description, "?" when unknown. */
   def asd(spark: SparkSession)(ip: Column): Column =
     coalesce(LpmExpr.lookup4(as4, 1, Some("?"))(ip), lit("?"))
+
+  /** Geo attribute over a binary(16) IPv6 column. */
+  def geoAttr6(spark: SparkSession, kind: String)(ip: Column): Column =
+    coalesce(
+      LpmExpr.lookup6(geo6, attrIndex(kind), Some("?"))(ip), lit("?"))
+
+  /** asn(ip6) over a binary(16) column. */
+  def asn6(spark: SparkSession)(ip: Column): Column =
+    coalesce(LpmExpr.lookup6(as6, 0, Some("?"))(ip), lit("?"))
+  /** asd(ip6) over a binary(16) column. */
+  def asd6(spark: SparkSession)(ip: Column): Column =
+    coalesce(LpmExpr.lookup6(as6, 1, Some("?"))(ip), lit("?"))
 }
 
 object GeoDb {

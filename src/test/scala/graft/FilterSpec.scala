@@ -104,6 +104,47 @@ class FilterSpec extends SparkTest {
     assert(toks(1) == Lexer.IntRangeTok(8, 8))
   }
 
+  test("host6/net6 compile to codegen LPM; geo fns dispatch on v6 args") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.flow.BuiltinTables
+    def a6(s: String) = java.net.InetAddress.getByName(s).getAddress
+    // (idx, src6, dst6): row 0 in 2001:db8::/32 src, row 1 matches the
+    // docs6 dst list, row 2 matches neither
+    val rows = Seq(
+      (0L, a6("2001:db8::a04:1"), a6("2001:db9::1")),
+      (1L, a6("fd00::1"), a6("2001:db8:1::c0a8:7")),
+      (2L, a6("fd00::1"), a6("2001:db9::1")))
+    val df = spark.createDataFrame(
+      rows.map { case (i, s, d) => Row(i, s, d) }.asJava,
+      StructType(Seq(StructField("idx", LongType),
+        StructField("ip6_src_addr", BinaryType),
+        StructField("ip6_dst_addr", BinaryType))))
+    val env6 = FilterEnv.flow(spark, ipLists = BuiltinTables.ipLists,
+      geo = Some(BuiltinTables.geoDb))
+    def sel(expr: String): Seq[Long] = {
+      val pred = Compiler.filterColumn(expr, env6)
+        .fold(e => fail(s"compile failed for '$expr': $e"), identity)
+      df.filter(pred).select(col("idx")).collect().map(_.getLong(0))
+        .toSeq.sorted
+    }
+    assert(sel("src net6 2001:db8::/32") == Seq(0))
+    assert(sel("src host6 2001:db8::a04:1") == Seq(0))
+    assert(sel("dst net6 docs6") == Seq(1))
+    assert(sel("net6 2001:db8::/32") == Seq(0, 1)) // bare = src OR dst
+    // geo function over a v6-typed arg resolves via the v6 tables
+    // (row1 dst embeds 192.168.0.7 → the JP quarter of the geo layout)
+    assert(sel("asn(src host6) 64601") == Seq(0))
+    assert(sel("country(dst host6) Japan") == Seq(1))
+    // compiled plan: native lpm6 expression, no ScalaUDF
+    val pred = Compiler.filterColumn("net6 2001:db8::/32 or src net6 docs6",
+      env6).fold(e => fail(e), identity)
+    val plan = df.filter(pred).queryExecution.analyzed.toString
+    assert(plan.contains("lpm6_contains"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("or-continuation splices a sub-expression (filter-parser.c:47-85)") {
     // 'port 53 or proto 6 and dst port 22' →
     //   port 53 OR (proto 6 AND dst port 22)

@@ -1,9 +1,17 @@
 package graft
 
 import graft.filter.FieldSpec
-import graft.functions.{GeoDb, IpList, Lpm}
+import graft.functions.{GeoDb, IpList, Lpm, LpmExpr}
+import graft.functions.Lpm6Packed
+import org.apache.spark.sql.functions.col
 
 class LpmSpec extends SparkTest {
+
+  private def addr6(s: String): Array[Byte] =
+    java.net.InetAddress.getByName(s).getAddress
+
+  private def look6(t: Lpm.Table, s: String): Option[String] =
+    Option(Lpm6Packed.lookup(Lpm6Packed(t), addr6(s))).map(_.toString)
 
   test("longest prefix wins inside overlaps (ip-btrie.h semantics)") {
     val t = Lpm.build(Seq(
@@ -36,6 +44,81 @@ class LpmSpec extends SparkTest {
     assert(l.v6.lookup(ip6("2001:db8::1")).isDefined)
     assert(l.v6.lookup(ip6("fd12:3456::1")).isDefined)
     assert(l.v6.lookup(ip6("2001:db9::1")).isEmpty)
+  }
+
+  test("Lpm6Packed two-long unsigned search: boundary addresses") {
+    // NAT64 well-known window 64:ff9b::/96 (::ffff:x is out: Java folds
+    // v4-mapped text to a 4-byte Inet4Address) — exercises lo-only bounds
+    val m = Lpm.build(Seq(Lpm.v6Prefix("64:ff9b::/96", "nat64")))
+    assert(look6(m, "64:ff9b::10.0.0.1").contains("nat64"))
+    assert(look6(m, "64:ff9b::").contains("nat64"))          // exact start
+    assert(look6(m, "64:ff9b::ffff:ffff").contains("nat64")) // exact end
+    assert(look6(m, "64:ff9a:ffff:ffff:ffff:ffff:ffff:ffff").isEmpty)
+    assert(look6(m, "64:ff9b::1:0:0").isEmpty)               // end + 1
+
+    // range straddling the 2^64 digit boundary: 0:0:0:2::/63 covers
+    // hi ∈ {2,3} with every lo value — the search must carry across
+    // the hi/lo split
+    val s = Lpm.build(Seq(Lpm.v6Prefix("0:0:0:2::/63", "straddle")))
+    assert(look6(s, "0:0:0:2::").contains("straddle"))
+    assert(look6(s, "0:0:0:2:ffff:ffff:ffff:ffff").contains("straddle"))
+    assert(look6(s, "0:0:0:3::").contains("straddle"))
+    assert(look6(s, "0:0:0:3:ffff:ffff:ffff:ffff").contains("straddle"))
+    assert(look6(s, "0:0:0:1:ffff:ffff:ffff:ffff").isEmpty)
+    assert(look6(s, "0:0:0:4::").isEmpty)
+
+    // high bit set in hi (negative as a signed long) — signed compare
+    // would order ff00:: before 2001:: and corrupt the search
+    val h = Lpm.build(Seq(
+      Lpm.v6Prefix("2001:db8::/32", "doc"),
+      Lpm.v6Prefix("ff00::/8", "mcast")))
+    assert(look6(h, "ffff::1").contains("mcast"))
+    assert(look6(h, "ff00::").contains("mcast"))
+    assert(look6(h, "fe00::").isEmpty)
+    assert(look6(h, "2001:db8:8000::1").contains("doc")) // lo high bit
+    assert(look6(h, "2001:db9::").isEmpty)
+
+    // non-16-byte / null input → miss, not a crash
+    assert(Lpm6Packed.lookup(Lpm6Packed(h), Array[Byte](1, 2, 3)) == null)
+    assert(Lpm6Packed.lookup(Lpm6Packed(h), null) == null)
+    // empty table
+    assert(look6(Lpm.emptyTable, "2001:db8::1").isEmpty)
+  }
+
+  test("Lpm6 contains/lookup expressions through codegen (no UDF)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val addrs = Seq("2001:db8::1", "2001:db9::1", "ffff::1",
+      "64:ff9b::10.0.0.1")
+    val df = spark.createDataFrame(
+      addrs.map(a => Row(a, addr6(a))).asJava,
+      StructType(Seq(StructField("s", StringType),
+        StructField("ip", BinaryType))))
+    val list = IpList("x", Seq("2001:db8::/32", "ff00::/8"))
+
+    val got = df.select(col("s"),
+        LpmExpr.contains6(list.v6)(col("ip")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == Map("2001:db8::1" -> true, "2001:db9::1" -> false,
+      "ffff::1" -> true, "64:ff9b::10.0.0.1" -> false))
+
+    // lookup with attribute slice + default
+    val t = Lpm.build(Seq(
+      Lpm.v6Prefix("2001:db8::/32", "64600|SIX-A"),
+      Lpm.v6Prefix("ff00::/8", "64601|SIX-B")))
+    val vals = df.select(col("s"),
+        LpmExpr.lookup6(t, 1, Some("?"))(col("ip")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vals == Map("2001:db8::1" -> "SIX-A", "2001:db9::1" -> "?",
+      "ffff::1" -> "SIX-B", "64:ff9b::10.0.0.1" -> "?"))
+
+    // the compiled plan must carry the native expression, not a ScalaUDF
+    // (analyzed plan: the optimizer folds a LocalRelation filter away)
+    val plan = df.filter(LpmExpr.contains6(list.v6)(col("ip")))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("lpm6_contains"), plan)
+    assert(!plan.contains("UDF"), plan)
   }
 
   test("geo record attribute slicing") {
