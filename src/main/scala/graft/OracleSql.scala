@@ -8,10 +8,13 @@ import graft.functions.{Lpm, NetFns}
   * flag names, powers-of-k), so oracle and engine cannot drift. */
 object OracleSql {
 
-  /** `(VALUES (20,'ftp-data'),...) svc(p, nm)` body, sorted by port. */
+  /** `(VALUES (20,'ftp-data'),...) svc(p, nm)` body, sorted by port
+    * (single quotes doubled — service names are token-safe but cheap to
+    * guard). */
   val servicesValues: String =
     NetFns.servicesByPort.toSeq.sortBy(_._1)
-      .map { case (p, n) => s"($p, '$n')" }.mkString(", ")
+      .map { case (p, n) => s"($p, '${n.replace("'", "''")}')" }
+      .mkString(", ")
 
   /** concat_ws('+', CASE...) mirroring NetFns.tfstr bit order (CWR→FIN). */
   def tfstrSql(col: String): String = {
@@ -103,4 +106,22 @@ object OracleSql {
     s"list_reduce(list_transform(range(1, ${dim + 1}), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
       "(acc, x) -> acc + x)"
+
+  /** Random-hyperplane LSH signature mirroring Similarity.lshSignature
+    * bit-exactly: the md5-derived ±1 coefficients are baked as literals
+    * (same Scala source of truth), and each bit's sum is the same
+    * left-associated chain of `v[i] * s` doubles, so the IEEE result —
+    * and therefore the sign — is identical in both engines. */
+  def lshSigSql(vec: String, dim: Int, nBits: Int): String = {
+    import graft.operators.Similarity.hyperplaneSign
+    (0 until nBits).map { j =>
+      // ±1 as INTEGER: DOUBLE * INTEGER is exact; a 1.0 literal would
+      // be DECIMAL in DuckDB
+      val sum = (0 until dim).map { i =>
+        val s = if (hyperplaneSign(j, i) > 0) "1" else "-1"
+        s"CAST($vec[${i + 1}] AS DOUBLE) * $s"
+      }.mkString(" + ")
+      s"(CASE WHEN ($sum) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
 }

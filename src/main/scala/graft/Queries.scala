@@ -1009,8 +1009,9 @@ object Queries {
   private val q35 = Q(
     "q35_ann_topk",
     (s, dir) => {
-      // rows-only: the random-hyperplane bucketing is engine-internal;
-      // recall vs brute force is asserted in ExtensionOpsSpec
+      // oracle-checked: the md5-derived hyperplanes are deterministic and
+      // engine-independent, so DuckDB reproduces bucket assignment AND
+      // cosine bit-exactly; recall vs brute force is in ExtensionOpsSpec
       import graft.operators.Similarity
       val emb = t(s, dir, "embeddings")
       val query = emb.filter(col("vec_id") === 0)
@@ -1018,7 +1019,19 @@ object Queries {
           "embedding", dim = 64, nBits = 4, query, "embedding", 20)
         .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))
     },
-    None)
+    Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = 0),
+      qs AS (SELECT qv, ${OracleSql.lshSigSql("qv", 64, 4)} AS qsig FROM q),
+      b AS (SELECT vec_id, embedding,
+              ${OracleSql.lshSigSql("embedding", 64, 4)} AS sig
+            FROM embeddings WHERE vec_id <> 0),
+      s AS (SELECT vec_id,
+        ${OracleSql.dotSql("embedding", "qv", 64)} /
+        (sqrt(${OracleSql.dotSql("embedding", "embedding", 64)}) *
+         sqrt(${OracleSql.dotSql("qv", "qv", 64)})) AS sim
+      FROM b, qs WHERE b.sig = qs.qsig)
+      SELECT vec_id, round(sim, 6) AS sim_r FROM s
+      ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 20"""))
 
   // ===================== binary ingest decoders (rows-only checks:
   // DuckDB cannot decode NetFlow/sFlow wire formats)

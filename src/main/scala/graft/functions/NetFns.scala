@@ -67,11 +67,33 @@ object NetFns {
   def tfstr(flags: Column): Column =
     element_at(typedlit(tcpFlagsTable), (flags % 256).cast("int") + 1)
 
-  /** Well-known service names. The reference generates a 65536-entry table
-    * from the system services DB (utils-data.inc); we keep a deterministic
-    * built-in subset with the same lookup semantics (unknown → bare number,
-    * utils.c:28-37). */
-  val servicesByPort: Map[Int, String] = Map(
+  /** Parse a services(5)-format text ("name port/proto [aliases]", '#'
+    * comments) into port → primary name. First entry per port wins —
+    * getservbyport(port, NULL) semantics, which is what the reference's
+    * generator consults to fill its 65536-entry ports_db
+    * (utils-data.inc:263, utils.c:28-37). */
+  def parseServices(text: String): Map[Int, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+    text.linesIterator.foreach { raw =>
+      val l = raw.takeWhile(_ != '#').trim
+      if (l.nonEmpty) {
+        val parts = l.split("\\s+")
+        if (parts.length >= 2) {
+          val slash = parts(1).indexOf('/')
+          if (slash > 0) {
+            parts(1).substring(0, slash).toIntOption
+              .filter(p => p >= 0 && p <= 65535)
+              .foreach(p => if (!out.contains(p)) out(p) = parts(0))
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Deterministic built-in subset — the fallback when no system
+    * services DB is readable (containers often strip /etc/services). */
+  val builtinServices: Map[Int, String] = Map(
     20 -> "ftp-data", 21 -> "ftp", 22 -> "ssh", 23 -> "telnet",
     25 -> "smtp", 53 -> "domain", 67 -> "bootps", 68 -> "bootpc",
     69 -> "tftp", 80 -> "http", 110 -> "pop3", 123 -> "ntp",
@@ -85,6 +107,20 @@ object NetFns {
     5432 -> "postgresql", 5672 -> "amqp", 6379 -> "redis",
     8080 -> "http-alt", 9092 -> "kafka", 11211 -> "memcache",
     27017 -> "mongodb")
+
+  /** Well-known service names: the full system services DB when present
+    * (the reference builds its whole 65536-entry table from it), else
+    * the built-in subset. Loaded once per JVM; the oracle SQL generator
+    * derives its VALUES list from this same map, so engine and oracle
+    * stay in lockstep whichever source won. */
+  val servicesByPort: Map[Int, String] = {
+    val p = java.nio.file.Paths.get("/etc/services")
+    try {
+      if (java.nio.file.Files.isReadable(p))
+        parseServices(java.nio.file.Files.readString(p))
+      else builtinServices
+    } catch { case _: java.io.IOException => builtinServices }
+  }
 
   private def serviceName(port: Column): Column =
     element_at(typedlit(servicesByPort.map { case (k, v) => k.toLong -> v }),

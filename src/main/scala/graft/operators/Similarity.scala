@@ -41,14 +41,18 @@ object Similarity {
     * independent. Vectors in the same bucket are cosine-close with high
     * probability; search only scans the query's bucket (the IVF-style
     * scale path: bucket count grows with nBits, candidate set shrinks). */
+  /** The ±1 coefficient of hyperplane j at dimension i — deterministic
+    * (one md5 hex nibble), so any engine can reproduce the exact
+    * signature; the DuckDB oracle bakes these as literals. */
+  def hyperplaneSign(j: Int, i: Int): Double =
+    if ((Integer.parseInt(md5Hex(s"$j|$i").substring(0, 1), 16) & 1) == 1)
+      1.0
+    else -1.0
+
   def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
       val terms = (0 until dim).map { i =>
-        // deterministic ±1 from one md5 hex nibble
-        val sign =
-          if ((Integer.parseInt(md5Hex(s"$j|$i").substring(0, 1), 16) & 1)
-            == 1) 1.0 else -1.0
-        element_at(vec, i + 1).cast("double") * lit(sign)
+        element_at(vec, i + 1).cast("double") * lit(hyperplaneSign(j, i))
       }
       val s = terms.reduce(_ + _)
       when(s >= 0, lit(1L << j)).otherwise(lit(0L))

@@ -28,12 +28,48 @@ class NetFnsSpec extends SparkTest {
     assert(eval1(NetFns.ppstr(lit(443L), lit(80L))) ==
       "https(443) -> http(80)")
     assert(eval1(NetFns.ppstr(lit(5L), lit(5L))) == "5 -> 5")
-    assert(eval1(NetFns.ppstr(lit(1000L), lit(2000L))) == "1000 ->")
+    // 45678/49999 sit in the dynamic range — unassigned in any services DB
+    assert(eval1(NetFns.ppstr(lit(45678L), lit(49999L))) == "45678 ->")
     assert(eval1(NetFns.ppstr(lit(1000L), lit(443L))) == "-> https(443)")
     // p1<p2, s1 known, s2 unknown → "%s(%d) ->" (port2 dropped)
-    assert(eval1(NetFns.ppstr(lit(443L), lit(10000L))) == "https(443) ->")
+    assert(eval1(NetFns.ppstr(lit(443L), lit(45678L))) == "https(443) ->")
     // p1>p2, s1 known, s2 unknown → "%s(%d) -> %d"
     assert(eval1(NetFns.ppstr(lit(443L), lit(10L))) == "https(443) -> 10")
+  }
+
+  test("parseServices: services(5) format, first entry per port wins") {
+    val txt = """# comment line
+      |ftp-data  20/tcp
+      |ftp       21/tcp
+      |ssh       22/tcp  # The Secure Shell
+      |ssh       22/udp
+      |domain    53/tcp  nameserver
+      |dns       53/udp  # later entry must NOT override (getservbyport)
+      |kerberos  88/tcp  kerberos5 krb5 # aliases ignored
+      |bad-line-without-port
+      |noport    x/tcp
+      |toobig    70000/tcp
+      |""".stripMargin
+    val m = NetFns.parseServices(txt)
+    assert(m(20) == "ftp-data")
+    assert(m(22) == "ssh")
+    assert(m(53) == "domain") // first wins, like the reference's ports_db
+    assert(m(88) == "kerberos")
+    assert(!m.contains(70000))
+    assert(m.size == 5)
+  }
+
+  test("servicesByPort prefers the full system services DB") {
+    // the container ships /etc/services (~360 entries vs the 44-port
+    // builtin) — the classic ports must resolve identically either way
+    assert(NetFns.servicesByPort(443) == "https")
+    assert(NetFns.servicesByPort(22) == "ssh")
+    assert(NetFns.servicesByPort(80) == "http")
+    if (java.nio.file.Files.isReadable(
+        java.nio.file.Paths.get("/etc/services"))) {
+      // a port the builtin subset lacks but the system DB names
+      assert(NetFns.servicesByPort.size > NetFns.builtinServices.size)
+    }
   }
 
   test("xdiv: integer division, 0 on zero divisor (filter.h:396-418)") {
