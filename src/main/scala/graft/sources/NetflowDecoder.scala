@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
-import scala.collection.mutable
 
 /** NetFlow v5/v9 and IPFIX (RFC 7011) decoders.
   *
@@ -28,15 +27,38 @@ import scala.collection.mutable
   */
 object NetflowDecoder {
 
-  /** Template: field list as (fieldId, length, enterpriseId). */
-  final case class Template(fields: Seq[(Int, Int, Long)])
+  /** Template: field list as (fieldId, length, enterpriseId). Scope
+    * fields of an options template carry a negative fieldId (scope types
+    * share the numeric space with field ids but mean something else, so
+    * they must never hit the field dispatch). */
+  final case class Template(fields: Seq[(Int, Int, Long)],
+                            isOptions: Boolean = false)
 
-  final class TemplateCache {
-    private val m = mutable.Map.empty[(Long, Long, Int, Int), Template]
+  /** Partition-local template store with LRU eviction: long-lived
+    * streaming ingest with template-id churn must not grow unboundedly
+    * (the reference caps its store via tkvdb banks + epoch keys,
+    * netflow-templates.c:100-252). 8192 live templates ≫ any sane
+    * exporter population per partition. */
+  final class TemplateCache(maxEntries: Int = 8192) {
+    private def lru[K, V](cap: Int) =
+      new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[K, V]): Boolean = size() > cap
+      }
+    private val m = lru[(Long, Long, Int, Int), Template](maxEntries)
+    private val samp = lru[(Long, Long), java.lang.Long](maxEntries)
     def put(src: Long, sourceId: Long, ver: Int, tid: Int,
-            t: Template): Unit = m((src, sourceId, ver, tid)) = t
+            t: Template): Unit = m.put((src, sourceId, ver, tid), t)
     def get(src: Long, sourceId: Long, ver: Int,
-            tid: Int): Option[Template] = m.get((src, sourceId, ver, tid))
+            tid: Int): Option[Template] =
+      Option(m.get((src, sourceId, ver, tid)))
+    def size: Int = m.size()
+    /** Sampling rate learned from an options data record
+      * (reference applies it per exporter, netflow.c:367-678). */
+    def putSampling(src: Long, sourceId: Long, rate: Long): Unit =
+      samp.put((src, sourceId), Long.box(rate))
+    def getSampling(src: Long, sourceId: Long): Option[Long] =
+      Option(samp.get((src, sourceId))).map(_.longValue)
   }
 
   /** Output schema: ts_sec + the full physical flow schema. */
@@ -80,15 +102,25 @@ object NetflowDecoder {
       }
     }
 
+  /** Slot of the virtual sampling_rate column (flow-info.h:19-33). */
+  private val sampSlot: Int = fieldIdx(65504)._1
+
+  /** IPFIX enterprise-scoped fields to decode, (enterpriseId, fieldId) →
+    * canonical nfId (reference maps its VAS vendor fields this way,
+    * netflow.c:367-678); unmapped enterprise values are skipped over. */
+  val defaultEnterpriseMap: Map[(Long, Int), Int] = Map.empty
+
   /** Decode one UDP payload into flow rows (ts_sec + fields, nulls where
     * absent). Unknown versions/flowsets are skipped, not fatal. */
   def decodePacket(payload: Array[Byte], tsSec: Long, srcIp: Long,
-                   cache: TemplateCache): Seq[Array[Any]] = {
+                   cache: TemplateCache,
+                   entMap: Map[(Long, Int), Int] = defaultEnterpriseMap)
+      : Seq[Array[Any]] = {
     if (payload.length < 2) return Nil
     u16(payload, 0) match {
       case 5  => decodeV5(payload, tsSec)
       case 9  => decodeV9(payload, tsSec, srcIp, cache)
-      case 10 => decodeIpfix(payload, tsSec, srcIp, cache)
+      case 10 => decodeIpfix(payload, tsSec, srcIp, cache, entMap)
       case _  => Nil
     }
   }
@@ -104,6 +136,9 @@ object NetflowDecoder {
   private def decodeV5(b: Array[Byte], tsSec: Long): Seq[Array[Any]] = {
     if (b.length < 24) return Nil
     val count = u16(b, 2)
+    // header sampling_interval (bytes 22-23): 2-bit mode + 14-bit value
+    // (public v5 spec; the reference maps it onto the exporter rate)
+    val sampling = u16(b, 22) & 0x3fff
     val out = Vector.newBuilder[Array[Any]]
     var off = 24
     var i = 0
@@ -115,6 +150,7 @@ object NetflowDecoder {
         if (fid > 0) setField(row, fid, b, p, len)
         p += len
       }
+      if (sampling > 0) row(sampSlot) = sampling.toLong
       out += row
       off += 48
       i += 1
@@ -147,10 +183,54 @@ object NetflowDecoder {
           }
           p += nf * 4
         }
+      } else if (setId == 1) {
+        // options template flowset (RFC 3954 §6.1; reference
+        // netflow.c:147-365): tid, scope length, option length (both in
+        // BYTES), then scope specs then option specs. Scope types are
+        // stored negated so they never hit the field dispatch.
+        var p = off + 4
+        var more = true
+        while (more && p + 6 <= off + setLen) {
+          val tid = u16(b, p)
+          val scopeLen = u16(b, p + 2)
+          val optLen = u16(b, p + 4)
+          p += 6
+          if (tid >= 256 && p + scopeLen + optLen <= off + setLen &&
+              scopeLen % 4 == 0 && optLen % 4 == 0) {
+            val scope = (0 until scopeLen / 4).map { k =>
+              (-u16(b, p + k * 4) - 1, u16(b, p + k * 4 + 2), 0L)
+            }
+            val opts = (0 until optLen / 4).map { k =>
+              (u16(b, p + scopeLen + k * 4),
+                u16(b, p + scopeLen + k * 4 + 2), 0L)
+            }
+            cache.put(srcIp, sourceId, 9, tid,
+              Template(scope ++ opts, isOptions = true))
+            p += scopeLen + optLen
+          } else more = false // malformed/padding: stop this flowset
+        }
       } else if (setId >= 256) {
         cache.get(srcIp, sourceId, 9, setId).foreach { t =>
           val recLen = t.fields.map(_._2).sum
-          if (recLen > 0) {
+          if (recLen > 0 && t.isOptions) {
+            // options DATA: no flow rows — harvest the exporter's
+            // sampling interval (fields 34 SAMPLING_INTERVAL /
+            // 50 SAMPLER_RANDOM_INTERVAL), like the reference's
+            // per-exporter option state
+            var p = off + 4
+            while (p + recLen <= off + setLen) {
+              var q = p
+              t.fields.foreach { case (fid, len, _) =>
+                if ((fid == 34 || fid == 50) && len >= 1 && len <= 8) {
+                  val v = be(b, q, len)
+                  if (v > 0) cache.putSampling(srcIp, sourceId, v)
+                }
+                q += len
+              }
+              p += recLen
+            }
+          } else if (recLen > 0) {
+            val sampling = cache.getSampling(srcIp, sourceId)
             var p = off + 4
             while (p + recLen <= off + setLen) {
               val row = new Array[Any](outSchema.length)
@@ -160,19 +240,22 @@ object NetflowDecoder {
                 setField(row, fid, b, q, len)
                 q += len
               }
+              if (row(sampSlot) == null)
+                sampling.foreach(v => row(sampSlot) = v)
               out += row
               p += recLen
             }
           }
         }
-      } // setId 1 (options) and 2..255: skipped
+      } // setId 2..255: reserved, skipped
       off += setLen
     }
     out.result()
   }
 
   private def decodeIpfix(b: Array[Byte], tsSec: Long, srcIp: Long,
-                          cache: TemplateCache): Seq[Array[Any]] = {
+                          cache: TemplateCache,
+                          entMap: Map[(Long, Int), Int]): Seq[Array[Any]] = {
     if (b.length < 16) return Nil
     val totalLen = math.min(u16(b, 2), b.length)
     val domainId = u32(b, 12)
@@ -235,6 +318,8 @@ object NetflowDecoder {
                   if (q + len > off + setLen) continue = false
                   else {
                     if (ent == 0L) setField(row, fid, b, q, len)
+                    else entMap.get((ent, fid)) // configured vendor field
+                      .foreach(mapped => setField(row, mapped, b, q, len))
                     q += len
                   }
                 }
@@ -253,7 +338,9 @@ object NetflowDecoder {
     * canonical flow columns. Partition-local template cache. */
   def decode(df: DataFrame, payloadCol: String = "payload",
              tsCol: String = "ts_sec",
-             srcIpCol: String = "src_ip"): DataFrame = {
+             srcIpCol: String = "src_ip",
+             entMap: Map[(Long, Int), Int] = defaultEnterpriseMap)
+      : DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val proj = df.select(col(payloadCol), col(tsCol).cast(LongType),
       col(srcIpCol).cast(LongType))
@@ -261,7 +348,7 @@ object NetflowDecoder {
       val cache = new TemplateCache
       it.flatMap { r =>
         val payload = r.getAs[Array[Byte]](0)
-        decodePacket(payload, r.getLong(1), r.getLong(2), cache)
+        decodePacket(payload, r.getLong(1), r.getLong(2), cache, entMap)
           .map(vals => Row.fromSeq(vals.toSeq))
       }
     }(enc)

@@ -173,6 +173,76 @@ class DecoderSpec extends SparkTest {
     assert(PayloadParsers.parseSni(rec).contains(host))
   }
 
+  test("NetFlow v9 options template: sampling applied to later flows " +
+    "(RFC 3954 §6.1, reference netflow.c:147-365)") {
+    val cache = new NetflowDecoder.TemplateCache
+    // options template 512: scope System(1,4) + option
+    // SAMPLING_INTERVAL(34,4); flowset = tid, scopeLen=4, optLen=4, specs
+    val optTmpl = bytes(9, 1, 0L, 0L, 1L, 7L) ++
+      bytes(1, 4 + 6 + 8, 512, 4, 4, 1, 4, 34, 4)
+    assert(NetflowDecoder.decodePacket(optTmpl, 0L, 1L, cache).isEmpty)
+    // options DATA for 512: scope value + sampling interval 100
+    // → no flow rows, but the exporter rate is learned
+    val optData = bytes(9, 1, 0L, 0L, 2L, 7L) ++
+      bytes(512, 4 + 8, 99L, 100L)
+    assert(NetflowDecoder.decodePacket(optData, 0L, 1L, cache).isEmpty)
+    // regular template + data: rows inherit sampling_rate 100
+    val tmpl = bytes(9, 1, 0L, 0L, 3L, 7L) ++ bytes(0, 12, 256, 1, 1, 4)
+    NetflowDecoder.decodePacket(tmpl, 0L, 1L, cache)
+    val data = bytes(9, 1, 0L, 0L, 4L, 7L) ++ bytes(256, 8, 4242L)
+    val rows = NetflowDecoder.decodePacket(data, 0L, 1L, cache)
+    assert(rows.length == 1)
+    assert(rows.head(fieldIndexOf("in_bytes")) == 4242L)
+    assert(rows.head(fieldIndexOf("sampling_rate")) == 100L)
+    // a different exporter has no learned rate
+    NetflowDecoder.decodePacket(tmpl, 0L, 2L, cache)
+    val other = NetflowDecoder.decodePacket(data, 0L, 2L, cache)
+    assert(other.head(fieldIndexOf("sampling_rate")) == null)
+  }
+
+  test("NetFlow v5 header sampling interval (14-bit field)") {
+    val h = ByteBuffer.allocate(24)
+    h.putShort(5).putShort(1).putInt(0).putInt(1700000000).putInt(0)
+      .putInt(0).put(0.toByte).put(0.toByte)
+      .putShort((0x4000 | 250).toShort) // mode=1, interval=250
+    val r = ByteBuffer.allocate(48) // zeroed record body is fine here
+    val pkt = h.array() ++ r.array()
+    val rows = NetflowDecoder.decodePacket(pkt, 1L, 0L,
+      new NetflowDecoder.TemplateCache)
+    assert(rows.length == 1)
+    assert(rows.head(fieldIndexOf("sampling_rate")) == 250L)
+  }
+
+  test("IPFIX enterprise values decode via a configured (ent,field) map") {
+    // same packet shape as the skip test, but (ent=123, field=99) is now
+    // mapped onto vas_session_id (the reference's vendor-field pattern)
+    val tmpl = bytes(2, 4 + 4 + 4 + 4 + (4 + 4), 256, 3,
+      1, 4, 82, 65535, (0x8000 | 99), 2, 123L)
+    val recBody = bytes(7777L) ++ Array[Byte](3) ++
+      "eth".getBytes("US-ASCII") ++ bytes(777)
+    val data = bytes(256, 4 + recBody.length, recBody)
+    val body = tmpl ++ data
+    val pkt = bytes(10, 16 + body.length, 1700000000L, 1L, 5L) ++ body
+    val rows = NetflowDecoder.decodePacket(pkt, 0L, 1L,
+      new NetflowDecoder.TemplateCache,
+      entMap = Map((123L, 99) -> 2000))
+    assert(rows.length == 1)
+    assert(rows.head(fieldIndexOf("in_bytes")) == 7777L)
+    assert(rows.head(fieldIndexOf("vas_session_id")) == 777L)
+  }
+
+  test("TemplateCache evicts least-recently-used beyond its cap") {
+    val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
+    val t = NetflowDecoder.Template(Seq((1, 4, 0L)))
+    (0 until 4).foreach(i => cache.put(1L, 1L, 9, 256 + i, t))
+    cache.get(1L, 1L, 9, 256) // touch the oldest → 257 becomes LRU
+    cache.put(1L, 1L, 9, 300, t)
+    assert(cache.size == 4)
+    assert(cache.get(1L, 1L, 9, 256).isDefined) // recently used survived
+    assert(cache.get(1L, 1L, 9, 257).isEmpty)   // LRU evicted
+    assert(cache.get(1L, 1L, 9, 300).isDefined)
+  }
+
   test("contract golden: v9Packets(64) decodes to exactly 64 rows") {
     // the q40/q41 driver pair feeds these exact bytes; each packet is
     // self-contained (template + one data record), so every record decodes
