@@ -35,7 +35,7 @@ final class Reloadable[T](val path: String, tag: String,
 object Reloadable {
 
   private final case class Entry(nextCheckMs: Long, mtimeMs: Long,
-                                 value: Any)
+                                 sizeB: Long, value: Any)
   private val cache = new ConcurrentHashMap[String, Entry]()
 
   /** Visible for tests: drop all cached entries. */
@@ -52,17 +52,35 @@ object Reloadable {
       if (old != null && now < old.nextCheckMs) old
       else {
         val p = Paths.get(path)
-        val mtime =
-          if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis
-          else -1L
-        if (old != null && mtime == old.mtimeMs)
+        // (mtime, size) pair: two writes inside filesystem timestamp
+        // granularity still flip size almost always; a same-mtime
+        // same-size rewrite is indistinguishable and tolerated
+        val (mtime, size) =
+          try {
+            if (Files.exists(p))
+              (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+            else (-1L, -1L)
+          } catch { case _: java.io.IOException => (-1L, -1L) }
+        if (old != null && mtime == old.mtimeMs && size == old.sizeB)
           old.copy(nextCheckMs = now + checkIntervalMs)
         else {
+          // a malformed or torn-mid-write file must not kill the
+          // consumer (streaming task): keep serving the previous value
+          // — the reference's mavg_limits_file_load logs and keeps the
+          // standby bank on any load error
           val v =
             if (mtime < 0) default()
-            else parse(new String(Files.readAllBytes(p),
-              StandardCharsets.UTF_8))
-          Entry(now + checkIntervalMs, mtime, v)
+            else
+              try parse(new String(Files.readAllBytes(p),
+                StandardCharsets.UTF_8))
+              catch {
+                case e: Exception =>
+                  System.err.println(
+                    s"[reloadable] $path: ${e.getMessage}; " +
+                      "keeping previous value")
+                  if (old != null) old.value else default()
+              }
+          Entry(now + checkIntervalMs, mtime, size, v)
         }
       }
     }).value

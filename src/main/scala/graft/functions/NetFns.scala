@@ -160,6 +160,13 @@ object NetFns {
           .otherwise(lit("")))
   }
 
+  /** Uncompressed lowercase IPv6 display of a binary(16) column: hex
+    * groups ':'-joined ("2001:0db8:...:0001"). The reference prints
+    * inet_ntop's compressed form; the uncompressed rendering is stable,
+    * sortable, and round-trips through the limits-file parser. */
+  def ip6str(ip: Column): Column =
+    lower(regexp_replace(hex(ip), "(.{4})(?=.)", "$1:"))
+
   /** Dotted-quad display of an unsigned-IPv4-in-Long column. */
   def ip4str(ip: Column): Column =
     concat_ws(".",

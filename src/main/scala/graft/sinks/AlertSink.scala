@@ -76,9 +76,16 @@ final class AlertSink(conf: AlertSink.Conf) extends Serializable {
       .getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     if (conf.execute) {
-      // fire-and-forget, like the reference's double-fork + setsid
-      try new ProcessBuilder(args: _*).start()
-      catch { case e: java.io.IOException =>
+      // fire-and-forget, like the reference's double-fork + setsid:
+      // stdout/stderr discarded (an undrained pipe blocks the child at
+      // ~64KB forever), stdin from /dev/null — truly detached
+      try {
+        val pb = new ProcessBuilder(args: _*)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectInput(new java.io.File("/dev/null"))
+        pb.start()
+      } catch { case e: java.io.IOException =>
         System.err.println(s"AlertSink: can't start '${args.head}': " +
           e.getMessage) }
     }

@@ -50,6 +50,14 @@ object MavgStream {
         * mavg_limits_update bank swap, monit-objects-mavg.c:756-774) */
       limitsProvider: Option[graft.config.Reloadable[
         Map[String, Seq[Double]]]] = None,
+      /** per-overlimit-section limits files, aligned with
+        * `defaultLimits` indices — each section resolves its threshold
+        * independently (its file's value for the key, else that
+        * section's default), matching the reference's one-file-per-
+        * mavg_limit layout (CONFIG.md:438-469). Takes precedence over
+        * `limitsProvider`/`limits` when non-empty. */
+      limitsProviders: Seq[Option[graft.config.Reloadable[
+        Map[String, Seq[Double]]]]] = Nil,
       /** processing-time tick for silent keys (reference's 1 s underlimit
         * scanner cadence). <= 0 disables the timer: lifecycle then only
         * advances on arrivals — right for batch replays and tests, where
@@ -85,12 +93,21 @@ object MavgStream {
       state: GroupState[KeyState]): Iterator[AlertRow] = {
     val windowNs = conf.windowSec * 1_000_000_000L
     val b2nNs = conf.back2normSec * 1_000_000_000L
-    val limitsMap = conf.limitsProvider match {
-      case Some(r) => r.get()
-      case None    => conf.limits
-    }
     val limitVals: Seq[Double] =
-      limitsMap.getOrElse(key, conf.defaultLimits)
+      if (conf.limitsProviders.nonEmpty)
+        // per-section resolution: a key row in one section's file never
+        // silences the OTHER sections' checks
+        conf.defaultLimits.zipWithIndex.map { case (d, i) =>
+          conf.limitsProviders.lift(i).flatten
+            .flatMap(_.get().get(key)).flatMap(_.headOption).getOrElse(d)
+        }
+      else {
+        val limitsMap = conf.limitsProvider match {
+          case Some(r) => r.get()
+          case None    => conf.limits
+        }
+        limitsMap.getOrElse(key, conf.defaultLimits)
+      }
 
     var st = state.getOption.getOrElse(KeyState(0.0, Long.MinValue, Map.empty))
     var lims: Map[Int, LimState] =

@@ -89,7 +89,7 @@ object Pipeline {
       require(compiled.aggrs.nonEmpty,
         s"mavg '${m.name}' needs an aggregable field")
       val keyCol = concat_ws("|",
-        compiled.keys.map(k => k.column(env).cast("string")): _*)
+        compiled.keys.map(k => keyDisplayCol(k, env)): _*)
       val measure = compiled.aggrs.head
       val rate = samplingRate.getOrElse(lit(1L))
       val input = filtered.select(
@@ -100,13 +100,16 @@ object Pipeline {
         .as[MavgStream.Input]
       val conf = MavgStream.Conf(
         windowSec = m.timeSec,
-        defaultLimits = m.overlimit.flatMap(_.default.headOption),
+        // aligned per section; a section without a default never fires
+        // on its own (∞ threshold) but its limits file still can
+        defaultLimits = m.overlimit.map(
+          _.default.headOption.getOrElse(Double.PositiveInfinity)),
         back2normSec = m.overlimit.headOption
           .map(_.back2normSec).getOrElse(30L),
-        // per-key thresholds hot-reload from the section's limits file
-        limitsProvider = m.overlimit.headOption.flatMap(_.limitsFile)
-          .map(f => graft.config.Reloadable.limitsCsv(
-            f, compiled.keys.size)),
+        // one hot-reloadable limits file PER overlimit section
+        // (reference: each mavg_limit carries its own file)
+        limitsProviders = m.overlimit.map(_.limitsFile.map(f =>
+          graft.config.Reloadable.limitsCsv(f, compiled.keys.size))),
         tickIntervalMs = mavgTickMs)
       MavgBranch(mo.name, m, MavgStream(input, conf))
     }
@@ -115,6 +118,23 @@ object Pipeline {
       build(_, flows, env, samplingRate, pred, mavgTickMs))
     (fwms ++ childResults.flatMap(_._1),
       mavgs ++ childResults.flatMap(_._2))
+  }
+
+  /** Mavg key-field rendering: address-typed fields display in their
+    * printed form (dotted quad / hex-group v6) so reference-style limits
+    * files ('1.2.3.4,1000000', CONFIG.md:438-469) match keys, and
+    * notification file names carry readable addresses — the reference's
+    * mavg_limits_parse_line converts types the same way. */
+  private def keyDisplayCol(k: graft.filter.FieldSpec,
+                            env: FilterEnv): Column = {
+    import graft.flow.FlowSchema.{Addr4L, Addr6L}
+    import graft.functions.NetFns
+    val c = k.column(env)
+    env.fields.get(k.name).map(_._1) match {
+      case Some(Addr4L) => NetFns.ip4str(c)
+      case Some(Addr6L) => NetFns.ip6str(c)
+      case _            => c.cast("string")
+    }
   }
 
   /** foreachBatch body for an fwm branch: finish (sort + top-N+others)

@@ -61,6 +61,68 @@ class HotReloadSpec extends SparkTest {
     assert(r.get()("a") == Seq(1.0))
   }
 
+  test("Reloadable: malformed edit keeps the previous value " +
+    "(reference mavg_limits_file_load keeps the standby bank)") {
+    Reloadable.clearCache()
+    val dir = Files.createTempDirectory("graft_reload_bad")
+    val f = dir.resolve("limits.csv")
+    write(f, "1.2.3.4,100\n")
+    val r = Reloadable.limitsCsv(f.toString, 1, checkIntervalMs = 0)
+    assert(r.get() == Map("1.2.3.4" -> Seq(100.0)))
+    // torn/bad live edit: non-numeric threshold would throw in parse
+    rewrite(f, "1.2.3.4,garbage\n")
+    assert(r.get() == Map("1.2.3.4" -> Seq(100.0)))
+    // the fix is picked up as usual
+    rewrite(f, "1.2.3.4,50\n")
+    assert(r.get() == Map("1.2.3.4" -> Seq(50.0)))
+  }
+
+  test("Reloadable: same-mtime size change is detected") {
+    Reloadable.clearCache()
+    val dir = Files.createTempDirectory("graft_reload_sz")
+    val f = dir.resolve("v.csv")
+    write(f, "a,1\n")
+    val r = Reloadable.limitsCsv(f.toString, 1, checkIntervalMs = 0)
+    assert(r.get()("a") == Seq(1.0))
+    // two writes inside fs timestamp granularity: pin mtime, change size
+    val t = Files.getLastModifiedTime(f)
+    write(f, "a,2\nb,3\n")
+    Files.setLastModifiedTime(f, t)
+    assert(r.get() == Map("a" -> Seq(2.0), "b" -> Seq(3.0)))
+  }
+
+  test("per-section limits files resolve independently " +
+    "(a key row in one section's file never mutes other sections)") {
+    Reloadable.clearCache()
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val S = 1_000_000_000L
+    val dir = Files.createTempDirectory("graft_limits_sec")
+    val f0 = dir.resolve("lim0.csv")
+    write(f0, "a,1000000\n") // section 0: key 'a' relaxed by its file
+    val mem = MemoryStream[Input]
+    // defaults: section 0 = 100 (overridden up for 'a'), section 1 = 10
+    val alerts = MavgStream(mem.toDS(),
+      Conf(windowSec = 5, defaultLimits = Seq(100.0, 10.0),
+        limitsProviders = Seq(
+          Some(Reloadable.limitsCsv(f0.toString, 1, checkIntervalMs = 0)),
+          None),
+        tickIntervalMs = 0))
+    val q = alerts.writeStream
+      .format("memory").queryName("sec_alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Input("a", 10 * S, 600.0)) // 120/s
+      q.processAllAvailable()
+      val rows = spark.table("sec_alerts").as[AlertRow].collect().toSeq
+      // 120/s < 1e6 → section 0 silent; 120/s ≥ 10 → section 1 fires
+      assert(rows.exists(r => r.event == "start" && r.limitIdx == 1),
+        s"section 1 must fire on its default, got $rows")
+      assert(!rows.exists(r => r.limitIdx == 0 && r.event == "start"),
+        s"section 0 must use its file override, got $rows")
+    } finally q.stop()
+  }
+
   test("limits hot-reload: threshold edit takes effect next batch " +
     "(no query restart)") {
     Reloadable.clearCache()

@@ -171,18 +171,57 @@ class PipelineSpec extends SparkTest {
       assert(w0.forall(_._2 == 6L))
       // extended section stayed gated off → its writer saw nothing
       assert(extRows.forall(_ == 0L) || extRows.isEmpty)
-      // mavg: src 10 pushed 3000 bytes in 5s window → 600/s ≥ 100 alert
+      // mavg: src 10 pushed 3000 bytes in 5s window → 600/s ≥ 100 alert;
+      // addr-typed keys render dotted like the reference's printed form
       val alerts = spark.table("pipe_alerts")
         .as[MavgStream.AlertRow].collect()
-      assert(alerts.exists(a => a.event == "start" && a.key == "10"))
-      assert(!alerts.exists(a => a.key == "11" && a.event == "start"))
+      assert(alerts.exists(a => a.event == "start" && a.key == "0.0.0.10"))
+      assert(!alerts.exists(a => a.key == "0.0.0.11" && a.event == "start"))
       // feeding the start alert into the gate opens the ext section
       gate.applyAlerts(alerts.toSeq, Map(0 -> Seq("ext")))
       assert(gate.isActive("ext"))
       // q4 (alertBatchWriter) did both automatically: its gate opened
       // from the config's "ext" list and the notification file exists
       assert(gate2.isActive("ext"))
-      assert(Files.exists(Paths.get(notifDir, "mo1-m-lim-10")))
+      assert(Files.exists(Paths.get(notifDir, "mo1-m-lim-0.0.0.10")))
     } finally { q1.stop(); q2.stop(); q3.stop(); q4.stop() }
+  }
+
+  test("reference-style dotted-IP limits file matches pipeline keys " +
+    "(CONFIG.md:438-469 format, per-section file)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.config.Reloadable.clearCache()
+    val dir = Files.createTempDirectory("graft_pipe_lim")
+    val lim = dir.resolve("limits.csv")
+    // the reference's file shape: dotted address, threshold
+    Files.write(lim, "0.0.0.10,100\n".getBytes(StandardCharsets.UTF_8))
+    val mo = MoConfig.parse("mo2", s"""{
+      "filter": "proto 6",
+      "mavg": [{"name": "m", "time": 5, "fields": ["src host", "octets"],
+        "overlimit": [{"name": "lim", "default": [1000000000],
+                       "limits": "$lim"}]}]
+    }""")
+    val mem = MemoryStream[(Timestamp, Long, Long, Long)]
+    val flows = mem.toDS()
+      .toDF("ts", "protocol", "ip4_src_addr", "in_bytes")
+    val (_, mavgs) = Pipeline.build(mo, flows, FilterEnv.flow(spark),
+      mavgTickMs = 0L)
+    val q = mavgs.head.alerts.writeStream
+      .format("memory").queryName("dotted_alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000)
+      // both sources push 600/s — far under the 1e9 default, over the
+      // file's 100 for 0.0.0.10 only: the dotted key MUST have matched
+      mem.addData((ts(1), 6L, 10L, 3000L), (ts(1), 6L, 11L, 3000L))
+      q.processAllAvailable()
+      val alerts = spark.table("dotted_alerts")
+        .as[MavgStream.AlertRow].collect()
+      assert(alerts.exists(a => a.event == "start" && a.key == "0.0.0.10"),
+        s"file threshold must apply to the dotted key, got " +
+          alerts.mkString(", "))
+      assert(!alerts.exists(a => a.key == "0.0.0.11" && a.event == "start"))
+    } finally q.stop()
   }
 }
