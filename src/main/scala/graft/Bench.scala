@@ -67,10 +67,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** Median of `runs` timings; failures excluded; -1 if all failed. */
+    /** Median of `runs` timings; failures excluded; -1 if all failed.
+      * Sub-2s queries are noise-dominated at median-of-3 (VERDICT r4
+      * flagged q06/q07 ±40% run-to-run) — widen those to 5 samples. */
     def median(name: String): Double = {
-      val ok = (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+      var ok = (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0)
+      if (ok.nonEmpty && runs < 5 && ok.sorted.apply(ok.size / 2) < 2.0)
+        ok ++= (1 to (5 - runs)).map(_ => timeOnce(name)).filter(_ >= 0)
+      val s = ok.sorted
+      if (s.isEmpty) -1.0 else s(s.size / 2)
     }
 
     // warmup: scans + one aggregation through the whole stack

@@ -46,4 +46,42 @@ object Classification {
         col("class_name").as("class0")): _*))
     flows.join(cls, keyCols, "left")
   }
+
+  /** One refresh of the filesystem class database (reference
+    * classification_dump + update_clsf_dir, classification.c:459-544):
+    * `{dir}/{mo}/{clsId}/{key}/name` is written only when ABSENT — a
+    * user's manual rename survives every later refresh — while `stats`
+    * is rewritten each time ("<v> of <total>, <pct>%"). Returns the
+    * class table with `class_name` replaced by the effective (possibly
+    * renamed) names, ready for [[label]].
+    *
+    * The class table is a tiny top-X% aggregate (it is broadcast for
+    * labeling anyway), so the driver-side collect here is the same
+    * bounded work the reference's dump cursor does. */
+  def refreshFs(clsfDir: String, mo: String, clsId: Int,
+                classes: DataFrame, conf: Conf): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val keyDirCol =
+      concat_ws("-", conf.keyCols.map(c => col(c).cast("string")): _*)
+    val collected = classes.select(keyDirCol.as("kdir"),
+      col("class_name"), col(conf.measure).cast("long").as("v")).collect()
+    val total = collected.map(_.getLong(2)).sum
+    val base = Paths.get(clsfDir, mo, clsId.toString)
+    Files.createDirectories(base)
+    val effective: Map[String, String] = collected.map { r =>
+      val kdir = r.getString(0)
+      val d = base.resolve(kdir)
+      Files.createDirectories(d)
+      val nameF = d.resolve("name")
+      if (!Files.exists(nameF)) Files.writeString(nameF, r.getString(1))
+      val v = r.getLong(2)
+      val pct = if (total > 0) v * 100.0 / total else 0.0
+      Files.writeString(d.resolve("stats"), s"$v of $total, $pct%\n")
+      kdir -> Files.readString(nameF)
+    }.toMap
+    if (effective.isEmpty) classes
+    else classes.withColumn("class_name",
+      coalesce(element_at(typedlit(effective), keyDirCol),
+        col("class_name")))
+  }
 }

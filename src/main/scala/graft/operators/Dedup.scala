@@ -175,4 +175,31 @@ object Dedup {
       .filter(col("j_bp") >= minBp)
       .select("a", "b", "j_bp")
   }
+
+  /** Exact n-gram Jaccard restricted to given candidate pairs — the
+    * verify half of the scale path (MinHash/LSH candidates →
+    * [[jaccardVerify]]): the quadratic gram self-join disappears; cost
+    * is two hash joins of the gram table against the (much smaller)
+    * candidate set. j_bp values are identical to
+    * [[ngramJaccardPairs]]'s for every pair present in `pairs`. */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+                    textCol: String, n: Int, minBp: Long): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), n))).as("g"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs.select("a", "b")
+      .join(grams.select(col("id").as("a"), col("g").as("ga")), "a")
+      .join(grams.select(col("id").as("b"), col("g").as("gb")),
+        Seq("b"))
+      .filter(col("ga") === col("gb"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a")
+        .withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b")
+        .withColumnRenamed("sz", "szb"), "b")
+      .withColumn("j_bp", expr("(10000 * inter) div (sza + szb - inter)"))
+      .filter(col("j_bp") >= minBp)
+      .select("a", "b", "j_bp")
+  }
 }

@@ -88,6 +88,25 @@ class ExtensionOpsSpec extends SparkTest {
     assert(capped == Set((1L, 2L)), s"got $capped")
   }
 
+  test("jaccardVerify matches ngramJaccardPairs on candidate pairs") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "a b x y z"),
+      (4L, "p q r s t"), (5L, "p q r s t")).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, None, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // candidates: a strict subset (as MinHash would produce)
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("a", "b")
+    val verified = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", 2, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(verified.keySet == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+    verified.foreach { case (k, v) => assert(exact(k) == v, s"pair $k") }
+    assert(verified((4L, 5L)) == 10000L) // identical docs
+  }
+
   test("langId picks the stopword-richest language, und otherwise") {
     val df = docs(
       1L -> "the cat and the dog of the house",
@@ -210,5 +229,42 @@ class ExtensionOpsSpec extends SparkTest {
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(labeled(Some("6:443")) == 2L)
     assert(labeled(None) == 2L) // 17:53 and 6:22 flows unclassified
+  }
+
+  test("classification FS db: user renames survive refresh " +
+    "(classification.c:459-544 update_clsf_dir)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_clsf").toString
+    val flows = flowDf(Seq("proto", "port", "in_bytes"),
+      Seq(Seq(6L, 443L, 800L), Seq(17L, 53L, 150L), Seq(6L, 22L, 50L)))
+    val nameCol = concat(col("proto").cast("string"), lit(":"),
+      col("port").cast("string"))
+    // threshold 900 of total 1000: keeps (6,443)=800 and (17,53)=150,
+    // cuts (6,22) whose cum-before is 950
+    val conf = Classification.Conf(Seq("proto", "port"), "octets",
+      90.0, nameCol)
+    val classes = Classification.classTable(flows, conf, col("in_bytes"))
+
+    // first refresh: name + stats created for both top classes
+    val eff1 = Classification.refreshFs(dir, "mo1", 0, classes, conf)
+    val nameF = Paths.get(dir, "mo1", "0", "6-443", "name")
+    val statsF = Paths.get(dir, "mo1", "0", "6-443", "stats")
+    assert(Files.readString(nameF) == "6:443")
+    assert(Files.readString(statsF) == "800 of 950, 84.21052631578948%\n")
+    assert(eff1.select("class_name").collect().map(_.getString(0)).toSet
+      == Set("6:443", "17:53"))
+
+    // the user renames the class; a later refresh keeps the rename and
+    // rewrites only stats
+    Files.writeString(nameF, "web-tls")
+    val eff2 = Classification.refreshFs(dir, "mo1", 0, classes, conf)
+    assert(Files.readString(nameF) == "web-tls")
+    assert(eff2.select("class_name").collect().map(_.getString(0)).toSet
+      == Set("web-tls", "17:53"))
+    // labeling uses the effective names
+    val labeled = Classification.label(flows, eff2, Seq("proto", "port"))
+      .groupBy("class0").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(labeled(Some("web-tls")) == 1L)
   }
 }
