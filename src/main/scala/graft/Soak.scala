@@ -1,0 +1,128 @@
+package graft
+
+import graft.filter.{Compiler, FilterEnv}
+import graft.operators.Fwm
+import graft.sinks.AlertSink
+import graft.sources.NetflowDecoder
+import graft.streaming.MavgStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming soak main (VERDICT r4 #8): drives the full hot path —
+  * rate source → synthesized NetFlow v9 packets (template + data per
+  * packet, template ids churning past the cache cap) → decoder →
+  * filter DSL → fwm windowed aggregation + mavg threshold alerting with
+  * the notification-file sink — for SPARK_GRAFT_SOAK_SECS seconds at
+  * SPARK_GRAFT_SOAK_RPS packets/s, then prints one JSON line with
+  * sustained rates and state-store footprint. Record results in
+  * SCALE.md.
+  */
+object Soak {
+
+  /** Self-contained v9 packet i: header + template + one data record.
+    * Template id rotates through 16384 values — past the decoder
+    * cache's LRU cap, proving bounded template state under churn. */
+  def mkPacket(i: Long): Array[Byte] = {
+    def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val tid = 256 + (i % 16384).toInt
+    val header = u16(9) ++ u16(2) ++ u32(0) ++ u32(1700000000L + i) ++
+      u32(i) ++ u32(1)
+    val tmpl = u16(0) ++ u16(28) ++ u16(tid) ++ u16(5) ++
+      u16(1) ++ u16(4) ++ u16(4) ++ u16(1) ++ u16(8) ++ u16(4) ++
+      u16(12) ++ u16(4) ++ u16(11) ++ u16(2)
+    val rec = u32(64L + i % 1400) ++
+      Array[Byte]((if (i % 3 == 0) 17 else 6).toByte) ++
+      u32(0x0a000000L + i % 256) ++ u32(0xc0000000L + i % 65536) ++
+      u16((i % 50000).toInt)
+    val data = u16(tid) ++ u16(4 + rec.length) ++ rec
+    header ++ tmpl ++ data
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rps = sys.env.getOrElse("SPARK_GRAFT_SOAK_RPS", "50000").toInt
+    val secs = sys.env.getOrElse("SPARK_GRAFT_SOAK_SECS", "120").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val packets = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).option("numPartitions", 8).load()
+      .select(col("timestamp"), col("value"))
+      .as[(java.sql.Timestamp, Long)]
+      .map { case (ts, i) =>
+        (mkPacket(i), ts.getTime / 1000, 1L + i % 4) }
+      .toDF("payload", "ts_sec", "src_ip")
+
+    val flows = NetflowDecoder.decode(packets)
+      .withColumn("ts", to_timestamp(col("ts_sec")))
+    val env = FilterEnv.flow(spark)
+    val pred = Compiler.filterColumn("proto 6 and src net 10.0.0.0/8", env)
+      .fold(e => sys.error(e), identity)
+    val filtered = flows.filter(pred)
+
+    // fwm branch: 10 s tumbling windows, octets by src host
+    val fwm = Fwm.stream(filtered, env,
+      Fwm.Conf("soak", Seq("octets desc", "src host"), timeSec = 10,
+        limit = Some(10)))
+    val fwmRows = new java.util.concurrent.atomic.AtomicLong
+    val q1 = fwm.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        fwmRows.addAndGet(b.count()); () }
+      .start()
+
+    // mavg branch: decayed rate per src host, alert sink on threshold
+    val input = filtered.select(
+      graft.functions.NetFns.ip4str(col("ip4_src_addr")).as("key"),
+      (col("ts_sec") * lit(1000000000L)).as("tsNs"),
+      col("in_bytes").cast("double").as("v"))
+      .as[MavgStream.Input]
+    val alerts = MavgStream(input, MavgStream.Conf(
+      windowSec = 10, defaultLimits = Seq(10000.0), tickIntervalMs = 1000))
+    val notifDir = java.nio.file.Files
+      .createTempDirectory("graft_soak_notif").toString
+    val sink = new AlertSink(AlertSink.Conf(notifDir, "soak", "m",
+      Seq(AlertSink.Limit("lim"))))
+    val alertCount = new java.util.concurrent.atomic.AtomicLong
+    val q2 = alerts.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          MavgStream.AlertRow], _: Long) =>
+        val evs = b.collect().toSeq
+        alertCount.addAndGet(evs.size)
+        sink.handle(evs); () }
+      .start()
+
+    val t0 = System.nanoTime()
+    Thread.sleep(secs * 1000L)
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    def lastState(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : (Double, Long) = {
+      val ps = q.recentProgress.toSeq
+      val rate = ps.flatMap(p => Option(p.processedRowsPerSecond))
+        .filterNot(_.isNaN)
+      val state = ps.reverse.flatMap(_.stateOperators.toSeq.headOption)
+        .headOption.map(_.numRowsTotal).getOrElse(-1L)
+      (if (rate.isEmpty) 0.0 else rate.sum / rate.size, state)
+    }
+    val (fwmRate, fwmState) = lastState(q1)
+    val (mavgRate, mavgState) = lastState(q2)
+    q1.stop(); q2.stop()
+
+    println(s"""{"soak_secs":$wall,"packets_per_sec_target":$rps,""" +
+      s""""fwm_avg_rows_per_sec":$fwmRate,""" +
+      s""""fwm_state_rows":$fwmState,"fwm_out_rows":${fwmRows.get},""" +
+      s""""mavg_avg_rows_per_sec":$mavgRate,""" +
+      s""""mavg_state_keys":$mavgState,""" +
+      s""""alert_events":${alertCount.get}}""")
+    spark.stop()
+  }
+}

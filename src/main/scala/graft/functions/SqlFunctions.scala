@@ -59,5 +59,20 @@ object SqlFunctions {
         sys.error(s"unknown IP list '$nm'"))
       LpmExpr.contains4(list.v4)(colOf(es(0)))
     })
+    // v6 variants over binary(16) columns (first-class like the
+    // reference's xe_ip covering both families, geoip.h:43-55)
+    register(spark, "ip6str", es => NetFns.ip6str(colOf(es.head)))
+    GeoDb.attrs.foreach { attr =>
+      register(spark, s"${attr}6",
+        es => geo.geoAttr6(spark, attr)(colOf(es.head)))
+    }
+    register(spark, "asn6", es => geo.asn6(spark)(colOf(es.head)))
+    register(spark, "asd6", es => geo.asd6(spark)(colOf(es.head)))
+    register(spark, "ip6_in_list", es => {
+      val nm = strArg(es(1))
+      val list = ipLists.getOrElse(nm,
+        sys.error(s"unknown IP list '$nm'"))
+      LpmExpr.contains6(list.v6)(colOf(es(0)))
+    })
   }
 }

@@ -115,4 +115,24 @@ class SqlFunctionsSpec extends SparkTest {
     assert(r.getAs[String]("a") == "64500")
     assert(r.getAs[Boolean]("inlist"))
   }
+
+  test("v6 function surface callable from spark.sql") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    // 2001:db8:1::c000:0201 = dst-base + 192.0.2.1 (FR override);
+    // 2001:db8::a04:0001 = src-base + 10.4.0.1 (EXAMPLE6-NET-B)
+    val r = spark.sql("""
+      SELECT country_code6(unhex('20010DB80001000000000000C0000201')) AS cc,
+             asn6(unhex('20010DB800000000000000000A040001')) AS a,
+             asd6(unhex('20010DB8000000000000000000000001')) AS miss,
+             ip6str(unhex('20010DB80000000000000000C0000201')) AS s,
+             ip6_in_list(unhex('FD120000000000000000000000000001'),
+                         'bogon') AS inlist
+    """).collect()(0)
+    assert(r.getAs[String]("cc") == "fr")
+    assert(r.getAs[String]("a") == "64601")
+    assert(r.getAs[String]("miss") == "?")
+    assert(r.getAs[String]("s") ==
+      "2001:0db8:0000:0000:0000:0000:c000:0201")
+    assert(r.getAs[Boolean]("inlist")) // fd12::1 ∈ fc00::/7
+  }
 }
