@@ -1033,6 +1033,95 @@ object Queries {
       SELECT vec_id, round(sim, 6) AS sim_r FROM s
       ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 20"""))
 
+  // ------------------------------------------- ANN over a query BATCH
+  private val q42 = Q(
+    "q42_ann_batch",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopKBatch(emb.filter(col("vec_id") >= 5), "vec_id",
+          "embedding", dim = 64, nBits = 4,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim_r"))
+        .orderBy(col("q_id").asc, col("sim_r").desc, col("vec_id").asc)
+    },
+    Some(s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qv,
+               ${OracleSql.lshSigSql("embedding", 64, 4)} AS qsig
+             FROM embeddings WHERE vec_id < 5),
+      b AS (SELECT vec_id, embedding,
+              ${OracleSql.lshSigSql("embedding", 64, 4)} AS sig
+            FROM embeddings WHERE vec_id >= 5),
+      j AS (SELECT q_id, vec_id,
+              ${OracleSql.dotSql("embedding", "qv", 64)} /
+              (sqrt(${OracleSql.dotSql("embedding", "embedding", 64)}) *
+               sqrt(${OracleSql.dotSql("qv", "qv", 64)})) AS sim
+            FROM b JOIN qs ON b.sig = qs.qsig),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rn FROM j)
+      SELECT q_id, vec_id, round(sim, 6) AS sim_r FROM r WHERE rn <= 10
+      ORDER BY q_id ASC, sim_r DESC NULLS LAST, vec_id ASC"""))
+
+  // --------------------------------------- IVF (inverted-file) top-k
+  private val q43 = Q(
+    "q43_ivf_topk",
+    (s, dir) => {
+      // centroids: the deterministic vec_id%100==0 subset (stand-in for
+      // an offline k-means table — the operator takes ANY centroid df)
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") =!= 1), "vec_id",
+          "embedding",
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          nprobe = 2, emb.filter(col("vec_id") === 1), "embedding", 20)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))
+    }, {
+      def cos(a: String, b: String) =
+        s"${OracleSql.dotSql(a, b, 64)} / " +
+          s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
+          s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+               FROM embeddings WHERE vec_id % 100 = 0),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+      asg AS (SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cv")} DESC NULLS LAST,
+                          c.cid ASC) AS rn
+        FROM embeddings e, cent c WHERE e.vec_id <> 1) WHERE rn = 1),
+      probes AS (SELECT cid FROM (
+        SELECT c.cid FROM cent c, q
+        ORDER BY ${cos("qv", "c.cv")} DESC NULLS LAST, c.cid ASC
+        LIMIT 2)),
+      cand AS (SELECT a.vec_id, a.embedding FROM asg a
+               JOIN probes p ON a.cid = p.cid),
+      sc AS (SELECT vec_id, ${cos("embedding", "qv")} AS sim
+             FROM cand, q)
+      SELECT vec_id, round(sim, 6) AS sim_r FROM sc
+      ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 20""")
+    })
+
+  // ------------------------------- embedding near-duplicate pairs
+  private val q44 = Q(
+    "q44_embed_neardup",
+    (s, dir) => {
+      import graft.operators.Similarity
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, nBits = 4, minSim = 0.3)
+        .select(col("a"), col("b"), round(col("sim"), 6).as("sim_r"))
+        .orderBy(col("a").asc, col("b").asc)
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding,
+               ${OracleSql.lshSigSql("embedding", 64, 4)} AS sig
+             FROM embeddings),
+      p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+              ${OracleSql.dotSql("l.embedding", "r.embedding", 64)} /
+              (sqrt(${OracleSql.dotSql("l.embedding", "l.embedding", 64)}) *
+               sqrt(${OracleSql.dotSql("r.embedding", "r.embedding", 64)}))
+                AS sim
+            FROM b l JOIN b r ON l.sig = r.sig AND l.vec_id < r.vec_id)
+      SELECT a, b, round(sim, 6) AS sim_r FROM p WHERE sim >= 0.3
+      ORDER BY a ASC, b ASC"""))
+
   // ===================== binary ingest decoders (rows-only checks:
   // DuckDB cannot decode NetFlow/sFlow wire formats)
 
@@ -1094,7 +1183,7 @@ object Queries {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41)
+    q38, q39, q40, q41, q42, q43, q44)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -81,6 +81,63 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN: top-k per query vector over a SET of queries — the
+    * shape a training-data pipeline actually runs (dedup a shard
+    * against an index, not one probe at a time). The bucket equi-join
+    * replaces the per-query scan; work scales with bucket occupancy ×
+    * queries, never |data| × |queries|. */
+  def annTopKBatch(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   nBits: Int, queries: DataFrame, qIdCol: String,
+                   qVecCol: String, k: Int): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      lshSignature(col(vecCol), dim, nBits).as("__sig"))
+    val q = broadcast(queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).as("__qv"),
+      lshSignature(col(qVecCol), dim, nBits).as("__qsig")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    bucketed.join(q, col("__sig") === col("__qsig"))
+      .select(col("q_id"), col(idCol),
+        cosine(col(vecCol), col("__qv")).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** IVF top-k: coarse-quantize vectors to their nearest centroid
+    * (broadcast centroid table + window argmax — one small join, no
+    * iteration), probe the query's `nprobe` nearest centroids, search
+    * only those inverted lists. The centroid table is caller-supplied
+    * (k-means offline, or any deterministic subset); candidate count
+    * scales with nprobe/|centroids|, not |data|. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, centIdCol: String, centVecCol: String,
+              nprobe: Int, query: DataFrame, queryVecCol: String,
+              k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col(centIdCol).as("__cid"),
+      col(centVecCol).as("__cv")))
+    // assignment: rank centroids per vector, keep the nearest
+    val wAsg = Window.partitionBy(col(idCol))
+      .orderBy(col("__cs").desc, col("__cid").asc)
+    val assigned = df.select(col(idCol), col(vecCol))
+      .join(cent)
+      .withColumn("__cs", cosine(col(vecCol), col("__cv")))
+      .withColumn("__rn", row_number().over(wAsg))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("__cid"))
+    // probe list: the query's nprobe nearest centroids
+    val probes = broadcast(query.select(col(queryVecCol).as("__qv"))
+      .join(cent)
+      .withColumn("__cs", cosine(col("__qv"), col("__cv")))
+      .orderBy(col("__cs").desc, col("__cid").asc)
+      .limit(nprobe)
+      .select(col("__cid"), col("__qv")))
+    assigned.join(probes, "__cid")
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, blocked
     * by LSH bucket so no cross product forms. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -168,6 +168,45 @@ class ExtensionOpsSpec extends SparkTest {
     assert(ann.nonEmpty && ann(0).getLong(0) == 2L)
   }
 
+  test("annTopKBatch matches per-query annTopK; ivfTopK finds the " +
+    "brute-force nearest when its cluster is probed") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // deterministic synthetic vectors, 8-dim
+    def vec(id: Long): Array[Float] =
+      (0 until 8).map(i => (((id * 31 + i * 17) % 13) - 6).toFloat).toArray
+    val data = (10L until 60L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val queries = (0L until 3L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val batch = Similarity.annTopKBatch(data, "vec_id", "embedding", 8, 2,
+        queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 3L).foreach { qid =>
+      val single = Similarity.annTopK(data, "vec_id", "embedding", 8, 2,
+          queries.filter(col("vec_id") === qid), "embedding", 5)
+        .collect().map(r => (qid, r.getLong(0))).toSet
+      assert(batch.filter(_._1 == qid) == single, s"query $qid")
+    }
+
+    // IVF with nprobe = all centroids degenerates to exact search
+    val centroids = (10L until 60L by 20L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val q = queries.filter(col("vec_id") === 0L)
+    val ivfAll = Similarity.ivfTopK(data, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", nprobe = 3, q, "embedding", 3)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topK(data, "vec_id", "embedding",
+        q, "embedding", 3).collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == brute)
+    // nprobe=1 returns a subset of one inverted list, still k-capped
+    val ivf1 = Similarity.ivfTopK(data, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", nprobe = 1, q, "embedding", 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivf1.nonEmpty && ivf1.size <= 3)
+    assert(ivf1.toSet.subsetOf((10L until 60L).toSet))
+  }
+
   test("multimodal stub decode round-trips header + flags corrupt rows") {
     import spark.implicits._
     val good = Multimodal.encodeImageStub("jpeg", 640, 480, 10)
