@@ -43,6 +43,41 @@ class PropertySpec extends SparkTest {
     }
   }
 
+  test("Lpm6Packed.lookup equals the BigInt reference for random v6 " +
+    "prefixes and addresses (two-long unsigned-128 search)") {
+    import graft.functions.Lpm6Packed
+    // bias generation toward the hi/lo boundary and high-bit regions
+    // where signed/unsigned and carry bugs live
+    val genAddr: Gen[BigInt] = Gen.oneOf(
+      Gen.listOfN(16, Gen.chooseNum(0, 255))
+        .map(bs => BigInt(1, bs.map(_.toByte).toArray)),
+      Gen.chooseNum(-4L, 4L).map(d => (BigInt(1) << 64) + d),
+      Gen.chooseNum(0L, 255L).map(d => (BigInt(1) << 127) + d))
+    val genPrefix = for {
+      addr <- genAddr
+      len <- Gen.chooseNum(1, 128)
+    } yield {
+      val span = BigInt(1) << (128 - len)
+      val start = (addr / span) * span
+      Lpm.Prefix(start, start + span - 1, len, s"p$len")
+    }
+    samples(Gen.zip(Gen.listOfN(10, genPrefix),
+      Gen.listOfN(30, genAddr)), 12).foreach { case (prefixes, addrs) =>
+      val table = Lpm.build(prefixes)
+      val packed = Lpm6Packed(table)
+      addrs.foreach { a =>
+        val bytes = {
+          val raw = a.toByteArray.takeRight(16)
+          Array.fill[Byte](16 - raw.length)(0) ++ raw
+        }
+        val expected = table.lookup(a).orNull
+        val got = Option(Lpm6Packed.lookup(packed, bytes))
+          .map(_.toString).orNull
+        assert(got == expected, s"addr=$a prefixes=$prefixes")
+      }
+    }
+  }
+
   test("xdivL equals naive largest-power-of-k for random inputs") {
     import org.apache.spark.sql.functions.lit
     // evaluate the expression in one batch per sample set (fast path)
