@@ -124,4 +124,38 @@ object OracleSql {
       s"(CASE WHEN ($sum) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
+
+  /** CTE chain for duplicate-CLUSTER oracles: q16's MinHash/LSH candidate
+    * pairs (shingleK=3, 16 hashes, 4 bands — same literals as the q16
+    * text) extended with a recursive transitive closure. DuckDB's
+    * set-semantics recursive CTE is the oracle counterpart of the
+    * engine's large-star/small-star loop — O(n²) closure is fine at
+    * oracle scale, while the engine side stays O(log n) rounds.
+    * Prefix with `WITH RECURSIVE`; exposes `cc(id, component)` where
+    * component = min reachable doc_id. */
+  def dupClusterCtes: String =
+    s"""sh AS (SELECT doc_id, ${shinglesSql("text", 3)} AS sh
+             FROM documents),
+      sig AS (SELECT doc_id,
+               list_transform(range(0, 16), j ->
+                 list_min(list_transform(sh, s ->
+                   md5(CAST(j AS VARCHAR) || '|' || s)))) AS sig
+              FROM sh WHERE len(sh) > 0),
+      bands AS (SELECT doc_id, b,
+                 array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '')
+                   AS bucket
+                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM bands l JOIN bands r
+                  ON l.b = r.b AND l.bucket = r.bucket
+                 AND l.doc_id < r.doc_id),
+      sym AS (SELECT a, b FROM pairs
+              UNION SELECT b AS a, a AS b FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM sym
+                      UNION
+                      SELECT r.a, s.b FROM reach r
+                      JOIN sym s ON r.b = s.a),
+      cc AS (SELECT a AS id,
+               CAST(least(a, MIN(b)) AS BIGINT) AS component
+             FROM reach GROUP BY a)"""
 }

@@ -1122,6 +1122,37 @@ object Queries {
       SELECT a, b, round(sim, 6) AS sim_r FROM p WHERE sim >= 0.3
       ORDER BY a ASC, b ASC"""))
 
+  // ------------------------- duplicate clusters (connected components)
+  private val q45 = Q(
+    "q45_dup_clusters",
+    (s, dir) => {
+      import graft.operators.{ConnectedComponents, Dedup}
+      val pairs = Dedup.minhashCandidates(t(s, dir, "documents"),
+        "doc_id", "text", shingleK = 3, numHashes = 16, bands = 4)
+      ConnectedComponents.run(pairs, "a", "b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH RECURSIVE ${OracleSql.dupClusterCtes}
+      SELECT id AS doc_id, component FROM cc ORDER BY doc_id ASC"""))
+
+  // ------------------------------ dedup resolution (corpus survivors)
+  private val q46 = Q(
+    "q46_dedup_resolve",
+    (s, dir) => {
+      import graft.operators.{ConnectedComponents, Dedup}
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4)
+      ConnectedComponents.resolve(docs, "doc_id", pairs, "a", "b")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH RECURSIVE ${OracleSql.dupClusterCtes}
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM cc WHERE component <> id)
+      ORDER BY doc_id ASC"""))
+
   // ===================== binary ingest decoders (rows-only checks:
   // DuckDB cannot decode NetFlow/sFlow wire formats)
 
@@ -1183,7 +1214,7 @@ object Queries {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

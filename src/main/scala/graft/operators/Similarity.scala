@@ -24,14 +24,27 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
+  /** cosine with both norms precomputed (bit-identical to [[cosine]]:
+    * the factors are the same `sqrt(Σx²)` doubles multiplied in the same
+    * order, just evaluated once per ROW instead of once per candidate
+    * PAIR — the difference is O(|pairs|·dim) saved work, not a value
+    * change, so DuckDB oracles written against [[cosine]] still match). */
+  private def cosinePre(a: Column, b: Column, na: Column,
+                        nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Brute-force top-k nearest to one query vector. The per-row cosine is
     * embarrassingly parallel; the top-k is a TakeOrdered (no full sort).
+    * The query norm rides the broadcast row (computed once, not per row).
     */
   def topK(df: DataFrame, idCol: String, vecCol: String,
            query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
-    val q = broadcast(query.select(col(queryVecCol).as("__qv")))
+    val q = broadcast(query.select(col(queryVecCol).as("__qv"),
+      norm2(col(queryVecCol)).as("__qn")))
     df.crossJoin(q)
-      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("sim"))
+      .select(col(idCol),
+        cosinePre(col(vecCol), col("__qv"),
+          norm2(col(vecCol)), col("__qn")).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -73,10 +86,13 @@ object Similarity {
     val sig = lshSignature(col(vecCol), dim, nBits)
     val bucketed = df.withColumn("__sig", sig)
     val q = broadcast(query
-      .select(col(queryVecCol).as("__qv"))
+      .select(col(queryVecCol).as("__qv"),
+        norm2(col(queryVecCol)).as("__qn"))
       .withColumn("__qsig", lshSignature(col("__qv"), dim, nBits)))
     bucketed.join(q, col("__sig") === col("__qsig"))
-      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("sim"))
+      .select(col(idCol),
+        cosinePre(col(vecCol), col("__qv"),
+          norm2(col(vecCol)), col("__qn")).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -90,15 +106,18 @@ object Similarity {
                    nBits: Int, queries: DataFrame, qIdCol: String,
                    qVecCol: String, k: Int): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol),
-      lshSignature(col(vecCol), dim, nBits).as("__sig"))
+      lshSignature(col(vecCol), dim, nBits).as("__sig"),
+      norm2(col(vecCol)).as("__n"))
     val q = broadcast(queries.select(col(qIdCol).as("q_id"),
       col(qVecCol).as("__qv"),
-      lshSignature(col(qVecCol), dim, nBits).as("__qsig")))
+      lshSignature(col(qVecCol), dim, nBits).as("__qsig"),
+      norm2(col(qVecCol)).as("__qn")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(idCol).asc)
     bucketed.join(q, col("__sig") === col("__qsig"))
       .select(col("q_id"), col(idCol),
-        cosine(col(vecCol), col("__qv")).as("sim"))
+        cosinePre(col(vecCol), col("__qv"),
+          col("__n"), col("__qn")).as("sim"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
@@ -115,25 +134,32 @@ object Similarity {
               nprobe: Int, query: DataFrame, queryVecCol: String,
               k: Int): DataFrame = {
     val cent = broadcast(centroids.select(col(centIdCol).as("__cid"),
-      col(centVecCol).as("__cv")))
-    // assignment: rank centroids per vector, keep the nearest
+      col(centVecCol).as("__cv"), norm2(col(centVecCol)).as("__cn")))
+    // assignment: rank centroids per vector, keep the nearest; the row
+    // norm is computed ONCE per vector, not once per (vector, centroid)
     val wAsg = Window.partitionBy(col(idCol))
       .orderBy(col("__cs").desc, col("__cid").asc)
-    val assigned = df.select(col(idCol), col(vecCol))
+    val assigned = df.select(col(idCol), col(vecCol),
+        norm2(col(vecCol)).as("__n"))
       .join(cent)
-      .withColumn("__cs", cosine(col(vecCol), col("__cv")))
+      .withColumn("__cs",
+        cosinePre(col(vecCol), col("__cv"), col("__n"), col("__cn")))
       .withColumn("__rn", row_number().over(wAsg))
       .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("__cid"))
+      .select(col(idCol), col(vecCol), col("__n"), col("__cid"))
     // probe list: the query's nprobe nearest centroids
-    val probes = broadcast(query.select(col(queryVecCol).as("__qv"))
+    val probes = broadcast(query.select(col(queryVecCol).as("__qv"),
+        norm2(col(queryVecCol)).as("__qn"))
       .join(cent)
-      .withColumn("__cs", cosine(col("__qv"), col("__cv")))
+      .withColumn("__cs",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .orderBy(col("__cs").desc, col("__cid").asc)
       .limit(nprobe)
-      .select(col("__cid"), col("__qv")))
+      .select(col("__cid"), col("__qv"), col("__qn")))
     assigned.join(probes, "__cid")
-      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("sim"))
+      .select(col(idCol),
+        cosinePre(col(vecCol), col("__qv"),
+          col("__n"), col("__qn")).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -143,12 +169,15 @@ object Similarity {
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    nBits: Int, minSim: Double): DataFrame = {
     val sig = lshSignature(col(vecCol), dim, nBits)
-    val b = df.select(col(idCol), col(vecCol), sig.as("__sig"))
-    val l = b.select(col(idCol).as("a"), col(vecCol).as("va"), col("__sig"))
+    val b = df.select(col(idCol), col(vecCol), sig.as("__sig"),
+      norm2(col(vecCol)).as("__n"))
+    val l = b.select(col(idCol).as("a"), col(vecCol).as("va"),
+      col("__sig"), col("__n").as("na"))
     val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"),
-      col("__sig").as("__sig2"))
+      col("__sig").as("__sig2"), col("__n").as("nb"))
     l.join(r, col("__sig") === col("__sig2") && col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
+      .select(col("a"), col("b"),
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }
