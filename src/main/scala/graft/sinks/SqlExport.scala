@@ -83,8 +83,11 @@ object SqlExport {
   def exportSql(df: DataFrame, conf: Conf): String =
     ddl(df.schema, conf) + "\n" + insertSql(df, conf) + "\n"
 
-  /** JDBC writer for production use (same table naming/types via JDBC
-    * dialect). No-op here without a database; wiring shown for parity. */
+  /** JDBC writer for production use (same table naming/types via the
+    * target's JdbcDialect): one append per window close into the
+    * (mo, fwm) table — exercised end-to-end against embedded Derby in
+    * JdbcSinkSpec; against Postgres this is the reference's psql path
+    * (db_export:725-752) without the shell hop. */
   def writeJdbc(df: DataFrame, conf: Conf, url: String,
                 props: java.util.Properties): Unit =
     df.write.mode("append").jdbc(url, tableName(conf), props)
