@@ -125,15 +125,10 @@ object OracleSql {
     }.mkString("(", " + ", ")")
   }
 
-  /** CTE chain for duplicate-CLUSTER oracles: q16's MinHash/LSH candidate
-    * pairs (shingleK=3, 16 hashes, 4 bands — same literals as the q16
-    * text) extended with a recursive transitive closure. DuckDB's
-    * set-semantics recursive CTE is the oracle counterpart of the
-    * engine's large-star/small-star loop — O(n²) closure is fine at
-    * oracle scale, while the engine side stays O(log n) rounds.
-    * Prefix with `WITH RECURSIVE`; exposes `cc(id, component)` where
-    * component = min reachable doc_id. */
-  def dupClusterCtes: String =
+  /** q16's MinHash/LSH candidate pairs as a CTE chain (shingleK=3, 16
+    * hashes, 4 bands — same literals as the q16 text); exposes
+    * `pairs(a, b)`. */
+  def minhashPairsCtes: String =
     s"""sh AS (SELECT doc_id, ${shinglesSql("text", 3)} AS sh
              FROM documents),
       sig AS (SELECT doc_id,
@@ -148,9 +143,16 @@ object OracleSql {
       pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                 FROM bands l JOIN bands r
                   ON l.b = r.b AND l.bucket = r.bucket
-                 AND l.doc_id < r.doc_id),
-      sym AS (SELECT a, b FROM pairs
-              UNION SELECT b AS a, a AS b FROM pairs),
+                 AND l.doc_id < r.doc_id)"""
+
+  /** Recursive transitive closure over an `(a, b)` edge CTE — the oracle
+    * counterpart of the engine's large-star/small-star loop (O(n²)
+    * closure is fine at oracle scale, while the engine side stays
+    * O(log n) rounds). Prefix the whole statement with `WITH RECURSIVE`;
+    * exposes `cc(id, component)`, component = min reachable doc_id. */
+  def closureCtes(edges: String): String =
+    s"""sym AS (SELECT a, b FROM $edges
+              UNION SELECT b AS a, a AS b FROM $edges),
       reach(a, b) AS (SELECT a, b FROM sym
                       UNION
                       SELECT r.a, s.b FROM reach r
@@ -158,4 +160,26 @@ object OracleSql {
       cc AS (SELECT a AS id,
                CAST(least(a, MIN(b)) AS BIGINT) AS component
              FROM reach GROUP BY a)"""
+
+  /** Duplicate-CLUSTER oracle chain: candidate pairs + closure. */
+  def dupClusterCtes: String =
+    minhashPairsCtes + ",\n      " + closureCtes("pairs")
+
+  /** Exact-Jaccard verification of the candidate pairs (mirrors
+    * Dedup.jaccardVerify: distinct word n-grams, integer basis points);
+    * exposes `verified(a, b)` = pairs with j_bp ≥ minBp. */
+  def jaccardVerifyCtes(n: Int, minBp: Long): String =
+    s"""vg AS (SELECT DISTINCT doc_id AS id,
+               unnest(${shinglesSql("text", n)}) AS g
+            FROM documents),
+      vsz AS (SELECT id, COUNT(*) AS sz FROM vg GROUP BY id),
+      vi AS (SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM pairs p
+            JOIN vg ga ON ga.id = p.a
+            JOIN vg gb ON gb.id = p.b AND gb.g = ga.g
+            GROUP BY 1, 2),
+      verified AS (SELECT i.a, i.b FROM vi i
+               JOIN vsz sa ON i.a = sa.id JOIN vsz sb ON i.b = sb.id
+               WHERE (10000 * inter) // (sa.sz + sb.sz - inter)
+                 >= $minBp)"""
 }

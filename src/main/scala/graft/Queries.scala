@@ -1153,6 +1153,29 @@ object Queries {
       WHERE doc_id NOT IN (SELECT id FROM cc WHERE component <> id)
       ORDER BY doc_id ASC"""))
 
+  // ---------------- full dedup pipeline: candidates → verify → clusters
+  private val q47 = Q(
+    "q47_dedup_pipeline",
+    (s, dir) => {
+      // the production composition at 100 TB: LSH candidates (near-linear)
+      // → exact-Jaccard verification restricted to candidates (two hash
+      // joins, no quadratic self-join) → cluster resolution (O(log n)
+      // star-contraction rounds)
+      import graft.operators.{ConnectedComponents, Dedup}
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4)
+      val verified = Dedup.jaccardVerify(pairs, docs, "doc_id", "text",
+        n = 3, minBp = 9500L)
+      ConnectedComponents.run(verified, "a", "b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH RECURSIVE ${OracleSql.minhashPairsCtes},
+      ${OracleSql.jaccardVerifyCtes(3, 9500L)},
+      ${OracleSql.closureCtes("verified")}
+      SELECT id AS doc_id, component FROM cc ORDER BY doc_id ASC"""))
+
   // ===================== binary ingest decoders (rows-only checks:
   // DuckDB cannot decode NetFlow/sFlow wire formats)
 
@@ -1214,7 +1237,7 @@ object Queries {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
