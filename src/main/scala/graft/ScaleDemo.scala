@@ -1,13 +1,19 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{ConnectedComponents, Dedup}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scale-path measurement main (SCALE.md): times the three n-gram
   * Jaccard strategies on the real documents corpus at a given SF —
   * exact all-pairs (the oracle semantics, q18), hot-gram-capped, and
   * MinHash-LSH candidates → exact verify (the 100 TB path). Prints one
   * JSON line.
+  *
+  * `cc` mode instead measures connected-components round counts on
+  * synthetic graphs engineered against the algorithm: a 2^20-node CHAIN
+  * (diameter = n, the worst case that breaks min-label propagation) and
+  * a 2M-edge supercritical random graph.
   */
 object ScaleDemo {
   def main(args: Array[String]): Unit = {
@@ -21,6 +27,8 @@ object ScaleDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.contains("cc")) { ccDemo(spark); spark.stop(); return }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.count() // warm the scan
@@ -54,5 +62,33 @@ object ScaleDemo {
       s""""capped_pairs":$nCapped,"lsh_verify_sec":$tLsh,""" +
       s""""lsh_verify_pairs":$nLsh}""")
     spark.stop()
+  }
+
+  /** Connected-components round-count measurement. */
+  private def ccDemo(spark: SparkSession): Unit = {
+    def run(name: String, edges: org.apache.spark.sql.DataFrame): String = {
+      val t0 = System.nanoTime()
+      val (res, rounds) = ConnectedComponents.runWithStats(edges, "a", "b")
+      val comps = res.select("component").distinct().count()
+      val nodes = res.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"$name: $rounds rounds, $comps comps, $nodes nodes, $sec%.1f s")
+      s""""$name":{"rounds":$rounds,"components":$comps,""" +
+        s""""nodes":$nodes,"sec":$sec}"""
+    }
+    // worst case: one 2^20-node path — min-label propagation would need
+    // 2^20 rounds; star contraction must stay logarithmic
+    val n = 1L << 20
+    val chain = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    // supercritical sparse graph: 2M deterministic pseudo-random edges
+    // over 2^20 nodes (hash-derived endpoints; one giant component plus
+    // dust — the shape of a real near-dup graph after verification)
+    val rand = spark.range(2L * n)
+      .select(pmod(hash(col("id")), lit(n)).cast("long").as("a"),
+        pmod(hash(col("id") * 31 + 7), lit(n)).cast("long").as("b"))
+    println("{" + run("chain_2^20", chain) + "," +
+      run("random_2M_edges", rand) + "}")
   }
 }

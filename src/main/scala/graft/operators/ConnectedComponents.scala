@@ -64,7 +64,13 @@ object ConnectedComponents {
     *         a doc with no candidate pair is its own singleton cluster.
     */
   def run(edges: DataFrame, aCol: String, bCol: String,
-          maxIter: Int = 30): DataFrame = {
+          maxIter: Int = 30): DataFrame =
+    runWithStats(edges, aCol, bCol, maxIter)._1
+
+  /** [[run]] plus the number of star-contraction rounds executed —
+    * the O(log n) claim is measurable (ScaleDemo `cc` mode). */
+  def runWithStats(edges: DataFrame, aCol: String, bCol: String,
+                   maxIter: Int = 30): (DataFrame, Int) = {
     var e = edges
       .select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
@@ -87,9 +93,9 @@ object ConnectedComponents {
     }
     // fixed point is a star forest: every edge is (member, root). The
     // roots themselves appear only on the dst side — union them back.
-    e.select(col("src").as("id"), col("dst").as("component"))
+    (e.select(col("src").as("id"), col("dst").as("component"))
       .union(e.select(col("dst").as("id"), col("dst").as("component")))
-      .distinct()
+      .distinct(), it)
   }
 
   /** Dedup resolution: drop every non-representative cluster member.
