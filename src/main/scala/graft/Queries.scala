@@ -1176,6 +1176,49 @@ object Queries {
       ${OracleSql.closureCtes("verified")}
       SELECT id AS doc_id, component FROM cc ORDER BY doc_id ASC"""))
 
+  // -------------------------- deterministic train/val/test assignment
+  private val q48 = Q(
+    "q48_split_assign",
+    (s, dir) => {
+      import graft.operators.Curation
+      Curation.deterministicSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN bucket < 90 THEN 'train'
+             WHEN bucket < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS BIGINT) % 100 AS bucket
+            FROM documents)
+      ORDER BY doc_id ASC"""))
+
+  // ------------------------------- greedy sequence packing per group
+  private val q49 = Q(
+    "q49_token_pack",
+    (s, dir) => {
+      import graft.operators.{Curation, TextAnalysis}
+      Curation.packSequences(t(s, dir, "documents"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 2048L,
+          groupCols = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("toks"), col("bin"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""WITH tk AS (SELECT doc_id, lang,
+        CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+             AS BIGINT) AS toks
+      FROM documents),
+      c AS (SELECT doc_id, lang, toks,
+              SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM tk)
+      SELECT doc_id, lang, toks,
+        CAST((cum - toks) // 2048 AS BIGINT) AS bin
+      FROM c ORDER BY doc_id ASC"""))
+
   // ===================== binary ingest decoders (rows-only checks:
   // DuckDB cannot decode NetFlow/sFlow wire formats)
 
@@ -1237,7 +1280,7 @@ object Queries {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

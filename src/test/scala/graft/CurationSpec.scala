@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkTest {
+
+  test("deterministicSplit: stable, covers all rows, roughly weighted") {
+    val df = flowDf(Seq("doc_id"), (0L until 1000L).map(Seq(_)))
+    val out = Curation.deterministicSplit(df, "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 1000)
+    assert(out("train") > 800 && out("train") < 970)
+    assert(out.keySet == Set("train", "val", "test"))
+
+    // stability: the same id maps to the same split in a different frame
+    val again = Curation.deterministicSplit(
+      flowDf(Seq("doc_id"), Seq(Seq(42L))), "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("split").collect().head.getString(0)
+    val ref = Curation.deterministicSplit(df, "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .filter(col("doc_id") === 42L)
+      .select("split").collect().head.getString(0)
+    assert(again == ref)
+  }
+
+  test("packSequences: bins fill to budget, overflow by at most one doc") {
+    // tokens 1000 each, budget 2048: preceding cum 0,1000,2000,3000,...
+    // → bins 0,0,0,1,1,2,... (bin 0 overflows to 3000 tokens)
+    val df = flowDf(Seq("doc_id", "g", "toks"),
+      (0L until 7L).map(i => Seq(i, 1L, 1000L)))
+    val bins = Curation.packSequences(df, "doc_id", col("toks"),
+        budget = 2048L, groupCols = Seq("g"))
+      .orderBy("doc_id").select("bin").collect().map(_.getLong(0)).toSeq
+    assert(bins == Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L))
+    // groups pack independently
+    val two = flowDf(Seq("doc_id", "g", "toks"),
+      Seq(Seq(1L, 1L, 3000L), Seq(2L, 2L, 100L)))
+    val byId = Curation.packSequences(two, "doc_id", col("toks"),
+        budget = 2048L, groupCols = Seq("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId == Map(1L -> 0L, 2L -> 0L))
+  }
+}
