@@ -1219,6 +1219,27 @@ object Queries {
         CAST((cum - toks) // 2048 AS BIGINT) AS bin
       FROM c ORDER BY doc_id ASC"""))
 
+  // ------------------------------------ int8 embedding quantization
+  private val q50 = Q(
+    "q50_embed_quantize",
+    (s, dir) => {
+      import graft.operators.Similarity
+      Similarity.quantizeInt8(
+          t(s, dir, "embeddings").filter(col("vec_id") < 100),
+          "vec_id", "embedding")
+        .orderBy(col("vec_id").asc, col("pos").asc)
+    },
+    Some(s"""WITH n AS (SELECT vec_id, embedding,
+               sqrt(${OracleSql.dotSql("embedding", "embedding", 64)})
+                 AS nrm
+             FROM embeddings WHERE vec_id < 100)
+      SELECT vec_id, i AS pos,
+        CASE WHEN nrm <> 0 THEN
+          CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / nrm + 0.5)
+               AS BIGINT) END AS q
+      FROM n, (SELECT unnest(range(1, 65)) AS i)
+      ORDER BY vec_id ASC, pos ASC"""))
+
   // ===================== binary ingest decoders (rows-only checks:
   // DuckDB cannot decode NetFlow/sFlow wire formats)
 
@@ -1280,7 +1301,7 @@ object Queries {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

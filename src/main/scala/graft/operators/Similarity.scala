@@ -164,6 +164,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization of unit-normalized embeddings — the
+    * storage form an index holds at corpus scale (4× smaller than f32,
+    * dot products stay within ~1% for cosine ranking). Emitted as
+    * (id, pos, q) rows: q = floor(x·127/‖v‖ + 0.5), exact integer
+    * output both engines can reproduce (mirrored IEEE op order; zero
+    * vectors yield NULL via the norm guard). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), norm2(col(vecCol)).as("__n"),
+        posexplode(col(vecCol)).as(Seq("pos", "__x")))
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        when(col("__n") =!= 0.0,
+          floor(col("__x").cast("double") * 127 / col("__n") + 0.5)
+            .cast("long")).as("q"))
+
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, blocked
     * by LSH bucket so no cross product forms. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,

@@ -306,4 +306,17 @@ class ExtensionOpsSpec extends SparkTest {
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(labeled(Some("web-tls")) == 1L)
   }
+
+  test("int8 quantization: known values, cosine ranking preserved") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // (3,4): norm 5 → floor(3·127/5+0.5)=76, floor(4·127/5+0.5)=102
+    val df = Seq((1L, Array(3f, 4f)), (2L, Array(0f, -2f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(q == Seq((1L, 1, 76L), (1L, 2, 102L),
+      (2L, 1, 0L), (2L, 2, -127L)))
+  }
 }
