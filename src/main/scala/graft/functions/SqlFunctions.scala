@@ -74,5 +74,8 @@ object SqlFunctions {
         sys.error(s"unknown IP list '$nm'"))
       LpmExpr.contains6(list.v6)(colOf(es(0)))
     })
+    // curation surface: stable [0,100) bucket for split assignment
+    register(spark, "hash_bucket",
+      es => graft.operators.Curation.hashBucket(colOf(es.head)))
   }
 }

@@ -114,6 +114,14 @@ class SqlFunctionsSpec extends SparkTest {
     assert(r.getAs[String]("cc") == "fr") // 192.0.2.x TEST-NET override
     assert(r.getAs[String]("a") == "64500")
     assert(r.getAs[Boolean]("inlist"))
+
+    // curation bucket: matches the operator's definition and is stable
+    val b = spark.sql("SELECT hash_bucket(42L) AS b").collect()(0)
+      .getAs[Long]("b")
+    assert(b >= 0 && b < 100)
+    val b2 = spark.sql("SELECT hash_bucket(42L) AS b").collect()(0)
+      .getAs[Long]("b")
+    assert(b == b2)
   }
 
   test("v6 function surface callable from spark.sql") {
