@@ -126,24 +126,33 @@ object OracleSql {
   }
 
   /** q16's MinHash/LSH candidate pairs as a CTE chain (shingleK=3, 16
-    * hashes, 4 bands — same literals as the q16 text); exposes
-    * `pairs(a, b)`. */
-  def minhashPairsCtes: String =
+    * hashes, 4 bands — same literals as the q16 text). The hash family
+    * mirrors Dedup's 2-universal (a_j·h + b_j) mod 2^31−1 with the
+    * (a_j, b_j) literals baked from the SAME Scala source
+    * (Dedup.minhashCoef) — exact BIGINT math, engines cannot drift;
+    * exposes `pairs(a, b)`. */
+  def minhashPairsCtes: String = {
+    import graft.operators.Dedup.{minhashCoef, MinhashPrime => P}
+    val sigExprs = (0 until 16).map { j =>
+      val (a, b) = minhashCoef(j)
+      s"""list_min(list_transform(sh, s ->
+                   ($a * (CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+                          % $P) + $b) % $P))"""
+    }
     s"""sh AS (SELECT doc_id, ${shinglesSql("text", 3)} AS sh
              FROM documents),
       sig AS (SELECT doc_id,
-               list_transform(range(0, 16), j ->
-                 list_min(list_transform(sh, s ->
-                   md5(CAST(j AS VARCHAR) || '|' || s)))) AS sig
+               [${sigExprs.mkString(",\n                ")}] AS sig
               FROM sh WHERE len(sh) > 0),
       bands AS (SELECT doc_id, b,
-                 array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '')
+                 array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '|')
                    AS bucket
                 FROM sig, (SELECT unnest(range(0, 4)) AS b)),
       pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                 FROM bands l JOIN bands r
                   ON l.b = r.b AND l.bucket = r.bucket
                  AND l.doc_id < r.doc_id)"""
+  }
 
   /** Recursive transitive closure over an `(a, b)` edge CTE — the oracle
     * counterpart of the engine's large-star/small-star loop (O(n²)

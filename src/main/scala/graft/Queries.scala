@@ -692,22 +692,7 @@ object Queries {
           shingleK = 3, numHashes = 16, bands = 4)
         .orderBy(col("a").asc, col("b").asc)
     },
-    Some(s"""WITH
-      sh AS (SELECT doc_id, ${OracleSql.shinglesSql("text", 3)} AS sh
-             FROM documents),
-      sig AS (SELECT doc_id,
-               list_transform(range(0, 16), j ->
-                 list_min(list_transform(sh, s ->
-                   md5(CAST(j AS VARCHAR) || '|' || s)))) AS sig
-              FROM sh WHERE len(sh) > 0),
-      bands AS (SELECT doc_id, b,
-                 array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), '')
-                   AS bucket
-                FROM sig, (SELECT unnest(range(0, 4)) AS b)),
-      pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                FROM bands l JOIN bands r
-                  ON l.b = r.b AND l.bucket = r.bucket
-                 AND l.doc_id < r.doc_id)
+    Some(s"""WITH ${OracleSql.minhashPairsCtes}
       SELECT a, b FROM pairs ORDER BY a ASC, b ASC"""))
 
   // ----------------------------------------------------------- SimHash

@@ -56,32 +56,65 @@ object Dedup {
       .otherwise(typedlit(Seq.empty[String]))
   }
 
-  /** MinHash signature: for hash j, min over shingles of md5(j || '|' || s).
-    * Hex-string min == numeric min on the uniform md5 space. */
+  /** 2-universal MinHash family over a Mersenne-prime field:
+    * h_j(s) = (a_j·h(s) + b_j) mod (2^31−1), with h(s) = 32 md5 bits of
+    * the shingle and (a_j, b_j) md5-derived per-j constants (same Scala
+    * source feeds the DuckDB oracle literals, so the engines cannot
+    * drift). ONE md5 per shingle replaces one md5 PER HASH FUNCTION —
+    * hashing dominates MinHash cost at corpus scale — while keeping the
+    * per-j minima independent (a naive h1 + j·h2 family was measured to
+    * inflate candidate pairs ~6× via correlated minima: one
+    * small-hashed shingle wins every j). a_j·h + b_j < 2^62: exact
+    * BIGINT math in any engine, no overflow. */
+  val MinhashPrime: Long = (1L << 31) - 1
+
+  /** Deterministic per-j coefficients: a_j ∈ [1, p), b_j ∈ [0, p). */
+  def minhashCoef(j: Int): (Long, Long) = {
+    def h(salt: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$j".getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(d.take(8)).getLong.abs
+    }
+    (h("a") % (MinhashPrime - 1) + 1, h("b") % MinhashPrime)
+  }
+
+  /** h(s): the shingle's 32-bit md5 prefix reduced into the field. */
+  private def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast(LongType) % MinhashPrime
+
+  private def hashJ(h: Column, j: Int): Column = {
+    val (a, b) = minhashCoef(j)
+    (lit(a) * h + lit(b)) % MinhashPrime
+  }
+
+  /** MinHash signature array (convenience form — re-hashes the shingle
+    * array per j; use [[lshBuckets]]'s explode-once shape at scale). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      array_min(transform(shingleCol, s =>
-        md5(concat(j.cast("string"), lit("|"), s)))))
+    array((0 until numHashes).map(j =>
+      array_min(transform(shingleCol, s => hashJ(baseHash(s), j)))): _*)
 
   /** LSH bands: split the signature into `bands` concatenated buckets →
     * (band_idx, bucket_hash) rows per doc.
     *
-    * Shape: explode shingles once, hash each (shingle, j) pair once, and
-    * let the partial/final min-aggregation build the signature — the
-    * array-expression form would re-evaluate the shingle array for every
-    * hash function (Catalyst inlines lambda-captured subexpressions). */
+    * Shape: explode shingles once, md5 each shingle once, and let the
+    * partial/final min-aggregation build the signature from the integer
+    * family — the array-expression form would re-evaluate the shingle
+    * array for every hash function (Catalyst inlines lambda-captured
+    * subexpressions). */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val ex = df.select(col(idCol),
       explode(shingles(col(textCol), shingleK)).as("s"))
+      .select(col(idCol), baseHash(col("s")).as("h"))
     val mins = ex.groupBy(col(idCol)).agg(
-      min(md5(concat(lit("0"), lit("|"), col("s")))).as("h0"),
+      min(hashJ(col("h"), 0)).as("h0"),
       (1 until numHashes).map(j =>
-        min(md5(concat(lit(j.toString), lit("|"), col("s"))))
-          .as(s"h$j")): _*)
+        min(hashJ(col("h"), j)).as(s"h$j")): _*)
     val bandCols = (0 until bands).map { b =>
-      concat((b * rows until (b + 1) * rows).map(j => col(s"h$j")): _*)
+      concat_ws("|",
+        (b * rows until (b + 1) * rows)
+          .map(j => col(s"h$j").cast("string")): _*)
     }
     mins.select(col(idCol), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band")
