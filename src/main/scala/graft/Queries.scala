@@ -1282,11 +1282,101 @@ object Queries {
     },
     None)
 
+  // ------------------------- repetition / boilerplate quality signals
+  private val q51 = Q(
+    "q51_repetition",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          TextAnalysis.dupTokenBp(col("text")).as("dup_tok_bp"))
+        .join(TextAnalysis.repetitionMetrics(docs, "doc_id", "text", 2),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("n_grams"), col("top_gram_bp"),
+          col("dup_gram_bp"), col("dup_tok_bp"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH g AS (SELECT doc_id,
+        unnest(${OracleSql.shinglesSql("text", 2)}) AS g FROM documents),
+      pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      per AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_c,
+        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+        FROM pg GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+        CAST(COALESCE(floor(10000 * per.top_c / per.n_grams), 0)
+             AS BIGINT) AS top_gram_bp,
+        CAST(COALESCE(floor(10000 * per.dup_c / per.n_grams), 0)
+             AS BIGINT) AS dup_gram_bp,
+        CAST(CASE WHEN len(string_split(d.text, ' ')) > 0 THEN
+          floor(10000 * (len(string_split(d.text, ' '))
+                         - len(list_distinct(string_split(d.text, ' '))))
+                / len(string_split(d.text, ' ')))
+          ELSE 0 END AS BIGINT) AS dup_tok_bp
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY doc_id ASC"""))
+
+  // --------------------------------- benchmark-contamination check
+  private val q52 = Q(
+    "q52_contamination",
+    (s, dir) => {
+      import graft.operators.Contamination
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("source").isin("src0", "src1"))
+      Contamination.ngramOverlap(docs, bench, "doc_id", "text", 3)
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH dg AS (SELECT DISTINCT doc_id, g FROM
+        (SELECT doc_id, unnest(${OracleSql.shinglesSql("text", 3)}) AS g
+         FROM documents)),
+      bg AS (SELECT DISTINCT g FROM
+        (SELECT unnest(${OracleSql.shinglesSql("text", 3)}) AS g
+         FROM documents WHERE source IN ('src0', 'src1'))),
+      per AS (SELECT doc_id, count(*) AS n_distinct_grams,
+          sum(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END)
+            AS n_contam
+        FROM dg GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(per.n_distinct_grams, 0) AS BIGINT)
+          AS n_distinct_grams,
+        CAST(COALESCE(per.n_contam, 0) AS BIGINT) AS n_contam,
+        CAST(COALESCE(floor(10000 * per.n_contam / per.n_distinct_grams),
+                      0) AS BIGINT) AS contam_bp
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY doc_id ASC"""))
+
+  // ------------------------------- source-pair vocabulary overlap
+  private val q53 = Q(
+    "q53_source_overlap",
+    (s, dir) => {
+      import graft.operators.Contamination
+      Contamination.vocabOverlapMatrix(t(s, dir, "documents"), "source",
+          "text", 3)
+        .orderBy(col("grp_a").asc, col("grp_b").asc)
+    },
+    Some(s"""WITH sg AS (SELECT DISTINCT grp, g FROM
+        (SELECT source AS grp,
+           unnest(${OracleSql.shinglesSql("text", 3)}) AS g
+         FROM documents)),
+      sizes AS (SELECT grp, count(*) AS v FROM sg GROUP BY 1),
+      inter AS (SELECT l.grp AS grp_a, r.grp AS grp_b,
+          count(*) AS n_common
+        FROM sg l JOIN sg r ON l.g = r.g AND l.grp < r.grp
+        GROUP BY 1, 2)
+      SELECT i.grp_a, i.grp_b, CAST(i.n_common AS BIGINT) AS n_common,
+        CAST(floor(10000 * i.n_common / (a.v + b.v - i.n_common))
+             AS BIGINT) AS jaccard_bp
+      FROM inter i
+      JOIN sizes a ON i.grp_a = a.grp
+      JOIN sizes b ON i.grp_b = b.grp
+      ORDER BY grp_a ASC, grp_b ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51, q52, q53)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -130,6 +130,55 @@ object TextAnalysis {
       .otherwise(typedlit(Seq.empty[String]))
   }
 
+  /** Repetition / boilerplate metrics per document over word n-grams —
+    * the "repetitious text" quality signals of large-corpus curation
+    * (duplicate-n-gram and top-n-gram fractions, reported in basis
+    * points so results are integer and bit-exact across engines).
+    *
+    * Output: (idCol, n_grams, top_gram_bp, dup_gram_bp) where
+    *  - n_grams      = total n-gram occurrences in the doc,
+    *  - top_gram_bp  = 10000 × (occurrences of the most frequent
+    *                   n-gram) / n_grams,
+    *  - dup_gram_bp  = 10000 × (occurrences of n-grams appearing more
+    *                   than once) / n_grams.
+    *
+    * Shape: one explode + two hash aggregations keyed by (doc, gram)
+    * then (doc) — both benefit from partial (map-side) aggregation, and
+    * the second reuses the first's hash partitioning on the doc-id
+    * prefix. No windows, no self-joins; scales linearly in corpus size.
+    */
+  def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String,
+                        n: Int): org.apache.spark.sql.DataFrame = {
+    val g = df.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+    val perGram = g.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val per = perGram.groupBy(col(idCol)).agg(
+      sum(col("c")).as("n_grams"),
+      max(col("c")).as("top_c"),
+      sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left").select(
+      col(idCol),
+      coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+      coalesce(floor(lit(10000L) * col("top_c") / col("n_grams")), lit(0L))
+        .cast(LongType).as("top_gram_bp"),
+      coalesce(floor(lit(10000L) * col("dup_c") / col("n_grams")), lit(0L))
+        .cast(LongType).as("dup_gram_bp"))
+  }
+
+  /** Token-level repetition in basis points:
+    * 10000 × (n_tokens − n_distinct_tokens) / n_tokens. Pure column
+    * expression (uses the same unfiltered tokenization as
+    * [[Dedup.shingles]] so the two repetition views agree). */
+  def dupTokenBp(text: Column): Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast(LongType)
+    when(nTok > 0,
+      floor(lit(10000L) * (nTok - size(array_distinct(toks))) / nTok))
+      .otherwise(lit(0L)).cast(LongType)
+  }
+
   /** Distributed winnowing count per document. The column form above
     * re-evaluates the hash array per window position (Catalyst inlines
     * the lambda-captured subexpression — O(n·w) md5 calls per doc); this

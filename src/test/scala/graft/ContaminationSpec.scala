@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Contamination, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the corpus-hygiene operators: repetition
+  * metrics, benchmark contamination, source vocabulary overlap. */
+class ContaminationSpec extends SparkTest {
+
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String, String)*) = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      rows.map { case (i, t, s) => Row(i, t, s) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType, false),
+        StructField("text", StringType, false),
+        StructField("source", StringType, false))))
+  }
+
+  test("repetitionMetrics: bigram counts on a repetitious doc") {
+    // "a b a b a" → bigrams: "a b","b a","a b","b a" → n=4, top=2, dup=4
+    val df = docs((1L, "a b a b a", "s"), (2L, "x y z", "s"))
+    val m = TextAnalysis.repetitionMetrics(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: top_bp = 10000*2/4 = 5000, dup_bp = 10000*4/4 = 10000
+    assert(m(1L) == ((4L, 5000L, 10000L)))
+    // doc 2: "x y","y z" distinct → top 1/2=5000, dup 0
+    assert(m(2L) == ((2L, 5000L, 0L)))
+  }
+
+  test("repetitionMetrics: doc shorter than n yields zero row") {
+    val df = docs((1L, "one", "s"))
+    val m = TextAnalysis.repetitionMetrics(df, "doc_id", "text", 2)
+      .collect()
+    assert(m.length == 1 && m.head.getLong(1) == 0L &&
+      m.head.getLong(2) == 0L && m.head.getLong(3) == 0L)
+  }
+
+  test("dupTokenBp counts repeated tokens") {
+    val df = docs((1L, "a a b c", "s"), (2L, "a b", "s"))
+    val m = df.select(col("doc_id"),
+        TextAnalysis.dupTokenBp(col("text")).as("bp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 2500L) // 4 tokens, 3 distinct → 10000*1/4
+    assert(m(2L) == 0L)
+  }
+
+  test("ngramOverlap: trigram contamination against a bench set") {
+    val corpus = docs(
+      (1L, "a b c d", "s"),   // grams: "a b c","b c d"
+      (2L, "x y z w", "s"),   // grams: "x y z","y z w"
+      (3L, "a", "s"))         // no trigrams
+    val bench = docs((9L, "a b c x", "b")) // grams: "a b c","b c x"
+    val m = Contamination.ngramOverlap(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L) == ((2L, 1L, 5000L))) // "a b c" hit
+    assert(m(2L) == ((2L, 0L, 0L)))
+    assert(m(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("ngramOverlap counts distinct grams once") {
+    // "a b c a b c a b c" distinct trigrams: "a b c","b c a","c a b"
+    val corpus = docs((1L, "a b c a b c a b c", "s"))
+    val bench = docs((9L, "a b c", "b"))
+    val r = Contamination.ngramOverlap(corpus, bench, "doc_id", "text", 3)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 1L, 3333L)))
+  }
+
+  test("vocabOverlapMatrix: pairwise Jaccard over sources") {
+    val df = docs(
+      (1L, "a b c", "s1"),  // s1 bigram vocab: {"a b","b c"}
+      (2L, "a b d", "s2"),  // s2: {"a b","b d"}
+      (3L, "p q", "s3"))    // s3: {"p q"} — no overlap with s1/s2
+    val rows = Contamination.vocabOverlapMatrix(df, "source", "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // only (s1,s2) share a gram: inter=1, union=3 → 3333 bp
+    assert(rows.toSeq == Seq(("s1", "s2", 1L, 3333L)))
+  }
+
+  test("vocabOverlapMatrix orders pairs grp_a < grp_b") {
+    val df = docs((1L, "a b", "zz"), (2L, "a b", "aa"))
+    val r = Contamination.vocabOverlapMatrix(df, "source", "text", 2)
+      .collect().head
+    assert(r.getString(0) == "aa" && r.getString(1) == "zz" &&
+      r.getLong(3) == 10000L)
+  }
+}
