@@ -1371,12 +1371,68 @@ object Queries {
       JOIN sizes b ON i.grp_b = b.grp
       ORDER BY grp_a ASC, grp_b ASC"""))
 
+  // ----------------------- SimHash near-dup pairs (banded Hamming LSH)
+  private val q54 = Q(
+    "q54_simhash_pairs",
+    (s, dir) => {
+      import graft.operators.Dedup
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          bits = 16, maxDist = 2)
+        .orderBy(col("a").asc, col("b").asc)
+    },
+    // brute-force all-pairs Hamming in DuckDB — the banded join has
+    // perfect recall for dist ≤ maxDist (pigeonhole), so the outputs
+    // are identical by construction
+    Some(s"""WITH
+      toks AS (SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                   w -> w <> '')) AS tok
+               FROM documents),
+      h AS (SELECT doc_id,
+              CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+            FROM toks),
+      bitsums AS (SELECT doc_id, ${OracleSql.simhashBitSums("h", 16)}
+                  FROM h GROUP BY doc_id),
+      sig AS (SELECT doc_id, ${OracleSql.simhashAssemble(16)} AS simhash
+              FROM bitsums)
+      SELECT l.doc_id AS a, r.doc_id AS b,
+        CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS dist
+      FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+      ORDER BY a ASC, b ASC"""))
+
+  // ------------------------- keyword extraction (integer tf·idf rank)
+  private val q55 = Q(
+    "q55_keywords",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.keywords(t(s, dir, "documents"), "doc_id", "text",
+          k = 3)
+        .orderBy(col("doc_id").asc, col("rank").asc)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+            AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (SELECT doc_id, tok, tf, df, (tf * 100000) // df AS score
+        FROM tf JOIN dfreq USING (tok)),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, tok ASC) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        CAST(score AS BIGINT) AS score
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id ASC, rank ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53)
+    q51, q52, q53, q54, q55)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -167,6 +167,39 @@ object TextAnalysis {
         .cast(LongType).as("dup_gram_bp"))
   }
 
+  /** Top-k distinctive keywords per document by an integer tf·idf
+    * surrogate: score = (tf × 100000) div df — term frequency in the
+    * doc over document frequency in the corpus, integer division so
+    * every engine agrees bit-for-bit (a float log-idf would hostage the
+    * result to libm rounding). Ties break by token ascending.
+    *
+    * Output: (idCol, rank 1..k, tok, tf, df, score).
+    *
+    * Shape: explode tokens once → (doc, tok) counts [one shuffle on the
+    * composite key] → token df [re-aggregates the same table, partial
+    * aggs make the tok-keyed shuffle small] → shuffle join on tok →
+    * per-doc top-k via row_number over doc partitions. Every stage is
+    * keyed and partial-aggregated; no driver-side work, no broadcast of
+    * corpus-sized state (the df table is vocabulary-sized and stays
+    * distributed). */
+  def keywords(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "tok")
+      .withColumn("score", expr("(tf * 100000) div df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast(LongType).as("rank"),
+        col("tok"), col("tf"), col("df"), col("score"))
+  }
+
   /** Token-level repetition in basis points:
     * 10000 × (n_tokens − n_distinct_tokens) / n_tokens. Pure column
     * expression (uses the same unfiltered tokenization as

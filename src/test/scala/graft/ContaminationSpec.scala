@@ -83,6 +83,27 @@ class ContaminationSpec extends SparkTest {
     assert(rows.toSeq == Seq(("s1", "s2", 1L, 3333L)))
   }
 
+  test("keywords: integer tf·idf ranks distinctive tokens first") {
+    // "rare" df=1 tf=2 → 200000; "mid" df=2 → 100000/2·tf
+    val df = docs(
+      (1L, "rare rare mid common common", "s"),
+      (2L, "mid common other", "s"),
+      (3L, "common common zz", "s"))
+    val rows = TextAnalysis.keywords(df, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L).orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(5)))
+    // doc1: rare tf=2 df=1 → 200000; mid tf=1 df=2 → 50000;
+    //       common tf=2 df=3 → 66666
+    assert(rows.toSeq == Seq((1L, "rare", 200000L), (2L, "common", 66666L)))
+  }
+
+  test("keywords tie-break is token-ascending") {
+    val df = docs((1L, "b a", "s")) // both tf=1 df=1 → equal score
+    val rows = TextAnalysis.keywords(df, "doc_id", "text", 2)
+      .orderBy(col("rank")).collect().map(_.getString(2))
+    assert(rows.toSeq == Seq("a", "b"))
+  }
+
   test("vocabOverlapMatrix orders pairs grp_a < grp_b") {
     val df = docs((1L, "a b", "zz"), (2L, "a b", "aa"))
     val r = Contamination.vocabOverlapMatrix(df, "source", "text", 2)

@@ -57,6 +57,29 @@ class ExtensionOpsSpec extends SparkTest {
     assert(sigs(1L) >= 0 && sigs(1L) < (1L << 16))
   }
 
+  test("simhashPairs matches brute-force Hamming pairs (band recall)") {
+    // 40 pseudo-random docs; banded LSH must equal all-pairs exactly
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val rows = (1L to 40L).map { i =>
+      val txt = (0 until 12)
+        .map(j => words(((i * 31 + j * 17) % words.size).toInt))
+        .mkString(" ")
+      i -> txt
+    }
+    val df = docs(rows: _*)
+    val banded = Dedup.simhashPairs(df, "doc_id", "text", bits = 16,
+        maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Dedup.simhash(df, "doc_id", "text", bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= 4
+    } yield (a, b, d.toLong)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // fixture actually exercises the path
+  }
+
   test("ngram jaccard basis points") {
     val df = docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "z z z z")
     // bigrams: d1 {ab, bc, cd}, d2 {ab, bc, ce}: inter 2, union 4 → 5000
