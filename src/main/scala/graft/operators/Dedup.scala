@@ -155,6 +155,28 @@ object Dedup {
     sums.select(col(idCol), sigExpr.as("simhash"))
   }
 
+  /** Streaming exact dedup for continuous ingest: emit each content's
+    * first arrival, suppress re-arrivals inside the watermark horizon
+    * (`dropDuplicatesWithinWatermark` semantics — the bounded-state
+    * answer for a continuous corpus feed: re-crawls land inside the
+    * horizon and are dropped; content older than the horizon re-admits
+    * rather than holding state forever).
+    *
+    * State is keyed by (md5 digest, content length) — 40-ish bytes per
+    * distinct document instead of the body, so a 1-day horizon over a
+    * 100 TB/day feed is gigabytes of state store, not terabytes. The
+    * digest+length pair mirrors [[exact]]'s collision guard at streaming
+    * state cost (a same-md5 same-length forgery is the residual risk;
+    * batch reconciliation with [[exact]] closes it). */
+  def streamingExact(stream: DataFrame, tsCol: String, contentCol: String,
+                     watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("__digest", md5(col(contentCol)))
+      .withColumn("__len", length(col(contentCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__digest", "__len")
+      .drop("__digest", "__len")
+
   /** SimHash near-dup pairs: all (a < b) with Hamming distance ≤ maxDist
     * between their [[simhash]] signatures, found WITHOUT an all-pairs
     * comparison.
