@@ -1427,12 +1427,29 @@ object Queries {
       FROM ranked WHERE rank <= 3
       ORDER BY doc_id ASC, rank ASC"""))
 
+  // --------------------------- deterministic source-mix downsampling
+  private val q56 = Q(
+    "q56_mix_sample",
+    (s, dir) => {
+      import graft.operators.Curation
+      Curation.mixSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 2500L, "src1" -> 0L, "src2" -> 5000L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""SELECT doc_id, source FROM documents
+      WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 6)
+               AS BIGINT) % 10000)
+            < (CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 0
+                 WHEN 'src2' THEN 5000 ELSE 10000 END)
+      ORDER BY doc_id ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55)
+    q51, q52, q53, q54, q55, q56)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

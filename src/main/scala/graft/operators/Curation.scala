@@ -41,6 +41,34 @@ object Curation {
     df.withColumn("split", splitCol)
   }
 
+  /** Deterministic source mixing: admit each group's rows at a target
+    * rate (basis points, 0..10000) — the reweighting step that
+    * downsamples over-represented sources before training. A row is
+    * admitted iff its stable sampling bucket < the group's rate;
+    * unlisted groups use defaultBp.
+    *
+    * The bucket comes from md5 hex chars 5..10 (24 bits, mod 10000) —
+    * disjoint from [[hashBucket]]'s chars 1..4, so admission is
+    * independent of split assignment (a biased interaction between
+    * sampling and held-out splits is the classic silent mixing bug).
+    * Like the split, admission is a pure function of the id: stable
+    * across reshards/appends/reruns, and raising a rate strictly grows
+    * the sample (nested samples — a 20% sample contains the 10% one).
+    * Pure column expression: no shuffle, fully pushdown-friendly. */
+  def mixSample(df: DataFrame, idCol: String, groupCol: String,
+                rateBp: Map[String, Long],
+                defaultBp: Long = 10000L): DataFrame = {
+    require(rateBp.values.forall(r => r >= 0 && r <= 10000) &&
+      defaultBp >= 0 && defaultBp <= 10000, "rates are basis points")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 5, 6),
+      16, 10).cast("long") % 10000
+    val rate = rateBp.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultBp): Column) { case ((g, r), acc) =>
+        when(col(groupCol) === g, lit(r)).otherwise(acc)
+      }
+    df.filter(bucket < rate)
+  }
+
   /** Greedy sequence packing: within each group (e.g. a (lang, shard)
     * pair), walk rows in id order accumulating token counts; a row's
     * bin is `floor(preceding_cumulative / budget)` — bin b holds the

@@ -27,6 +27,32 @@ class CurationSpec extends SparkTest {
     assert(again == ref)
   }
 
+  test("mixSample: rate 0 drops all, 10000 keeps all, samples nest") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(
+      (0L until 400L).map(i => Row(i, s"src${i % 4}")).asJava,
+      StructType(Seq(StructField("doc_id", LongType, false),
+        StructField("source", StringType, false))))
+    def ids(rates: Map[String, Long], default: Long = 10000L) =
+      Curation.mixSample(df, "doc_id", "source", rates, default)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Map("src0" -> 0L)).forall(_ % 4 != 0))
+    assert(ids(Map.empty).size == 400) // default keeps everything
+    val s20 = ids(Map("src1" -> 2000L), 0L)
+    val s50 = ids(Map("src1" -> 5000L), 0L)
+    assert(s20.subsetOf(s50), "raising the rate must grow the sample")
+    assert(s50.size > s20.size && s50.size < 100)
+    // sampling bucket is independent of the split bucket: both halves
+    // of a 50% sample should still land in train/val/test
+    val splits = Curation.deterministicSplit(
+      Curation.mixSample(df, "doc_id", "source", Map.empty, 5000L),
+      "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("split").collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"))
+  }
+
   test("packSequences: bins fill to budget, overflow by at most one doc") {
     // tokens 1000 each, budget 2048: preceding cum 0,1000,2000,3000,...
     // → bins 0,0,0,1,1,2,... (bin 0 overflows to 3000 tokens)
