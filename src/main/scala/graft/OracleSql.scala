@@ -174,6 +174,43 @@ object OracleSql {
   def dupClusterCtes: String =
     minhashPairsCtes + ",\n      " + closureCtes("pairs")
 
+  /** Integer-quantized Lloyd k-means, unrolled to `iters` iterations —
+    * mirrors Similarity.kmeansQuantized step for step (same quantize,
+    * seed order, exact integer distances, floor-div means, empty-cluster
+    * carry-forward), so the trained centroids match bit-for-bit.
+    * Exposes `c$iters(cid, pos, cx)`. */
+  def kmeansCtes(k: Int, iters: Int, dim: Int, scale: Long): String = {
+    val d1 = dim + 1
+    val base = s"""kvq AS (SELECT vec_id AS id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS v
+      FROM embeddings),
+      kseed AS (SELECT id, v, row_number() OVER (
+          ORDER BY md5(CAST(id AS VARCHAR)) ASC, id ASC) - 1 AS cid
+        FROM kvq),
+      c0 AS (SELECT cid, i AS pos, v[i] AS cx
+        FROM kseed CROSS JOIN range(1, $d1) t(i) WHERE cid < $k)"""
+    val steps = (1 to iters).map { it =>
+      val p = it - 1
+      s"""d$it AS (SELECT q.id, c.cid,
+          SUM((q.v[c.pos] - c.cx) * (q.v[c.pos] - c.cx)) AS dist
+        FROM kvq q CROSS JOIN c$p c GROUP BY q.id, c.cid),
+      a$it AS (SELECT id, cid FROM (SELECT id, cid, row_number() OVER (
+            PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn FROM d$it)
+        WHERE rn = 1),
+      m$it AS (SELECT a.cid, t.i AS pos,
+          CAST(floor(CAST(SUM(q.v[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+            AS cx
+        FROM a$it a JOIN kvq q USING (id)
+        CROSS JOIN range(1, $d1) t(i)
+        GROUP BY a.cid, t.i),
+      c$it AS (SELECT c.cid, c.pos, COALESCE(m.cx, c.cx) AS cx
+        FROM c$p c LEFT JOIN m$it m
+          ON c.cid = m.cid AND c.pos = m.pos)"""
+    }
+    (base +: steps).mkString(",\n      ")
+  }
+
   /** Exact-Jaccard verification of the candidate pairs (mirrors
     * Dedup.jaccardVerify: distinct word n-grams, integer basis points);
     * exposes `verified(a, b)` = pairs with j_bp ≥ minBp. */

@@ -1444,12 +1444,25 @@ object Queries {
                  WHEN 'src2' THEN 5000 ELSE 10000 END)
       ORDER BY doc_id ASC"""))
 
+  // ------------------ k-means training (integer-exact, oracle-replayed)
+  private val q57 = Q(
+    "q57_kmeans",
+    (s, dir) => {
+      import graft.operators.Similarity
+      Similarity.kmeansQuantized(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 4, iters = 2)
+        .orderBy(col("cid").asc, col("pos").asc)
+    },
+    Some(s"""WITH ${OracleSql.kmeansCtes(4, 2, 64, 1000000L)}
+      SELECT cid, CAST(pos AS BIGINT) AS pos, cx FROM c2
+      ORDER BY cid ASC, pos ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56)
+    q51, q52, q53, q54, q55, q56, q57)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

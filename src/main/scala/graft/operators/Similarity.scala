@@ -164,6 +164,72 @@ object Similarity {
       .limit(k)
   }
 
+  /** Distributed k-means (Lloyd) over integer-quantized vectors — the
+    * trainer that produces [[ivfTopK]]'s centroid table.
+    *
+    * Every step is EXACT integer math, which makes the whole training
+    * run deterministic and engine-portable (the DuckDB oracle replays
+    * it bit-for-bit) — normally k-means can't be oracled because float
+    * mean aggregation is order-dependent:
+    *  - vectors quantize to floor(x·10^6) longs;
+    *  - seeds are the k rows with smallest md5(id) (stable under
+    *    resharding, no RNG);
+    *  - assignment minimizes exact integer squared-L2, ties to the
+    *    smaller centroid id;
+    *  - the centroid update is an element-wise floor(sum/count) —
+    *    floor-division on both engines;
+    *  - empty clusters carry their previous centroid forward.
+    *
+    * Scale shape per iteration: centroids broadcast (k·dim longs);
+    * assignment is a map-side argmin folded into a partial-aggregated
+    * groupBy(id) min(struct) — no window, no n×k shuffle; the update
+    * shuffles (cid, pos) partial sums only. Component sums stay exact
+    * in a double up to 2^53 (≈ 9·10^9 rows at |x| ≤ 1); beyond that,
+    * swap the floor(sum/count) to decimal division.
+    *
+    * @return exploded centroid table (cid, pos, cx), pos 1-based.
+    */
+  def kmeansQuantized(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int,
+                      scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val vq = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => floor(x * lit(scale.toDouble))
+        .cast(LongType)).as("v"))
+    val wSeed = Window.orderBy(col("__h").asc, col("id").asc)
+    var cents = vq
+      .withColumn("__h", md5(col("id").cast("string")))
+      .orderBy(col("__h").asc, col("id").asc).limit(k)
+      .withColumn("cid", row_number().over(wSeed).cast(LongType) - 1)
+      .select(col("cid"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val asg = vq.join(broadcast(cents))
+        .withColumn("dist",
+          aggregate(zip_with(col("v"), col("cv"),
+            (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+        .groupBy(col("id"))
+        .agg(min(struct(col("dist"), col("cid"), col("v"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.v").as("v"))
+      val upd = asg
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          floor(col("s").cast("double") / col("n")).cast(LongType)
+            .as("cx")))).as("ps"))
+        .select(col("cid"),
+          transform(col("ps"), p => p.getField("cx")).as("cvNew"))
+      cents = cents.join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cvNew"), col("cv")).as("cv"))
+        .localCheckpoint() // truncate lineage across iterations
+    }
+    cents.select(col("cid"),
+        posexplode(col("cv")).as(Seq("pos0", "cx")))
+      .select(col("cid"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("cx"))
+  }
+
   /** Int8 scalar quantization of unit-normalized embeddings — the
     * storage form an index holds at corpus scale (4× smaller than f32,
     * dot products stay within ~1% for cosine ranking). Emitted as

@@ -57,6 +57,54 @@ class ExtensionOpsSpec extends SparkTest {
     assert(sigs(1L) >= 0 && sigs(1L) < (1L << 16))
   }
 
+  test("kmeansQuantized matches a sequential Lloyd reference model") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val dim = 3
+    val vecs: Seq[(Long, Seq[Float])] = (1L to 30L).map { i =>
+      i -> Seq.tabulate(dim)(d =>
+        (math.sin(i * 7.3 + d * 1.9) * 0.8).toFloat)
+    }
+    val df = spark.createDataFrame(
+      vecs.map { case (i, v) => Row(i, v) }.asJava,
+      StructType(Seq(StructField("vec_id", LongType, false),
+        StructField("embedding", ArrayType(FloatType, false), false))))
+    val k = 3; val iters = 2; val scale = 1000000L
+
+    // sequential reference: same quantize/seed/assign/update rules
+    val vq = vecs.map { case (i, v) =>
+      i -> v.map(x => math.floor(x.toDouble * scale).toLong) }.toMap
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cents: Map[Long, Seq[Long]] = vecs.map(_._1)
+      .sortBy(i => (md5s(i.toString), i)).take(k).zipWithIndex
+      .map { case (i, c) => c.toLong -> vq(i) }.toMap
+    for (_ <- 0 until iters) {
+      val asg = vq.toSeq.map { case (i, v) =>
+        val (cid, _) = cents.toSeq.map { case (c, cv) =>
+          c -> v.zip(cv).map { case (a, b) =>
+            (a - b) * (a - b) }.sum
+        }.minBy { case (c, d) => (d, c) }
+        cid -> v
+      }
+      cents = cents.map { case (c, old) =>
+        val mine = asg.filter(_._1 == c).map(_._2)
+        if (mine.isEmpty) c -> old
+        else c -> (0 until dim).map(p =>
+          math.floor(mine.map(_(p)).sum.toDouble / mine.size).toLong)
+      }
+    }
+    val expected = cents.toSeq.sortBy(_._1).flatMap { case (c, cv) =>
+      cv.zipWithIndex.map { case (x, p) => (c, (p + 1).toLong, x) } }
+
+    val got = Similarity.kmeansQuantized(df, "vec_id", "embedding",
+        k, iters).orderBy(col("cid"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected)
+  }
+
   test("simhashPairs matches brute-force Hamming pairs (band recall)") {
     // 40 pseudo-random docs; banded LSH must equal all-pairs exactly
     val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
