@@ -1457,12 +1457,55 @@ object Queries {
       SELECT cid, CAST(pos AS BIGINT) AS pos, cx FROM c2
       ORDER BY cid ASC, pos ASC"""))
 
+  // -------------- end-to-end ANN pipeline: train -> index -> search
+  private val q58 = Q(
+    "q58_kmeans_ivf",
+    (s, dir) => {
+      // the production composition: kmeansCentroids trains the coarse
+      // quantizer (integer-exact, q57), ivfTopK searches its inverted
+      // lists — one query, deterministic end to end
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      Similarity.ivfTopK(emb.filter(col("vec_id") =!= 1), "vec_id",
+          "embedding", cents, "cid", "cv",
+          nprobe = 2, emb.filter(col("vec_id") === 1), "embedding", 20)
+        .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))
+    }, {
+      def cos(a: String, b: String) =
+        s"${OracleSql.dotSql(a, b, 64)} / " +
+          s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
+          s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
+      Some(s"""WITH ${OracleSql.kmeansCtes(4, 2, 64, 1000000L)},
+      cent AS (SELECT cid,
+          list(CAST(cx AS DOUBLE) / 1000000 ORDER BY pos) AS cv
+        FROM c2 GROUP BY cid),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+      asg AS (SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cv")} DESC NULLS LAST,
+                          c.cid ASC) AS rn
+        FROM embeddings e, cent c WHERE e.vec_id <> 1) WHERE rn = 1),
+      probes AS (SELECT cid FROM (
+        SELECT c.cid FROM cent c, q
+        ORDER BY ${cos("qv", "c.cv")} DESC NULLS LAST, c.cid ASC
+        LIMIT 2)),
+      cand AS (SELECT a.vec_id, a.embedding FROM asg a
+               JOIN probes p ON a.cid = p.cid),
+      sc AS (SELECT vec_id, ${cos("embedding", "qv")} AS sim
+             FROM cand, q)
+      SELECT vec_id, round(sim, 6) AS sim_r FROM sc
+      ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 20""")
+    })
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57)
+    q51, q52, q53, q54, q55, q56, q57, q58)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

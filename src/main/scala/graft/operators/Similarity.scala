@@ -193,6 +193,25 @@ object Similarity {
                       k: Int, iters: Int,
                       scale: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    kmeansArrays(df, idCol, vecCol, k, iters, scale)
+      .select(col("cid"), posexplode(col("cv")).as(Seq("pos0", "cx")))
+      .select(col("cid"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("cx"))
+  }
+
+  /** [[kmeansQuantized]]'s centroids dequantized to double arrays —
+    * drop-in centroid table for [[ivfTopK]] (cid, cv). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int,
+                      scale: Long = 1000000L): DataFrame =
+    kmeansArrays(df, idCol, vecCol, k, iters, scale)
+      .select(col("cid"),
+        transform(col("cv"), x => x / lit(scale.toDouble)).as("cv"))
+
+  private def kmeansArrays(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int,
+                           scale: Long): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val vq = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => floor(x * lit(scale.toDouble))
         .cast(LongType)).as("v"))
@@ -224,10 +243,7 @@ object Similarity {
         .select(col("cid"), coalesce(col("cvNew"), col("cv")).as("cv"))
         .localCheckpoint() // truncate lineage across iterations
     }
-    cents.select(col("cid"),
-        posexplode(col("cv")).as(Seq("pos0", "cx")))
-      .select(col("cid"), (col("pos0") + 1).cast(LongType).as("pos"),
-        col("cx"))
+    cents
   }
 
   /** Int8 scalar quantization of unit-normalized embeddings — the
