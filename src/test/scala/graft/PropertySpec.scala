@@ -120,6 +120,76 @@ class PropertySpec extends SparkTest {
     }
   }
 
+  test("repetitionMetrics equals a sequential n-gram count model on " +
+    "random corpora") {
+    import graft.operators.TextAnalysis
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val genDoc = Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "ee")))
+    samples(Gen.listOfN(40, genDoc), 3).foreach { docsToks =>
+      val rows = docsToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" ")) }
+      val df = spark.createDataFrame(
+        rows.map { case (i, t) => Row(i, t) }.asJava,
+        StructType(Seq(StructField("doc_id", LongType, false),
+          StructField("text", StringType, false))))
+      val got = TextAnalysis.repetitionMetrics(df, "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      rows.foreach { case (id, text) =>
+        // model mirrors Dedup.shingles' raw split semantics
+        val toks = text.split(" ", -1).toSeq
+        val grams =
+          if (toks.size < 2) Seq.empty
+          else toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        val n = grams.size.toLong
+        val expected =
+          if (n == 0) (0L, 0L, 0L)
+          else {
+            val top = counts.values.max.toLong
+            val dup = counts.values.filter(_ > 1).map(_.toLong).sum
+            (n, math.floor(10000.0 * top / n).toLong,
+              math.floor(10000.0 * dup / n).toLong)
+          }
+        assert(got(id) == expected, s"doc $id '$text'")
+      }
+    }
+  }
+
+  test("mixSample: nested samples and exact per-group rate semantics " +
+    "for random rates") {
+    import graft.operators.Curation
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val ids = (0L until 300L)
+    val df = spark.createDataFrame(
+      ids.map(i => Row(i, s"g${i % 3}")).asJava,
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("grp", StringType, false))))
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(4, 10), 16) % 10000
+    }
+    samples(Gen.zip(Gen.chooseNum(0L, 10000L), Gen.chooseNum(0L, 10000L)),
+      4).foreach { case (rA, rB) =>
+      val (lo, hi) = (math.min(rA, rB), math.max(rA, rB))
+      def run(r: Long) = Curation.mixSample(df, "id", "grp",
+          Map("g0" -> r), defaultBp = 0L)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val (sLo, sHi) = (run(lo), run(hi))
+      assert(sLo.subsetOf(sHi), s"nesting violated at $lo/$hi")
+      // exact semantics: admitted iff group rate beats the md5 bucket
+      val expected = ids.filter(i => i % 3 == 0 && bucket(i) < hi).toSet
+      assert(sHi == expected, s"rate $hi")
+    }
+  }
+
   test("alert machine: Started and Ended strictly alternate per key") {
     val genOps = Gen.listOfN(40, for {
       isBreach <- Gen.prob(0.4)
