@@ -19,7 +19,8 @@ object Plans {
       else Seq("q05_scan_prune", "q03_filter_cidr", "q06_join_bcast",
         "q02_fwm_topn_others", "q14_geoip", "q29_mavg_decay",
         "q38_filter_v6", "q39_geoip_v6", "q44_embed_neardup",
-        "q54_simhash_pairs", "q55_keywords", "q56_mix_sample")
+        "q54_simhash_pairs", "q55_keywords", "q56_mix_sample",
+        "q57_kmeans", "q58_kmeans_ivf")
     names.foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir)
