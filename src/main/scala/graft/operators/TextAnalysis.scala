@@ -237,4 +237,33 @@ object TextAnalysis {
     df.select(col(idCol)).join(counts, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_winnow"), lit(0L)).as("n_winnow"))
   }
+
+  /** Default PII redaction patterns (pattern → placeholder). Restricted
+    * to the regex subset shared by Java regex and RE2 (no lookaround, no
+    * backreferences), so the exact same patterns run in the DuckDB
+    * oracle and in any RE2-based downstream scrubber. Order matters:
+    * earlier patterns are applied first (emails before phone numbers so
+    * the digits in a local-part are not half-eaten). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9() .-]{6,14}[0-9]\\b" -> "<PHONE>")
+
+  /** PII / pattern redaction: apply each (regex → placeholder) pair in
+    * order, replacing every occurrence. A pure codegen'd column
+    * expression chain — one scan pass, zero shuffles, trivially
+    * parallel at any corpus size. */
+  def redact(text: Column,
+             patterns: Seq[(String, String)] = piiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+
+  /** Number of redaction matches in the ORIGINAL text (counted per
+    * pattern independently, before any replacement — the audit metric a
+    * scrubbing pipeline reports per document). */
+  def redactionCount(text: Column,
+                     patterns: Seq[(String, String)] = piiPatterns): Column =
+    patterns.map(p => regexp_count(text, lit(p._1)))
+      .reduce(_ + _).cast(LongType)
 }
