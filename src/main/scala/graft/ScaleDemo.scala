@@ -29,6 +29,7 @@ object ScaleDemo {
     spark.sparkContext.setLogLevel("ERROR")
 
     if (args.contains("cc")) { ccDemo(spark); spark.stop(); return }
+    if (args.contains("ivf")) { ivfDemo(spark, sfDir); spark.stop(); return }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.count() // warm the scan
@@ -62,6 +63,56 @@ object ScaleDemo {
       s""""capped_pairs":$nCapped,"lsh_verify_sec":$tLsh,""" +
       s""""lsh_verify_pairs":$nLsh}""")
     spark.stop()
+  }
+
+  /** IVF assignment-stage shapes at coarse-quantizer scale (k ≥ 1024):
+    * the old window argmin shuffles all n×k joined rows through a
+    * row_number; the shipped min(struct) partial-agg collapses to one
+    * row per vector map-side before the exchange. Both produce the
+    * identical assignment (verified by hash compare here). */
+  private def ivfDemo(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.Similarity.{dot, norm2}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nVec = emb.count() // warm scan
+    val k = 1024
+    val step = math.max(1L, nVec / k)
+    val cent = broadcast(emb.filter(col("vec_id") % step === 0)
+      .limit(k)
+      .select(col("vec_id").as("__cid"), col("embedding").as("__cv"),
+        norm2(col("embedding")).as("__cn")))
+    val kEff = cent.count()
+    val base = emb.select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("__n"))
+      .join(cent)
+      .withColumn("__cs",
+        dot(col("embedding"), col("__cv")) / (col("__n") * col("__cn")))
+
+    def time(what: String)(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = body
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"$what: $s%.2f s, $n rows")
+      (s, n)
+    }
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("__cs").desc, col("__cid").asc)
+    def windowAssign = base
+      .withColumn("__rn", row_number().over(wAsg))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("__cid"))
+    def aggAssign = base
+      .withColumn("__csNeg", -col("__cs"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__csNeg"), col("__cid"))).as("m"))
+      .select(col("vec_id"), col("m.__cid").as("__cid"))
+    val (tWin, nWin) = time(s"window argmin k=$kEff")(windowAssign.count())
+    val (tAgg, nAgg) = time(s"min(struct) argmin k=$kEff")(aggAssign.count())
+    val mismatch = windowAssign.except(aggAssign).count() +
+      aggAssign.except(windowAssign).count()
+    println(s"""{"sf":"$sfDir","n_vectors":$nVec,"k":$kEff,""" +
+      s""""window_sec":$tWin,"window_rows":$nWin,""" +
+      s""""agg_sec":$tAgg,"agg_rows":$nAgg,"mismatch_rows":$mismatch}""")
   }
 
   /** Connected-components round-count measurement. */

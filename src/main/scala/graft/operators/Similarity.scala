@@ -135,18 +135,28 @@ object Similarity {
               k: Int): DataFrame = {
     val cent = broadcast(centroids.select(col(centIdCol).as("__cid"),
       col(centVecCol).as("__cv"), norm2(col(centVecCol)).as("__cn")))
-    // assignment: rank centroids per vector, keep the nearest; the row
-    // norm is computed ONCE per vector, not once per (vector, centroid)
-    val wAsg = Window.partitionBy(col(idCol))
-      .orderBy(col("__cs").desc, col("__cid").asc)
+    // assignment: argmin over centroids as a partial-aggregated
+    // min(struct(-sim, cid, …)) — the broadcast join fans each vector
+    // out to k rows INSIDE the map task, and the partial aggregate
+    // collapses them back to one row per vector before the shuffle, so
+    // shuffle volume is |vectors|, independent of k. (A window argmin
+    // here would shuffle all n×k rows — a k-fold amplification that
+    // kills the plan at coarse-quantizer scale, k = 4096..65536.)
+    // Negating the cosine turns argmax into struct-min; IEEE negation
+    // is exact and order-reversing, and -0.0 < 0.0 under Spark's total
+    // ordering mirrors the old `cs.desc` tie behavior. Ties on equal
+    // sim go to the smaller __cid, same as before. The row norm is
+    // computed ONCE per vector, not once per (vector, centroid).
     val assigned = df.select(col(idCol), col(vecCol),
         norm2(col(vecCol)).as("__n"))
       .join(cent)
-      .withColumn("__cs",
-        cosinePre(col(vecCol), col("__cv"), col("__n"), col("__cn")))
-      .withColumn("__rn", row_number().over(wAsg))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("__n"), col("__cid"))
+      .withColumn("__csNeg",
+        -cosinePre(col(vecCol), col("__cv"), col("__n"), col("__cn")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__csNeg"), col("__cid"),
+        col(vecCol).as("__v"), col("__n").as("__vn"))).as("m"))
+      .select(col(idCol), col("m.__v").as(vecCol),
+        col("m.__vn").as("__n"), col("m.__cid").as("__cid"))
     // probe list: the query's nprobe nearest centroids
     val probes = broadcast(query.select(col(queryVecCol).as("__qv"),
         norm2(col(queryVecCol)).as("__qn"))
@@ -239,9 +249,16 @@ object Similarity {
             .as("cx")))).as("ps"))
         .select(col("cid"),
           transform(col("ps"), p => p.getField("cx")).as("cvNew"))
+      // Lazy local checkpoint: truncates lineage across iterations
+      // without executing the Lloyd rounds at plan-construction time
+      // (eager = true would run every iteration on a mere .explain).
+      // Tradeoff: local checkpoint blocks are not recomputable if an
+      // executor is lost mid-job — acceptable for a bounded training
+      // loop; a long multi-hour cluster run should swap this for
+      // reliable .checkpoint() against a DFS checkpoint dir.
       cents = cents.join(upd, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cvNew"), col("cv")).as("cv"))
-        .localCheckpoint() // truncate lineage across iterations
+        .localCheckpoint(eager = false)
     }
     cents
   }
