@@ -77,11 +77,17 @@ object ScaleDemo {
     val nVec = emb.count() // warm scan
     val k = 1024
     val step = math.max(1L, nVec / k)
-    val cent = broadcast(emb.filter(col("vec_id") % step === 0)
-      .limit(k)
+    // Deterministic + materialized centroid set: limit needs an order
+    // to be stable, and without persist() each timed action (and the
+    // mismatch except()s) would re-evaluate `cent` and could each see a
+    // different row set.
+    val centRows = emb.filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("__cid"), col("embedding").as("__cv"),
-        norm2(col("embedding")).as("__cn")))
-    val kEff = cent.count()
+        norm2(col("embedding")).as("__cn"))
+      .persist()
+    val kEff = centRows.count()
+    val cent = broadcast(centRows)
     val base = emb.select(col("vec_id"), col("embedding"),
         norm2(col("embedding")).as("__n"))
       .join(cent)

@@ -28,10 +28,13 @@ object Similarity {
     * the factors are the same `sqrt(Σx²)` doubles multiplied in the same
     * order, just evaluated once per ROW instead of once per candidate
     * PAIR — the difference is O(|pairs|·dim) saved work, not a value
-    * change, so DuckDB oracles written against [[cosine]] still match). */
+    * change, so DuckDB oracles written against [[cosine]] still match).
+    * A zero norm on either side yields NULL (undefined cosine) instead
+    * of the ANSI-mode divide-by-zero error — the `when` short-circuits
+    * so nonzero-norm rows evaluate the identical Divide. */
   private def cosinePre(a: Column, b: Column, na: Column,
                         nb: Column): Column =
-    dot(a, b) / (na * nb)
+    when(na =!= 0.0 && nb =!= 0.0, dot(a, b) / (na * nb))
 
   /** Brute-force top-k nearest to one query vector. The per-row cosine is
     * embarrassingly parallel; the top-k is a TakeOrdered (no full sort).
@@ -147,11 +150,17 @@ object Similarity {
     // ordering mirrors the old `cs.desc` tie behavior. Ties on equal
     // sim go to the smaller __cid, same as before. The row norm is
     // computed ONCE per vector, not once per (vector, centroid).
+    // A zero-norm centroid (or vector) divides by zero → NULL cosine;
+    // struct-min sorts a NULL first field SMALLEST, which would let a
+    // degenerate centroid win every argmin, so coalesce NULL to +Inf —
+    // the nulls-last semantics the old `cs.desc` ordering had.
     val assigned = df.select(col(idCol), col(vecCol),
         norm2(col(vecCol)).as("__n"))
       .join(cent)
       .withColumn("__csNeg",
-        -cosinePre(col(vecCol), col("__cv"), col("__n"), col("__cn")))
+        coalesce(
+          -cosinePre(col(vecCol), col("__cv"), col("__n"), col("__cn")),
+          lit(Double.PositiveInfinity)))
       .groupBy(col(idCol))
       .agg(min(struct(col("__csNeg"), col("__cid"),
         col(vecCol).as("__v"), col("__n").as("__vn"))).as("m"))

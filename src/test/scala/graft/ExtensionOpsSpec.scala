@@ -278,6 +278,32 @@ class ExtensionOpsSpec extends SparkTest {
     assert(ivf1.toSet.subsetOf((10L until 60L).toSet))
   }
 
+  test("ivfTopK: a zero-norm centroid never wins the argmin (NULL " +
+    "cosine coalesces to nulls-last)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    def vec(id: Long): Array[Float] =
+      (0 until 8).map(i => (((id * 31 + i * 17) % 13) - 6).toFloat).toArray
+    val data = (10L until 60L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    // centroid 99 is the zero vector: its cosine to every row is NULL
+    // (0/0); under raw struct-min NULL sorts smallest and would absorb
+    // ALL vectors, starving the real inverted lists.
+    val centroids = ((10L until 60L by 20L).map(i => (i, vec(i))) :+
+      (99L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val q = (0L until 1L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // nprobe=3 probes exactly the three REAL centroids (the zero one
+    // sorts last in the probe ranking, NULL sim). If the zero centroid
+    // had absorbed the corpus, the probed lists would be empty; with
+    // the fix this degenerates to exact search.
+    val ivfAll = Similarity.ivfTopK(data, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", nprobe = 3, q, "embedding", 3)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.topK(data, "vec_id", "embedding",
+        q, "embedding", 3).collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == brute)
+  }
+
   test("multimodal stub decode round-trips header + flags corrupt rows") {
     import spark.implicits._
     val good = Multimodal.encodeImageStub("jpeg", 640, 480, 10)
