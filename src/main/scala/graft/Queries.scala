@@ -1225,8 +1225,13 @@ object Queries {
       FROM n, (SELECT unnest(range(1, 65)) AS i)
       ORDER BY vec_id ASC, pos ASC"""))
 
-  // ===================== binary ingest decoders (rows-only checks:
-  // DuckDB cannot decode NetFlow/sFlow wire formats)
+  // ===================== binary ingest decoders. DuckDB cannot decode
+  // NetFlow wire formats, but the v9Packets generator is analytic —
+  // packet i carries exactly one record with protocol 6/17 (even/odd i),
+  // in_bytes = 100+i, src = 10.0.0.(i%16), ts = 1700000000+i — so the
+  // oracle REBUILDS the decoded flow table from range(64) and recomputes
+  // the aggregation independently. Byte-level decode correctness is
+  // covered by DecoderSpec goldens; this closes the driver's hash gate.
 
   /** Deterministic NetFlow v9 packets: template + data flowsets built
     * from integers (no external fixtures). */
@@ -1260,7 +1265,14 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum(col("in_bytes")).as("octets"))
         .orderBy(col("protocol").asc)
     },
-    None)
+    Some("""WITH flows AS (
+        SELECT CASE WHEN i % 2 = 0 THEN 6 ELSE 17 END AS protocol,
+               100 + i AS in_bytes
+        FROM range(64) t(i))
+      SELECT CAST(protocol AS BIGINT) AS protocol,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes) AS BIGINT) AS octets
+      FROM flows GROUP BY protocol ORDER BY protocol ASC"""))
 
   private val q41 = Q(
     "q41_decode_pipeline",
@@ -1280,7 +1292,22 @@ object Queries {
         Fwm.Conf("decoded", Seq("octets desc", "src host"), timeSec = 30),
         tsCol = col("ts_sec"))
     },
-    None)
+    Some("""WITH flows AS (
+        SELECT 1700000000 + i AS ts_sec,
+               CASE WHEN i % 2 = 0 THEN 6 ELSE 17 END AS protocol,
+               100 + i AS in_bytes,
+               167772160 + (i % 16) AS src_host
+        FROM range(64) t(i)),
+      f AS (SELECT * FROM flows WHERE protocol = 6),
+      agg AS (
+        SELECT ts_sec - (ts_sec % 30) AS time, src_host,
+               CAST(SUM(in_bytes * 1 * 1) AS BIGINT) AS octets
+        FROM f GROUP BY 1, 2)
+      SELECT CAST(time AS BIGINT) AS time,
+             CAST(src_host AS BIGINT) AS src_host, octets
+      FROM agg
+      ORDER BY time ASC, (src_host IS NULL) ASC,
+               octets DESC NULLS LAST, src_host ASC NULLS FIRST"""))
 
   // ------------------------- repetition / boilerplate quality signals
   private val q51 = Q(

@@ -34,31 +34,76 @@ object NetflowDecoder {
   final case class Template(fields: Seq[(Int, Int, Long)],
                             isOptions: Boolean = false)
 
-  /** Partition-local template store with LRU eviction: long-lived
-    * streaming ingest with template-id churn must not grow unboundedly
-    * (the reference caps its store via tkvdb banks + epoch keys,
-    * netflow-templates.c:100-252). 8192 live templates ≫ any sane
-    * exporter population per partition. */
-  final class TemplateCache(maxEntries: Int = 8192) {
+  /** Partition-local template store with LRU eviction and EPOCH
+    * history: templates are keyed by (exporter, source-id, version,
+    * template-id) and each key holds a small time-ordered history of
+    * revisions; lookup resolves the NEWEST revision whose epoch ≤ the
+    * packet's timestamp — the reference's `seek(LE)` over epoch-suffixed
+    * keys (netflow-templates.c:100-252, lookup 140-178). Replaying a
+    * capture where an exporter revised a template mid-stream therefore
+    * decodes each record with the template that was live at that
+    * record's time, regardless of the order packets are iterated.
+    *
+    * Bounds: LRU cap on distinct template keys (8192 ≫ any sane exporter
+    * population per partition); per-key history capped at `maxEpochs`
+    * revisions (oldest dropped — an exporter re-announcing an UNCHANGED
+    * template is a no-op, so the cap only bites on genuine layout churn).
+    */
+  final class TemplateCache(maxEntries: Int = 8192, maxEpochs: Int = 8) {
     private def lru[K, V](cap: Int) =
       new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[K, V]): Boolean = size() > cap
       }
-    private val m = lru[(Long, Long, Int, Int), Template](maxEntries)
-    private val samp = lru[(Long, Long), java.lang.Long](maxEntries)
-    def put(src: Long, sourceId: Long, ver: Int, tid: Int,
-            t: Template): Unit = m.put((src, sourceId, ver, tid), t)
-    def get(src: Long, sourceId: Long, ver: Int,
-            tid: Int): Option[Template] =
-      Option(m.get((src, sourceId, ver, tid)))
+    private type Hist[V] = java.util.TreeMap[java.lang.Long, V]
+    private val m = lru[(Long, Long, Int, Int), Hist[Template]](maxEntries)
+    private val samp = lru[(Long, Long), Hist[java.lang.Long]](maxEntries)
+
+    private def putAt[V](h: Hist[V], epoch: Long, v: V,
+                         cap: Int): Unit = {
+      // identical re-announce of the revision live at `epoch` is a no-op
+      val live = h.floorEntry(epoch)
+      if (live == null || live.getValue != v) {
+        h.put(epoch, v)
+        while (h.size() > cap) h.remove(h.firstKey())
+      }
+    }
+
+    def put(src: Long, sourceId: Long, ver: Int, tid: Int, epoch: Long,
+            t: Template): Unit = {
+      val key = (src, sourceId, ver, tid)
+      var h = m.get(key)
+      if (h == null) { h = new Hist[Template](); m.put(key, h) }
+      putAt(h, epoch, t, maxEpochs)
+    }
+
+    /** Newest template revision with epoch ≤ tsSec; None if the packet
+      * predates every known revision (reference: seek(LE) miss → record
+      * skipped, netflow-templates.c:140-178). */
+    def get(src: Long, sourceId: Long, ver: Int, tid: Int,
+            tsSec: Long): Option[Template] = {
+      val h = m.get((src, sourceId, ver, tid))
+      if (h == null) None
+      else Option(h.floorEntry(tsSec)).map(_.getValue)
+    }
     def size: Int = m.size()
-    /** Sampling rate learned from an options data record
-      * (reference applies it per exporter, netflow.c:367-678). */
-    def putSampling(src: Long, sourceId: Long, rate: Long): Unit =
-      samp.put((src, sourceId), Long.box(rate))
-    def getSampling(src: Long, sourceId: Long): Option[Long] =
-      Option(samp.get((src, sourceId))).map(_.longValue)
+
+    /** Sampling rate learned from an options data record (reference
+      * applies it per exporter, netflow.c:367-678) — same epoch-floor
+      * semantics so a replayed rate change applies from its own time. */
+    def putSampling(src: Long, sourceId: Long, epoch: Long,
+                    rate: Long): Unit = {
+      val key = (src, sourceId)
+      var h = samp.get(key)
+      if (h == null) { h = new Hist[java.lang.Long](); samp.put(key, h) }
+      putAt(h, epoch, Long.box(rate), maxEpochs)
+    }
+    def getSampling(src: Long, sourceId: Long,
+                    tsSec: Long): Option[Long] = {
+      val h = samp.get((src, sourceId))
+      if (h == null) None
+      else Option(h.floorEntry(tsSec)).map(_.getValue.longValue)
+    }
   }
 
   /** Output schema: ts_sec + the full physical flow schema. */
@@ -110,17 +155,37 @@ object NetflowDecoder {
     * netflow.c:367-678); unmapped enterprise values are skipped over. */
   val defaultEnterpriseMap: Map[(Long, Int), Int] = Map.empty
 
+  /** Which parts of a packet a decode pass processes. Single-pass
+    * (streaming) decode does everything at once; the batch path runs
+    * three passes over a buffered partition — templates, then options
+    * data (sampling), then flow data — so that with the epoch-floor
+    * store the decode result is independent of packet order within the
+    * partition (the reference achieves the same replay property by
+    * persisting epoch-keyed templates, netflow-templates.c:100-252). */
+  private final case class Phase(templates: Boolean, options: Boolean,
+                                 flows: Boolean)
+  private val PhaseAll = Phase(true, true, true)
+  private val PhaseTemplates = Phase(true, false, false)
+  private val PhaseOptions = Phase(false, true, false)
+  private val PhaseFlows = Phase(false, false, true)
+
   /** Decode one UDP payload into flow rows (ts_sec + fields, nulls where
     * absent). Unknown versions/flowsets are skipped, not fatal. */
   def decodePacket(payload: Array[Byte], tsSec: Long, srcIp: Long,
                    cache: TemplateCache,
                    entMap: Map[(Long, Int), Int] = defaultEnterpriseMap)
-      : Seq[Array[Any]] = {
+      : Seq[Array[Any]] =
+    decodePhase(payload, tsSec, srcIp, cache, entMap, PhaseAll)
+
+  private def decodePhase(payload: Array[Byte], tsSec: Long, srcIp: Long,
+                          cache: TemplateCache,
+                          entMap: Map[(Long, Int), Int],
+                          ph: Phase): Seq[Array[Any]] = {
     if (payload.length < 2) return Nil
     u16(payload, 0) match {
-      case 5  => decodeV5(payload, tsSec)
-      case 9  => decodeV9(payload, tsSec, srcIp, cache)
-      case 10 => decodeIpfix(payload, tsSec, srcIp, cache, entMap)
+      case 5  => if (ph.flows) decodeV5(payload, tsSec) else Nil
+      case 9  => decodeV9(payload, tsSec, srcIp, cache, ph)
+      case 10 => decodeIpfix(payload, tsSec, srcIp, cache, entMap, ph)
       case _  => Nil
     }
   }
@@ -159,7 +224,7 @@ object NetflowDecoder {
   }
 
   private def decodeV9(b: Array[Byte], tsSec: Long, srcIp: Long,
-                       cache: TemplateCache): Seq[Array[Any]] = {
+                       cache: TemplateCache, ph: Phase): Seq[Array[Any]] = {
     if (b.length < 20) return Nil
     val sourceId = u32(b, 16)
     val out = Vector.newBuilder[Array[Any]]
@@ -168,7 +233,7 @@ object NetflowDecoder {
       val setId = u16(b, off)
       val setLen = u16(b, off + 2)
       if (setLen < 4 || off + setLen > b.length) return out.result()
-      if (setId == 0) {
+      if (setId == 0 && ph.templates) {
         // template flowset
         var p = off + 4
         while (p + 4 <= off + setLen) {
@@ -179,11 +244,11 @@ object NetflowDecoder {
             val fields = (0 until nf).map { k =>
               (u16(b, p + k * 4), u16(b, p + k * 4 + 2), 0L)
             }
-            cache.put(srcIp, sourceId, 9, tid, Template(fields))
+            cache.put(srcIp, sourceId, 9, tid, tsSec, Template(fields))
           }
           p += nf * 4
         }
-      } else if (setId == 1) {
+      } else if (setId == 1 && ph.templates) {
         // options template flowset (RFC 3954 §6.1; reference
         // netflow.c:147-365): tid, scope length, option length (both in
         // BYTES), then scope specs then option specs. Scope types are
@@ -204,15 +269,15 @@ object NetflowDecoder {
               (u16(b, p + scopeLen + k * 4),
                 u16(b, p + scopeLen + k * 4 + 2), 0L)
             }
-            cache.put(srcIp, sourceId, 9, tid,
+            cache.put(srcIp, sourceId, 9, tid, tsSec,
               Template(scope ++ opts, isOptions = true))
             p += scopeLen + optLen
           } else more = false // malformed/padding: stop this flowset
         }
-      } else if (setId >= 256) {
-        cache.get(srcIp, sourceId, 9, setId).foreach { t =>
+      } else if (setId >= 256 && (ph.options || ph.flows)) {
+        cache.get(srcIp, sourceId, 9, setId, tsSec).foreach { t =>
           val recLen = t.fields.map(_._2).sum
-          if (recLen > 0 && t.isOptions) {
+          if (recLen > 0 && t.isOptions && ph.options) {
             // options DATA: no flow rows — harvest the exporter's
             // sampling interval (fields 34 SAMPLING_INTERVAL /
             // 50 SAMPLER_RANDOM_INTERVAL), like the reference's
@@ -223,14 +288,14 @@ object NetflowDecoder {
               t.fields.foreach { case (fid, len, _) =>
                 if ((fid == 34 || fid == 50) && len >= 1 && len <= 8) {
                   val v = be(b, q, len)
-                  if (v > 0) cache.putSampling(srcIp, sourceId, v)
+                  if (v > 0) cache.putSampling(srcIp, sourceId, tsSec, v)
                 }
                 q += len
               }
               p += recLen
             }
-          } else if (recLen > 0) {
-            val sampling = cache.getSampling(srcIp, sourceId)
+          } else if (recLen > 0 && !t.isOptions && ph.flows) {
+            val sampling = cache.getSampling(srcIp, sourceId, tsSec)
             var p = off + 4
             while (p + recLen <= off + setLen) {
               val row = new Array[Any](outSchema.length)
@@ -255,7 +320,8 @@ object NetflowDecoder {
 
   private def decodeIpfix(b: Array[Byte], tsSec: Long, srcIp: Long,
                           cache: TemplateCache,
-                          entMap: Map[(Long, Int), Int]): Seq[Array[Any]] = {
+                          entMap: Map[(Long, Int), Int],
+                          ph: Phase): Seq[Array[Any]] = {
     if (b.length < 16) return Nil
     val totalLen = math.min(u16(b, 2), b.length)
     val domainId = u32(b, 12)
@@ -265,7 +331,7 @@ object NetflowDecoder {
       val setId = u16(b, off)
       val setLen = u16(b, off + 2)
       if (setLen < 4 || off + setLen > totalLen) return out.result()
-      if (setId == 2) {
+      if (setId == 2 && ph.templates) {
         var p = off + 4
         while (p + 4 <= off + setLen) {
           val tid = u16(b, p)
@@ -285,11 +351,11 @@ object NetflowDecoder {
               fields += (((rawType & 0x7fff), len, ent))
             } else ok = false
           }
-          if (ok) cache.put(srcIp, domainId, 10, tid,
+          if (ok) cache.put(srcIp, domainId, 10, tid, tsSec,
             Template(fields.result()))
         }
-      } else if (setId >= 256) {
-        cache.get(srcIp, domainId, 10, setId).foreach { t =>
+      } else if (setId >= 256 && ph.flows) {
+        cache.get(srcIp, domainId, 10, setId, tsSec).foreach { t =>
           var p = off + 4
           val hasVar = t.fields.exists(_._2 == 65535)
           val fixedLen = t.fields.map(_._2).filter(_ != 65535).sum
@@ -335,7 +401,22 @@ object NetflowDecoder {
   }
 
   /** DataFrame-level decode: (payload binary, ts_sec long, src_ip long) →
-    * canonical flow columns. Partition-local template cache. */
+    * canonical flow columns. Partition-local template cache.
+    *
+    * Batch replay is ORDER-INDEPENDENT within a partition: the packets
+    * are buffered and decoded in three passes — (1) harvest templates,
+    * (2) harvest options data (sampling rates), (3) decode flow records —
+    * with every store epoch-keyed and every lookup resolving the newest
+    * entry ≤ the packet's own timestamp. A shuffled capture containing a
+    * mid-stream template revision therefore decodes each record with the
+    * template that was live at that record's time (the reference gets
+    * this from its persisted epoch-keyed template DB + seek(LE),
+    * netflow-templates.c:100-252). Routing an exporter's packets to a
+    * stable partition (repartition by exporter ip) keeps all of its
+    * templates visible to its data. The buffer holds one Spark partition
+    * of raw packets (≲ a few hundred MB by input-split sizing) — the
+    * price of replay determinism; streaming ingest uses the single-pass
+    * [[decodePacket]] per micro-batch instead. */
   def decode(df: DataFrame, payloadCol: String = "payload",
              tsCol: String = "ts_sec",
              srcIpCol: String = "src_ip",
@@ -346,9 +427,16 @@ object NetflowDecoder {
       col(srcIpCol).cast(LongType))
     proj.mapPartitions { it =>
       val cache = new TemplateCache
-      it.flatMap { r =>
-        val payload = r.getAs[Array[Byte]](0)
-        decodePacket(payload, r.getLong(1), r.getLong(2), cache, entMap)
+      val buf = it.map(r => (r.getAs[Array[Byte]](0), r.getLong(1),
+        r.getLong(2))).toArray
+      buf.foreach { case (p, ts, src) =>
+        decodePhase(p, ts, src, cache, entMap, PhaseTemplates)
+      }
+      buf.foreach { case (p, ts, src) =>
+        decodePhase(p, ts, src, cache, entMap, PhaseOptions)
+      }
+      buf.iterator.flatMap { case (p, ts, src) =>
+        decodePhase(p, ts, src, cache, entMap, PhaseFlows)
           .map(vals => Row.fromSeq(vals.toSeq))
       }
     }(enc)

@@ -231,16 +231,64 @@ class DecoderSpec extends SparkTest {
     assert(rows.head(fieldIndexOf("vas_session_id")) == 777L)
   }
 
+  test("template epoch store: a mid-stream template revision decodes " +
+    "each record with the template live at the record's time " +
+    "(netflow-templates.c:140-178 seek(LE))") {
+    val cache = new NetflowDecoder.TemplateCache
+    def hdr(seq: Long) = bytes(9, 1, 0L, 0L, seq, 7L)
+    // revision A (epoch 100): tid 256 = in_bytes(1,4)
+    val tmplA = hdr(1L) ++ bytes(0, 12, 256, 1, 1, 4)
+    // revision B (epoch 200): tid 256 = in_pkts(2,4)
+    val tmplB = hdr(2L) ++ bytes(0, 12, 256, 1, 2, 4)
+    val data = hdr(3L) ++ bytes(256, 8, 5555L)
+    // both revisions are known BEFORE any data decodes — the epoch
+    // store must still pick per-record, not latest-wins
+    assert(NetflowDecoder.decodePacket(tmplA, 100L, 9L, cache).isEmpty)
+    assert(NetflowDecoder.decodePacket(tmplB, 200L, 9L, cache).isEmpty)
+    // record at t=150: revision A was live → decodes as in_bytes
+    val at150 = NetflowDecoder.decodePacket(data, 150L, 9L, cache)
+    assert(at150.length == 1)
+    assert(at150.head(fieldIndexOf("in_bytes")) == 5555L)
+    assert(at150.head(fieldIndexOf("in_pkts")) == null)
+    // record at t=250: revision B was live → decodes as in_pkts
+    val at250 = NetflowDecoder.decodePacket(data, 250L, 9L, cache)
+    assert(at250.length == 1)
+    assert(at250.head(fieldIndexOf("in_pkts")) == 5555L)
+    assert(at250.head(fieldIndexOf("in_bytes")) == null)
+    // record predating every known revision: skipped (seek(LE) miss)
+    assert(NetflowDecoder.decodePacket(data, 50L, 9L, cache).isEmpty)
+  }
+
+  test("batch decode is packet-order independent: shuffled replay with " +
+    "a template revision and data-before-template still decodes") {
+    val spark2 = spark
+    import spark2.implicits._
+    def hdr(seq: Long) = bytes(9, 1, 0L, 0L, seq, 7L)
+    val tmplA = hdr(1L) ++ bytes(0, 12, 256, 1, 1, 4) // epoch 100
+    val tmplB = hdr(2L) ++ bytes(0, 12, 256, 1, 2, 4) // epoch 200
+    val data = hdr(3L) ++ bytes(256, 8, 5555L)
+    // adversarial iteration order: both data packets precede BOTH
+    // templates, and the t=150 record must resolve to revision A even
+    // though revision B is also in the store
+    val pkts = Seq((data, 150L, 9L), (data, 250L, 9L),
+      (tmplB, 200L, 9L), (tmplA, 100L, 9L))
+    val df = pkts.toDF("payload", "ts_sec", "src_ip").coalesce(1)
+    val out = NetflowDecoder.decode(df)
+      .select("ts_sec", "in_bytes", "in_pkts")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    assert(out == Set((150L, 5555L, null), (250L, null, 5555L)))
+  }
+
   test("TemplateCache evicts least-recently-used beyond its cap") {
     val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
     val t = NetflowDecoder.Template(Seq((1, 4, 0L)))
-    (0 until 4).foreach(i => cache.put(1L, 1L, 9, 256 + i, t))
-    cache.get(1L, 1L, 9, 256) // touch the oldest → 257 becomes LRU
-    cache.put(1L, 1L, 9, 300, t)
+    (0 until 4).foreach(i => cache.put(1L, 1L, 9, 256 + i, 0L, t))
+    cache.get(1L, 1L, 9, 256, 0L) // touch the oldest → 257 becomes LRU
+    cache.put(1L, 1L, 9, 300, 0L, t)
     assert(cache.size == 4)
-    assert(cache.get(1L, 1L, 9, 256).isDefined) // recently used survived
-    assert(cache.get(1L, 1L, 9, 257).isEmpty)   // LRU evicted
-    assert(cache.get(1L, 1L, 9, 300).isDefined)
+    assert(cache.get(1L, 1L, 9, 256, 0L).isDefined) // recently used survived
+    assert(cache.get(1L, 1L, 9, 257, 0L).isEmpty)   // LRU evicted
+    assert(cache.get(1L, 1L, 9, 300, 0L).isDefined)
   }
 
   test("contract golden: v9Packets(64) decodes to exactly 64 rows") {
