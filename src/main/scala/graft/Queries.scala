@@ -910,6 +910,42 @@ object Queries {
         TRUE AS ok
       FROM documents ORDER BY doc_id ASC"""))
 
+  // real in-JDK codec round-trip: PNG/JPEG payloads encoded by ImageIO
+  // with analytic layout (Multimodal.encodeTestImage), decoded by the
+  // header-only ImageIO path; the oracle states the expected metadata
+  // independently from the generator formula (corrupt rows ok=false).
+  private val q59 = Q(
+    "q59_image_decode",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val imgs = s.range(64)
+        .map(i => (i, Multimodal.encodeTestImage(i)))
+        .toDF("id", "payload")
+      Multimodal.withImageMeta(imgs, "payload")
+        .select(col("id"),
+          col("meta.format").as("format"),
+          col("meta.width").cast(LongType).as("width"),
+          col("meta.height").cast(LongType).as("height"),
+          col("meta.channels").cast(LongType).as("channels"),
+          col("meta.ok").as("ok"))
+        .orderBy(col("id").asc)
+    },
+    Some("""SELECT i AS id,
+        CASE WHEN i % 7 = 0 THEN NULL
+             WHEN i % 3 = 2 THEN 'png'
+             WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(8 + i % 9 AS BIGINT) END AS width,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(5 + (i * 3) % 11 AS BIGINT) END AS height,
+        CASE WHEN i % 7 = 0 THEN NULL
+             WHEN i % 3 = 0 THEN CAST(1 AS BIGINT)
+             WHEN i % 3 = 1 THEN CAST(3 AS BIGINT)
+             ELSE CAST(4 AS BIGINT) END AS channels,
+        (i % 7 <> 0) AS ok
+      FROM range(64) t(i) ORDER BY id ASC"""))
+
   // ----------------------------- device enrichment + skip-unmarked
   private val q32 = Q(
     "q32_devices",
@@ -1532,7 +1568,7 @@ object Queries {
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

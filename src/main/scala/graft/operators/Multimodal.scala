@@ -9,26 +9,68 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata structs; decode / feature-extract
   * run per-partition in batches.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[decodeImageStub]] parses a deterministic fake header
-  * instead of invoking a codec. Everything around it — schema contract,
-  * partition-batched execution, null handling for corrupt payloads — is
-  * the real production shape; swapping the stub for an actual decoder
-  * changes one function.
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — no external dependency):
+  * [[decodeImage]] reads width/height/channels from the image header
+  * without decoding pixel data. Payloads no ImageIO reader claims fall
+  * back to [[decodeImageStub]]'s deterministic fake header (covers
+  * formats with no in-JDK codec, e.g. webp, and keeps synthetic test
+  * payloads working). Audio/video decode remains stubbed — no codecs in
+  * this container — but runs in the same partition-batched shape.
   */
 object Multimodal {
 
-  /** Metadata contract for a decoded image payload. */
+  /** Metadata contract for a decoded image payload. `channels` is NULL
+    * when the payload went through the stub path (fake header carries no
+    * channel count). */
   val imageMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, true),
     StructField("width", IntegerType, true),
     StructField("height", IntegerType, true),
+    StructField("channels", IntegerType, true),
     StructField("n_bytes", LongType, false),
     StructField("ok", BooleanType, false)))
 
-  /** STUB decoder: reads a fake 8-byte header `[fmt, w16, h16, pad]`.
-    * Replace with a real codec call in production (the ??? path).
-    * Returns (format, width, height) or None for corrupt payloads. */
+  /** Real image header decode via the JDK's ImageIO plugin registry.
+    * Width/height come from the header (no pixel decode — O(header)
+    * per payload, which is what a 100 TB metadata pass must be);
+    * channels from the reader's raw image type. Returns None when no
+    * registered reader claims the bytes or the header is corrupt. */
+  def decodeImage(bytes: Array[Byte])
+      : Option[(String, Int, Int, Option[Int])] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val fmt = r.getFormatName.toLowerCase
+          val ch = {
+            val raw = r.getRawImageType(0)
+            val spec =
+              if (raw != null) raw
+              else {
+                val it = r.getImageTypes(0)
+                if (it.hasNext) it.next() else null
+              }
+            if (spec == null) None
+            else Some(spec.getNumComponents)
+          }
+          if (w <= 0 || h <= 0) None else Some((fmt, w, h, ch))
+        } finally r.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None } // truncated/corrupt header
+  }
+
+  /** STUB decoder for formats with no in-JDK codec: reads a fake 6-byte
+    * header `[fmt, w16, h16, pad]`. Returns (format, width, height) or
+    * None for corrupt payloads. */
   def decodeImageStub(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     if (bytes == null || bytes.length < 6) return None
     val fmt = bytes(0) match {
@@ -54,7 +96,8 @@ object Multimodal {
   }
 
   /** Attach decoded metadata to a binary column, partition-batched.
-    * Output = input columns + `meta` struct. Corrupt rows get
+    * Output = input columns + `meta` struct. Real ImageIO decode first;
+    * unclaimed payloads fall back to the stub header. Corrupt rows get
     * meta.ok=false instead of failing the job. */
   def withImageMeta(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -65,13 +108,46 @@ object Multimodal {
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         val n = if (bytes == null) 0L else bytes.length.toLong
-        val meta = decodeImageStub(bytes) match {
-          case Some((f, w, h)) => Row(f, w, h, n, true)
-          case None            => Row(null, null, null, n, false)
+        val meta = decodeImage(bytes) match {
+          case Some((f, w, h, ch)) => Row(f, w, h, ch.orNull, n, true)
+          case None => decodeImageStub(bytes) match {
+            case Some((f, w, h)) => Row(f, w, h, null, n, true)
+            case None            => Row(null, null, null, null, n, false)
+          }
         }
         Row.fromSeq(row.toSeq :+ meta)
       }
     }(enc)
+  }
+
+  /** Deterministic REAL image generator (test/data-gen helper): encodes
+    * a small PNG or JPEG through the same in-JDK ImageIO codecs
+    * [[decodeImage]] reads. Layout is analytic in `i` so an engine-
+    * independent oracle can state the expected metadata:
+    *   - i % 7 == 0 → corrupt payload (garbage bytes, ok=false)
+    *   - i % 3 == 0 → grayscale (1 channel); 1 → RGB (3); 2 → ARGB (4)
+    *   - ARGB is always PNG (JPEG has no alpha); otherwise PNG for even
+    *     i, JPEG for odd
+    *   - width = 8 + i % 9, height = 5 + (i*3) % 11
+    */
+  def encodeTestImage(i: Long): Array[Byte] = {
+    if (i % 7 == 0) return Array[Byte](0x42, 0x41, 0x44, 0x21)
+    val w = (8 + i % 9).toInt
+    val h = (5 + (i * 3) % 11).toInt
+    import java.awt.image.BufferedImage
+    val (imgType, fmt) = (i % 3) match {
+      case 0 => (BufferedImage.TYPE_BYTE_GRAY,
+        if (i % 2 == 0) "png" else "jpg")
+      case 1 => (BufferedImage.TYPE_3BYTE_BGR,
+        if (i % 2 == 0) "png" else "jpg")
+      case _ => (BufferedImage.TYPE_INT_ARGB, "png")
+    }
+    val img = new BufferedImage(w, h, imgType)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((i * 2654435761L + x * 31 + y) & 0xffffff).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
   }
 
   /** Deterministic "feature extraction" over the payload: a 4-dim feature

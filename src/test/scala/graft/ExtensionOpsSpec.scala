@@ -304,6 +304,37 @@ class ExtensionOpsSpec extends SparkTest {
     assert(ivfAll == brute)
   }
 
+  test("multimodal real decode: ImageIO round-trip reads dims/channels " +
+    "for PNG gray/RGB/ARGB and JPEG gray/color; corrupt rows flagged") {
+    import spark.implicits._
+    // ids cover every (format, channels) cell of encodeTestImage's
+    // analytic layout plus one corrupt row (7); exp() restates the
+    // formula independently
+    val ids = Seq(1L, 2L, 3L, 4L, 6L, 7L, 9L)
+    val df = ids.map(i => (i, Multimodal.encodeTestImage(i)))
+      .toDF("id", "payload")
+    val out = Multimodal.withImageMeta(df, "payload")
+      .select("id", "meta.format", "meta.width", "meta.height",
+        "meta.channels", "meta.ok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.get(2), r.get(3), r.get(4),
+          r.getBoolean(5)))).toMap
+    def exp(i: Long) = {
+      val w = (8 + i % 9).toInt
+      val h = (5 + (i * 3) % 11).toInt
+      val (fmt, ch) = (i % 3) match {
+        case 0 => (if (i % 2 == 0) "png" else "jpeg", 1)
+        case 1 => (if (i % 2 == 0) "png" else "jpeg", 3)
+        case _ => ("png", 4)
+      }
+      (fmt, w, h, ch, true)
+    }
+    ids.filterNot(_ % 7 == 0).foreach { i =>
+      assert(out(i) == exp(i), s"id $i")
+    }
+    assert(out(7L)._5 == false && out(7L)._1 == null) // corrupt
+  }
+
   test("multimodal stub decode round-trips header + flags corrupt rows") {
     import spark.implicits._
     val good = Multimodal.encodeImageStub("jpeg", 640, 480, 10)
