@@ -30,6 +30,7 @@ object ScaleDemo {
 
     if (args.contains("cc")) { ccDemo(spark); spark.stop(); return }
     if (args.contains("ivf")) { ivfDemo(spark, sfDir); spark.stop(); return }
+    if (args.contains("lsh")) { lshDemo(spark); spark.stop(); return }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.count() // warm the scan
@@ -119,6 +120,39 @@ object ScaleDemo {
     println(s"""{"sf":"$sfDir","n_vectors":$nVec,"k":$kEff,""" +
       s""""window_sec":$tWin,"window_rows":$nWin,""" +
       s""""agg_sec":$tAgg,"agg_rows":$nAgg,"mismatch_rows":$mismatch}""")
+  }
+
+  /** lshSignature codegen-size check at high dimension: signatures over
+    * synthetic vectors at the shipped shape (dim 64 × 16 bits) and the
+    * previously-bloated shape (dim 1024 × 64 bits). With the typedlit
+    * coefficient matrix the expression is O(1) nodes in dim, so the
+    * dim-1024 plan must construct and run in the same order of time. */
+  private def lshDemo(spark: SparkSession): Unit = {
+    import graft.operators.Similarity
+    val n = 100000L
+    def run(dim: Int, nBits: Int): (Double, Double, Long) = {
+      val vecs = spark.range(n).select(col("id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => pmod(hash(col("id") * lit(dim) + i), lit(1000))
+            .cast("float") - 500.0f).as("v"))
+      val t0 = System.nanoTime()
+      val sig = vecs.select(
+        Similarity.lshSignature(col("v"), dim, nBits).as("sig"))
+      sig.queryExecution.executedPlan // force analysis + planning
+      val tPlan = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val buckets = sig.select(countDistinct(col("sig"))).head().getLong(0)
+      val tRun = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"dim=$dim nBits=$nBits: plan $tPlan%.2f s, run $tRun%.2f s, " +
+          f"$buckets buckets")
+      (tPlan, tRun, buckets)
+    }
+    val (p64, r64, b64) = run(64, 16)
+    val (p1k, r1k, b1k) = run(1024, 64)
+    println(s"""{"n":$n,"dim64":{"plan_sec":$p64,"run_sec":$r64,""" +
+      s""""buckets":$b64},"dim1024":{"plan_sec":$p1k,"run_sec":$r1k,""" +
+      s""""buckets":$b1k}}""")
   }
 
   /** Connected-components round-count measurement. */

@@ -66,14 +66,29 @@ object Similarity {
     else -1.0
 
   def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
-    val bits = (0 until nBits).map { j =>
-      val terms = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") * lit(hyperplaneSign(j, i))
-      }
-      val s = terms.reduce(_ + _)
-      when(s >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    // The whole nBits×dim coefficient matrix is ONE Literal node
+    // (typedlit), not dim×nBits expression-tree nodes — expression size
+    // stays O(1) in dim, so dim=1024, nBits=64 signatures plan/compile
+    // as fast as dim=8 (the old per-element tree was known-bloated at
+    // high dim). Bit values are unchanged: each plane's dot product
+    // accumulates left-to-right in doubles exactly like the old
+    // term-reduce (the extra leading 0.0 only affects the sign of a
+    // ±0.0 sum, which `>= 0` cannot distinguish), so existing DuckDB
+    // oracles that bake the same signs reproduce identical buckets.
+    val planes = typedlit((0 until nBits).map { j =>
+      (0 until dim).map(i => hyperplaneSign(j, i))
+    })
+    val pows = typedlit((0 until nBits).map(j => 1L << j))
+    aggregate(
+      sequence(lit(0), lit(nBits - 1)),
+      lit(0L),
+      (acc, j) => {
+        val plane = element_at(planes, (j + 1).cast("int"))
+        val s = aggregate(zip_with(vec, plane,
+          (x, c) => x.cast("double") * c), lit(0.0), (a, t) => a + t)
+        acc + when(s >= 0, element_at(pows, (j + 1).cast("int")))
+          .otherwise(lit(0L))
+      })
   }
 
   private def md5Hex(s: String): String = {
