@@ -161,11 +161,39 @@ object NetFns {
   }
 
   /** Uncompressed lowercase IPv6 display of a binary(16) column: hex
-    * groups ':'-joined ("2001:0db8:...:0001"). The reference prints
-    * inet_ntop's compressed form; the uncompressed rendering is stable,
-    * sortable, and round-trips through the limits-file parser. */
+    * groups ':'-joined ("2001:0db8:...:0001"). Internal/stateful uses
+    * (mavg keys, limits files) keep this form — it is stable, sortable,
+    * and round-trips through the limits-file parser. Outward-facing
+    * sinks render [[ip6Compressed]] for inet_ntop parity. */
   def ip6str(ip: Column): Column =
     lower(regexp_replace(hex(ip), "(.{4})(?=.)", "$1:"))
+
+  /** RFC 5952 compressed IPv6 display of a 16-byte address — the form
+    * inet_ntop prints and the reference writes into SQL exports and
+    * notification args (monit-objects-fwm.c INET rendering): lowercase,
+    * no leading zeros, the longest (leftmost on tie) run of ≥2 zero
+    * groups collapsed to "::". Driver-side render for post-aggregation
+    * sink output (bounded rows), not a hot-path column expression. */
+  def ip6Compressed(b: Array[Byte]): String = {
+    require(b != null && b.length == 16, "IPv6 address must be 16 bytes")
+    val g = Array.tabulate(8)(i => ((b(2 * i) & 0xff) << 8) |
+      (b(2 * i + 1) & 0xff))
+    var best = -1
+    var bestLen = 0
+    var i = 0
+    while (i < 8) {
+      if (g(i) == 0) {
+        var j = i
+        while (j < 8 && g(j) == 0) j += 1
+        if (j - i > bestLen) { best = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    // RFC 5952 §4.2.1: a single zero group is NOT compressed
+    if (bestLen < 2) g.map(_.toHexString).mkString(":")
+    else g.take(best).map(_.toHexString).mkString(":") + "::" +
+      g.drop(best + bestLen).map(_.toHexString).mkString(":")
+  }
 
   /** Dotted-quad display of an unsigned-IPv4-in-Long column. */
   def ip4str(ip: Column): Column =

@@ -36,9 +36,20 @@ object Multimodal {
     * per payload, which is what a 100 TB metadata pass must be);
     * channels from the reader's raw image type. Returns None when no
     * registered reader claims the bytes or the header is corrupt. */
+  /** Magic-byte sniff for the formats the JDK ships readers for — a
+    * corpus pass must not pay ImageIO's stream + plugin-registry setup
+    * (~1 ms/row, measured as q24 0.2 s → 4.2 s at sf0.1) on payloads
+    * that are obviously not images. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+    (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||
+    (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+    (b(0) == 'B' && b(1) == 'M')
+
   def decodeImage(bytes: Array[Byte])
       : Option[(String, Int, Int, Option[Int])] = {
-    if (bytes == null || bytes.length < 8) return None
+    if (bytes == null || bytes.length < 8 || !looksLikeImage(bytes))
+      return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))

@@ -28,7 +28,9 @@ object SqlExport {
   private def pgType(f: StructField, conf: Conf): String =
     if (f.name == "time") "TIMESTAMPTZ"
     else if (conf.ipCols.contains(f.name))
-      if (conf.clickhouse) "Nullable(IPv4)" else "INET"
+      if (conf.clickhouse)
+        if (f.dataType == BinaryType) "Nullable(IPv6)" else "Nullable(IPv4)"
+      else "INET"
     else f.dataType match {
       case StringType => if (conf.clickhouse) "Nullable(String)" else "TEXT"
       case BinaryType => if (conf.clickhouse) "Nullable(String)" else "macaddr"
@@ -56,6 +58,9 @@ object SqlExport {
       s"to_timestamp($v)" // epoch seconds column
     case l: Long if conf.ipCols.contains(f.name) =>
       "'" + Seq(24, 16, 8, 0).map(s => (l >> s) & 0xff).mkString(".") + "'"
+    case b: Array[Byte] if conf.ipCols.contains(f.name) && b.length == 16 =>
+      // v6 INET literal: RFC 5952 compressed, inet_ntop parity
+      "'" + NetFns.ip6Compressed(b) + "'"
     case s: String => "'" + s.replace("'", "''") + "'"
     case b: Array[Byte] =>
       "'" + b.map("%02x".format(_)).mkString(":") + "'"

@@ -143,4 +143,25 @@ class SqlFunctionsSpec extends SparkTest {
       "2001:0db8:0000:0000:0000:0000:c000:0201")
     assert(r.getAs[Boolean]("inlist")) // fd12::1 ∈ fc00::/7
   }
+
+  test("ip6Compressed: RFC 5952 rules (inet_ntop parity)") {
+    import graft.functions.NetFns.ip6Compressed
+    def v6(s: String): Array[Byte] =
+      java.net.InetAddress.getByName(s).getAddress
+    // longest run wins, not the first
+    assert(ip6Compressed(v6("2001:0:0:1:0:0:0:1")) == "2001:0:0:1::1")
+    // leftmost on tie
+    assert(ip6Compressed(v6("2001:db8:0:0:1:0:0:1")) == "2001:db8::1:0:0:1")
+    // a single zero group is not compressed (§4.2.2)
+    assert(ip6Compressed(v6("2001:db8:0:1:1:1:1:1")) == "2001:db8:0:1:1:1:1:1")
+    // no leading zeros, lowercase (§4.1, §4.3)
+    assert(ip6Compressed(v6("2001:0DB8::0001")) == "2001:db8::1")
+    // unspecified + loopback + trailing/leading runs
+    assert(ip6Compressed(v6("::")) == "::")
+    assert(ip6Compressed(v6("::1")) == "::1")
+    assert(ip6Compressed(v6("fe80::")) == "fe80::")
+    // full address: nothing to compress
+    assert(ip6Compressed(v6("2001:db8:1:2:3:4:5:6")) ==
+      "2001:db8:1:2:3:4:5:6")
+  }
 }

@@ -31,6 +31,38 @@ class SinkConfigSpec extends SparkTest {
     assert(sql.contains("900"))
   }
 
+  test("SQL export v6: INET literals are RFC 5952 compressed " +
+    "(inet_ntop parity with the reference's export tables)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def v6(s: String): Array[Byte] =
+      java.net.InetAddress.getByName(s).getAddress
+    val schema = StructType(Seq(
+      StructField("time", LongType, false),
+      StructField("src_host6", BinaryType, true),
+      StructField("octets", LongType, false)))
+    val rows = Seq(
+      Row(1700000000L, v6("2001:db8::1"), 10L),
+      Row(1700000000L, v6("::1"), 20L),
+      Row(1700000000L, v6("ff02::1:2"), 30L),
+      Row(1700000000L, null, 40L))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val conf = SqlExport.Conf("mo1", "by_src6", ipCols = Set("src_host6"))
+    val sql = SqlExport.exportSql(df, conf)
+    assert(sql.contains(""""src_host6" INET"""))
+    assert(sql.contains("'2001:db8::1'"))
+    assert(sql.contains("'::1'"))
+    assert(sql.contains("'ff02::1:2'"))
+    assert(sql.contains("NULL"))
+    // ClickHouse variant types the binary ip column IPv6
+    val ch = SqlExport.ddl(df.schema,
+      SqlExport.Conf("mo1", "w", ipCols = Set("src_host6"),
+        clickhouse = true))
+    assert(ch.contains("Nullable(IPv6)"))
+  }
+
   test("ClickHouse DDL variant (monit-objects-fwm.c:303-325)") {
     val df = flowDf(Seq("time", "octets"), Seq(Seq(0L, 1L)))
     val sql = SqlExport.ddl(df.schema,
