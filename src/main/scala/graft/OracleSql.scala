@@ -16,6 +16,13 @@ object OracleSql {
       .map { case (p, n) => s"($p, '${n.replace("'", "''")}')" }
       .mkString(", ")
 
+  /** The PII redaction patterns, verbatim from TextAnalysis.piiPatterns
+    * (RE2-safe subset, so DuckDB's regexp engine matches Java's) — the
+    * oracle scrubs with EXACTLY the strings the Spark path uses. */
+  val piiEmail: String = graft.operators.TextAnalysis.piiPatterns(0)._1
+  val piiIp: String = graft.operators.TextAnalysis.piiPatterns(1)._1
+  val piiPhone: String = graft.operators.TextAnalysis.piiPatterns(2)._1
+
   /** concat_ws('+', CASE...) mirroring NetFns.tfstr bit order (CWR→FIN). */
   def tfstrSql(col: String): String = {
     val bits = Seq(128 -> "CWR", 64 -> "ECE", 32 -> "URG", 16 -> "ACK",

@@ -946,6 +946,128 @@ object Queries {
         (i % 7 <> 0) AS ok
       FROM range(64) t(i) ORDER BY id ASC"""))
 
+  // real in-JDK audio codec round-trip: 16-bit PCM WAV payloads encoded
+  // by javax.sound with analytic parameters, decoded header-only; the
+  // oracle restates the generator formula (every 7th row corrupt).
+  private val q60 = Q(
+    "q60_audio_decode",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val wavs = s.range(48)
+        .map(i => (i, Multimodal.encodeTestAudio(i)))
+        .toDF("id", "payload")
+      Multimodal.withAudioMeta(wavs, "payload")
+        .select(col("id"),
+          col("meta.format").as("format"),
+          col("meta.sample_rate").cast(LongType).as("sample_rate"),
+          col("meta.channels").cast(LongType).as("channels"),
+          col("meta.bits").cast(LongType).as("bits"),
+          col("meta.frames").as("frames"),
+          col("meta.ok").as("ok"))
+        .orderBy(col("id").asc)
+    },
+    Some("""SELECT i AS id,
+        CASE WHEN i % 7 = 0 THEN NULL ELSE 'wav' END AS format,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(8000 * (2 ** (i % 3)) AS BIGINT) END AS sample_rate,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(1 + i % 2 AS BIGINT) END AS channels,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(16 AS BIGINT) END AS bits,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(50 + i % 20 AS BIGINT) END AS frames,
+        (i % 7 <> 0) AS ok
+      FROM range(48) t(i) ORDER BY id ASC"""))
+
+  // PII redaction over documents with synthesized PII (the corpus text
+  // is clean, so deterministic emails/IPs/phones are appended in-query —
+  // identically in both engines — then scrubbed and audited).
+  private val q61 = Q(
+    "q61_pii_redact",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 10."),
+        col("doc_id") % 256, lit(".0.1 tel +1 (555) 123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redact(pii).as("clean"),
+          TextAnalysis.redactionCount(pii).as("n_pii"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH p AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com or 10.' ||
+            (doc_id % 256) || '.0.1 tel +1 (555) 123-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '${OracleSql.piiEmail}', '<EMAIL>', 'g'),
+          '${OracleSql.piiIp}', '<IP>', 'g'),
+          '${OracleSql.piiPhone}', '<PHONE>', 'g') AS clean,
+        CAST(len(regexp_extract_all(t, '${OracleSql.piiEmail}'))
+           + len(regexp_extract_all(t, '${OracleSql.piiIp}'))
+           + len(regexp_extract_all(t, '${OracleSql.piiPhone}'))
+          AS BIGINT) AS n_pii
+      FROM p ORDER BY doc_id ASC"""))
+
+  // paragraph-level exact dedup (Dolma-style hygiene pass): documents
+  // are chunked into 10-token pseudo-paragraphs (the corpus has no
+  // newlines), then every paragraph occurs once corpus-wide — first
+  // (doc_id, pos) wins — and the cleaned text is rebuilt.
+  private val q62 = Q(
+    "q62_para_dedup",
+    (s, dir) => {
+      import graft.operators.{Dedup, TextAnalysis}
+      val toks = TextAnalysis.tokens(col("text"))
+      val paraText = concat_ws("\n",
+        transform(sequence(lit(0), (ceil(size(toks) / 10.0) - 1)
+            .cast("int")),
+          j => concat_ws(" ", slice(toks, j * 10 + 1, lit(10)))))
+      val chunked = t(s, dir, "documents")
+        .select(col("doc_id"), paraText.as("ptext"))
+      Dedup.paragraphDedup(chunked, "doc_id", "ptext", "\n")
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""WITH base AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          list_transform(generate_series(0,
+              CAST(ceil(len(toks) / 10.0) AS INT) - 1),
+            j -> array_to_string(toks[j*10+1 : j*10+10], ' ')) AS paras
+        FROM base),
+      e AS (
+        SELECT doc_id, pos, paras[pos] AS para
+        FROM (SELECT doc_id, paras,
+                unnest(generate_series(1, len(paras))) AS pos
+              FROM p)
+        WHERE trim(paras[pos]) <> ''),
+      r AS (
+        SELECT doc_id, pos, para,
+          row_number() OVER (PARTITION BY md5(para), para
+            ORDER BY doc_id ASC, pos ASC) AS rn
+        FROM e),
+      agg AS (
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_paras,
+          CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_paras,
+          string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+            ORDER BY pos ASC) AS clean_text
+        FROM r GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(n_paras, 0) AS n_paras,
+        coalesce(n_dup_paras, 0) AS n_dup_paras,
+        coalesce(clean_text, '') AS clean_text
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      ORDER BY doc_id ASC"""))
+
   // ----------------------------- device enrichment + skip-unmarked
   private val q32 = Q(
     "q32_devices",
@@ -1568,7 +1690,7 @@ object Queries {
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

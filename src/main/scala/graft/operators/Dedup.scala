@@ -45,6 +45,45 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
       .drop(contentCol)
 
+  /** Paragraph-level exact dedup across the corpus (the Dolma/CCNet
+    * hygiene pass): split each document on `delim`, keep only the FIRST
+    * occurrence of every distinct non-blank paragraph corpus-wide
+    * (ordered by id then position — deterministic under resharding),
+    * and rebuild the cleaned text from the survivors.
+    *
+    * Scale shape: one explode, then a window keyed by md5(paragraph) —
+    * the shuffle is paragraph-hash-partitioned, per-key width bounded by
+    * that paragraph's duplicate count (the same shape as [[exact]]),
+    * then one groupBy(id) to reassemble. No cross products, no
+    * collects.
+    *
+    * @return (id, n_paras, n_dup_paras, clean_text) — one row per input
+    *         row; a fully-duplicate document yields clean_text = "".
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     delim: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern
+          .quote(delim))).as(Seq("__pos", "__para")))
+      .filter(trim(col("__para")) =!= "")
+    val w = Window.partitionBy(md5(col("__para")), col("__para"))
+      .orderBy(col(idCol).asc, col("__pos").asc)
+    val flagged = paras.withColumn("__rn", row_number().over(w))
+    val agg = flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_paras"),
+      sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_paras"),
+      concat_ws(delim, transform(
+        array_sort(collect_list(when(col("__rn") === 1,
+          struct(col("__pos"), col("__para"))))),
+        s => s.getField("__para"))).as("clean_text"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_dup_paras"), lit(0L)).as("n_dup_paras"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Word k-shingles of a text column: array of space-joined k-grams.
     * Guarded for short docs — Spark's sequence(1, 0) would count DOWN. */
   def shingles(text: Column, k: Int): Column = {

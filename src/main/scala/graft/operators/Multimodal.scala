@@ -161,6 +161,86 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Metadata contract for a decoded audio payload. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, true),
+    StructField("sample_rate", IntegerType, true),
+    StructField("channels", IntegerType, true),
+    StructField("bits", IntegerType, true),
+    StructField("frames", LongType, true),
+    StructField("n_bytes", LongType, false),
+    StructField("ok", BooleanType, false)))
+
+  /** Real audio header decode via the JDK's javax.sound.sampled
+    * (WAV/AIFF/AU readers ship with the JDK — zero new dependencies).
+    * Header-only: sample rate, channels, bit depth, frame count — no
+    * sample data is decoded. Magic-byte sniffed (RIFF/FORM/.snd) so
+    * non-audio payloads skip the reader registry. */
+  def decodeAudio(bytes: Array[Byte])
+      : Option[(String, Int, Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 16) return None
+    val riff = bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F'
+    val form = bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' &&
+      bytes(3) == 'M'
+    val snd = bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' &&
+      bytes(3) == 'd'
+    if (!riff && !form && !snd) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      Some((aff.getType.getExtension, f.getSampleRate.toInt,
+        f.getChannels, f.getSampleSizeInBits, aff.getFrameLength.toLong))
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach decoded audio metadata, partition-batched — the audio
+    * sibling of [[withImageMeta]]. */
+  def withAudioMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("meta", audioMetaSchema, false))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        val meta = decodeAudio(bytes) match {
+          case Some((f, sr, ch, bits, fr)) =>
+            Row(f, sr, ch, bits, fr, n, true)
+          case None => Row(null, null, null, null, null, n, false)
+        }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL audio generator: 16-bit signed little-endian
+    * PCM WAV through the same in-JDK codec [[decodeAudio]] reads,
+    * analytic in `i` for an engine-independent oracle:
+    *   - i % 7 == 0 → corrupt payload (ok=false)
+    *   - sample_rate = 8000 << (i % 3)  (8/16/32 kHz)
+    *   - channels = 1 + (i % 2), bits = 16
+    *   - frames = 50 + (i % 20)
+    */
+  def encodeTestAudio(i: Long): Array[Byte] = {
+    if (i % 7 == 0) return Array[Byte](0x4e, 0x4f, 0x50, 0x45)
+    val sampleRate = 8000 << (i % 3).toInt
+    val channels = 1 + (i % 2).toInt
+    val frames = 50 + (i % 20).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = Array.tabulate(frames * channels * 2)(b =>
+      ((i * 31 + b * 7) & 0xff).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic "feature extraction" over the payload: a 4-dim feature
     * vector from byte statistics (the real version would run a model in
     * the same partition-batched shape). */

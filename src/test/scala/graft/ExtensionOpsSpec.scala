@@ -335,6 +335,45 @@ class ExtensionOpsSpec extends SparkTest {
     assert(out(7L)._5 == false && out(7L)._1 == null) // corrupt
   }
 
+  test("multimodal audio decode: javax.sound WAV round-trip reads " +
+    "rate/channels/bits/frames; corrupt rows flagged") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 7L)
+    val df = ids.map(i => (i, Multimodal.encodeTestAudio(i)))
+      .toDF("id", "payload")
+    val out = Multimodal.withAudioMeta(df, "payload")
+      .select("id", "meta.format", "meta.sample_rate", "meta.channels",
+        "meta.bits", "meta.frames", "meta.ok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.get(2), r.get(3), r.get(4), r.get(5),
+          r.getBoolean(6)))).toMap
+    ids.filterNot(_ % 7 == 0).foreach { i =>
+      val exp = ("wav", 8000 << (i % 3).toInt, 1 + (i % 2).toInt, 16,
+        50L + i % 20, true)
+      assert(out(i) == exp, s"id $i")
+    }
+    assert(out(7L)._6 == false && out(7L)._1 == null)
+  }
+
+  test("paragraphDedup: first occurrence survives corpus-wide, cleaned " +
+    "text rebuilt in position order, fully-duplicate doc goes empty") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\ngamma delta\nalpha beta"), // self-dup para
+      (2L, "gamma delta\nepsilon zeta"),           // first para dups doc 1
+      (3L, "alpha beta\ngamma delta"),             // fully duplicate
+      (4L, "  \nunique one")                       // blank para ignored
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 1L, "alpha beta\ngamma delta")))
+    assert(out(2L) == ((2L, 1L, "epsilon zeta")))
+    assert(out(3L) == ((2L, 2L, "")))
+    assert(out(4L) == ((1L, 0L, "unique one")))
+  }
+
   test("multimodal stub decode round-trips header + flags corrupt rows") {
     import spark.implicits._
     val good = Multimodal.encodeImageStub("jpeg", 640, 480, 10)
