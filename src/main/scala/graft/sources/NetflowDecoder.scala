@@ -354,44 +354,98 @@ object NetflowDecoder {
           if (ok) cache.put(srcIp, domainId, 10, tid, tsSec,
             Template(fields.result()))
         }
-      } else if (setId >= 256 && ph.flows) {
+      } else if (setId == 3 && ph.templates) {
+        // IPFIX options template set (RFC 7011 §3.4.2.2): unlike v9's
+        // byte lengths, the header carries FIELD counts — total field
+        // count, then scope field count; the first `scope` specs are
+        // scope fields (stored negated, like v9, so they never hit the
+        // flow-field dispatch).
+        var p = off + 4
+        while (p + 6 <= off + setLen) {
+          val tid = u16(b, p)
+          val nf = u16(b, p + 2)
+          val nScope = u16(b, p + 4)
+          p += 6
+          val fields = Vector.newBuilder[(Int, Int, Long)]
+          var ok = tid >= 256 && nScope <= nf
+          (0 until nf).foreach { k =>
+            if (ok && p + 4 <= off + setLen) {
+              val rawType = u16(b, p)
+              val len = u16(b, p + 2)
+              p += 4
+              val ent =
+                if ((rawType & 0x8000) != 0 && p + 4 <= off + setLen) {
+                  val e = u32(b, p); p += 4; e
+                } else 0L
+              val fid = rawType & 0x7fff
+              fields += ((if (k < nScope) -fid - 1 else fid, len, ent))
+            } else ok = false
+          }
+          if (ok) cache.put(srcIp, domainId, 10, tid, tsSec,
+            Template(fields.result(), isOptions = true))
+          else p = off + setLen // malformed/padding: stop this set
+        }
+      } else if (setId >= 256 && (ph.options || ph.flows)) {
         cache.get(srcIp, domainId, 10, setId, tsSec).foreach { t =>
-          var p = off + 4
-          val hasVar = t.fields.exists(_._2 == 65535)
-          val fixedLen = t.fields.map(_._2).filter(_ != 65535).sum
-          var continue = true
-          while (continue && p < off + setLen &&
-                 (off + setLen - p) >= (if (hasVar) t.fields.count(
-                   _._2 == 65535) + fixedLen else fixedLen) &&
-                 fixedLen + (if (hasVar) 1 else 0) > 0) {
-            val row = new Array[Any](outSchema.length)
-            row(0) = tsSec
-            var q = p
-            t.fields.foreach { case (fid, len0, ent) =>
-              if (continue) {
-                var len = len0
-                if (len == 65535) {
-                  // RFC 7011 §7 variable-length: 1-byte, 255 → 2-byte
-                  if (q >= off + setLen) { continue = false; len = 0 }
-                  else {
-                    val l0 = b(q) & 0xff
-                    q += 1
-                    if (l0 == 255) { len = u16(b, q); q += 2 }
-                    else len = l0
-                  }
-                }
+          val isOpt = t.isOptions
+          if ((isOpt && ph.options) || (!isOpt && ph.flows)) {
+            val sampling =
+              if (isOpt) None
+              else cache.getSampling(srcIp, domainId, tsSec)
+            var p = off + 4
+            val hasVar = t.fields.exists(_._2 == 65535)
+            val fixedLen = t.fields.map(_._2).filter(_ != 65535).sum
+            var continue = true
+            while (continue && p < off + setLen &&
+                   (off + setLen - p) >= (if (hasVar) t.fields.count(
+                     _._2 == 65535) + fixedLen else fixedLen) &&
+                   fixedLen + (if (hasVar) 1 else 0) > 0) {
+              val row = new Array[Any](outSchema.length)
+              row(0) = tsSec
+              var q = p
+              t.fields.foreach { case (fid, len0, ent) =>
                 if (continue) {
-                  if (q + len > off + setLen) continue = false
-                  else {
-                    if (ent == 0L) setField(row, fid, b, q, len)
-                    else entMap.get((ent, fid)) // configured vendor field
-                      .foreach(mapped => setField(row, mapped, b, q, len))
-                    q += len
+                  var len = len0
+                  if (len == 65535) {
+                    // RFC 7011 §7 variable-length: 1-byte, 255 → 2-byte
+                    if (q >= off + setLen) { continue = false; len = 0 }
+                    else {
+                      val l0 = b(q) & 0xff
+                      q += 1
+                      if (l0 == 255) { len = u16(b, q); q += 2 }
+                      else len = l0
+                    }
+                  }
+                  if (continue) {
+                    if (q + len > off + setLen) continue = false
+                    else {
+                      if (isOpt) {
+                        // options DATA: harvest the sampling interval
+                        // (34 SAMPLING_INTERVAL, 50 SAMPLER_RANDOM_
+                        // INTERVAL, 305 samplingSpaceInterval family)
+                        if ((fid == 34 || fid == 50 || fid == 305) &&
+                            ent == 0L && len >= 1 && len <= 8) {
+                          val v = be(b, q, len)
+                          if (v > 0)
+                            cache.putSampling(srcIp, domainId, tsSec, v)
+                        }
+                      } else if (ent == 0L) setField(row, fid, b, q, len)
+                      else entMap.get((ent, fid)) // configured vendor field
+                        .foreach(m => setField(row, m, b, q, len))
+                      q += len
+                    }
                   }
                 }
               }
+              if (continue) {
+                if (!isOpt) {
+                  if (row(sampSlot) == null)
+                    sampling.foreach(v => row(sampSlot) = v)
+                  out += row
+                }
+                p = q
+              }
             }
-            if (continue) { out += row; p = q }
           }
         }
       }

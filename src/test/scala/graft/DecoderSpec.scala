@@ -231,6 +231,39 @@ class DecoderSpec extends SparkTest {
     assert(rows.head(fieldIndexOf("vas_session_id")) == 777L)
   }
 
+  test("IPFIX options template (set 3, RFC 7011 §3.4.2.2): scope-count " +
+    "header parsed, sampling learned from options data, applied to " +
+    "flow rows") {
+    val cache = new NetflowDecoder.TemplateCache
+    def pkt(body: Array[Byte], seq: Long): Array[Byte] =
+      bytes(10, 16 + body.length, 1700000000L, seq, 5L) ++ body
+    // options template 300: 2 fields total, 1 scope —
+    // scope = observationDomainId(149,4), option = SAMPLING_INTERVAL(34,4)
+    val optTmpl = bytes(3, 4 + 6 + 2 * 4, 300, 2, 1,
+      149, 4, 34, 4)
+    // flow template 256: in_bytes(1,4)
+    val tmpl = bytes(2, 4 + 4 + 4, 256, 1, 1, 4)
+    // options data: scope value 7, sampling interval 100
+    val optData = bytes(300, 4 + 8, 7L, 100L)
+    // flow data record: in_bytes 5000
+    val data = bytes(256, 8, 5000L)
+    assert(NetflowDecoder.decodePacket(pkt(optTmpl, 1), 10L, 1L, cache)
+      .isEmpty)
+    assert(NetflowDecoder.decodePacket(pkt(tmpl, 2), 10L, 1L, cache)
+      .isEmpty)
+    // options DATA emits no flow rows, but learns the rate
+    assert(NetflowDecoder.decodePacket(pkt(optData, 3), 20L, 1L, cache)
+      .isEmpty)
+    val rows = NetflowDecoder.decodePacket(pkt(data, 4), 30L, 1L, cache)
+    assert(rows.length == 1)
+    assert(rows.head(fieldIndexOf("in_bytes")) == 5000L)
+    assert(rows.head(fieldIndexOf("sampling_rate")) == 100L)
+    // a flow record from BEFORE the options data has no rate (epoch floor)
+    val early = NetflowDecoder.decodePacket(pkt(data, 5), 15L, 1L, cache)
+    assert(early.length == 1)
+    assert(early.head(fieldIndexOf("sampling_rate")) == null)
+  }
+
   test("template epoch store: a mid-stream template revision decodes " +
     "each record with the template live at the record's time " +
     "(netflow-templates.c:140-178 seek(LE))") {
