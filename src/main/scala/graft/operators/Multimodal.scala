@@ -46,10 +46,54 @@ object Multimodal {
     (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
     (b(0) == 'B' && b(1) == 'M')
 
+  private def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 16 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  /** WebP has no in-JDK codec, but its header is a public spec — the
+    * dimensions/alpha live in the first chunk, so a metadata pass can
+    * still be real for webp: VP8 (lossy) start-code + 14-bit dims,
+    * VP8L (lossless) 0x2f byte + bit-packed dims + alpha flag, VP8X
+    * (extended) flags + 24-bit canvas dims. */
+  private def decodeWebp(b: Array[Byte])
+      : Option[(String, Int, Int, Option[Int])] = {
+    if (b.length < 25) return None
+    new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
+      case "VP8 " => // lossy: 3-byte frame tag, 9D 01 2A, w16le, h16le
+        if (b.length >= 30 && (b(23) & 0xff) == 0x9d &&
+            (b(24) & 0xff) == 0x01 && (b(25) & 0xff) == 0x2a) {
+          val w = (b(26) & 0xff) | ((b(27) & 0x3f) << 8)
+          val h = (b(28) & 0xff) | ((b(29) & 0x3f) << 8)
+          if (w > 0 && h > 0) Some(("webp", w, h, Some(3))) else None
+        } else None
+      case "VP8L" => // lossless: 0x2f, then 14+14 bit dims + alpha bit
+        if ((b(20) & 0xff) == 0x2f) {
+          val b1 = b(21) & 0xff; val b2 = b(22) & 0xff
+          val b3 = b(23) & 0xff; val b4 = b(24) & 0xff
+          val w = 1 + (((b2 & 0x3f) << 8) | b1)
+          val h = 1 + (((b4 & 0x0f) << 10) | (b3 << 2) | (b2 >> 6))
+          val ch = if (((b4 >> 4) & 1) == 1) 4 else 3
+          Some(("webp", w, h, Some(ch)))
+        } else None
+      case "VP8X" => // extended: flag byte (0x10 = alpha), 24-bit dims
+        if (b.length >= 30) {
+          val w = 1 + ((b(24) & 0xff) | ((b(25) & 0xff) << 8) |
+            ((b(26) & 0xff) << 16))
+          val h = 1 + ((b(27) & 0xff) | ((b(28) & 0xff) << 8) |
+            ((b(29) & 0xff) << 16))
+          val ch = if ((b(20) & 0x10) != 0) 4 else 3
+          Some(("webp", w, h, Some(ch)))
+        } else None
+      case _ => None
+    }
+  }
+
   def decodeImage(bytes: Array[Byte])
       : Option[(String, Int, Int, Option[Int])] = {
-    if (bytes == null || bytes.length < 8 || !looksLikeImage(bytes))
-      return None
+    if (bytes == null || bytes.length < 8) return None
+    if (isWebp(bytes)) return decodeWebp(bytes)
+    if (!looksLikeImage(bytes)) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))

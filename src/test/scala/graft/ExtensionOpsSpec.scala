@@ -335,6 +335,30 @@ class ExtensionOpsSpec extends SparkTest {
     assert(out(7L)._5 == false && out(7L)._1 == null) // corrupt
   }
 
+  test("multimodal webp decode: VP8/VP8L/VP8X header dims and alpha " +
+    "(no JDK codec — public header spec, hand-built fixtures)") {
+    def riff(fourcc: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++
+        Array.fill[Byte](4)(0) ++ "WEBP".getBytes("US-ASCII") ++
+        fourcc.getBytes("US-ASCII") ++ Array.fill[Byte](4)(0) ++ payload
+    // VP8 lossy: 3-byte tag, start code 9D 01 2A, w=320, h=240 (14-bit le)
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (320 & 0xff).toByte, (320 >> 8).toByte,
+      (240 & 0xff).toByte, (240 >> 8).toByte))
+    assert(Multimodal.decodeImage(vp8) == Some(("webp", 320, 240, Some(3))))
+    // VP8L lossless: 0x2f, bit-packed w=100 h=50, alpha set
+    val vp8l = riff("VP8L", Array[Byte](0x2f, 99, 0x40, 12, 0x10, 0))
+    assert(Multimodal.decodeImage(vp8l) == Some(("webp", 100, 50, Some(4))))
+    // VP8X extended: alpha flag 0x10, canvas 200x150 (24-bit le, -1)
+    val vp8x = riff("VP8X", Array[Byte](0x10, 0, 0, 0,
+      199.toByte, 0, 0, 149.toByte, 0, 0))
+    assert(Multimodal.decodeImage(vp8x) == Some(("webp", 200, 150, Some(4))))
+    // WAV RIFF is not claimed as webp; truncated webp is rejected
+    assert(Multimodal.decodeImage(
+      Multimodal.encodeTestAudio(1)).isEmpty)
+    assert(Multimodal.decodeImage(vp8.take(20)).isEmpty)
+  }
+
   test("multimodal audio decode: javax.sound WAV round-trip reads " +
     "rate/channels/bits/frames; corrupt rows flagged") {
     import spark.implicits._
