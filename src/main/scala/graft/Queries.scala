@@ -884,8 +884,10 @@ object Queries {
     "q24_multimodal_meta",
     (s, dir) => {
       import graft.operators.Multimodal
-      // deterministic fake payload: 6-byte stub header + utf-8 text body
+      // deterministic fake payload: 10-byte stub header ('STUB' magic +
+      // fmt + w16 + h16 + pad) + utf-8 text body
       val payload = encode(concat(
+        lit("STUB"),
         expr("chr(1 + doc_id % 3)"),
         expr("chr(0)"), expr("chr(32 + doc_id % 96)"),
         expr("chr(0)"), expr("chr(32 + (doc_id * 7) % 96)"),
@@ -906,7 +908,7 @@ object Queries {
              ELSE 'webp' END AS format,
         CAST(32 + doc_id % 96 AS BIGINT) AS width,
         CAST(32 + (doc_id * 7) % 96 AS BIGINT) AS height,
-        CAST(6 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CAST(10 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
         TRUE AS ok
       FROM documents ORDER BY doc_id ASC"""))
 

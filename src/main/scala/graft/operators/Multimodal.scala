@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.nio.charset.StandardCharsets
+
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata structs; decode / feature-extract
   * run per-partition in batches.
@@ -31,11 +33,6 @@ object Multimodal {
     StructField("n_bytes", LongType, false),
     StructField("ok", BooleanType, false)))
 
-  /** Real image header decode via the JDK's ImageIO plugin registry.
-    * Width/height come from the header (no pixel decode — O(header)
-    * per payload, which is what a 100 TB metadata pass must be);
-    * channels from the reader's raw image type. Returns None when no
-    * registered reader claims the bytes or the header is corrupt. */
   /** Magic-byte sniff for the formats the JDK ships readers for — a
     * corpus pass must not pay ImageIO's stream + plugin-registry setup
     * (~1 ms/row, measured as q24 0.2 s → 4.2 s at sf0.1) on payloads
@@ -89,6 +86,12 @@ object Multimodal {
     }
   }
 
+  /** Real image header decode: hand-parsed WebP headers plus the JDK's
+    * ImageIO plugin registry (PNG/JPEG/GIF/BMP). Width/height come from
+    * the header (no pixel decode — O(header) per payload, which is what
+    * a 100 TB metadata pass must be); channels from the reader's raw
+    * image type. Returns None when no decoder claims the bytes or the
+    * header is corrupt. */
   def decodeImage(bytes: Array[Byte])
       : Option[(String, Int, Int, Option[Int])] = {
     if (bytes == null || bytes.length < 8) return None
@@ -123,19 +126,23 @@ object Multimodal {
     } catch { case _: Exception => None } // truncated/corrupt header
   }
 
-  /** STUB decoder for formats with no in-JDK codec: reads a fake 6-byte
-    * header `[fmt, w16, h16, pad]`. Returns (format, width, height) or
-    * None for corrupt payloads. */
+  /** STUB decoder for synthetic test payloads: reads a fake 10-byte
+    * header `['S','T','U','B', fmt, w16, h16, pad]`. The explicit magic
+    * means arbitrary corpus binary is NEVER claimed by the stub — a
+    * payload no real decoder recognizes reports ok=false instead of
+    * fabricated metadata. Returns (format, width, height) or None. */
   def decodeImageStub(bytes: Array[Byte]): Option[(String, Int, Int)] = {
-    if (bytes == null || bytes.length < 6) return None
-    val fmt = bytes(0) match {
+    if (bytes == null || bytes.length < 10) return None
+    if (!(bytes(0) == 'S' && bytes(1) == 'T' && bytes(2) == 'U' &&
+          bytes(3) == 'B')) return None
+    val fmt = bytes(4) match {
       case 1 => "png"
       case 2 => "jpeg"
       case 3 => "webp"
       case _ => return None
     }
-    val w = ((bytes(1) & 0xff) << 8) | (bytes(2) & 0xff)
-    val h = ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    val w = ((bytes(5) & 0xff) << 8) | (bytes(6) & 0xff)
+    val h = ((bytes(7) & 0xff) << 8) | (bytes(8) & 0xff)
     if (w == 0 || h == 0) None else Some((fmt, w, h))
   }
 
@@ -145,8 +152,9 @@ object Multimodal {
     val id: Byte = fmt match {
       case "png" => 1; case "jpeg" => 2; case "webp" => 3; case _ => 0
     }
-    Array[Byte](id, ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
-      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte, 0) ++
+    "STUB".getBytes(StandardCharsets.US_ASCII) ++
+      Array[Byte](id, ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte, 0) ++
       Array.fill[Byte](payloadLen)(0x5a)
   }
 
@@ -221,7 +229,7 @@ object Multimodal {
     * sample data is decoded. Magic-byte sniffed (RIFF/FORM/.snd) so
     * non-audio payloads skip the reader registry. */
   def decodeAudio(bytes: Array[Byte])
-      : Option[(String, Int, Int, Int, Long)] = {
+      : Option[(String, Int, Int, Int, Option[Long])] = {
     if (bytes == null || bytes.length < 16) return None
     val riff = bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F'
@@ -234,8 +242,13 @@ object Multimodal {
       val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
       val f = aff.getFormat
+      // AudioSystem.NOT_SPECIFIED (-1) is the legal "unknown length"
+      // marker (e.g. AU with 0xffffffff data size) — surface as None,
+      // not a negative frame count
+      val frames = aff.getFrameLength
       Some((aff.getType.getExtension, f.getSampleRate.toInt,
-        f.getChannels, f.getSampleSizeInBits, aff.getFrameLength.toLong))
+        f.getChannels, f.getSampleSizeInBits,
+        if (frames < 0) None else Some(frames.toLong)))
     } catch { case _: Exception => None }
   }
 
@@ -252,7 +265,7 @@ object Multimodal {
         val n = if (bytes == null) 0L else bytes.length.toLong
         val meta = decodeAudio(bytes) match {
           case Some((f, sr, ch, bits, fr)) =>
-            Row(f, sr, ch, bits, fr, n, true)
+            Row(f, sr, ch, bits, fr.orNull, n, true)
           case None => Row(null, null, null, null, null, n, false)
         }
         Row.fromSeq(row.toSeq :+ meta)

@@ -79,12 +79,16 @@ object Similarity {
       (0 until dim).map(i => hyperplaneSign(j, i))
     })
     val pows = typedlit((0 until nBits).map(j => 1L << j))
+    // slice to the declared dim: zip_with null-pads the SHORTER side, so
+    // a vector longer than dim would otherwise produce NULL products and
+    // a 0 signature for every row (old element_at form truncated)
+    val v = slice(vec, 1, dim)
     aggregate(
       sequence(lit(0), lit(nBits - 1)),
       lit(0L),
       (acc, j) => {
         val plane = element_at(planes, (j + 1).cast("int"))
-        val s = aggregate(zip_with(vec, plane,
+        val s = aggregate(zip_with(v, plane,
           (x, c) => x.cast("double") * c), lit(0.0), (a, t) => a + t)
         acc + when(s >= 0, element_at(pows, (j + 1).cast("int")))
           .otherwise(lit(0L))

@@ -61,6 +61,13 @@ object SqlExport {
     case b: Array[Byte] if conf.ipCols.contains(f.name) && b.length == 16 =>
       // v6 INET literal: RFC 5952 compressed, inet_ntop parity
       "'" + NetFns.ip6Compressed(b) + "'"
+    case b: Array[Byte] if conf.ipCols.contains(f.name) && b.length == 4 =>
+      // binary-carried IPv4: dotted-quad, still a valid INET literal
+      "'" + b.map(_ & 0xff).mkString(".") + "'"
+    case b: Array[Byte] if conf.ipCols.contains(f.name) =>
+      // malformed address length: NULL beats an invalid INET literal
+      // that would abort the whole INSERT at import time
+      "NULL"
     case s: String => "'" + s.replace("'", "''") + "'"
     case b: Array[Byte] =>
       "'" + b.map("%02x".format(_)).mkString(":") + "'"

@@ -64,8 +64,17 @@ object NetflowDecoder {
       // identical re-announce of the revision live at `epoch` is a no-op
       val live = h.floorEntry(epoch)
       if (live == null || live.getValue != v) {
-        h.put(epoch, v)
-        while (h.size() > cap) h.remove(h.firstKey())
+        // Two DIFFERENT revisions inside the same second are ambiguous
+        // at 1 s epoch resolution (the reference's epoch keys share it:
+        // netflow-templates.c stores seconds). Break the tie by a
+        // content comparison instead of arrival order, so batch replay
+        // stays deterministic under packet reordering.
+        val exact = h.get(epoch)
+        if (exact == null || exact == v ||
+            v.toString > exact.toString) {
+          h.put(epoch, v)
+          while (h.size() > cap) h.remove(h.firstKey())
+        }
       }
     }
 
@@ -412,8 +421,13 @@ object NetflowDecoder {
                     else {
                       val l0 = b(q) & 0xff
                       q += 1
-                      if (l0 == 255) { len = u16(b, q); q += 2 }
-                      else len = l0
+                      if (l0 == 255) {
+                        // 2-byte extended length must itself fit in the
+                        // set — a truncated marker at the last byte would
+                        // otherwise read past the buffer
+                        if (q + 2 <= off + setLen) { len = u16(b, q); q += 2 }
+                        else { continue = false; len = 0 }
+                      } else len = l0
                     }
                   }
                   if (continue) {
@@ -468,30 +482,43 @@ object NetflowDecoder {
     * netflow-templates.c:100-252). Routing an exporter's packets to a
     * stable partition (repartition by exporter ip) keeps all of its
     * templates visible to its data. The buffer holds one Spark partition
-    * of raw packets (≲ a few hundred MB by input-split sizing) — the
-    * price of replay determinism; streaming ingest uses the single-pass
-    * [[decodePacket]] per micro-batch instead. */
+    * of raw packets — bounded by input-split sizing for file sources
+    * (≲ a few hundred MB), but NOT for arbitrary upstream partitioning;
+    * callers whose partitions may not fit in executor memory (or whose
+    * packets are known time-ordered anyway) pass
+    * `orderIndependent = false` to get the previous constant-memory
+    * single-pass stream. Streaming ingest uses the single-pass
+    * [[decodePacket]] per micro-batch for the same reason. */
   def decode(df: DataFrame, payloadCol: String = "payload",
              tsCol: String = "ts_sec",
              srcIpCol: String = "src_ip",
-             entMap: Map[(Long, Int), Int] = defaultEnterpriseMap)
+             entMap: Map[(Long, Int), Int] = defaultEnterpriseMap,
+             orderIndependent: Boolean = true)
       : DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val proj = df.select(col(payloadCol), col(tsCol).cast(LongType),
       col(srcIpCol).cast(LongType))
     proj.mapPartitions { it =>
       val cache = new TemplateCache
-      val buf = it.map(r => (r.getAs[Array[Byte]](0), r.getLong(1),
-        r.getLong(2))).toArray
-      buf.foreach { case (p, ts, src) =>
-        decodePhase(p, ts, src, cache, entMap, PhaseTemplates)
-      }
-      buf.foreach { case (p, ts, src) =>
-        decodePhase(p, ts, src, cache, entMap, PhaseOptions)
-      }
-      buf.iterator.flatMap { case (p, ts, src) =>
-        decodePhase(p, ts, src, cache, entMap, PhaseFlows)
-          .map(vals => Row.fromSeq(vals.toSeq))
+      if (orderIndependent) {
+        val buf = it.map(r => (r.getAs[Array[Byte]](0), r.getLong(1),
+          r.getLong(2))).toArray
+        buf.foreach { case (p, ts, src) =>
+          decodePhase(p, ts, src, cache, entMap, PhaseTemplates)
+        }
+        buf.foreach { case (p, ts, src) =>
+          decodePhase(p, ts, src, cache, entMap, PhaseOptions)
+        }
+        buf.iterator.flatMap { case (p, ts, src) =>
+          decodePhase(p, ts, src, cache, entMap, PhaseFlows)
+            .map(vals => Row.fromSeq(vals.toSeq))
+        }
+      } else {
+        it.flatMap { r =>
+          decodePacket(r.getAs[Array[Byte]](0), r.getLong(1),
+            r.getLong(2), cache, entMap)
+            .map(vals => Row.fromSeq(vals.toSeq))
+        }
       }
     }(enc)
   }

@@ -278,6 +278,22 @@ class ExtensionOpsSpec extends SparkTest {
     assert(ivf1.toSet.subsetOf((10L until 60L).toSet))
   }
 
+  test("lshSignature truncates a vector longer than the declared dim " +
+    "(zip_with would otherwise NULL-pad and zero every signature)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val long = (0 until 128).map(i => (math.sin(i * 13) * 5).toFloat)
+    val short = long.take(64)
+    val df = Seq((1L, long.toArray, short.toArray))
+      .toDF("id", "long", "short")
+    val r = df.select(
+      Similarity.lshSignature(col("long"), 64, 16).as("a"),
+      Similarity.lshSignature(col("short"), 64, 16).as("b"))
+      .head()
+    assert(!r.isNullAt(0) && r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != 0L)
+  }
+
   test("ivfTopK: a zero-norm centroid never wins the argmin (NULL " +
     "cosine coalesces to nulls-last)") {
     import graft.operators.Similarity
