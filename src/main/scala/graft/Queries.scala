@@ -982,6 +982,43 @@ object Queries {
         (i % 7 <> 0) AS ok
       FROM range(48) t(i) ORDER BY id ASC"""))
 
+  // real ISO-BMFF (MP4) container metadata: hand-assembled ftyp/moov/
+  // mvhd/tkhd boxes with analytic parameters, parsed header-only (the
+  // box structure is public spec — no codec involved); every 7th row
+  // corrupt. Completes the multimodal trio: image (q59), audio (q60),
+  // video container (q63); frame extraction stays stubbed (needs a
+  // codec this container doesn't ship).
+  private val q63 = Q(
+    "q63_video_meta",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val vids = s.range(48)
+        .map(i => (i, Multimodal.encodeTestVideo(i)))
+        .toDF("id", "payload")
+      Multimodal.withVideoMeta(vids, "payload")
+        .select(col("id"),
+          col("meta.format").as("format"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.width").cast(LongType).as("width"),
+          col("meta.height").cast(LongType).as("height"),
+          col("meta.n_tracks").cast(LongType).as("n_tracks"),
+          col("meta.ok").as("ok"))
+        .orderBy(col("id").asc)
+    },
+    Some("""SELECT i AS id,
+        CASE WHEN i % 7 = 0 THEN NULL ELSE 'isom' END AS format,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(1000 + i * 100 AS BIGINT) END AS duration_ms,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(320 + (i % 4) * 160 AS BIGINT) END AS width,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(240 + (i % 4) * 120 AS BIGINT) END AS height,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE CAST(1 + i % 2 AS BIGINT) END AS n_tracks,
+        (i % 7 <> 0) AS ok
+      FROM range(48) t(i) ORDER BY id ASC"""))
+
   // PII redaction over documents with synthesized PII (the corpus text
   // is clean, so deterministic emails/IPs/phones are appended in-query —
   // identically in both engines — then scrubbed and audited).
@@ -1692,7 +1729,7 @@ object Queries {
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -298,6 +298,144 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Metadata contract for a decoded video payload. */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, true),
+    StructField("duration_ms", LongType, true),
+    StructField("width", IntegerType, true),
+    StructField("height", IntegerType, true),
+    StructField("n_tracks", IntegerType, true),
+    StructField("n_bytes", LongType, false),
+    StructField("ok", BooleanType, false)))
+
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Real video container metadata from the ISO-BMFF (MP4) box
+    * structure — a public spec, parseable without any codec: `ftyp`
+    * gives the brand, `moov/mvhd` the timescale + duration,
+    * `moov/trak/tkhd` the track count and presentation dims (16.16
+    * fixed point). Header-only — sample data (`mdat`) is never touched,
+    * so a corpus metadata pass reads O(moov) bytes per payload.
+    * Frame EXTRACTION stays stubbed ([[sampleFrames]]) — that genuinely
+    * needs a codec this container doesn't ship. */
+  def decodeVideo(bytes: Array[Byte])
+      : Option[(String, Option[Long], Option[Int], Option[Int], Int)] = {
+    if (bytes == null || bytes.length < 16) return None
+    if (!(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
+          bytes(7) == 'p')) return None
+    try {
+      var brand: String = null
+      var durMs: Option[Long] = None
+      var w: Option[Int] = None
+      var h: Option[Int] = None
+      var tracks = 0
+
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val size = u32be(bytes, p.toInt)
+          val typ = new String(bytes, p.toInt + 4, 4,
+            StandardCharsets.US_ASCII)
+          if (size < 8 || p + size > to) return // malformed: stop level
+          val body = p + 8
+          typ match {
+            case "ftyp" if depth == 0 =>
+              brand = new String(bytes, body.toInt, 4,
+                StandardCharsets.US_ASCII).trim
+            case "moov" => walk(body, p + size, depth + 1)
+            case "trak" => tracks += 1; walk(body, p + size, depth + 1)
+            case "mvhd" =>
+              val ver = bytes(body.toInt) & 0xff
+              if (ver == 0 && body + 20 <= to) {
+                val timescale = u32be(bytes, body.toInt + 12)
+                val duration = u32be(bytes, body.toInt + 16)
+                if (timescale > 0)
+                  durMs = Some(duration * 1000L / timescale)
+              } else if (ver == 1 && body + 32 <= to) {
+                val timescale = u32be(bytes, body.toInt + 20)
+                val duration = (u32be(bytes, body.toInt + 24) << 32) |
+                  u32be(bytes, body.toInt + 28)
+                if (timescale > 0)
+                  durMs = Some(duration * 1000L / timescale)
+              }
+            case "tkhd" =>
+              // v0: ver/flags 4 + times 8 + id 4 + res 4 + dur 4 +
+              // res 8 + layer/group/vol/res 8 + matrix 36 = offset 76
+              val ver = bytes(body.toInt) & 0xff
+              val dimOff = body + (if (ver == 1) 88 else 76)
+              if (dimOff + 8 <= to) {
+                val tw = (u32be(bytes, dimOff.toInt) >> 16).toInt
+                val th = (u32be(bytes, dimOff.toInt + 4) >> 16).toInt
+                if (tw > 0 && th > 0 && w.isEmpty) {
+                  w = Some(tw); h = Some(th)
+                }
+              }
+            case _ => // skip leaf boxes
+          }
+          p += size
+        }
+      }
+      walk(0L, bytes.length.toLong, 0)
+      if (brand == null) None
+      else Some((brand, durMs, w, h, tracks))
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach decoded video metadata, partition-batched. */
+  def withVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("meta", videoMetaSchema, false))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        val meta = decodeVideo(bytes) match {
+          case Some((f, d, w, h, t)) =>
+            Row(f, d.orNull, w.orNull, h.orNull, t, n, true)
+          case None => Row(null, null, null, null, null, n, false)
+        }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Deterministic REAL MP4 generator: hand-assembled ISO-BMFF boxes
+    * (ftyp + moov(mvhd + trak(tkhd)...)), analytic in `i`:
+    *   - i % 7 == 0 → corrupt payload (ok=false)
+    *   - duration = 1000 + i*100 ms at timescale 1000
+    *   - width = 320 + (i % 4) * 160, height = 240 + (i % 4) * 120
+    *   - n_tracks = 1 + (i % 2)
+    */
+  def encodeTestVideo(i: Long): Array[Byte] = {
+    if (i % 7 == 0) return Array[Byte](0, 0, 0, 1)
+    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(body.length + 8L) ++
+        typ.getBytes(StandardCharsets.US_ASCII) ++ body
+    val ftyp = box("ftyp",
+      "isom".getBytes(StandardCharsets.US_ASCII) ++ u32(512L) ++
+        "isom".getBytes(StandardCharsets.US_ASCII))
+    val mvhd = box("mvhd", u32(0L) ++ u32(0L) ++ u32(0L) ++
+      u32(1000L) ++ u32(1000L + i * 100) ++
+      Array.fill[Byte](80)(0))
+    val w = 320 + (i % 4).toInt * 160
+    val h = 240 + (i % 4).toInt * 120
+    def tkhd(tw: Int, th: Int) = box("tkhd",
+      u32(0L) ++ Array.fill[Byte](72)(0) ++
+        u32(tw.toLong << 16) ++ u32(th.toLong << 16))
+    val trakV = box("trak", tkhd(w, h))
+    val traks =
+      if (i % 2 == 1) trakV ++ box("trak", tkhd(0, 0)) // audio track
+      else trakV
+    ftyp ++ box("moov", mvhd ++ traks)
+  }
+
   /** Deterministic "feature extraction" over the payload: a 4-dim feature
     * vector from byte statistics (the real version would run a model in
     * the same partition-batched shape). */

@@ -414,6 +414,42 @@ class ExtensionOpsSpec extends SparkTest {
     assert(out(4L) == ((1L, 0L, "unique one")))
   }
 
+  test("multimodal video decode: ISO-BMFF box walk reads brand, " +
+    "duration, dims, track count; corrupt rows flagged") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 7L)
+    val df = ids.map(i => (i, Multimodal.encodeTestVideo(i)))
+      .toDF("id", "payload")
+    val out = Multimodal.withVideoMeta(df, "payload")
+      .select("id", "meta.format", "meta.duration_ms", "meta.width",
+        "meta.height", "meta.n_tracks", "meta.ok")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.get(2), r.get(3), r.get(4), r.get(5),
+          r.getBoolean(6)))).toMap
+    ids.filterNot(_ % 7 == 0).foreach { i =>
+      val exp = ("isom", 1000L + i * 100, 320 + (i % 4).toInt * 160,
+        240 + (i % 4).toInt * 120, 1 + (i % 2).toInt, true)
+      assert(out(i) == exp, s"id $i")
+    }
+    assert(out(7L)._6 == false && out(7L)._1 == null)
+    // a 64-bit (version 1) mvhd parses too
+    val v1mvhd = {
+      def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        (v & 0xff).toByte)
+      def box(t: String, b: Array[Byte]) =
+        u32(b.length + 8L) ++ t.getBytes("US-ASCII") ++ b
+      box("ftyp", "mp42".getBytes("US-ASCII") ++ u32(0L) ++
+        "mp42".getBytes("US-ASCII")) ++
+        box("moov", box("mvhd",
+          Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+            u32(90000L) ++ u32(0L) ++ u32(450000L) ++
+            Array.fill[Byte](80)(0)))
+    }
+    val r = Multimodal.decodeVideo(v1mvhd)
+    assert(r == Some(("mp42", Some(5000L), None, None, 0)))
+  }
+
   test("multimodal stub decode round-trips header + flags corrupt rows") {
     import spark.implicits._
     val good = Multimodal.encodeImageStub("jpeg", 640, 480, 10)
