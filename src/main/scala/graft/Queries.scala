@@ -982,6 +982,50 @@ object Queries {
         (i % 7 <> 0) AS ok
       FROM range(48) t(i) ORDER BY id ASC"""))
 
+  // real image RESIZE round-trip: generated PNGs/JPEGs scaled into an
+  // 8×8 aspect-fit box through the in-JDK AWT pipeline, re-encoded PNG,
+  // then the RESIZED payload is decoded back — the oracle states the
+  // expected output dims from the pure-integer fit formula. Corrupt
+  // inputs yield a NULL resized payload (ok=false downstream).
+  private val q64 = Q(
+    "q64_image_resize",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val imgs = s.range(64)
+        .map(i => (i, Multimodal.encodeTestImage(i)))
+        .toDF("id", "payload")
+      val resized = Multimodal.withResizedImage(imgs, "payload", 8)
+      Multimodal.withImageMeta(resized, "resized")
+        .select(col("id"),
+          col("meta.format").as("format"),
+          col("meta.width").cast(LongType).as("width"),
+          col("meta.height").cast(LongType).as("height"),
+          col("meta.channels").cast(LongType).as("channels"),
+          col("meta.ok").as("ok"))
+        .orderBy(col("id").asc)
+    },
+    Some("""WITH dims AS (
+        SELECT i,
+          CAST(8 + i % 9 AS BIGINT) AS w0,
+          CAST(5 + (i * 3) % 11 AS BIGINT) AS h0
+        FROM range(64) t(i))
+      SELECT i AS id,
+        CASE WHEN i % 7 = 0 THEN NULL ELSE 'png' END AS format,
+        CASE WHEN i % 7 = 0 THEN NULL
+             WHEN w0 <= 8 AND h0 <= 8 THEN w0
+             WHEN w0 >= h0 THEN 8
+             ELSE greatest(1, (w0 * 8) // h0) END AS width,
+        CASE WHEN i % 7 = 0 THEN NULL
+             WHEN w0 <= 8 AND h0 <= 8 THEN h0
+             WHEN w0 >= h0 THEN greatest(1, (h0 * 8) // w0)
+             ELSE 8 END AS height,
+        CASE WHEN i % 7 = 0 THEN NULL
+             WHEN i % 3 = 2 THEN CAST(4 AS BIGINT)
+             ELSE CAST(3 AS BIGINT) END AS channels,
+        (i % 7 <> 0) AS ok
+      FROM dims ORDER BY id ASC"""))
+
   // real ISO-BMFF (MP4) container metadata: hand-assembled ftyp/moov/
   // mvhd/tkhd boxes with analytic parameters, parsed header-only (the
   // box structure is public spec — no codec involved); every 7th row
@@ -1729,7 +1773,8 @@ object Queries {
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
+    q64)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -213,6 +213,62 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Aspect-preserving fit of (w, h) into a box×box square — pure
+    * integer math (floor division) so any engine can state the expected
+    * output dims exactly. Never upscales. */
+  def fitDims(w: Int, h: Int, box: Int): (Int, Int) =
+    if (w <= box && h <= box) (w, h)
+    else if (w >= h) (box, math.max(1, h * box / w))
+    else (math.max(1, w * box / h), box)
+
+  /** REAL image resize through the in-JDK AWT pipeline: decode (any
+    * ImageIO format), scale into a box×box aspect-preserving fit
+    * ([[fitDims]]), re-encode PNG (alpha preserved). Returns None for
+    * payloads no decoder claims. This is the thumbnail/normalize step
+    * of a multimodal training pipeline — the decode is necessarily a
+    * full pixel decode here, unlike the metadata pass. */
+  def resizeImage(bytes: Array[Byte], box: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 8 || !looksLikeImage(bytes))
+      return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (tw, th) = fitDims(img.getWidth, img.getHeight, box)
+      val typ =
+        if (img.getColorModel.hasAlpha)
+          java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB
+      val out = new java.awt.image.BufferedImage(tw, th, typ)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, tw, th, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach a resized payload column (`resized`, PNG bytes, NULL when
+    * the input doesn't decode), partition-batched. */
+  def withResizedImage(df: DataFrame, binCol: String,
+                       box: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType, true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        Row.fromSeq(row.toSeq :+ resizeImage(bytes, box).orNull)
+      }
+    }(enc)
+  }
+
   /** Metadata contract for a decoded audio payload. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, true),

@@ -414,6 +414,24 @@ class ExtensionOpsSpec extends SparkTest {
     assert(out(4L) == ((1L, 0L, "unique one")))
   }
 
+  test("image resize: aspect-fit integer formula, real AWT round-trip " +
+    "preserves alpha, corrupt input yields NULL") {
+    import graft.operators.Multimodal
+    assert(Multimodal.fitDims(8, 5, 8) == ((8, 5)))     // fits: unchanged
+    assert(Multimodal.fitDims(16, 10, 8) == ((8, 5)))   // wide
+    assert(Multimodal.fitDims(8, 15, 8) == ((4, 8)))    // tall
+    assert(Multimodal.fitDims(1000, 1, 8) == ((8, 1)))  // min-1 clamp
+    // real round-trip: 16x10 RGB png → 8x5 png, 3 channels
+    val rgb = Multimodal.encodeTestImage(4L) // 12x6 rgb png
+    val resized = Multimodal.resizeImage(rgb, 8).get
+    assert(Multimodal.decodeImage(resized) == Some(("png", 8, 4, Some(3))))
+    // alpha survives: i=2 is 10x11 ARGB png → (7, 8), 4 channels
+    val argb = Multimodal.encodeTestImage(2L)
+    val r2 = Multimodal.resizeImage(argb, 8).get
+    assert(Multimodal.decodeImage(r2) == Some(("png", 7, 8, Some(4))))
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3, 4), 8).isEmpty)
+  }
+
   test("multimodal video decode: ISO-BMFF box walk reads brand, " +
     "duration, dims, track count; corrupt rows flagged") {
     import spark.implicits._
