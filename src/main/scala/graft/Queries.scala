@@ -982,6 +982,80 @@ object Queries {
         (i % 7 <> 0) AS ok
       FROM range(48) t(i) ORDER BY id ASC"""))
 
+  // sliding + session windows: absent in the reference (SURVEY §2.7
+  // "available if extended") and essentially free on Spark — these two
+  // close that row with oracle-checked semantics. Sliding: every flow
+  // lands in windowDuration/slide = 4 aligned windows; the oracle
+  // replays Spark's alignment (start = slide multiples) via a 0..3
+  // cross join. Session: Spark's session_window merges CONTIGUOUS
+  // ranges too (a gap of exactly the session gap still merges —
+  // verified empirically: splitting on >= gap over-counted sessions
+  // 9762 vs 9750), so the oracle's lag()-based islands split on
+  // diff > gap; integer epoch seconds make it exact on both engines.
+  private val q65 = Q(
+    "q65_sliding_window",
+    (s, dir) => {
+      val flows = TestFlowView.load(s, dir)
+      flows
+        .groupBy(
+          window(to_timestamp(col("ts_sec")), "60 seconds", "15 seconds")
+            .as("w"),
+          col("protocol").as("proto"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes")).as("octets"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("proto"), col("n"), col("octets"))
+        .orderBy(col("w_start").asc, col("proto").asc)
+    },
+    Some(s"""WITH $F,
+      e AS (
+        SELECT (ts_sec // 15) * 15 - 45 + k.k * 15 AS w_start,
+               protocol AS proto, in_bytes
+        FROM flow, (SELECT unnest(generate_series(0, 3)) AS k) k)
+      SELECT w_start, proto,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(in_bytes) AS BIGINT) AS octets
+      FROM e GROUP BY 1, 2
+      ORDER BY w_start ASC, proto ASC"""))
+
+  private val q66 = Q(
+    "q66_session_window",
+    (s, dir) => {
+      val flows = TestFlowView.load(s, dir)
+      flows
+        .groupBy(
+          session_window(to_timestamp(col("ts_sec")), "30 seconds")
+            .as("w"),
+          col("protocol").as("proto"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes")).as("octets"))
+        .select(unix_timestamp(col("w.start")).as("s_start"),
+          unix_timestamp(col("w.end")).as("s_end"),
+          col("proto"), col("n"), col("octets"))
+        .orderBy(col("proto").asc, col("s_start").asc)
+    },
+    Some(s"""WITH $F,
+      o AS (
+        SELECT protocol AS proto, ts_sec, in_bytes,
+          CASE WHEN ts_sec - lag(ts_sec) OVER
+                 (PARTITION BY protocol ORDER BY ts_sec ASC) > 30
+               OR lag(ts_sec) OVER
+                 (PARTITION BY protocol ORDER BY ts_sec ASC) IS NULL
+               THEN 1 ELSE 0 END AS new_s
+        FROM flow),
+      g AS (
+        SELECT proto, ts_sec, in_bytes,
+          SUM(new_s) OVER (PARTITION BY proto ORDER BY ts_sec ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o)
+      SELECT CAST(MIN(ts_sec) AS BIGINT) AS s_start,
+        CAST(MAX(ts_sec) + 30 AS BIGINT) AS s_end,
+        proto,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(in_bytes) AS BIGINT) AS octets
+      FROM g GROUP BY proto, sid
+      ORDER BY proto ASC, s_start ASC"""))
+
   // real image RESIZE round-trip: generated PNGs/JPEGs scaled into an
   // 8×8 aspect-fit box through the in-JDK AWT pipeline, re-encoded PNG,
   // then the RESIZED payload is decoded back — the oracle states the
@@ -1774,7 +1848,7 @@ object Queries {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64)
+    q64, q65, q66)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
