@@ -982,6 +982,46 @@ object Queries {
         (i % 7 <> 0) AS ok
       FROM range(48) t(i) ORDER BY id ASC"""))
 
+  // real pixel-level feature extraction: the RGB PNG subset of the
+  // generated corpus (i%6==4: RGB type + png, lossless) decodes to
+  // EXACTLY the pixels encodeTestImage wrote — value(x,y) =
+  // (i*2654435761 + x*31 + y) & 0xffffff — so the oracle recomputes
+  // per-channel sums from the formula over a pixel-grid cross join.
+  private val q67 = Q(
+    "q67_image_stats",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val imgs = s.range(64)
+        .filter(col("id") % 6 === 4 && col("id") % 7 =!= 0)
+        .map(i => (i, Multimodal.encodeTestImage(i)))
+        .toDF("id", "payload")
+      Multimodal.withChannelSums(imgs, "payload")
+        .select(col("id"),
+          col("stats.width").cast(LongType).as("width"),
+          col("stats.height").cast(LongType).as("height"),
+          col("stats.sum_r").as("sum_r"),
+          col("stats.sum_g").as("sum_g"),
+          col("stats.sum_b").as("sum_b"))
+        .orderBy(col("id").asc)
+    },
+    Some("""WITH ids AS (
+        SELECT i, 8 + i % 9 AS w, 5 + (i * 3) % 11 AS h
+        FROM range(64) t(i) WHERE i % 6 = 4 AND i % 7 <> 0),
+      px AS (
+        SELECT i, w, h,
+          (i * 2654435761 + xx.x * 31 + yy.y) % 16777216 AS v
+        FROM ids,
+          (SELECT unnest(generate_series(0, 16)) AS x) xx,
+          (SELECT unnest(generate_series(0, 15)) AS y) yy
+        WHERE xx.x < w AND yy.y < h)
+      SELECT i AS id,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(SUM((v >> 16) & 255) AS BIGINT) AS sum_r,
+        CAST(SUM((v >> 8) & 255) AS BIGINT) AS sum_g,
+        CAST(SUM(v & 255) AS BIGINT) AS sum_b
+      FROM px GROUP BY i, w, h ORDER BY id ASC"""))
+
   // sliding + session windows: absent in the reference (SURVEY §2.7
   // "available if extended") and essentially free on Spark — these two
   // close that row with oracle-checked semantics. Sliding: every flow
@@ -1848,7 +1888,7 @@ object Queries {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66)
+    q64, q65, q66, q67)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -492,6 +492,63 @@ object Multimodal {
     ftyp ++ box("moov", mvhd ++ traks)
   }
 
+  /** REAL feature extraction over decoded pixels: per-channel integer
+    * sums (exact — no float accumulation), the first stage of any
+    * mean/variance normalization pass. Full pixel decode via ImageIO;
+    * None when no reader claims the payload. For LOSSLESS formats the
+    * result is bit-exact and engine-checkable (q67 replays the
+    * generator's pixel formula in DuckDB); lossy formats decode to
+    * codec-defined pixels and are spec-only. */
+  def imageChannelSums(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 8 ||
+        !(looksLikeImage(bytes) || isWebp(bytes))) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val v = img.getRGB(x, y)
+          sr += (v >> 16) & 0xff
+          sg += (v >> 8) & 0xff
+          sb += v & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Some((img.getWidth, img.getHeight, sr, sg, sb))
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach per-channel pixel sums, partition-batched. */
+  def withChannelSums(df: DataFrame, binCol: String): DataFrame = {
+    val statsSchema = StructType(Seq(
+      StructField("width", IntegerType, true),
+      StructField("height", IntegerType, true),
+      StructField("sum_r", LongType, true),
+      StructField("sum_g", LongType, true),
+      StructField("sum_b", LongType, true),
+      StructField("ok", BooleanType, false)))
+    val outSchema = StructType(df.schema.fields :+
+      StructField("stats", statsSchema, false))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val st = imageChannelSums(bytes) match {
+          case Some((w, h, r, g, b)) => Row(w, h, r, g, b, true)
+          case None => Row(null, null, null, null, null, false)
+        }
+        Row.fromSeq(row.toSeq :+ st)
+      }
+    }(enc)
+  }
+
   /** Deterministic "feature extraction" over the payload: a 4-dim feature
     * vector from byte statistics (the real version would run a model in
     * the same partition-batched shape). */
