@@ -982,6 +982,45 @@ object Queries {
         (i % 7 <> 0) AS ok
       FROM range(48) t(i) ORDER BY id ASC"""))
 
+  // real frame sampling: every 2nd ENCODED sample payload sliced out of
+  // mdat via the parsed sample table (stsz/stsc/stco) — the container-
+  // level frame extraction a training pipeline runs before GPU decode.
+  // Sample k is 8 bytes of (i*31 + k*7) % 256, so the oracle states the
+  // extracted count and the first/last frames' hex content analytically.
+  private val q68 = Q(
+    "q68_frame_sample",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val vids = s.range(48)
+        .map(i => (i, Multimodal.encodeTestVideoSamples(i)))
+        .toDF("id", "payload")
+      Multimodal.withSampledFrames(vids, "payload", stride = 2)
+        .select(col("id"),
+          size(col("frames")).cast(LongType).as("n_frames"),
+          aggregate(col("frames"), lit(0L),
+            (acc, f) => acc + length(f)).as("total_len"),
+          hex(element_at(col("frames"), 1)).as("first_hex"),
+          hex(element_at(col("frames"), -1)).as("last_hex"))
+        .orderBy(col("id").asc)
+    },
+    Some("""WITH t AS (
+        SELECT i, 5 + i % 4 AS n,
+          (5 + i % 4 + 1) // 2 AS nf
+        FROM range(48) t(i))
+      SELECT i AS id,
+        CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(nf AS BIGINT) END
+          AS n_frames,
+        CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(nf * 8 AS BIGINT) END
+          AS total_len,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE repeat(printf('%02X', (i * 31) % 256), 8) END
+          AS first_hex,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE repeat(printf('%02X',
+               (i * 31 + (nf - 1) * 2 * 7) % 256), 8) END AS last_hex
+      FROM t ORDER BY id ASC"""))
+
   // real pixel-level feature extraction: the RGB PNG subset of the
   // generated corpus (i%6==4: RGB type + png, lossless) decodes to
   // EXACTLY the pixels encodeTestImage wrote — value(x,y) =
@@ -1888,7 +1927,7 @@ object Queries {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67)
+    q64, q65, q66, q67, q68)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -459,6 +459,105 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL frame sampling from an MP4 container: parse the sample table
+    * (moov/trak/mdia/minf/stbl — stsz sizes, stco chunk offsets, stsc
+    * chunk mapping) and slice every `stride`-th ENCODED sample payload
+    * out of mdat. This is what a training-data pipeline stores ahead of
+    * GPU decode — the pixel decode of those payloads is the only part
+    * that genuinely needs a codec. Supports the common single-trak
+    * layout; multi-entry stsc chunk maps are walked per entry. Returns
+    * None when the payload is not ISO-BMFF or has no sample table. */
+  def mp4SampleFrames(bytes: Array[Byte],
+                      stride: Int): Option[Seq[Array[Byte]]] = {
+    require(stride > 0)
+    if (bytes == null || bytes.length < 16) return None
+    if (!(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
+          bytes(7) == 'p')) return None
+    try {
+      var sizes: Array[Long] = null
+      var chunkOffsets: Array[Long] = null
+      // stsc entries: (firstChunk, samplesPerChunk)
+      var chunkMap: Array[(Long, Long)] = null
+
+      def walk(from: Long, to: Long): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val size = u32be(bytes, p.toInt)
+          val typ = new String(bytes, p.toInt + 4, 4,
+            StandardCharsets.US_ASCII)
+          if (size < 8 || p + size > to) return
+          val body = (p + 8).toInt
+          typ match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(body, p + size)
+            case "stsz" if sizes == null =>
+              val fixed = u32be(bytes, body + 4)
+              val n = u32be(bytes, body + 8).toInt
+              sizes =
+                if (fixed != 0) Array.fill(n)(fixed)
+                else Array.tabulate(n)(k => u32be(bytes, body + 12 + k * 4))
+            case "stco" if chunkOffsets == null =>
+              val n = u32be(bytes, body + 4).toInt
+              chunkOffsets =
+                Array.tabulate(n)(k => u32be(bytes, body + 8 + k * 4))
+            case "stsc" if chunkMap == null =>
+              val n = u32be(bytes, body + 4).toInt
+              chunkMap = Array.tabulate(n)(k =>
+                (u32be(bytes, body + 8 + k * 12),
+                  u32be(bytes, body + 12 + k * 12)))
+            case _ =>
+          }
+          p += size
+        }
+      }
+      walk(0L, bytes.length.toLong)
+      if (sizes == null || chunkOffsets == null || chunkMap == null ||
+          sizes.isEmpty || chunkOffsets.isEmpty || chunkMap.isEmpty)
+        return None
+      // expand the chunk map into a per-sample absolute offset list
+      val out = Vector.newBuilder[Array[Byte]]
+      var sample = 0
+      var ci = 0
+      while (sample < sizes.length && ci < chunkOffsets.length) {
+        // samples-per-chunk for chunk ci+1 = the last stsc entry whose
+        // firstChunk <= ci+1
+        val spc = chunkMap.takeWhile(_._1 <= ci + 1).lastOption
+          .map(_._2.toInt).getOrElse(chunkMap.head._2.toInt)
+        var off = chunkOffsets(ci)
+        var k = 0
+        while (k < spc && sample < sizes.length) {
+          val len = sizes(sample)
+          if (off + len > bytes.length) return None // malformed table
+          if (sample % stride == 0)
+            out += java.util.Arrays.copyOfRange(bytes, off.toInt,
+              (off + len).toInt)
+          off += len
+          sample += 1
+          k += 1
+        }
+        ci += 1
+      }
+      Some(out.result())
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach sampled encoded frames (`frames` array<binary>, NULL when
+    * not parseable), partition-batched. */
+  def withSampledFrames(df: DataFrame, binCol: String,
+                        stride: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("frames", ArrayType(BinaryType, false), true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val fs = mp4SampleFrames(bytes, stride).map(_.toSeq).orNull
+        Row.fromSeq(row.toSeq :+ fs)
+      }
+    }(enc)
+  }
+
   /** Deterministic REAL MP4 generator: hand-assembled ISO-BMFF boxes
     * (ftyp + moov(mvhd + trak(tkhd)...)), analytic in `i`:
     *   - i % 7 == 0 → corrupt payload (ok=false)
@@ -547,6 +646,46 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ st)
       }
     }(enc)
+  }
+
+  /** Deterministic MP4 generator WITH a sample table: n = 5 + i%4
+    * samples of 8 bytes each, sample k filled with byte value
+    * (i*31 + k*7) % 256, one chunk, stco carrying the real absolute
+    * mdat payload offset. Every 7th payload corrupt. */
+  def encodeTestVideoSamples(i: Long): Array[Byte] = {
+    if (i % 7 == 0) return Array[Byte](0, 0, 0, 1)
+    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      u32(body.length + 8L) ++
+        typ.getBytes(StandardCharsets.US_ASCII) ++ body
+    val n = (5 + i % 4).toInt
+    val payload = Array.tabulate(n * 8)(b =>
+      ((i * 31 + (b / 8) * 7) % 256).toByte)
+    def head(mdatOff: Long): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "isom".getBytes(StandardCharsets.US_ASCII) ++ u32(512L) ++
+          "isom".getBytes(StandardCharsets.US_ASCII))
+      val mvhd = box("mvhd", u32(0L) ++ u32(0L) ++ u32(0L) ++
+        u32(1000L) ++ u32(1000L) ++ Array.fill[Byte](80)(0))
+      val tkhd = box("tkhd", u32(0L) ++ Array.fill[Byte](72)(0) ++
+        u32(320L << 16) ++ u32(240L << 16))
+      val stsz = box("stsz",
+        u32(0L) ++ u32(0L) ++ u32(n.toLong) ++
+          Array.tabulate(n)(_ => u32(8L)).flatten)
+      val stsc = box("stsc", u32(0L) ++ u32(1L) ++
+        u32(1L) ++ u32(n.toLong) ++ u32(1L))
+      val stco = box("stco", u32(0L) ++ u32(1L) ++ u32(mdatOff))
+      val stbl = box("stbl", stsz ++ stsc ++ stco)
+      val trak = box("trak",
+        tkhd ++ box("mdia", box("minf", stbl)))
+      ftyp ++ box("moov", mvhd ++ trak)
+    }
+    // stco stores an absolute file offset; the header length doesn't
+    // depend on the offset VALUE (fixed-width u32), so build twice
+    val h0 = head(0L)
+    head(h0.length + 8L) ++ box("mdat", payload)
   }
 
   /** Deterministic "feature extraction" over the payload: a 4-dim feature

@@ -468,6 +468,53 @@ class ExtensionOpsSpec extends SparkTest {
     assert(r == Some(("mp42", Some(5000L), None, None, 0)))
   }
 
+  test("mp4 frame sampling: sample table parsed, stride slicing exact, " +
+    "multi-chunk stsc walked, corrupt rejected") {
+    import graft.operators.Multimodal
+    val v = Multimodal.encodeTestVideoSamples(1L) // n = 6 samples
+    val all = Multimodal.mp4SampleFrames(v, 1).get
+    assert(all.length == 6)
+    all.zipWithIndex.foreach { case (f, k) =>
+      assert(f.length == 8 && f.forall(_ == ((31 + k * 7) % 256).toByte),
+        s"sample $k")
+    }
+    val every2 = Multimodal.mp4SampleFrames(v, 2).get
+    assert(every2.length == 3)
+    assert(every2.map(_.head) == all.map(_.head).zipWithIndex
+      .filter(_._2 % 2 == 0).map(_._1))
+    // multi-chunk: rebuild with 2 chunks (stsc entries (1,4),(2,2))
+    def u32(x: Long) = Array[Byte](((x >> 24) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      (x & 0xff).toByte)
+    def box(t: String, b: Array[Byte]) =
+      u32(b.length + 8L) ++ t.getBytes("US-ASCII") ++ b
+    val pay = Array.tabulate(6 * 8)(b => ((b / 8) * 11 % 256).toByte)
+    def head(o1: Long, o2: Long): Array[Byte] = {
+      val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(6) ++
+        Array.tabulate(6)(_ => u32(8)).flatten)
+      val stsc = box("stsc", u32(0) ++ u32(2) ++
+        u32(1) ++ u32(4) ++ u32(1) ++ u32(2) ++ u32(2) ++ u32(1))
+      val stco = box("stco", u32(0) ++ u32(2) ++ u32(o1) ++ u32(o2))
+      box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0) ++
+        "isom".getBytes("US-ASCII")) ++
+        box("moov", box("trak", box("mdia", box("minf",
+          box("stbl", stsz ++ stsc ++ stco)))))
+    }
+    val h0 = head(0, 0)
+    val o1 = h0.length + 8L      // chunk 1: samples 0-3
+    val o2 = o1 + 4 * 8          // chunk 2: samples 4-5
+    val multi = head(o1, o2) ++ box("mdat", pay)
+    val fs = Multimodal.mp4SampleFrames(multi, 1).get
+    assert(fs.length == 6)
+    fs.zipWithIndex.foreach { case (f, k) =>
+      assert(f.forall(_ == (k * 11 % 256).toByte), s"chunked sample $k")
+    }
+    assert(Multimodal.mp4SampleFrames(
+      Multimodal.encodeTestVideoSamples(0L), 1).isEmpty) // corrupt
+    assert(Multimodal.mp4SampleFrames(
+      Multimodal.encodeTestVideo(1L), 1).isEmpty) // no sample table
+  }
+
   test("multimodal stub decode round-trips header + flags corrupt rows") {
     import spark.implicits._
     val good = Multimodal.encodeImageStub("jpeg", 640, 480, 10)
