@@ -22,11 +22,11 @@ object Soak {
 
   /** Self-contained packet i: header + template + one data record.
     * Alternates NetFlow v9 and IPFIX (both hot paths exercised), and
-    * every 64th IPFIX packet additionally carries an options template +
-    * options data record announcing a sampling rate — driving the
-    * epoch-keyed sampling store under load. Template id rotates through
-    * 16384 values — past the decoder cache's LRU cap, proving bounded
-    * template state under churn. */
+    * every 32nd IPFIX packet (i % 64 == 1 over odd i) additionally
+    * carries an options template + options data record announcing a
+    * sampling rate — driving the epoch-keyed sampling store under load.
+    * Template id rotates through 16384 values — past the decoder
+    * cache's LRU cap, proving bounded template state under churn. */
   def mkPacket(i: Long): Array[Byte] = {
     def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
@@ -46,15 +46,17 @@ object Soak {
       val data = u16(tid) ++ u16(4 + rec.length) ++ rec
       header ++ tmpl ++ data
     } else {
-      // IPFIX: template set (id 2) + data set; every 64th adds an
-      // options template (id 3, 1 scope) + options data with field 34
+      // IPFIX: template set (id 2) + data set; every 32nd IPFIX packet
+      // adds an options template (id 3, 1 scope) + options data with
+      // field 34. The options tid is a fixed id just past the rotating
+      // data-template range 256..16639.
       val tmpl = u16(2) ++ u16(28) ++ u16(tid) ++ u16(5) ++
         u16(1) ++ u16(4) ++ u16(4) ++ u16(1) ++ u16(8) ++ u16(4) ++
         u16(12) ++ u16(4) ++ u16(11) ++ u16(2)
       val data = u16(tid) ++ u16(4 + rec.length) ++ rec
       val opts =
         if (i % 64 == 1) {
-          val otid = 255 + 16384 + (i % 64).toInt // stable options tid
+          val otid = 16640
           val otmpl = u16(3) ++ u16(18) ++ u16(otid) ++ u16(2) ++ u16(1) ++
             u16(149) ++ u16(4) ++ u16(34) ++ u16(4)
           val odata = u16(otid) ++ u16(12) ++ u32(1L) ++ u32(1L + i % 16)

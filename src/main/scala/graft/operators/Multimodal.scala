@@ -402,20 +402,25 @@ object Multimodal {
             StandardCharsets.US_ASCII)
           if (size < 8 || p + size > to) return // malformed: stop level
           val body = p + 8
+          // field reads are bounded by the BOX's own end, not the
+          // enclosing container's — a truncated mvhd/tkhd must leave
+          // its fields NULL instead of reading the sibling box's bytes
+          val boxEnd = p + size
           typ match {
             case "ftyp" if depth == 0 =>
-              brand = new String(bytes, body.toInt, 4,
-                StandardCharsets.US_ASCII).trim
+              if (body + 4 <= boxEnd)
+                brand = new String(bytes, body.toInt, 4,
+                  StandardCharsets.US_ASCII).trim
             case "moov" => walk(body, p + size, depth + 1)
             case "trak" => tracks += 1; walk(body, p + size, depth + 1)
             case "mvhd" =>
               val ver = bytes(body.toInt) & 0xff
-              if (ver == 0 && body + 20 <= to) {
+              if (ver == 0 && body + 20 <= boxEnd) {
                 val timescale = u32be(bytes, body.toInt + 12)
                 val duration = u32be(bytes, body.toInt + 16)
                 if (timescale > 0)
                   durMs = Some(duration * 1000L / timescale)
-              } else if (ver == 1 && body + 32 <= to) {
+              } else if (ver == 1 && body + 32 <= boxEnd) {
                 val timescale = u32be(bytes, body.toInt + 20)
                 val duration = (u32be(bytes, body.toInt + 24) << 32) |
                   u32be(bytes, body.toInt + 28)
@@ -427,7 +432,7 @@ object Multimodal {
               // res 8 + layer/group/vol/res 8 + matrix 36 = offset 76
               val ver = bytes(body.toInt) & 0xff
               val dimOff = body + (if (ver == 1) 88 else 76)
-              if (dimOff + 8 <= to) {
+              if (dimOff + 8 <= boxEnd) {
                 val tw = (u32be(bytes, dimOff.toInt) >> 16).toInt
                 val th = (u32be(bytes, dimOff.toInt + 4) >> 16).toInt
                 if (tw > 0 && th > 0 && w.isEmpty) {
@@ -493,24 +498,39 @@ object Multimodal {
             StandardCharsets.US_ASCII)
           if (size < 8 || p + size > to) return
           val body = (p + 8).toInt
+          val boxEnd = (p + size).toInt
+          // entry counts are UNTRUSTED payload data: bound them by what
+          // the box's own declared size can hold — a corrupt count would
+          // otherwise drive a multi-GB allocation (OutOfMemoryError, an
+          // Error the Exception handler can't catch) or silently read
+          // sibling boxes' bytes as table entries
           typ match {
             case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
               walk(body, p + size)
             case "stsz" if sizes == null =>
               val fixed = u32be(bytes, body + 4)
               val n = u32be(bytes, body + 8).toInt
-              sizes =
-                if (fixed != 0) Array.fill(n)(fixed)
-                else Array.tabulate(n)(k => u32be(bytes, body + 12 + k * 4))
+              if (fixed != 0) {
+                // constant-size table: n must at least be addressable
+                // within the payload (n * fixed bytes of mdat)
+                if (n >= 0 && fixed > 0 &&
+                    n <= bytes.length / fixed)
+                  sizes = Array.fill(n)(fixed)
+              } else if (n >= 0 && body + 12 + n.toLong * 4 <= boxEnd) {
+                sizes =
+                  Array.tabulate(n)(k => u32be(bytes, body + 12 + k * 4))
+              }
             case "stco" if chunkOffsets == null =>
               val n = u32be(bytes, body + 4).toInt
-              chunkOffsets =
-                Array.tabulate(n)(k => u32be(bytes, body + 8 + k * 4))
+              if (n >= 0 && body + 8 + n.toLong * 4 <= boxEnd)
+                chunkOffsets =
+                  Array.tabulate(n)(k => u32be(bytes, body + 8 + k * 4))
             case "stsc" if chunkMap == null =>
               val n = u32be(bytes, body + 4).toInt
-              chunkMap = Array.tabulate(n)(k =>
-                (u32be(bytes, body + 8 + k * 12),
-                  u32be(bytes, body + 12 + k * 12)))
+              if (n >= 0 && body + 8 + n.toLong * 12 <= boxEnd)
+                chunkMap = Array.tabulate(n)(k =>
+                  (u32be(bytes, body + 8 + k * 12),
+                    u32be(bytes, body + 12 + k * 12)))
             case _ =>
           }
           p += size
@@ -520,15 +540,20 @@ object Multimodal {
       if (sizes == null || chunkOffsets == null || chunkMap == null ||
           sizes.isEmpty || chunkOffsets.isEmpty || chunkMap.isEmpty)
         return None
-      // expand the chunk map into a per-sample absolute offset list
+      // expand the chunk map into a per-sample absolute offset list;
+      // stsc entries are sorted by firstChunk, so a monotone index
+      // keeps the walk O(chunks + entries) instead of rescanning the
+      // map per chunk
       val out = Vector.newBuilder[Array[Byte]]
       var sample = 0
       var ci = 0
+      var mi = 0
       while (sample < sizes.length && ci < chunkOffsets.length) {
         // samples-per-chunk for chunk ci+1 = the last stsc entry whose
         // firstChunk <= ci+1
-        val spc = chunkMap.takeWhile(_._1 <= ci + 1).lastOption
-          .map(_._2.toInt).getOrElse(chunkMap.head._2.toInt)
+        while (mi + 1 < chunkMap.length && chunkMap(mi + 1)._1 <= ci + 1)
+          mi += 1
+        val spc = chunkMap(mi)._2.toInt
         var off = chunkOffsets(ci)
         var k = 0
         while (k < spc && sample < sizes.length) {
@@ -571,30 +596,34 @@ object Multimodal {
     *   - width = 320 + (i % 4) * 160, height = 240 + (i % 4) * 120
     *   - n_tracks = 1 + (i % 2)
     */
+  // shared ISO-BMFF building blocks for the two MP4 generators (the
+  // spec builds its adversarial layouts independently on purpose)
+  private def beU32(v: Long): Array[Byte] =
+    Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def bmffBox(typ: String, body: Array[Byte]): Array[Byte] =
+    beU32(body.length + 8L) ++
+      typ.getBytes(StandardCharsets.US_ASCII) ++ body
+  private def ftypBox(brand: String): Array[Byte] =
+    bmffBox("ftyp", brand.getBytes(StandardCharsets.US_ASCII) ++
+      beU32(512L) ++ brand.getBytes(StandardCharsets.US_ASCII))
+  private def mvhdBox(timescale: Long, duration: Long): Array[Byte] =
+    bmffBox("mvhd", beU32(0L) ++ beU32(0L) ++ beU32(0L) ++
+      beU32(timescale) ++ beU32(duration) ++ Array.fill[Byte](80)(0))
+  private def tkhdBox(w: Int, h: Int): Array[Byte] =
+    bmffBox("tkhd", beU32(0L) ++ Array.fill[Byte](72)(0) ++
+      beU32(w.toLong << 16) ++ beU32(h.toLong << 16))
+
   def encodeTestVideo(i: Long): Array[Byte] = {
     if (i % 7 == 0) return Array[Byte](0, 0, 0, 1)
-    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      (v & 0xff).toByte)
-    def box(typ: String, body: Array[Byte]): Array[Byte] =
-      u32(body.length + 8L) ++
-        typ.getBytes(StandardCharsets.US_ASCII) ++ body
-    val ftyp = box("ftyp",
-      "isom".getBytes(StandardCharsets.US_ASCII) ++ u32(512L) ++
-        "isom".getBytes(StandardCharsets.US_ASCII))
-    val mvhd = box("mvhd", u32(0L) ++ u32(0L) ++ u32(0L) ++
-      u32(1000L) ++ u32(1000L + i * 100) ++
-      Array.fill[Byte](80)(0))
     val w = 320 + (i % 4).toInt * 160
     val h = 240 + (i % 4).toInt * 120
-    def tkhd(tw: Int, th: Int) = box("tkhd",
-      u32(0L) ++ Array.fill[Byte](72)(0) ++
-        u32(tw.toLong << 16) ++ u32(th.toLong << 16))
-    val trakV = box("trak", tkhd(w, h))
+    val trakV = bmffBox("trak", tkhdBox(w, h))
     val traks =
-      if (i % 2 == 1) trakV ++ box("trak", tkhd(0, 0)) // audio track
+      if (i % 2 == 1) trakV ++ bmffBox("trak", tkhdBox(0, 0)) // audio
       else trakV
-    ftyp ++ box("moov", mvhd ++ traks)
+    ftypBox("isom") ++
+      bmffBox("moov", mvhdBox(1000L, 1000L + i * 100) ++ traks)
   }
 
   /** REAL feature extraction over decoded pixels: per-channel integer
@@ -660,38 +689,25 @@ object Multimodal {
     * mdat payload offset. Every 7th payload corrupt. */
   def encodeTestVideoSamples(i: Long): Array[Byte] = {
     if (i % 7 == 0) return Array[Byte](0, 0, 0, 1)
-    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      (v & 0xff).toByte)
-    def box(typ: String, body: Array[Byte]): Array[Byte] =
-      u32(body.length + 8L) ++
-        typ.getBytes(StandardCharsets.US_ASCII) ++ body
     val n = (5 + i % 4).toInt
     val payload = Array.tabulate(n * 8)(b =>
       ((i * 31 + (b / 8) * 7) % 256).toByte)
     def head(mdatOff: Long): Array[Byte] = {
-      val ftyp = box("ftyp",
-        "isom".getBytes(StandardCharsets.US_ASCII) ++ u32(512L) ++
-          "isom".getBytes(StandardCharsets.US_ASCII))
-      val mvhd = box("mvhd", u32(0L) ++ u32(0L) ++ u32(0L) ++
-        u32(1000L) ++ u32(1000L) ++ Array.fill[Byte](80)(0))
-      val tkhd = box("tkhd", u32(0L) ++ Array.fill[Byte](72)(0) ++
-        u32(320L << 16) ++ u32(240L << 16))
-      val stsz = box("stsz",
-        u32(0L) ++ u32(0L) ++ u32(n.toLong) ++
-          Array.tabulate(n)(_ => u32(8L)).flatten)
-      val stsc = box("stsc", u32(0L) ++ u32(1L) ++
-        u32(1L) ++ u32(n.toLong) ++ u32(1L))
-      val stco = box("stco", u32(0L) ++ u32(1L) ++ u32(mdatOff))
-      val stbl = box("stbl", stsz ++ stsc ++ stco)
-      val trak = box("trak",
-        tkhd ++ box("mdia", box("minf", stbl)))
-      ftyp ++ box("moov", mvhd ++ trak)
+      val stsz = bmffBox("stsz",
+        beU32(0L) ++ beU32(0L) ++ beU32(n.toLong) ++
+          Array.tabulate(n)(_ => beU32(8L)).flatten)
+      val stsc = bmffBox("stsc", beU32(0L) ++ beU32(1L) ++
+        beU32(1L) ++ beU32(n.toLong) ++ beU32(1L))
+      val stco = bmffBox("stco", beU32(0L) ++ beU32(1L) ++ beU32(mdatOff))
+      val stbl = bmffBox("stbl", stsz ++ stsc ++ stco)
+      val trak = bmffBox("trak",
+        tkhdBox(320, 240) ++ bmffBox("mdia", bmffBox("minf", stbl)))
+      ftypBox("isom") ++ bmffBox("moov", mvhdBox(1000L, 1000L) ++ trak)
     }
     // stco stores an absolute file offset; the header length doesn't
     // depend on the offset VALUE (fixed-width u32), so build twice
     val h0 = head(0L)
-    head(h0.length + 8L) ++ box("mdat", payload)
+    head(h0.length + 8L) ++ bmffBox("mdat", payload)
   }
 
   /** Byte-level payload statistics (length/mean/first/last) — the cheap

@@ -46,8 +46,11 @@ object NetflowDecoder {
     *
     * Bounds: LRU cap on distinct template keys (8192 ≫ any sane exporter
     * population per partition); per-key history capped at `maxEpochs`
-    * revisions (oldest dropped — an exporter re-announcing an UNCHANGED
-    * template is a no-op, so the cap only bites on genuine layout churn).
+    * entries — eviction removes redundant re-announces (entries
+    * identical to their predecessor, whose removal cannot change any
+    * floor lookup) before it touches a genuine revision, so the cap
+    * only bites on real layout churn. Same-epoch conflicting revisions
+    * resolve by content comparison, never by arrival order.
     */
   final class TemplateCache(maxEntries: Int = 8192, maxEpochs: Int = 8) {
     private def lru[K, V](cap: Int) =
@@ -61,19 +64,36 @@ object NetflowDecoder {
 
     private def putAt[V](h: Hist[V], epoch: Long, v: V,
                          cap: Int): Unit = {
-      // identical re-announce of the revision live at `epoch` is a no-op
-      val live = h.floorEntry(epoch)
-      if (live == null || live.getValue != v) {
+      val exact = h.get(epoch)
+      if (exact != null) {
         // Two DIFFERENT revisions inside the same second are ambiguous
         // at 1 s epoch resolution (the reference's epoch keys share it:
-        // netflow-templates.c stores seconds). Break the tie by a
-        // content comparison instead of arrival order, so batch replay
-        // stays deterministic under packet reordering.
-        val exact = h.get(epoch)
-        if (exact == null || exact == v ||
-            v.toString > exact.toString) {
-          h.put(epoch, v)
-          while (h.size() > cap) h.remove(h.firstKey())
+        // netflow-templates.c stores seconds). Resolve by a content
+        // comparison instead of arrival order, so batch replay stays
+        // deterministic under packet reordering.
+        if (exact != v && v.toString > exact.toString) h.put(epoch, v)
+      } else {
+        // Every announcement at a NEW epoch is stored — even one
+        // identical to the floor predecessor. Skipping it would lose
+        // the information needed to resolve a later same-epoch
+        // conflict deterministically. The cap stays effective because
+        // eviction prefers entries identical to their predecessor
+        // (removing those never changes any floor lookup), falling
+        // back to the oldest only when every entry is a distinct
+        // revision.
+        h.put(epoch, v)
+        while (h.size() > cap) {
+          var victim: java.lang.Long = null
+          val it = h.entrySet().iterator()
+          var prev: V = null.asInstanceOf[V]
+          var first = true
+          while (victim == null && it.hasNext) {
+            val e = it.next()
+            if (!first && e.getValue == prev) victim = e.getKey
+            prev = e.getValue
+            first = false
+          }
+          h.remove(if (victim != null) victim else h.firstKey())
         }
       }
     }

@@ -312,6 +312,31 @@ class DecoderSpec extends SparkTest {
     assert(out == Set((150L, 5555L, null), (250L, null, 5555L)))
   }
 
+  test("epoch store: same-second conflicting revisions resolve by " +
+    "content not arrival order; redundant re-announces evict first") {
+    val A = NetflowDecoder.Template(Seq((1, 4, 0L)))
+    val B = NetflowDecoder.Template(Seq((2, 4, 0L)))
+    // both arrival orders of {re-announce A, revision B} at epoch 100
+    // must resolve identically
+    val c1 = new NetflowDecoder.TemplateCache
+    c1.put(1L, 1L, 9, 256, 50L, A)
+    c1.put(1L, 1L, 9, 256, 100L, A)
+    c1.put(1L, 1L, 9, 256, 100L, B)
+    val c2 = new NetflowDecoder.TemplateCache
+    c2.put(1L, 1L, 9, 256, 50L, A)
+    c2.put(1L, 1L, 9, 256, 100L, B)
+    c2.put(1L, 1L, 9, 256, 100L, A)
+    assert(c1.get(1L, 1L, 9, 256, 150L) == c2.get(1L, 1L, 9, 256, 150L))
+    assert(c1.get(1L, 1L, 9, 256, 75L).contains(A)) // pre-conflict era
+    // eviction removes the redundant re-announce, not the old revision
+    val c3 = new NetflowDecoder.TemplateCache(maxEpochs = 2)
+    c3.put(1L, 1L, 9, 300, 10L, A)
+    c3.put(1L, 1L, 9, 300, 20L, A) // redundant re-announce
+    c3.put(1L, 1L, 9, 300, 30L, B) // over cap
+    assert(c3.get(1L, 1L, 9, 300, 15L).contains(A)) // old era survives
+    assert(c3.get(1L, 1L, 9, 300, 35L).contains(B))
+  }
+
   test("TemplateCache evicts least-recently-used beyond its cap") {
     val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
     val t = NetflowDecoder.Template(Seq((1, 4, 0L)))
