@@ -190,6 +190,52 @@ class PropertySpec extends SparkTest {
     }
   }
 
+  test("ip6Compressed round-trips through InetAddress for random " +
+    "zero-run-structured addresses") {
+    import graft.functions.NetFns.ip6Compressed
+    // bias toward addresses with zero runs (the interesting cases)
+    val genAddr: Gen[Array[Byte]] = for {
+      groups <- Gen.listOfN(8, Gen.frequency(
+        3 -> Gen.const(0),
+        1 -> Gen.chooseNum(0, 0xffff)))
+    } yield groups.flatMap(g =>
+      Seq(((g >> 8) & 0xff).toByte, (g & 0xff).toByte)).toArray
+    samples(genAddr, 300).foreach { b =>
+      val s = ip6Compressed(b)
+      // parse back: the compressed form must denote the same 16 bytes
+      val parsed = java.net.InetAddress.getByName(s).getAddress
+      assert(parsed.toSeq == b.toSeq, s"$s")
+      // RFC 5952: lowercase, no leading zeros, at most one "::"
+      assert(s == s.toLowerCase)
+      assert(!s.split("::", -1).exists(_.split(":")
+        .exists(g => g.length > 1 && g.startsWith("0"))), s)
+      assert(s.sliding(3).count(_ == ":::") == 0 &&
+        s.split("::", -1).length <= 2, s)
+    }
+  }
+
+  test("fitDims: never upscales, fits the box, preserves aspect " +
+    "ordering, and is exact for box multiples") {
+    import graft.operators.Multimodal.fitDims
+    val gen = for {
+      w <- Gen.chooseNum(1, 10000)
+      h <- Gen.chooseNum(1, 10000)
+      box <- Gen.chooseNum(1, 512)
+    } yield (w, h, box)
+    samples(gen, 500).foreach { case (w, h, box) =>
+      val (tw, th) = fitDims(w, h, box)
+      assert(tw >= 1 && th >= 1, s"($w,$h,$box)")
+      assert(tw <= math.max(w, box) && th <= math.max(h, box))
+      assert(tw <= box && th <= box || (w <= box && h <= box),
+        s"($w,$h,$box) -> ($tw,$th)")
+      assert(tw <= w && th <= h, s"never upscale: ($w,$h,$box)")
+      // aspect ordering preserved
+      assert((w >= h) == (tw >= th) || tw == th, s"($w,$h,$box)")
+      // exact for clean multiples
+      if (w % box == 0 && h == w) assert(tw == box && th == box)
+    }
+  }
+
   test("alert machine: Started and Ended strictly alternate per key") {
     val genOps = Gen.listOfN(40, for {
       isBreach <- Gen.prob(0.4)
