@@ -515,6 +515,35 @@ class ExtensionOpsSpec extends SparkTest {
       Multimodal.encodeTestVideo(1L), 1).isEmpty) // no sample table
   }
 
+  test("mp4 sample-table counts are untrusted: a corrupt huge count is " +
+    "rejected (None) instead of allocating or reading sibling bytes") {
+    import graft.operators.Multimodal
+    val good = Multimodal.encodeTestVideoSamples(1L)
+    def indexOf(tag: String): Int = {
+      val t = tag.getBytes("US-ASCII")
+      good.indices.find(i => i + 4 <= good.length &&
+        good.slice(i, i + 4).sameElements(t)).get
+    }
+    // per-sample stsz: count lives 12 bytes past the type tag
+    // (ver/flags 4 + fixed 4 + count 4)
+    val stszCount = indexOf("stsz") + 12
+    val bad1 = good.clone()
+    bad1(stszCount) = 0x40.toByte // count = 0x40xxxxxx ≈ 2^30 entries
+    assert(Multimodal.mp4SampleFrames(bad1, 1).isEmpty)
+    // fixed-size stsz with a huge count: would be a 2^30-entry fill
+    val bad2 = good.clone()
+    bad2(stszCount - 4 + 3) = 8 // fixed = 8
+    bad2(stszCount) = 0x40.toByte
+    assert(Multimodal.mp4SampleFrames(bad2, 1).isEmpty)
+    // stco with a count overrunning its box
+    val stcoCount = indexOf("stco") + 8 // ver/flags 4 + count 4
+    val bad3 = good.clone()
+    bad3(stcoCount + 2) = 0x7f.toByte
+    assert(Multimodal.mp4SampleFrames(bad3, 1).isEmpty)
+    // untouched payload still parses
+    assert(Multimodal.mp4SampleFrames(good, 1).get.length == 6)
+  }
+
   test("multimodal stub decode round-trips header + flags corrupt rows") {
     import spark.implicits._
     val good = Multimodal.encodeImageStub("jpeg", 640, 480, 10)
