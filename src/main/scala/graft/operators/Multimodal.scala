@@ -374,6 +374,12 @@ object Multimodal {
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
 
+  /** Recursion bound for ISO-BMFF box walks. Real files nest
+    * moov/trak/mdia/minf/stbl = depth 5; 16 leaves slack for edit
+    * lists etc. while keeping a crafted chain of 8-byte container
+    * boxes from overflowing the stack. */
+  private val MaxBoxDepth = 16
+
   /** Real video container metadata from the ISO-BMFF (MP4) box
     * structure — a public spec, parseable without any codec: `ftyp`
     * gives the brand, `moov/mvhd` the timescale + duration,
@@ -395,6 +401,11 @@ object Multimodal {
       var tracks = 0
 
       def walk(from: Long, to: Long, depth: Int): Unit = {
+        // depth is UNTRUSTED: a payload of nested 8-byte container
+        // boxes recurses once per 8 bytes, and the resulting
+        // StackOverflowError is an Error the Exception handler below
+        // can't catch. Legitimate metadata sits at depth <= 3 here.
+        if (depth > MaxBoxDepth) return
         var p = from
         while (p + 8 <= to) {
           val size = u32be(bytes, p.toInt)
@@ -413,7 +424,7 @@ object Multimodal {
                   StandardCharsets.US_ASCII).trim
             case "moov" => walk(body, p + size, depth + 1)
             case "trak" => tracks += 1; walk(body, p + size, depth + 1)
-            case "mvhd" =>
+            case "mvhd" if body + 4 <= boxEnd =>
               val ver = bytes(body.toInt) & 0xff
               if (ver == 0 && body + 20 <= boxEnd) {
                 val timescale = u32be(bytes, body.toInt + 12)
@@ -427,7 +438,7 @@ object Multimodal {
                 if (timescale > 0)
                   durMs = Some(duration * 1000L / timescale)
               }
-            case "tkhd" =>
+            case "tkhd" if body + 4 <= boxEnd =>
               // v0: ver/flags 4 + times 8 + id 4 + res 4 + dur 4 +
               // res 8 + layer/group/vol/res 8 + matrix 36 = offset 76
               val ver = bytes(body.toInt) & 0xff
@@ -490,7 +501,11 @@ object Multimodal {
       // stsc entries: (firstChunk, samplesPerChunk)
       var chunkMap: Array[(Long, Long)] = null
 
-      def walk(from: Long, to: Long): Unit = {
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        // cap recursion: nested 8-byte container boxes would otherwise
+        // recurse payload_len/8 deep → StackOverflowError (an Error,
+        // uncatchable below). The stbl path is depth 5.
+        if (depth > MaxBoxDepth) return
         var p = from
         while (p + 8 <= to) {
           val size = u32be(bytes, p.toInt)
@@ -503,11 +518,14 @@ object Multimodal {
           // the box's own declared size can hold — a corrupt count would
           // otherwise drive a multi-GB allocation (OutOfMemoryError, an
           // Error the Exception handler can't catch) or silently read
-          // sibling boxes' bytes as table entries
+          // sibling boxes' bytes as table entries. The version/fixed/
+          // count header fields themselves must also fit inside the
+          // box's declared size, or an 8-11-byte box reads its SIBLING
+          // box's in-bounds bytes as the header.
           typ match {
             case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-              walk(body, p + size)
-            case "stsz" if sizes == null =>
+              walk(body, p + size, depth + 1)
+            case "stsz" if sizes == null && body + 12 <= boxEnd =>
               val fixed = u32be(bytes, body + 4)
               val n = u32be(bytes, body + 8).toInt
               if (fixed != 0) {
@@ -520,12 +538,12 @@ object Multimodal {
                 sizes =
                   Array.tabulate(n)(k => u32be(bytes, body + 12 + k * 4))
               }
-            case "stco" if chunkOffsets == null =>
+            case "stco" if chunkOffsets == null && body + 8 <= boxEnd =>
               val n = u32be(bytes, body + 4).toInt
               if (n >= 0 && body + 8 + n.toLong * 4 <= boxEnd)
                 chunkOffsets =
                   Array.tabulate(n)(k => u32be(bytes, body + 8 + k * 4))
-            case "stsc" if chunkMap == null =>
+            case "stsc" if chunkMap == null && body + 8 <= boxEnd =>
               val n = u32be(bytes, body + 4).toInt
               if (n >= 0 && body + 8 + n.toLong * 12 <= boxEnd)
                 chunkMap = Array.tabulate(n)(k =>
@@ -536,7 +554,7 @@ object Multimodal {
           p += size
         }
       }
-      walk(0L, bytes.length.toLong)
+      walk(0L, bytes.length.toLong, 0)
       if (sizes == null || chunkOffsets == null || chunkMap == null ||
           sizes.isEmpty || chunkOffsets.isEmpty || chunkMap.isEmpty)
         return None

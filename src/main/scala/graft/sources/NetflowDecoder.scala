@@ -62,16 +62,27 @@ object NetflowDecoder {
     private val m = lru[(Long, Long, Int, Int), Hist[Template]](maxEntries)
     private val samp = lru[(Long, Long), Hist[java.lang.Long]](maxEntries)
 
+    // Canonical content orderings for same-epoch conflict resolution.
+    // Deliberately NOT toString-based: string comparison would couple
+    // the winner to the runtime Seq implementation's rendering and
+    // compare sampling rates as digit strings ("99" > "100").
+    private implicit val templateOrd: Ordering[Template] = {
+      import scala.math.Ordering.Implicits.seqOrdering
+      Ordering.by((t: Template) => (t.isOptions, t.fields.toList))
+    }
+    private implicit val boxedLongOrd: Ordering[java.lang.Long] =
+      Ordering.by((l: java.lang.Long) => l.longValue)
+
     private def putAt[V](h: Hist[V], epoch: Long, v: V,
-                         cap: Int): Unit = {
+                         cap: Int)(implicit ord: Ordering[V]): Unit = {
       val exact = h.get(epoch)
       if (exact != null) {
         // Two DIFFERENT revisions inside the same second are ambiguous
         // at 1 s epoch resolution (the reference's epoch keys share it:
-        // netflow-templates.c stores seconds). Resolve by a content
-        // comparison instead of arrival order, so batch replay stays
-        // deterministic under packet reordering.
-        if (exact != v && v.toString > exact.toString) h.put(epoch, v)
+        // netflow-templates.c stores seconds). Resolve by a canonical
+        // content comparison instead of arrival order, so batch replay
+        // stays deterministic under packet reordering.
+        if (exact != v && ord.gt(v, exact)) h.put(epoch, v)
       } else {
         // Every announcement at a NEW epoch is stored — even one
         // identical to the floor predecessor. Skipping it would lose
@@ -502,44 +513,69 @@ object NetflowDecoder {
     * netflow-templates.c:100-252). Routing an exporter's packets to a
     * stable partition (repartition by exporter ip) keeps all of its
     * templates visible to its data. The buffer holds one Spark partition
-    * of raw packets — bounded by input-split sizing for file sources
-    * (≲ a few hundred MB), but NOT for arbitrary upstream partitioning;
-    * callers whose partitions may not fit in executor memory (or whose
-    * packets are known time-ordered anyway) pass
-    * `orderIndependent = false` to get the previous constant-memory
-    * single-pass stream. Streaming ingest uses the single-pass
-    * [[decodePacket]] per micro-batch for the same reason. */
+    * of raw packets, GUARDED by `bufferByteBudget`: a partition whose
+    * summed payload bytes exceed the budget falls back to the
+    * constant-memory single-pass stream (decode-in-arrival-order) for
+    * the whole partition instead of OOMing the executor — file sources
+    * never hit this (input-split sizing keeps partitions ≲ a few
+    * hundred MB), it exists for arbitrary upstream partitioning.
+    * Callers whose packets are known time-ordered anyway pass
+    * `orderIndependent = false` to skip buffering entirely. Streaming
+    * ingest uses `orderIndependent = false` per micro-batch for the
+    * same reason. */
   def decode(df: DataFrame, payloadCol: String = "payload",
              tsCol: String = "ts_sec",
              srcIpCol: String = "src_ip",
              entMap: Map[(Long, Int), Int] = defaultEnterpriseMap,
-             orderIndependent: Boolean = true)
+             orderIndependent: Boolean = true,
+             bufferByteBudget: Long = 256L << 20)
       : DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val proj = df.select(col(payloadCol), col(tsCol).cast(LongType),
       col(srcIpCol).cast(LongType))
     proj.mapPartitions { it =>
       val cache = new TemplateCache
+      val packets = it.map(r => (r.getAs[Array[Byte]](0), r.getLong(1),
+        r.getLong(2)))
+      def singlePass(rest: Iterator[(Array[Byte], Long, Long)]) =
+        rest.flatMap { case (p, ts, src) =>
+          decodePacket(p, ts, src, cache, entMap)
+            .map(vals => Row.fromSeq(vals.toSeq))
+        }
       if (orderIndependent) {
-        val buf = it.map(r => (r.getAs[Array[Byte]](0), r.getLong(1),
-          r.getLong(2))).toArray
-        buf.foreach { case (p, ts, src) =>
-          decodePhase(p, ts, src, cache, entMap, PhaseTemplates)
+        // buffer up to the byte budget; only a fully-buffered partition
+        // can be replayed order-independently (the 3 passes need every
+        // packet), so past the budget the WHOLE partition degrades to
+        // the single-pass stream rather than a partial replay.
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Array[Byte], Long, Long)]
+        var bytes = 0L
+        var over = false
+        while (packets.hasNext && !over) {
+          val t = packets.next()
+          buf += t
+          if (t._1 != null) bytes += t._1.length
+          if (bytes > bufferByteBudget) over = true
         }
-        buf.foreach { case (p, ts, src) =>
-          decodePhase(p, ts, src, cache, entMap, PhaseOptions)
+        if (over) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"netflow decode: partition exceeds order-independent " +
+              s"buffer budget ($bytes > $bufferByteBudget bytes); " +
+              s"falling back to single-pass in-order decode")
+          singlePass(buf.iterator ++ packets)
+        } else {
+          buf.foreach { case (p, ts, src) =>
+            decodePhase(p, ts, src, cache, entMap, PhaseTemplates)
+          }
+          buf.foreach { case (p, ts, src) =>
+            decodePhase(p, ts, src, cache, entMap, PhaseOptions)
+          }
+          buf.iterator.flatMap { case (p, ts, src) =>
+            decodePhase(p, ts, src, cache, entMap, PhaseFlows)
+              .map(vals => Row.fromSeq(vals.toSeq))
+          }
         }
-        buf.iterator.flatMap { case (p, ts, src) =>
-          decodePhase(p, ts, src, cache, entMap, PhaseFlows)
-            .map(vals => Row.fromSeq(vals.toSeq))
-        }
-      } else {
-        it.flatMap { r =>
-          decodePacket(r.getAs[Array[Byte]](0), r.getLong(1),
-            r.getLong(2), cache, entMap)
-            .map(vals => Row.fromSeq(vals.toSeq))
-        }
-      }
+      } else singlePass(packets)
     }(enc)
   }
 }

@@ -337,6 +337,38 @@ class DecoderSpec extends SparkTest {
     assert(c3.get(1L, 1L, 9, 300, 35L).contains(B))
   }
 
+  test("same-epoch sampling-rate conflicts resolve numerically, not " +
+    "as digit strings") {
+    // "99" > "100" lexicographically — a string-keyed resolution would
+    // pick 99; canonical (numeric) content comparison picks 100 under
+    // both arrival orders
+    val c1 = new NetflowDecoder.TemplateCache
+    c1.putSampling(1L, 1L, 100L, 99L)
+    c1.putSampling(1L, 1L, 100L, 100L)
+    val c2 = new NetflowDecoder.TemplateCache
+    c2.putSampling(1L, 1L, 100L, 100L)
+    c2.putSampling(1L, 1L, 100L, 99L)
+    assert(c1.getSampling(1L, 1L, 150L) == c2.getSampling(1L, 1L, 150L))
+    assert(c1.getSampling(1L, 1L, 150L).contains(100L))
+  }
+
+  test("decode past the buffer byte budget falls back to single-pass " +
+    "with identical output for an in-order capture") {
+    import spark.implicits._
+    // self-contained packets (template precedes data in each), so the
+    // in-order single-pass decode is semantically equivalent
+    val pkts = Queries.v9Packets(64).zipWithIndex.map { case (p, i) =>
+      (p, 1700000000L + i, 1L)
+    }
+    val df = pkts.toDF("payload", "ts_sec", "src_ip").coalesce(1)
+    val full = NetflowDecoder.decode(df).collect().map(_.toSeq).toSet
+    // 64 packets of ~50+ bytes each blow a 64-byte budget immediately
+    val capped = NetflowDecoder.decode(df, bufferByteBudget = 64L)
+      .collect().map(_.toSeq).toSet
+    assert(full.size == 64)
+    assert(capped == full)
+  }
+
   test("TemplateCache evicts least-recently-used beyond its cap") {
     val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
     val t = NetflowDecoder.Template(Seq((1, 4, 0L)))

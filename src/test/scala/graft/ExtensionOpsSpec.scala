@@ -544,6 +544,67 @@ class ExtensionOpsSpec extends SparkTest {
     assert(Multimodal.mp4SampleFrames(good, 1).get.length == 6)
   }
 
+  test("ISO-BMFF box walks are depth-capped: a nested-container bomb " +
+    "degrades gracefully instead of StackOverflowError") {
+    import graft.operators.Multimodal
+    def u32(x: Long) = Array[Byte](((x >> 24) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      (x & 0xff).toByte)
+    def box(t: String, b: Array[Byte]) =
+      u32(b.length + 8L) ++ t.getBytes("US-ASCII") ++ b
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0) ++
+      "isom".getBytes("US-ASCII"))
+    // 200k nested 8-byte container boxes: ~1.6 MB payload whose
+    // uncapped walk recurses once per box (StackOverflowError is an
+    // Error the decoders' Exception handlers cannot catch)
+    def bomb(container: String, depth: Int): Array[Byte] = {
+      val tag = container.getBytes("US-ASCII")
+      val nested = new Array[Byte](depth * 8)
+      var i = 0
+      while (i < depth) {
+        val size = (depth - i) * 8L
+        val o = i * 8
+        nested(o) = ((size >> 24) & 0xff).toByte
+        nested(o + 1) = ((size >> 16) & 0xff).toByte
+        nested(o + 2) = ((size >> 8) & 0xff).toByte
+        nested(o + 3) = (size & 0xff).toByte
+        System.arraycopy(tag, 0, nested, o + 4, 4)
+        i += 1
+      }
+      ftyp ++ nested
+    }
+    // both walks must return (not throw); metadata above the cap parses
+    val r = Multimodal.decodeVideo(bomb("trak", 200000))
+    assert(r.exists(_._1 == "isom"))
+    assert(Multimodal.mp4SampleFrames(bomb("stbl", 200000), 1).isEmpty)
+  }
+
+  test("a box too short for its own header fields is skipped rather " +
+    "than read into the sibling box's in-bounds bytes") {
+    import graft.operators.Multimodal
+    def u32(x: Long) = Array[Byte](((x >> 24) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      (x & 0xff).toByte)
+    def box(t: String, b: Array[Byte]) =
+      u32(b.length + 8L) ++ t.getBytes("US-ASCII") ++ b
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0) ++
+      "isom".getBytes("US-ASCII"))
+    // stsz declared size 8 — its fixed/count "fields" would be the
+    // following stco box's size/type bytes if read unguarded
+    val stsz8 = u32(8) ++ "stsz".getBytes("US-ASCII")
+    val stco = box("stco", u32(0) ++ u32(1) ++ u32(9999))
+    val stsc = box("stsc", u32(0) ++ u32(1) ++ u32(1) ++ u32(1) ++ u32(1))
+    val v = ftyp ++ box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", stsz8 ++ stco ++ stsc)))))
+    assert(Multimodal.mp4SampleFrames(v, 1).isEmpty)
+    // an 8-byte mvhd closing the payload: the unguarded version-byte
+    // read lands past the array and kills the whole decode (None);
+    // guarded, the box is skipped and the brand still parses
+    val v2 = ftyp ++ box("moov", u32(8) ++ "mvhd".getBytes("US-ASCII"))
+    assert(Multimodal.decodeVideo(v2)
+      .contains(("isom", None, None, None, 0)))
+  }
+
   test("multimodal stub decode round-trips header + flags corrupt rows") {
     import spark.implicits._
     val good = Multimodal.encodeImageStub("jpeg", 640, 480, 10)
