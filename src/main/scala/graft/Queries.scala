@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+
 import graft.filter.{Compiler, FilterEnv}
 import graft.flow.TestFlowView
 import graft.operators.{Fwm, TopK}
@@ -1703,6 +1705,180 @@ object Queries {
       ORDER BY time ASC, (src_host IS NULL) ASC,
                octets DESC NULLS LAST, src_host ASC NULLS FIRST"""))
 
+  /** Deterministic sFlow v5 datagrams, analytic in `i` (mirrors the
+    * v9Packets recipe): one flow sample each — PLAIN (type 1) for even
+    * i, EXPANDED (type 3) for odd — carrying a raw Ethernet frame
+    * (802.1Q tag when i%3==0, IPv4, TCP/UDP by (i/2)%2) so the
+    * DuckDB oracle can rebuild the decoded flow table from range(n):
+    *   sampling_rate = 100*(1 + i%4), frame_len = 500 + 10*i,
+    *   src = 10.0.1.(i%8), proto/dst_port = (6,443)|(17,53),
+    *   vlan = 100 + i%10 when tagged. */
+  private[graft] def sflowPackets(n: Int): Seq[Array[Byte]] = {
+    def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    (0 until n).map { i =>
+      val tcp = (i / 2) % 2 == 0
+      val rate = 100L * (1 + i % 4)
+      val frameLen = 500L + 10 * i
+      val l4 =
+        if (tcp) // 20-byte TCP header: flags byte 13 = 0x18 (PSH|ACK)
+          u16(1024 + i) ++ u16(443) ++ u32(0) ++ u32(0) ++
+            Array[Byte](0x50, 0x18) ++ u16(0xffff) ++ u16(0) ++ u16(0)
+        else u16(1024 + i) ++ u16(53) ++ u16(8) ++ u16(0)
+      val ip = Array[Byte](0x45, (i % 4).toByte) ++ u16(20 + l4.length) ++
+        u16(7000 + i) ++ u16(0) ++
+        Array[Byte](64, if (tcp) 6 else 17) ++ u16(0) ++
+        u32(0x0a000100L + i % 8) ++ u32(0x0a000200L + i % 16)
+      val vlanTag =
+        if (i % 3 == 0) u16(0x8100) ++ u16(100 + i % 10)
+        else Array.empty[Byte]
+      val eth = Array[Byte](2, 0, 0, 0, 0, (i % 5).toByte,
+          2, 0, 0, 0, 1, (i % 7).toByte) ++
+        vlanTag ++ u16(0x0800) ++ ip ++ l4
+      val pad = new Array[Byte]((4 - eth.length % 4) % 4)
+      // raw-packet-header record: proto 1 = Ethernet
+      val rec = u32(1) ++ u32(16L + eth.length + pad.length) ++
+        u32(1) ++ u32(frameLen) ++ u32(4) ++ u32(eth.length.toLong) ++
+        eth ++ pad
+      val body =
+        if (i % 2 == 0) // plain: packed source id, packed interfaces
+          u32(i.toLong) ++ u32(5) ++ u32(rate) ++ u32(rate * (i + 1)) ++
+            u32(0) ++ u32(10 + i % 3) ++ u32(20 + i % 3) ++ u32(1) ++ rec
+        else // expanded: (type,index) source id, (format,value) ifaces
+          u32(i.toLong) ++ u32(0) ++ u32(5) ++ u32(rate) ++
+            u32(rate * (i + 1)) ++ u32(0) ++ u32(0) ++ u32(10 + i % 3) ++
+            u32(0) ++ u32(20 + i % 3) ++ u32(1) ++ rec
+      val sample = u32(if (i % 2 == 0) 1L else 3L) ++
+        u32(body.length.toLong) ++ body
+      // datagram header: v5, IPv4 agent, sub-agent, seq, uptime, count
+      u32(5) ++ u32(1) ++ u32(0x7f000001L) ++ u32(0) ++ u32(i.toLong) ++
+        u32(123450L + i) ++ u32(1) ++ sample
+    }
+  }
+
+  private val q69 = Q(
+    "q69_decode_sflow",
+    (s, dir) => {
+      import graft.sources.SflowDecoder
+      import s.implicits._
+      val packets = sflowPackets(64).zipWithIndex
+        .map { case (p, i) => (p, 1700000000L + i) }
+      val df = s.createDataset(packets).toDF("payload", "ts_sec")
+      SflowDecoder.decode(df)
+        .groupBy(col("protocol"), col("ip4_src_addr").as("src_host"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("est_octets"),
+          sum(col("src_vlan")).as("vlan_sum"),
+          sum(col("l4_dst_port")).as("port_sum"))
+        .orderBy(col("protocol").asc, col("src_host").asc)
+    },
+    Some("""WITH flows AS (
+        SELECT CASE WHEN (i // 2) % 2 = 0 THEN 6 ELSE 17 END AS protocol,
+               167772416 + (i % 8) AS src_host,
+               500 + 10 * i AS in_bytes,
+               100 * (1 + i % 4) AS sampling_rate,
+               CASE WHEN i % 3 = 0 THEN 100 + (i % 10) END AS src_vlan,
+               CASE WHEN (i // 2) % 2 = 0 THEN 443 ELSE 53 END AS dport
+        FROM range(64) t(i))
+      SELECT CAST(protocol AS BIGINT) AS protocol,
+             CAST(src_host AS BIGINT) AS src_host,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS est_octets,
+             CAST(SUM(src_vlan) AS BIGINT) AS vlan_sum,
+             CAST(SUM(dport) AS BIGINT) AS port_sum
+      FROM flows GROUP BY protocol, src_host
+      ORDER BY protocol ASC, src_host ASC"""))
+
+  /** Deterministic IPFIX message stream, analytic in `i`, exercising
+    * the three RFC 7011 features the spec-only tests covered (varlen,
+    * enterprise fields, options-learned sampling):
+    *   - packet 0: template 256 (octets, proto, src, VARLEN if_name,
+    *     enterprise-scoped host field (PEN 9999, field 77)) + options
+    *     template 257 (scope domain, samplingInterval 34);
+    *   - packet 1 @t+1: options data → sampling 10;
+    *   - packet 34 @t+34: options data → sampling 100 (mid-stream
+    *     update: rows decode with the rate live at THEIR OWN ts via the
+    *     epoch-floor store);
+    *   - every other packet i: one data record, in_bytes = 1000+7i,
+    *     proto 6/17, src 10.1.0.(i%8), if_name "eth"+(i%4) —
+    *     SHORT varlen form for even i, 255-ESCAPED long form for odd —
+    *     host "h"+(i%3) in the enterprise field (NUL-padded fixed 8). */
+  private[graft] def ipfixPackets(n: Int): Seq[(Array[Byte], Long)] = {
+    def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def msg(ts: Long, sets: Array[Byte]): Array[Byte] =
+      u16(10) ++ u16(16 + sets.length) ++ u32(ts) ++ u32(0) ++ u32(1) ++ sets
+    def set(id: Int, body: Array[Byte]): Array[Byte] =
+      u16(id) ++ u16(4 + body.length) ++ body
+    val t0 = 1700000000L
+    (0 until n).map { i =>
+      val ts = t0 + i
+      val payload =
+        if (i == 0) {
+          val tmpl = set(2, u16(256) ++ u16(5) ++
+            u16(1) ++ u16(4) ++ // octetDeltaCount → in_bytes
+            u16(4) ++ u16(1) ++ // protocolIdentifier
+            u16(8) ++ u16(4) ++ // sourceIPv4Address
+            u16(82) ++ u16(65535) ++ // interfaceName, VARIABLE length
+            u16(0x8000 | 77) ++ u16(8) ++ u32(9999)) // enterprise field
+          val optTmpl = set(3, u16(257) ++ u16(2) ++ u16(1) ++
+            u16(149) ++ u16(4) ++ // scope: observationDomainId
+            u16(34) ++ u16(4)) // samplingInterval
+          msg(ts, tmpl ++ optTmpl)
+        } else if (i == 1 || i == 34) {
+          val rate = if (i == 1) 10L else 100L
+          msg(ts, set(257, u32(1) ++ u32(rate)))
+        } else {
+          val name = s"eth${i % 4}".getBytes(StandardCharsets.US_ASCII)
+          val nameVar =
+            if (i % 2 == 0) Array(name.length.toByte) ++ name
+            else Array(255.toByte) ++ u16(name.length) ++ name
+          val host = java.util.Arrays.copyOf(
+            s"h${i % 3}".getBytes(StandardCharsets.US_ASCII), 8)
+          msg(ts, set(256, u32(1000L + 7 * i) ++
+            Array[Byte](if (i % 2 == 0) 6 else 17) ++
+            u32(0x0a010000L + i % 8) ++ nameVar ++ host))
+        }
+      (payload, ts)
+    }
+  }
+
+  private val q70 = Q(
+    "q70_decode_ipfix",
+    (s, dir) => {
+      import graft.sources.NetflowDecoder
+      import s.implicits._
+      val df = s.createDataset(ipfixPackets(64).map { case (p, ts) =>
+        (p, ts, 1L)
+      }).toDF("payload", "ts_sec", "src_ip")
+        // templates are partition-local state: route each exporter's
+        // packets to a stable partition (the scale pattern documented
+        // on decode()) so its templates are visible to its data
+        .repartition(col("src_ip"))
+      NetflowDecoder.decode(df,
+          entMap = Map((9999L, 77) -> 2001)) // PEN 9999 host → vas_http_host
+        .groupBy(col("protocol"), col("if_name"),
+          col("vas_http_host").as("http_host"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("est_octets"))
+        .orderBy(col("protocol").asc, col("if_name").asc,
+          col("http_host").asc)
+    },
+    Some("""WITH flows AS (
+        SELECT CASE WHEN i % 2 = 0 THEN 6 ELSE 17 END AS protocol,
+               1000 + 7 * i AS in_bytes,
+               'eth' || CAST(i % 4 AS VARCHAR) AS if_name,
+               'h' || CAST(i % 3 AS VARCHAR) AS http_host,
+               CASE WHEN i < 34 THEN 10 ELSE 100 END AS rate
+        FROM range(64) t(i) WHERE i >= 2 AND i <> 34)
+      SELECT CAST(protocol AS BIGINT) AS protocol, if_name, http_host,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * rate) AS BIGINT) AS est_octets
+      FROM flows GROUP BY protocol, if_name, http_host
+      ORDER BY protocol ASC, if_name ASC, http_host ASC"""))
+
   // ------------------------- repetition / boilerplate quality signals
   private val q51 = Q(
     "q51_repetition",
@@ -1927,7 +2103,7 @@ object Queries {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68)
+    q64, q65, q66, q67, q68, q69, q70)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -396,6 +396,49 @@ class DecoderSpec extends SparkTest {
       .asInstanceOf[Long]).sum == (0 until 64).map(100L + _).sum)
   }
 
+  test("contract golden: sflowPackets(64) decodes 64 rows with the " +
+    "analytic fields (plain+expanded, VLAN, TCP/UDP)") {
+    val rows = Queries.sflowPackets(64).zipWithIndex.flatMap {
+      case (p, i) => graft.sources.SflowDecoder.decodePacket(p,
+        1700000000L + i)
+    }
+    assert(rows.length == 64)
+    def f(r: Array[Any], n: String) = r(fieldIndexOf(n))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(f(r, "in_bytes") == 500L + 10 * i, s"bytes $i")
+      assert(f(r, "sampling_rate") == 100L * (1 + i % 4), s"rate $i")
+      assert(f(r, "protocol") ==
+        (if ((i / 2) % 2 == 0) 6L else 17L), s"proto $i")
+      assert(f(r, "ip4_src_addr") == 0x0a000100L + i % 8, s"src $i")
+      assert(f(r, "l4_src_port") == 1024L + i, s"sport $i")
+      val vlan = if (i % 3 == 0) 100L + i % 10 else null
+      assert(f(r, "src_vlan") == vlan, s"vlan $i")
+      if ((i / 2) % 2 == 0)
+        assert(f(r, "tcp_flags") == 0x18L, s"flags $i")
+    }
+  }
+
+  test("contract golden: ipfixPackets(64) decodes 61 data rows — " +
+    "varlen both forms, enterprise map, mid-stream sampling update") {
+    val cache = new NetflowDecoder.TemplateCache
+    val rows = Queries.ipfixPackets(64).flatMap { case (p, ts) =>
+      NetflowDecoder.decodePacket(p, ts, 1L, cache,
+        entMap = Map((9999L, 77) -> 2001))
+    }
+    assert(rows.length == 61) // 64 - template pkt - 2 options pkts
+    def f(r: Array[Any], n: String) = r(fieldIndexOf(n))
+    val byBytes = rows.map(r => f(r, "in_bytes").asInstanceOf[Long] -> r)
+      .toMap
+    (2 until 64).filter(_ != 34).foreach { i =>
+      val r = byBytes(1000L + 7 * i)
+      assert(f(r, "if_name") == s"eth${i % 4}", s"if_name $i")
+      assert(f(r, "vas_http_host") == s"h${i % 3}", s"host $i")
+      // epoch-floor sampling: rate live at the row's own ts
+      assert(f(r, "sampling_rate") == (if (i < 34) 10L else 100L),
+        s"rate $i")
+    }
+  }
+
   test("DataFrame-level decode distributes with partition-local caches") {
     import spark.implicits._
     val header = bytes(9, 2, 1000L, 1700000000L, 1L, 42L)
