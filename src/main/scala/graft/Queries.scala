@@ -950,9 +950,11 @@ object Queries {
         (i % 7 <> 0) AS ok
       FROM range(64) t(i) ORDER BY id ASC"""))
 
-  // real in-JDK audio codec round-trip: 16-bit PCM WAV payloads encoded
-  // by javax.sound with analytic parameters, decoded header-only; the
-  // oracle restates the generator formula (every 7th row corrupt).
+  // real in-JDK audio codec round-trip: 16-bit PCM payloads encoded by
+  // javax.sound with analytic parameters — rotating through all three
+  // containers decodeAudio claims (WAV/AIFF/AU, each in its native
+  // byte order) — decoded header-only; the oracle restates the
+  // generator formula (every 7th row corrupt).
   private val q60 = Q(
     "q60_audio_decode",
     (s, dir) => {
@@ -972,7 +974,10 @@ object Queries {
         .orderBy(col("id").asc)
     },
     Some("""SELECT i AS id,
-        CASE WHEN i % 7 = 0 THEN NULL ELSE 'wav' END AS format,
+        CASE WHEN i % 7 = 0 THEN NULL
+             WHEN (i // 3) % 3 = 0 THEN 'wav'
+             WHEN (i // 3) % 3 = 1 THEN 'aif'
+             ELSE 'au' END AS format,
         CASE WHEN i % 7 = 0 THEN NULL
              ELSE CAST(8000 * (2 ** (i % 3)) AS BIGINT) END AS sample_rate,
         CASE WHEN i % 7 = 0 THEN NULL
@@ -1021,6 +1026,46 @@ object Queries {
         CASE WHEN i % 7 = 0 THEN NULL
              ELSE repeat(printf('%02X',
                (i * 31 + (nf - 1) * 2 * 7) % 256), 8) END AS last_hex
+      FROM t ORDER BY id ASC"""))
+
+  // Time-based frame sampling over the co64/stts generator: timescale
+  // 1000, sample k starts at min(k,3)*100 + max(k-3,0)*250 ms, so a
+  // 500 ms stride picks samples {0,4} for n∈{5,6} and {0,4,6} for
+  // n∈{7,8} — the oracle states the picked count and first/last frame
+  // bytes analytically, exactly like q68 does for index stride.
+  private val q71 = Q(
+    "q71_frame_sample_time",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val vids = s.range(48)
+        .map(i => (i, Multimodal.encodeTestVideoSamplesTimed(i)))
+        .toDF("id", "payload")
+      Multimodal.withTimeSampledFrames(vids, "payload", everyMs = 500L)
+        .select(col("id"),
+          size(col("frames")).cast(LongType).as("n_frames"),
+          aggregate(col("frames"), lit(0L),
+            (acc, f) => acc + length(f)).as("total_len"),
+          hex(element_at(col("frames"), 1)).as("first_hex"),
+          hex(element_at(col("frames"), -1)).as("last_hex"))
+        .orderBy(col("id").asc)
+    },
+    Some("""WITH t AS (
+        SELECT i, 5 + i % 4 AS n,
+          CASE WHEN 5 + i % 4 >= 7 THEN 3 ELSE 2 END AS nf,
+          CASE WHEN 5 + i % 4 >= 7 THEN 6 ELSE 4 END AS last_k
+        FROM range(48) t(i))
+      SELECT i AS id,
+        CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(nf AS BIGINT) END
+          AS n_frames,
+        CASE WHEN i % 7 = 0 THEN NULL ELSE CAST(nf * 8 AS BIGINT) END
+          AS total_len,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE repeat(printf('%02X', (i * 31) % 256), 8) END
+          AS first_hex,
+        CASE WHEN i % 7 = 0 THEN NULL
+             ELSE repeat(printf('%02X',
+               (i * 31 + last_k * 7) % 256), 8) END AS last_hex
       FROM t ORDER BY id ASC"""))
 
   // real pixel-level feature extraction: the RGB PNG subset of the
@@ -2103,7 +2148,7 @@ object Queries {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70)
+    q64, q65, q66, q67, q68, q69, q70, q71)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -89,10 +89,10 @@ object Soak {
         (mkPacket(i), ts.getTime / 1000, 1L + i % 4) }
       .toDF("payload", "ts_sec", "src_ip")
 
-    // streaming ingest: templates precede data within each generated
-    // packet stream, so the constant-memory single-pass decode is both
-    // sufficient and the documented memory contract for micro-batches
-    val flows = NetflowDecoder.decode(packets, orderIndependent = false)
+    // streaming ingest: constant-memory single-pass decode with the
+    // template store persisted across micro-batches (the real exporter
+    // pattern — templates every ~60 s, data continuously)
+    val flows = NetflowDecoder.decodeStream(packets, "soak")
       .withColumn("ts", to_timestamp(col("ts_sec")))
     val env = FilterEnv.flow(spark)
     val pred = Compiler.filterColumn("proto 6 and src net 10.0.0.0/8", env)

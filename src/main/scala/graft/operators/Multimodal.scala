@@ -335,10 +335,13 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic REAL audio generator: 16-bit signed little-endian
-    * PCM WAV through the same in-JDK codec [[decodeAudio]] reads,
-    * analytic in `i` for an engine-independent oracle:
+  /** Deterministic REAL audio generator: 16-bit signed PCM through the
+    * same in-JDK codecs [[decodeAudio]] reads, rotating through ALL
+    * THREE container types the decoder claims (WAV little-endian,
+    * AIFF/AU big-endian — each container's native byte order), analytic
+    * in `i` for an engine-independent oracle:
     *   - i % 7 == 0 → corrupt payload (ok=false)
+    *   - container = (i/3) % 3: 0 → wav, 1 → aif, 2 → au
     *   - sample_rate = 8000 << (i % 3)  (8/16/32 kHz)
     *   - channels = 1 + (i % 2), bits = 16
     *   - frames = 50 + (i % 20)
@@ -348,15 +351,19 @@ object Multimodal {
     val sampleRate = 8000 << (i % 3).toInt
     val channels = 1 + (i % 2).toInt
     val frames = 50 + (i % 20).toInt
+    val (typ, bigEndian) = ((i / 3) % 3) match {
+      case 0 => (javax.sound.sampled.AudioFileFormat.Type.WAVE, false)
+      case 1 => (javax.sound.sampled.AudioFileFormat.Type.AIFF, true)
+      case _ => (javax.sound.sampled.AudioFileFormat.Type.AU, true)
+    }
     val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, channels, true, false)
+      sampleRate.toFloat, 16, channels, true, bigEndian)
     val data = Array.tabulate(frames * channels * 2)(b =>
       ((i * 31 + b * 7) & 0xff).toByte)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    javax.sound.sampled.AudioSystem.write(ais, typ, bos)
     bos.toByteArray
   }
 
@@ -492,6 +499,22 @@ object Multimodal {
   def mp4SampleFrames(bytes: Array[Byte],
                       stride: Int): Option[Seq[Array[Byte]]] = {
     require(stride > 0)
+    samplePositions(bytes).map { st =>
+      st.positions.zipWithIndex.collect {
+        case ((off, len), k) if k % stride == 0 =>
+          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+      }
+    }
+  }
+
+  /** Every sample's (absolute offset, length) plus the track's timing
+    * info when present (stts deltas in mdhd-timescale units). */
+  private final case class SampleIndex(
+      positions: Vector[(Long, Long)],
+      stts: Array[(Long, Long)],
+      timescale: Long)
+
+  private def samplePositions(bytes: Array[Byte]): Option[SampleIndex] = {
     if (bytes == null || bytes.length < 16) return None
     if (!(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
           bytes(7) == 'p')) return None
@@ -500,6 +523,9 @@ object Multimodal {
       var chunkOffsets: Array[Long] = null
       // stsc entries: (firstChunk, samplesPerChunk)
       var chunkMap: Array[(Long, Long)] = null
+      // stts entries: (sampleCount, sampleDelta)
+      var stts: Array[(Long, Long)] = null
+      var timescale = 0L
 
       def walk(from: Long, to: Long, depth: Int): Unit = {
         // cap recursion: nested 8-byte container boxes would otherwise
@@ -543,12 +569,34 @@ object Multimodal {
               if (n >= 0 && body + 8 + n.toLong * 4 <= boxEnd)
                 chunkOffsets =
                   Array.tabulate(n)(k => u32be(bytes, body + 8 + k * 4))
+            case "co64" if chunkOffsets == null && body + 8 <= boxEnd =>
+              // 64-bit chunk offsets (ISO-BMFF §8.7.5) — what real
+              // >4 GiB MP4s carry instead of stco
+              val n = u32be(bytes, body + 4).toInt
+              if (n >= 0 && body + 8 + n.toLong * 8 <= boxEnd)
+                chunkOffsets = Array.tabulate(n) { k =>
+                  (u32be(bytes, body + 8 + k * 8) << 32) |
+                    u32be(bytes, body + 12 + k * 8)
+                }
             case "stsc" if chunkMap == null && body + 8 <= boxEnd =>
               val n = u32be(bytes, body + 4).toInt
               if (n >= 0 && body + 8 + n.toLong * 12 <= boxEnd)
                 chunkMap = Array.tabulate(n)(k =>
                   (u32be(bytes, body + 8 + k * 12),
                     u32be(bytes, body + 12 + k * 12)))
+            case "stts" if stts == null && body + 8 <= boxEnd =>
+              // time-to-sample (§8.6.1.2): run-length (count, delta)
+              val n = u32be(bytes, body + 4).toInt
+              if (n >= 0 && body + 8 + n.toLong * 8 <= boxEnd)
+                stts = Array.tabulate(n)(k =>
+                  (u32be(bytes, body + 8 + k * 8),
+                    u32be(bytes, body + 12 + k * 8)))
+            case "mdhd" if timescale == 0 && body + 4 <= boxEnd =>
+              val ver = bytes(body) & 0xff
+              if (ver == 0 && body + 16 <= boxEnd)
+                timescale = u32be(bytes, body + 12)
+              else if (ver == 1 && body + 24 <= boxEnd)
+                timescale = u32be(bytes, body + 20)
             case _ =>
           }
           p += size
@@ -562,7 +610,7 @@ object Multimodal {
       // stsc entries are sorted by firstChunk, so a monotone index
       // keeps the walk O(chunks + entries) instead of rescanning the
       // map per chunk
-      val out = Vector.newBuilder[Array[Byte]]
+      val out = Vector.newBuilder[(Long, Long)]
       var sample = 0
       var ci = 0
       var mi = 0
@@ -576,18 +624,58 @@ object Multimodal {
         var k = 0
         while (k < spc && sample < sizes.length) {
           val len = sizes(sample)
-          if (off + len > bytes.length) return None // malformed table
-          if (sample % stride == 0)
-            out += java.util.Arrays.copyOfRange(bytes, off.toInt,
-              (off + len).toInt)
+          if (off < 0 || off + len > bytes.length) return None // malformed
+          out += ((off, len))
           off += len
           sample += 1
           k += 1
         }
         ci += 1
       }
-      Some(out.result())
+      Some(SampleIndex(out.result(), stts, timescale))
     } catch { case _: Exception => None }
+  }
+
+  /** Time-based frame sampling: the first ENCODED sample of each
+    * `everyMs` presentation-time bucket (start times from the stts
+    * run-length table at the mdhd timescale) — "one frame every N ms",
+    * the stride a training pipeline actually wants, independent of the
+    * track's (usually variable) frame rate. None when the payload has
+    * no sample table or no timing info (stts/mdhd). */
+  def mp4SampleFramesByTime(bytes: Array[Byte],
+                            everyMs: Long): Option[Seq[Array[Byte]]] = {
+    require(everyMs > 0)
+    samplePositions(bytes).flatMap { st =>
+      if (st.stts == null || st.stts.isEmpty || st.timescale <= 0) None
+      else {
+        val out = Vector.newBuilder[Array[Byte]]
+        var sample = 0
+        var t = 0L // start time in timescale units
+        var lastBucket = -1L
+        var e = 0
+        var inRun = 0L
+        while (sample < st.positions.length && e < st.stts.length) {
+          val (runCount, delta) = st.stts(e)
+          if (inRun < runCount) {
+            val tMs = t * 1000 / st.timescale
+            val bucket = tMs / everyMs
+            if (bucket > lastBucket) {
+              val (off, len) = st.positions(sample)
+              out += java.util.Arrays.copyOfRange(bytes, off.toInt,
+                (off + len).toInt)
+              lastBucket = bucket
+            }
+            t += delta
+            inRun += 1
+            sample += 1
+          } else { e += 1; inRun = 0 }
+        }
+        // an stts that doesn't cover every sample is malformed — reject
+        // rather than silently sampling a prefix
+        if (sample < st.positions.length) None
+        else Some(out.result())
+      }
+    }
   }
 
   /** Attach sampled encoded frames (`frames` array<binary>, NULL when
@@ -602,6 +690,23 @@ object Multimodal {
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         val fs = mp4SampleFrames(bytes, stride).map(_.toSeq).orNull
+        Row.fromSeq(row.toSeq :+ fs)
+      }
+    }(enc)
+  }
+
+  /** Attach time-sampled encoded frames (`frames` array<binary>, NULL
+    * when not parseable or untimed), partition-batched. */
+  def withTimeSampledFrames(df: DataFrame, binCol: String,
+                            everyMs: Long): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("frames", ArrayType(BinaryType, false), true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val fs = mp4SampleFramesByTime(bytes, everyMs).map(_.toSeq).orNull
         Row.fromSeq(row.toSeq :+ fs)
       }
     }(enc)
@@ -724,6 +829,40 @@ object Multimodal {
     }
     // stco stores an absolute file offset; the header length doesn't
     // depend on the offset VALUE (fixed-width u32), so build twice
+    val h0 = head(0L)
+    head(h0.length + 8L) ++ bmffBox("mdat", payload)
+  }
+
+  /** Like [[encodeTestVideoSamples]] but with the large-file/timed
+    * layout real production MP4s carry: a `co64` 64-bit chunk-offset
+    * table instead of stco, an `stts` time-to-sample table (first 3
+    * samples at 100 ms, the rest at 250 ms), and an `mdhd` declaring
+    * timescale 1000 — so sample k starts at
+    * `min(k,3)*100 + max(k-3,0)*250` ms. Same sample payloads as the
+    * stco generator; every 7th payload corrupt. */
+  def encodeTestVideoSamplesTimed(i: Long): Array[Byte] = {
+    if (i % 7 == 0) return Array[Byte](0, 0, 0, 1)
+    val n = (5 + i % 4).toInt
+    val payload = Array.tabulate(n * 8)(b =>
+      ((i * 31 + (b / 8) * 7) % 256).toByte)
+    def head(mdatOff: Long): Array[Byte] = {
+      val stsz = bmffBox("stsz",
+        beU32(0L) ++ beU32(0L) ++ beU32(n.toLong) ++
+          Array.tabulate(n)(_ => beU32(8L)).flatten)
+      val stsc = bmffBox("stsc", beU32(0L) ++ beU32(1L) ++
+        beU32(1L) ++ beU32(n.toLong) ++ beU32(1L))
+      val co64 = bmffBox("co64", beU32(0L) ++ beU32(1L) ++
+        beU32(mdatOff >>> 32) ++ beU32(mdatOff & 0xffffffffL))
+      val stts = bmffBox("stts", beU32(0L) ++ beU32(2L) ++
+        beU32(3L) ++ beU32(100L) ++ beU32(n - 3L) ++ beU32(250L))
+      val mdhd = bmffBox("mdhd", beU32(0L) ++ beU32(0L) ++ beU32(0L) ++
+        beU32(1000L) ++ beU32(2000L) ++ beU32(0L))
+      val stbl = bmffBox("stbl", stsz ++ stts ++ stsc ++ co64)
+      val trak = bmffBox("trak",
+        tkhdBox(320, 240) ++ bmffBox("mdia", mdhd ++ bmffBox("minf",
+          stbl)))
+      ftypBox("isom") ++ bmffBox("moov", mvhdBox(1000L, 2000L) ++ trak)
+    }
     val h0 = head(0L)
     head(h0.length + 8L) ++ bmffBox("mdat", payload)
   }

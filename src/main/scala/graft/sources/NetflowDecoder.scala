@@ -578,4 +578,49 @@ object NetflowDecoder {
       } else singlePass(packets)
     }(enc)
   }
+
+  /** Executor-JVM-wide template caches for STREAMING ingest, keyed by
+    * (namespace, input partition id). Real exporters re-announce
+    * templates every ~60 s while data flows continuously; a micro-
+    * batch-local cache (what [[decode]] builds inside mapPartitions)
+    * would drop every data record arriving between re-announcements.
+    * One cache per input partition — reused across micro-batches within
+    * the executor process — keeps it lock-uncontended in steady state
+    * (Spark schedules one task per partition per batch; the per-packet
+    * synchronized only matters under retry/speculation overlap).
+    * Memory is bounded: TemplateCache's own LRU caps × partitions. */
+  private val streamCaches =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      TemplateCache]
+
+  /** Streaming decode: constant-memory single-pass per micro-batch,
+    * with the template/sampling store PERSISTED across micro-batches
+    * (per input partition, per `namespace`). Epoch-floor lookups still
+    * apply — a template revision learned in batch N decodes batch N+1's
+    * records with whichever revision was live at each record's own
+    * timestamp. Route each exporter to a stable partition upstream
+    * (e.g. repartition by exporter ip — but note a SHUFFLE's partition
+    * ids are only stable while the partition count is; for sources like
+    * Kafka, partition-by-exporter at the topic level instead). */
+  def decodeStream(df: DataFrame, namespace: String,
+                   payloadCol: String = "payload",
+                   tsCol: String = "ts_sec",
+                   srcIpCol: String = "src_ip",
+                   entMap: Map[(Long, Int), Int] = defaultEnterpriseMap)
+      : DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val proj = df.select(col(payloadCol), col(tsCol).cast(LongType),
+      col(srcIpCol).cast(LongType))
+    proj.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val cache = streamCaches.computeIfAbsent((namespace, pid),
+        _ => new TemplateCache)
+      it.flatMap { r =>
+        cache.synchronized {
+          decodePacket(r.getAs[Array[Byte]](0), r.getLong(1),
+            r.getLong(2), cache, entMap)
+        }.map(vals => Row.fromSeq(vals.toSeq))
+      }
+    }(enc)
+  }
 }

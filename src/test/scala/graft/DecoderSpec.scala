@@ -369,6 +369,40 @@ class DecoderSpec extends SparkTest {
     assert(capped == full)
   }
 
+  test("decodeStream persists templates across micro-batches: a " +
+    "revision in batch N decodes batch N+1 epoch-correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def hdr(seq: Long) = bytes(9, 2, 1000L, 1700000000L, seq, 7L)
+    // revision A (epoch 100): field 1 (in_bytes); revision B (epoch
+    // 200): field 2 (in_pkts) — same template id
+    val tmplA = hdr(1L) ++ bytes(0, 12, 256, 1, 1, 4)
+    val tmplB = hdr(2L) ++ bytes(0, 12, 256, 1, 2, 4)
+    val data = hdr(3L) ++ bytes(256, 8, 4242L)
+    val mem = MemoryStream[(Array[Byte], Long, Long)]
+    val src = mem.toDF().toDF("payload", "ts_sec", "src_ip")
+      .repartition(1)
+    val out = graft.sources.NetflowDecoder
+      .decodeStream(src, s"spec-${System.nanoTime()}")
+      .select("ts_sec", "in_bytes", "in_pkts")
+    val q = out.writeStream.format("memory").queryName("ndstream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      // batch 1: ONLY templates (both revisions)
+      mem.addData((tmplA, 100L, 9L), (tmplB, 200L, 9L))
+      q.processAllAvailable()
+      // batch 2: ONLY data — t=150 must decode with revision A,
+      // t=250 with revision B, from the batch-1 store
+      mem.addData((data, 150L, 9L), (data, 250L, 9L))
+      q.processAllAvailable()
+      val rows = spark.table("ndstream")
+        .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+      assert(rows == Set((150L, 4242L, null), (250L, null, 4242L)))
+    } finally q.stop()
+  }
+
   test("TemplateCache evicts least-recently-used beyond its cap") {
     val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
     val t = NetflowDecoder.Template(Seq((1, 4, 0L)))

@@ -388,7 +388,12 @@ class ExtensionOpsSpec extends SparkTest {
         ((r.getString(1), r.get(2), r.get(3), r.get(4), r.get(5),
           r.getBoolean(6)))).toMap
     ids.filterNot(_ % 7 == 0).foreach { i =>
-      val exp = ("wav", 8000 << (i % 3).toInt, 1 + (i % 2).toInt, 16,
+      val fmt = ((i / 3) % 3) match {
+        case 0 => "wav"
+        case 1 => "aif"
+        case _ => "au"
+      }
+      val exp = (fmt, 8000 << (i % 3).toInt, 1 + (i % 2).toInt, 16,
         50L + i % 20, true)
       assert(out(i) == exp, s"id $i")
     }
@@ -542,6 +547,38 @@ class ExtensionOpsSpec extends SparkTest {
     assert(Multimodal.mp4SampleFrames(bad3, 1).isEmpty)
     // untouched payload still parses
     assert(Multimodal.mp4SampleFrames(good, 1).get.length == 6)
+  }
+
+  test("mp4 co64 + stts: 64-bit chunk offsets feed the index sampler, " +
+    "time-based sampling picks the first sample per bucket") {
+    import graft.operators.Multimodal
+    val v = Multimodal.encodeTestVideoSamplesTimed(1L) // n = 6
+    // co64 path: the index-stride sampler sees the same samples
+    val all = Multimodal.mp4SampleFrames(v, 1).get
+    assert(all.length == 6)
+    all.zipWithIndex.foreach { case (f, k) =>
+      assert(f.length == 8 && f.forall(_ == ((31 + k * 7) % 256).toByte),
+        s"sample $k")
+    }
+    // start times (ms): 0,100,200,300,550,800 → 500 ms buckets pick
+    // sample 0 (bucket 0) and sample 4 (bucket 1)
+    val timed = Multimodal.mp4SampleFramesByTime(v, 500L).get
+    assert(timed.length == 2)
+    assert(timed(0).forall(_ == (31 % 256).toByte))
+    assert(timed(1).forall(_ == ((31 + 4 * 7) % 256).toByte))
+    // n = 8 (i=3): times reach 1300 ms → picks {0,4,6}
+    val v8 = Multimodal.encodeTestVideoSamplesTimed(3L)
+    assert(Multimodal.mp4SampleFramesByTime(v8, 500L).get.length == 3)
+    // a 100 ms stride picks every sample (deltas are ≥100 ms)
+    assert(Multimodal.mp4SampleFramesByTime(v, 100L).get.length == 6)
+    // stco-only payloads carry no timing info → None for byTime, while
+    // the index sampler still works
+    val untimed = Multimodal.encodeTestVideoSamples(1L)
+    assert(Multimodal.mp4SampleFramesByTime(untimed, 500L).isEmpty)
+    assert(Multimodal.mp4SampleFrames(untimed, 1).nonEmpty)
+    // corrupt payload rejected
+    assert(Multimodal.mp4SampleFramesByTime(
+      Multimodal.encodeTestVideoSamplesTimed(0L), 500L).isEmpty)
   }
 
   test("ISO-BMFF box walks are depth-capped: a nested-container bomb " +
