@@ -1,21 +1,33 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search: brute-force cosine top-k baseline and an
   * LSH-bucketed approximate path for scale.
   *
-  * The dot product / norms are `zip_with` + `aggregate` over the float
-  * array cast to double element-wise, summed left-to-right — a fixed IEEE
-  * op order, so the DuckDB oracle (list_transform + list_reduce in the
-  * same order) reproduces the doubles bit-for-bit.
+  * The dot product / norms accumulate the float array cast to double
+  * element-wise, summed left-to-right — a fixed IEEE op order, so the
+  * DuckDB oracle (list_transform + list_reduce in the same order)
+  * reproduces the doubles bit-for-bit. Since r8 the arithmetic runs in
+  * a native codegen'd expression ([[graft.functions.VecDotExpr]]) — the
+  * previous `aggregate(zip_with(...))` higher-order form interpreted a
+  * lambda per element and allocated an intermediate array per row; the
+  * expression is a tight generated loop with the IDENTICAL op order
+  * (differential-tested in VecExprSpec), so oracles are unaffected.
   */
 object Similarity {
 
-  /** Σ a[i]*b[i] with left-to-right double accumulation. */
+  /** Σ a[i]*b[i] with left-to-right double accumulation (codegen'd). */
   def dot(a: Column, b: Column): Column =
+    GraftBridge.toColumn(graft.functions.VecDotExpr(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** The higher-order-function form `dot` replaced — kept as the
+    * differential-test reference (same values, interpreted per element,
+    * one intermediate array per row). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
 
@@ -66,15 +78,26 @@ object Similarity {
     else -1.0
 
   def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
-    // The whole nBits×dim coefficient matrix is ONE Literal node
-    // (typedlit), not dim×nBits expression-tree nodes — expression size
-    // stays O(1) in dim, so dim=1024, nBits=64 signatures plan/compile
-    // as fast as dim=8 (the old per-element tree was known-bloated at
-    // high dim). Bit values are unchanged: each plane's dot product
-    // accumulates left-to-right in doubles exactly like the old
-    // term-reduce (the extra leading 0.0 only affects the sign of a
-    // ±0.0 sum, which `>= 0` cannot distinguish), so existing DuckDB
-    // oracles that bake the same signs reproduce identical buckets.
+    // One native codegen'd expression (r8): the nBits×dim coefficient
+    // matrix rides as a referenced double[] in the generated class (the
+    // LPM-table pattern) — plan size stays O(1) in dim AND execution is
+    // a tight loop (the previous nested-aggregate form interpreted a
+    // lambda per element and allocated one zip_with array per PLANE per
+    // row). Bit values are unchanged: each plane's dot accumulates
+    // left-to-right in doubles from 0.0, short/null-element vectors
+    // yield signature 0 — exactly the old fold's semantics
+    // (differential-tested in VecExprSpec), so existing DuckDB oracles
+    // that bake the same signs reproduce identical buckets.
+    val planes = Array.tabulate(nBits * dim)(p =>
+      hyperplaneSign(p / dim, p % dim))
+    GraftBridge.toColumn(graft.functions.LshSignatureExpr(
+      GraftBridge.toExpression(vec), planes, dim, nBits))
+  }
+
+  /** The nested-higher-order form `lshSignature` replaced — kept as the
+    * differential-test reference. */
+  private[graft] def lshSignatureHof(vec: Column, dim: Int,
+                                     nBits: Int): Column = {
     val planes = typedlit((0 until nBits).map { j =>
       (0 until dim).map(i => hyperplaneSign(j, i))
     })
@@ -260,10 +283,13 @@ object Similarity {
       .withColumn("cid", row_number().over(wSeed).cast(LongType) - 1)
       .select(col("cid"), col("v").as("cv"))
     for (_ <- 0 until iters) {
+      // codegen'd integer distance (VecSqDistLongExpr) — this runs k
+      // times per vector per iteration, the training hot loop
       val asg = vq.join(broadcast(cents))
-        .withColumn("dist",
-          aggregate(zip_with(col("v"), col("cv"),
-            (a, b) => (a - b) * (a - b)), lit(0L), _ + _))
+        .withColumn("dist", GraftBridge.toColumn(
+          graft.functions.VecSqDistLongExpr(
+            GraftBridge.toExpression(col("v")),
+            GraftBridge.toExpression(col("cv")))))
         .groupBy(col("id"))
         .agg(min(struct(col("dist"), col("cid"), col("v"))).as("m"))
         .select(col("m.cid").as("cid"), col("m.v").as("v"))
