@@ -77,5 +77,16 @@ object SqlFunctions {
     // curation surface: stable [0,100) bucket for split assignment
     register(spark, "hash_bucket",
       es => graft.operators.Curation.hashBucket(colOf(es.head)))
+    // embedding surface: the native codegen'd vector expressions
+    // (VecExprs) — vec_dot(a,b), vec_cosine(a,b) (NULL on zero norm),
+    // lsh_signature(v, dim, nbits)
+    register(spark, "vec_dot", es =>
+      graft.operators.Similarity.dot(colOf(es(0)), colOf(es(1))))
+    register(spark, "vec_cosine", es =>
+      graft.operators.Similarity.cosineNullSafe(
+        colOf(es(0)), colOf(es(1))))
+    register(spark, "lsh_signature", es =>
+      graft.operators.Similarity.lshSignature(colOf(es.head),
+        longArg(es(1)).toInt, longArg(es(2)).toInt))
   }
 }

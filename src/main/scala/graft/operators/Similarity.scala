@@ -36,6 +36,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
+  /** [[cosine]] that yields NULL (undefined) instead of an ANSI
+    * divide-by-zero error when either vector has zero norm — the SQL
+    * registry's `vec_cosine`. */
+  def cosineNullSafe(a: Column, b: Column): Column = {
+    val na = norm2(a)
+    val nb = norm2(b)
+    when(na =!= 0.0 && nb =!= 0.0, dot(a, b) / (na * nb))
+  }
+
   /** cosine with both norms precomputed (bit-identical to [[cosine]]:
     * the factors are the same `sqrt(Σx²)` doubles multiplied in the same
     * order, just evaluated once per ROW instead of once per candidate

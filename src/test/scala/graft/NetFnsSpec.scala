@@ -124,6 +124,29 @@ class SqlFunctionsSpec extends SparkTest {
     assert(b == b2)
   }
 
+  test("vector function surface callable from spark.sql") {
+    graft.functions.SqlFunctions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT vec_dot(array(1.0F, 2.0F, 3.0F),
+                     array(4.0F, 0.5F, -1.0F)) AS d,
+             vec_cosine(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS c,
+             vec_cosine(array(0.0F, 0.0F), array(1.0F, 1.0F)) AS z,
+             lsh_signature(array(1.0F, -1.0F, 0.5F, 2.0F), 4, 8) AS s
+    """).collect()(0)
+    assert(r.getAs[Double]("d") == 2.0)
+    assert(r.getAs[Double]("c") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("z"))) // zero norm → NULL, not error
+    val sig = r.getAs[Long]("s")
+    assert(sig >= 0 && sig < 256) // 8-bit signature
+    // matches the Column-API signature exactly
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaApi = Seq(Seq(1.0f, -1.0f, 0.5f, 2.0f)).toDF("v")
+      .select(graft.operators.Similarity.lshSignature(col("v"), 4, 8))
+      .collect()(0).getLong(0)
+    assert(sig == viaApi)
+  }
+
   test("v6 function surface callable from spark.sql") {
     graft.functions.SqlFunctions.registerAll(spark)
     // 2001:db8:1::c000:0201 = dst-base + 192.0.2.1 (FR override);
