@@ -1924,6 +1924,37 @@ object Queries {
       FROM flows GROUP BY protocol, if_name, http_host
       ORDER BY protocol ASC, if_name ASC, http_host ASC"""))
 
+  // The batch capture-file ingest path end-to-end: v9 packets written
+  // as 4 rotated pktdump files (the DSv2 source, one partition per
+  // file), read back, decoded and aggregated; the oracle rebuilds the
+  // decoded flow table from the v9Packets formula, like q40.
+  private val q72 = Q(
+    "q72_pktdump_ingest",
+    (s, dir) => {
+      import graft.sources.{NetflowDecoder, PktDump}
+      val dumpDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q72_pktdump")
+      dumpDir.mkdirs()
+      v9Packets(64).zipWithIndex
+        .map { case (p, i) => (p, 1700000000L + i, 1L + i % 4) }
+        .grouped(16).zipWithIndex.foreach { case (group, f) =>
+          PktDump.write(s"$dumpDir/part-$f.gpkd", group.toSeq)
+        }
+      NetflowDecoder.decode(
+          s.read.format("pktdump").load(dumpDir.getAbsolutePath))
+        .groupBy(col("protocol"))
+        .agg(count(lit(1)).as("n"), sum(col("in_bytes")).as("octets"))
+        .orderBy(col("protocol").asc)
+    },
+    Some("""WITH flows AS (
+        SELECT CASE WHEN i % 2 = 0 THEN 6 ELSE 17 END AS protocol,
+               100 + i AS in_bytes
+        FROM range(64) t(i))
+      SELECT CAST(protocol AS BIGINT) AS protocol,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes) AS BIGINT) AS octets
+      FROM flows GROUP BY protocol ORDER BY protocol ASC"""))
+
   // ------------------------- repetition / boilerplate quality signals
   private val q51 = Q(
     "q51_repetition",
@@ -2148,7 +2179,7 @@ object Queries {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q71)
+    q64, q65, q66, q67, q68, q69, q70, q71, q72)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
