@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -81,7 +82,8 @@ class PktDumpTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"pktdump($path)"
   override def schema(): StructType = PktDump.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new PktDumpScanBuilder(
@@ -103,21 +105,102 @@ class PktDumpScan(path: String, required: StructType)
   override def description(): String =
     s"pktdump $path cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName
-          .startsWith(".") && !s.getPath.getName.startsWith("_"))
-          .map(_.getPath.toString).sorted
-      else Array(p.toString)
-    files.map(f => PktDumpPartition(f): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    PktDumpScan.listFiles(path)
+      .map(f => PktDumpPartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PktDumpReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new PktDumpMicroBatchStream(path, required.fieldNames)
+}
+
+object PktDumpScan {
+  /** Sorted visible dump files (dot/underscore prefixes hidden — the
+    * collector's write-then-rename staging convention). */
+  def listFiles(path: String): Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName
+        .startsWith(".") && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).sorted
+    else Array(p.toString)
+  }
+}
+
+/** Streaming tail of a capture directory — the standard collector
+  * handoff: the collector writes a dump to a dot-prefixed staging name
+  * and RENAMES it in when the rotation period closes; each micro-batch
+  * picks up the files that appeared since the last offset.
+  *
+  * Offset = lexicographic high-water mark of processed file names, so
+  * rotation must use monotonically increasing names (timestamped names
+  * — the universal convention — are). Files that appear BELOW the
+  * watermark (clock skew, manual copies) are ignored rather than
+  * double-counted; a replay from checkpoint re-lists deterministically
+  * because the offset pins the (start, end] name interval. */
+class PktDumpMicroBatchStream(path: String, fields: Array[String])
+    extends MicroBatchStream {
+
+  // offset payload: one JSON string (the watermark file name)
+  private def esc(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  private def unesc(j: String): String = {
+    require(j.length >= 2 && j.head == '"' && j.last == '"',
+      s"bad pktdump offset: $j")
+    val b = new StringBuilder
+    var i = 1
+    while (i < j.length - 1) {
+      j(i) match {
+        case '\\' =>
+          j(i + 1) match {
+            case 'u' =>
+              b += Integer.parseInt(j.substring(i + 2, i + 6), 16).toChar
+              i += 5
+            case c => b += c; i += 1
+          }
+        case c => b += c
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  private case class Mark(last: String) extends Offset {
+    override def json(): String = esc(last)
+  }
+
+  override def initialOffset(): Offset = Mark("")
+
+  override def latestOffset(): Offset = {
+    val fs = PktDumpScan.listFiles(path)
+    if (fs.isEmpty) Mark("") else Mark(fs.max)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    Mark(unesc(json))
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[Mark].last
+    val hi = end.asInstanceOf[Mark].last
+    PktDumpScan.listFiles(path)
+      .filter(f => f > lo && f <= hi)
+      .map(f => PktDumpPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PktDumpReaderFactory(fields)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class PktDumpPartition(file: String) extends InputPartition

@@ -60,6 +60,64 @@ class PktDumpSpec extends SparkTest {
     assert(viaFile == direct && viaFile.size == 64)
   }
 
+  test("streaming: files rotated into the directory arrive as " +
+    "micro-batches, below-watermark names are not double-read") {
+    val dir = Files.createTempDirectory("pktdumpstream").toFile
+    dir.deleteOnExit()
+    val pkts = Queries.v9Packets(48).zipWithIndex
+      .map { case (p, i) => (p, 1700000000L + i, 1L) }
+    PktDump.write(s"$dir/20260101-000000.gpkd", pkts.slice(0, 16))
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("pktdump")
+      .load(dir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.add(b.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // collector convention: stage under a dot name, rename in
+      PktDump.write(s"$dir/.staging.gpkd", pkts.slice(16, 48))
+      new java.io.File(dir, ".staging.gpkd")
+        .renameTo(new java.io.File(dir, "20260101-000500.gpkd"))
+      q.processAllAvailable()
+      // replay of an already-seen batch interval must not occur
+      q.processAllAvailable()
+      val seen = counts.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue).filter(_ > 0)
+      assert(seen.sum == 48, s"got ${seen.toSeq}")
+      assert(seen.toSeq == Seq(16L, 32L), s"got ${seen.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming decode end-to-end: capture files through " +
+    "decodeStream produce the analytic flow rows") {
+    val dir = Files.createTempDirectory("pktdumpstream2").toFile
+    dir.deleteOnExit()
+    val pkts = Queries.v9Packets(32).zipWithIndex
+      .map { case (p, i) => (p, 1700000000L + i, 1L) }
+    PktDump.write(s"$dir/a.gpkd", pkts.slice(0, 16))
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val src = spark.readStream.format("pktdump")
+      .load(dir.getAbsolutePath)
+    val flows = NetflowDecoder.decodeStream(src,
+      s"pktspec-${System.nanoTime()}")
+    val q = flows.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        total.addAndGet(
+          b.agg(sum("in_bytes")).collect()(0).getLong(0)); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      PktDump.write(s"$dir/b.gpkd", pkts.slice(16, 32))
+      q.processAllAvailable()
+      // Σ in_bytes = Σ (100+i) for i in 0..31
+      assert(total.get() == (0 until 32).map(100L + _).sum)
+    } finally q.stop()
+  }
+
   test("a non-pktdump file is rejected with a clear error") {
     val dir = Files.createTempDirectory("pktdumpbad").toFile
     dir.deleteOnExit()
