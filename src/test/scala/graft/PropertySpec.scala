@@ -236,6 +236,52 @@ class PropertySpec extends SparkTest {
     }
   }
 
+  test("VecDotExpr / LshSignatureExpr are bit-identical to the " +
+    "higher-order forms on random vectors (incl. specials)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val genVal: Gen[Float] = Gen.frequency(
+      8 -> Gen.chooseNum(-1000, 1000).map(_ / 333.0f),
+      1 -> Gen.oneOf(0.0f, -0.0f, Float.MinPositiveValue,
+        1e30f, -1e30f, Float.NaN))
+    val genPair = for {
+      n <- Gen.chooseNum(0, 130)
+      // mostly equal lengths (the real case); sometimes mismatched
+      m <- Gen.frequency(5 -> Gen.const(n), 1 -> Gen.chooseNum(0, 130))
+      a <- Gen.listOfN(n, genVal)
+      b <- Gen.listOfN(m, genVal)
+    } yield (a, b)
+    val rows = samples(genPair, 60).zipWithIndex.map { case ((a, b), i) =>
+      Row(i.toLong, a.map(java.lang.Float.valueOf).asJava,
+        b.map(java.lang.Float.valueOf).asJava)
+    }
+    val df = spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("a", ArrayType(FloatType, true), true),
+      StructField("b", ArrayType(FloatType, true), true))))
+    val out = df.select(col("id"),
+      Similarity.dot(col("a"), col("b")).as("dn"),
+      Similarity.dotHof(col("a"), col("b")).as("dh"),
+      Similarity.lshSignature(col("a"), 16, 24).as("sn"),
+      Similarity.lshSignatureHof(col("a"), 16, 24).as("sh"))
+      .collect()
+    out.foreach { r =>
+      val (dn, dh) = (r.get(1), r.get(2))
+      assert((dn == null) == (dh == null),
+        s"dot nullness id ${r.getLong(0)}: $dn vs $dh")
+      if (dn != null)
+        // raw-bits compare (NaN == NaN is false numerically, but the
+        // two forms must produce the IDENTICAL bit pattern)
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          s"dot bits id ${r.getLong(0)}: $dn vs $dh")
+      assert(r.getLong(3) == r.getLong(4), s"sig id ${r.getLong(0)}")
+    }
+  }
+
   test("alert machine: Started and Ended strictly alternate per key") {
     val genOps = Gen.listOfN(40, for {
       isBreach <- Gen.prob(0.4)
