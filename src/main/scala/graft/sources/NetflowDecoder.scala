@@ -593,6 +593,15 @@ object NetflowDecoder {
     new java.util.concurrent.ConcurrentHashMap[(String, Int),
       TemplateCache]
 
+  /** Drop a namespace's persistent stream caches (call on query
+    * teardown). Each cache is LRU-bounded, but a long-lived executor
+    * JVM running MANY distinct streaming queries would otherwise
+    * accumulate one registry entry per (namespace, partition) forever. */
+  def clearStreamCache(namespace: String): Unit = {
+    val it = streamCaches.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == namespace) it.remove()
+  }
+
   /** Streaming decode: constant-memory single-pass per micro-batch,
     * with the template/sampling store PERSISTED across micro-batches
     * (per input partition, per `namespace`). Epoch-floor lookups still

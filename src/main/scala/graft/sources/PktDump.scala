@@ -237,19 +237,30 @@ class PktDumpReader(file: String, fields: Array[String])
   override def next(): Boolean = {
     val len =
       try in.readInt()
-      catch { case _: EOFException => return false }
+      catch { case _: EOFException => return false } // clean EOF
     // length is UNTRUSTED file content: bound before allocating
     if (len < 0 || len > (64 << 20))
       throw new java.io.IOException(s"$file: bad packet length $len")
-    ts = in.readLong()
-    src = in.readInt().toLong & 0xffffffffL
-    if (needPayload) {
-      payload = new Array[Byte](len)
-      in.readFully(payload)
-    } else {
-      in.skipNBytes(len.toLong)
+    try {
+      ts = in.readLong()
+      src = in.readInt().toLong & 0xffffffffL
+      if (needPayload) {
+        payload = new Array[Byte](len)
+        in.readFully(payload)
+      } else {
+        in.skipNBytes(len.toLong)
+      }
+      true
+    } catch {
+      case _: EOFException =>
+        // EOF past the first readInt is a truncated trailing record —
+        // the expected shape of a dump cut off by a collector crash.
+        // Keep the file's complete records, drop the partial tail.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"pktdump: $file ends with a truncated record; " +
+            "dropping the partial tail")
+        false
     }
-    true
   }
 
   override def get(): InternalRow =

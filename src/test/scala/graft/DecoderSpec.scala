@@ -403,6 +403,35 @@ class DecoderSpec extends SparkTest {
     } finally q.stop()
   }
 
+  test("clearStreamCache drops a namespace's persistent stream state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ns = s"clear-${System.nanoTime()}"
+    val tmpl = bytes(9, 2, 1000L, 1700000000L, 1L, 7L) ++
+      bytes(0, 12, 256, 1, 1, 4)
+    val data = bytes(9, 2, 1000L, 1700000000L, 2L, 7L) ++
+      bytes(256, 8, 777L)
+    def drive(payloads: Seq[Array[Byte]]): Long = {
+      val mem = MemoryStream[(Array[Byte], Long, Long)]
+      val out = graft.sources.NetflowDecoder.decodeStream(
+        mem.toDF().toDF("payload", "ts_sec", "src_ip").repartition(1), ns)
+      val q = out.writeStream.format("memory")
+        .queryName(s"clr${System.nanoTime()}")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      try {
+        mem.addData(payloads.map(p => (p, 100L, 9L)): _*)
+        q.processAllAvailable()
+        spark.table(q.name).count()
+      } finally q.stop()
+    }
+    assert(drive(Seq(tmpl)) == 0) // learn the template
+    assert(drive(Seq(data)) == 1) // decodes via the persisted store
+    graft.sources.NetflowDecoder.clearStreamCache(ns)
+    assert(drive(Seq(data)) == 0) // store gone → record skipped
+  }
+
   test("TemplateCache evicts least-recently-used beyond its cap") {
     val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
     val t = NetflowDecoder.Template(Seq((1, 4, 0L)))

@@ -118,6 +118,26 @@ class PktDumpSpec extends SparkTest {
     } finally q.stop()
   }
 
+  test("a truncated trailing record (collector crash) drops the " +
+    "partial tail and keeps the complete records") {
+    val dir = Files.createTempDirectory("pktdumptrunc").toFile
+    dir.deleteOnExit()
+    val pkts = Queries.v9Packets(8).zipWithIndex
+      .map { case (p, i) => (p, 1700000000L + i, 1L) }
+    val f = new java.io.File(dir, "a.gpkd")
+    PktDump.write(f.getAbsolutePath, pkts)
+    // cut the file mid-way through the LAST record's payload; drop the
+    // Hadoop LocalFileSystem checksum sidecar the test writer produced
+    // (a real collector's file has none)
+    val full = Files.readAllBytes(f.toPath)
+    Files.write(f.toPath, java.util.Arrays.copyOf(full, full.length - 5))
+    new java.io.File(dir, ".a.gpkd.crc").delete()
+    val df = spark.read.format("pktdump").load(dir.getAbsolutePath)
+    assert(df.count() == 7) // 8 written, partial 8th dropped
+    assert(df.agg(sum("ts_sec")).collect()(0).getLong(0) ==
+      (0 until 7).map(1700000000L + _).sum)
+  }
+
   test("a non-pktdump file is rejected with a clear error") {
     val dir = Files.createTempDirectory("pktdumpbad").toFile
     dir.deleteOnExit()
