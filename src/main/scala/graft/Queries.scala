@@ -1674,12 +1674,16 @@ object Queries {
   // the aggregation independently. Byte-level decode correctness is
   // covered by DecoderSpec goldens; this closes the driver's hash gate.
 
+  // shared big-endian byte writers for the analytic packet generators
+  private def u16(v: Int): Array[Byte] =
+    Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u32(v: Long): Array[Byte] =
+    Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
   /** Deterministic NetFlow v9 packets: template + data flowsets built
     * from integers (no external fixtures). */
   private[graft] def v9Packets(n: Int): Seq[Array[Byte]] = {
-    def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     (0 until n).map { i =>
       val header = u16(9) ++ u16(2) ++ u32(0) ++ u32(1700000000L + i) ++
         u32(i) ++ u32(1)
@@ -1759,9 +1763,6 @@ object Queries {
     *   src = 10.0.1.(i%8), proto/dst_port = (6,443)|(17,53),
     *   vlan = 100 + i%10 when tagged. */
   private[graft] def sflowPackets(n: Int): Seq[Array[Byte]] = {
-    def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     (0 until n).map { i =>
       val tcp = (i / 2) % 2 == 0
       val rate = 100L * (1 + i % 4)
@@ -1850,9 +1851,6 @@ object Queries {
     *     SHORT varlen form for even i, 255-ESCAPED long form for odd —
     *     host "h"+(i%3) in the enterprise field (NUL-padded fixed 8). */
   private[graft] def ipfixPackets(n: Int): Seq[(Array[Byte], Long)] = {
-    def u16(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def u32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     def msg(ts: Long, sets: Array[Byte]): Array[Byte] =
       u16(10) ++ u16(16 + sets.length) ++ u32(ts) ++ u32(0) ++ u32(1) ++ sets
     def set(id: Int, body: Array[Byte]): Array[Byte] =
@@ -1932,9 +1930,13 @@ object Queries {
     "q72_pktdump_ingest",
     (s, dir) => {
       import graft.sources.{NetflowDecoder, PktDump}
-      val dumpDir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_q72_pktdump")
+      // per-PROCESS dir: deterministic across this process's reruns
+      // (Bench runs the query several times) but never shared with a
+      // concurrent driver, whose overwrites would race our readers
+      val dumpDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q72_pktdump_${ProcessHandle.current().pid()}")
       dumpDir.mkdirs()
+      dumpDir.deleteOnExit()
       v9Packets(64).zipWithIndex
         .map { case (p, i) => (p, 1700000000L + i, 1L + i % 4) }
         .grouped(16).zipWithIndex.foreach { case (group, f) =>

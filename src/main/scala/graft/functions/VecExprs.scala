@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the embedding hot path (SURVEY.md
   * §2.9 — "promote to Catalyst Expressions for codegen").
@@ -35,17 +36,33 @@ object VecExprs {
 
   /** Interpreted-eval helper shared with generated code. Returns a
     * boxed Double or null (mismatch / null element). */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean,
-          bFloat: Boolean): java.lang.Double = {
+  /** Element accessor codes for [[dot]]/generated loops: 0=double,
+    * 1=float, 2=long, 3=int — every numeric the HOF form's per-element
+    * `cast("double")` accepted. */
+  def elemKind(t: DataType): Int = t match {
+    case ArrayType(DoubleType, _)  => 0
+    case ArrayType(FloatType, _)   => 1
+    case ArrayType(LongType, _)    => 2
+    case ArrayType(IntegerType, _) => 3
+    case _                         => -1
+  }
+
+  def getD(a: ArrayData, i: Int, kind: Int): Double = kind match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getLong(i).toDouble
+    case _ => a.getInt(i).toDouble
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aKind: Int,
+          bKind: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      s += x * y
+      s += getD(a, i, aKind) * getD(b, i, bKind)
       i += 1
     }
     s
@@ -56,13 +73,13 @@ object VecExprs {
     * sequentially (nBits passes over one cache-resident buffer instead
     * of nBits ArrayData traversals). */
   def lshSig(a: ArrayData, planes: Array[Double], dim: Int,
-             nBits: Int, aFloat: Boolean): Long = {
+             nBits: Int, aKind: Int): Long = {
     if (a.numElements() < dim) return 0L
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) {
       if (a.isNullAt(i)) return 0L
-      v(i) = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      v(i) = getD(a, i, aKind)
       i += 1
     }
     var sig = 0L
@@ -95,15 +112,18 @@ object VecExprs {
     s
   }
 
-  private[functions] def isFloatArray(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) => true
-    case _                       => false
-  }
+  private[functions] def validVec(t: DataType): Boolean = elemKind(t) >= 0
 
-  private[functions] def validVec(t: DataType): Boolean = t match {
-    case ArrayType(FloatType | DoubleType, _) => true
-    case _                                    => false
-  }
+  /** The Java expression reading element `i` of ArrayData `a` widened
+    * to double — codegen twin of [[getD]]. */
+  private[functions] def getterCode(t: DataType, a: String,
+                                    i: String): String =
+    elemKind(t) match {
+      case 0 => s"$a.getDouble($i)"
+      case 1 => s"((double) $a.getFloat($i))"
+      case 2 => s"((double) $a.getLong($i))"
+      case _ => s"((double) $a.getInt($i))"
+    }
 
   private val helper = VecExprs.getClass.getName.stripSuffix("$") +
     "$.MODULE$"
@@ -123,24 +143,24 @@ case class VecDotExpr(left: Expression, right: Expression)
         VecExprs.validVec(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<float>/array<double> inputs, got " +
+      s"$prettyName expects numeric array inputs, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
 
-  private lazy val aFloat = VecExprs.isFloatArray(left.dataType)
-  private lazy val bFloat = VecExprs.isFloatArray(right.dataType)
+  private lazy val aKind = VecExprs.elemKind(left.dataType)
+  private lazy val bKind = VecExprs.elemKind(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VecExprs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      aFloat, bFloat)
+      aKind, bKind)
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode = {
-    val getA = if (aFloat) "getFloat" else "getDouble"
-    val getB = if (bFloat) "getFloat" else "getDouble"
+                                   ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val getA = VecExprs.getterCode(left.dataType, a, i)
+      val getB = VecExprs.getterCode(right.dataType, b, i)
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) { ${ev.isNull} = true; }
@@ -150,13 +170,12 @@ case class VecDotExpr(left: Expression, right: Expression)
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |      ${ev.isNull} = true; break;
          |    }
-         |    $s += ((double) $a.$getA($i)) * ((double) $b.$getB($i));
+         |    $s += $getA * $getB;
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })
-  }
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
@@ -221,29 +240,40 @@ case class LshSignatureExpr(child: Expression, planes: Array[Double],
   // fold's `+ (1L << 63)` (distinct powers of two carry-free ≡ OR)
   require(planes.length == dim * nBits && nBits <= 64 && nBits > 0)
   override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
+  // NULL input → signature 0, like short/null-element vectors: the HOF
+  // fold returned 0 there too (NULL sum per plane → bit 0), and bucket
+  // joins must keep NULL-embedding rows in bucket 0, not drop them via
+  // NULL-never-equals-NULL
+  override def nullable: Boolean = false
   override def prettyName: String = "lsh_signature"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (VecExprs.validVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects an array<float>/array<double> input, got " +
+      s"$prettyName expects a numeric array input, got " +
         child.dataType.catalogString)
 
-  private lazy val aFloat = VecExprs.isFloatArray(child.dataType)
+  private lazy val aKind = VecExprs.elemKind(child.dataType)
 
-  override def nullSafeEval(a: Any): Any =
-    VecExprs.lshSig(a.asInstanceOf[ArrayData], planes, dim, nBits, aFloat)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else VecExprs.lshSig(v.asInstanceOf[ArrayData], planes, dim, nBits,
+      aKind)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
-    nullSafeCodeGen(ctx, ev, a => {
-      s"""
-         |${ev.value} = ${VecExprs.helperRef}.lshSig(
-         |  $a, $planesRef, $dim, $nBits, $aFloat);
-       """.stripMargin
-    })
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+         |${childGen.code}
+         |long ${ev.value} = ${childGen.isNull} ? 0L :
+         |  ${VecExprs.helperRef}.lshSig(
+         |    ${childGen.value}, $planesRef, $dim, $nBits, $aKind);
+       """
+    ev.copy(code = code, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(c: Expression) =

@@ -589,18 +589,27 @@ object NetflowDecoder {
     * (Spark schedules one task per partition per batch; the per-packet
     * synchronized only matters under retry/speculation overlap).
     * Memory is bounded: TemplateCache's own LRU caps × partitions. */
-  private val streamCaches =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int),
-      TemplateCache]
+  // access-order LRU so the registry itself is bounded: a long-lived
+  // executor JVM running successive streaming queries with fresh
+  // namespaces must not accumulate (namespace, partition) entries
+  // forever. 1024 entries ≫ any concurrent (queries × partitions)
+  // population; an evicted-but-live entry only costs a template
+  // re-learn on that partition's next packets.
+  private val streamCaches = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int), TemplateCache](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), TemplateCache]): Boolean =
+        size() > 1024
+    })
 
-  /** Drop a namespace's persistent stream caches (call on query
-    * teardown). Each cache is LRU-bounded, but a long-lived executor
-    * JVM running MANY distinct streaming queries would otherwise
-    * accumulate one registry entry per (namespace, partition) forever. */
-  def clearStreamCache(namespace: String): Unit = {
-    val it = streamCaches.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 == namespace) it.remove()
-  }
+  /** Drop a namespace's persistent stream caches (deterministic
+    * teardown on query stop; the registry also self-bounds via LRU). */
+  def clearStreamCache(namespace: String): Unit =
+    streamCaches.synchronized {
+      val it = streamCaches.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == namespace) it.remove()
+    }
 
   /** Streaming decode: constant-memory single-pass per micro-batch,
     * with the template/sampling store PERSISTED across micro-batches

@@ -177,15 +177,36 @@ class PktDumpMicroBatchStream(path: String, fields: Array[String])
     override def json(): String = esc(last)
   }
 
+  // latestOffset must be MONOTONE: a transient empty/partial listing
+  // (retention job, eventually-consistent store) would otherwise
+  // regress the watermark and re-ingest names at or below it on their
+  // reappearance. Offsets restored from checkpoint flow through
+  // deserializeOffset, so the clamp survives restarts too.
+  @volatile private var high = ""
+  private def bump(v: String): String = synchronized {
+    if (v > high) high = v
+    high
+  }
+
+  // always the epoch: the engine may probe latestOffset() BEFORE
+  // asking for the initial offset of a fresh (checkpoint-less) query,
+  // and the first batch must still cover everything already present
   override def initialOffset(): Offset = Mark("")
 
   override def latestOffset(): Offset = {
     val fs = PktDumpScan.listFiles(path)
-    if (fs.isEmpty) Mark("") else Mark(fs.max)
+    Mark(bump(if (fs.isEmpty) "" else fs.max))
   }
 
-  override def deserializeOffset(json: String): Offset =
-    Mark(unesc(json))
+  override def deserializeOffset(json: String): Offset = {
+    // seed the monotone clamp from checkpoint-restored offsets, but
+    // return the DESERIALIZED value itself — the engine rebuilds batch
+    // START offsets through here, and substituting the high-water mark
+    // would collapse every restored interval to empty
+    val v = unesc(json)
+    bump(v)
+    Mark(v)
+  }
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {

@@ -138,6 +138,34 @@ class PktDumpSpec extends SparkTest {
       (0 until 7).map(1700000000L + _).sum)
   }
 
+  test("streaming offset is monotone: a transiently empty listing " +
+    "cannot regress the watermark and re-ingest old names") {
+    import graft.sources.PktDumpMicroBatchStream
+    val dir = Files.createTempDirectory("pktdumpmono").toFile
+    dir.deleteOnExit()
+    val pkts = Queries.v9Packets(4).zipWithIndex
+      .map { case (p, i) => (p, 1700000000L + i, 1L) }
+    val stream = new PktDumpMicroBatchStream(dir.getAbsolutePath,
+      PktDump.schema.fieldNames)
+    PktDump.write(s"$dir/b.gpkd", pkts)
+    val o1 = stream.latestOffset()
+    assert(stream.planInputPartitions(stream.initialOffset(), o1)
+      .length == 1)
+    // retention wipes the directory → listing is empty
+    new java.io.File(dir, "b.gpkd").delete()
+    new java.io.File(dir, ".b.gpkd.crc").delete()
+    val o2 = stream.latestOffset()
+    assert(o2.json() == o1.json(), "watermark regressed on empty dir")
+    // a BELOW-watermark name appearing later is ignored, not re-read
+    PktDump.write(s"$dir/a.gpkd", pkts)
+    val o3 = stream.latestOffset()
+    assert(stream.planInputPartitions(o1, o3).isEmpty)
+    // an ABOVE-watermark name still advances
+    PktDump.write(s"$dir/c.gpkd", pkts)
+    val o4 = stream.latestOffset()
+    assert(stream.planInputPartitions(o3, o4).length == 1)
+  }
+
   test("a non-pktdump file is rejected with a clear error") {
     val dir = Files.createTempDirectory("pktdumpbad").toFile
     dir.deleteOnExit()

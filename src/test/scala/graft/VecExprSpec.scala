@@ -73,7 +73,8 @@ class VecExprSpec extends SparkTest {
       (3L, pv(3L, 8), fseq()),   // shorter than dim → 0
       (4L, pv(4L, 32), fseq()),  // longer → truncated at dim
       (5L, pv(5L, 15) :+ null.asInstanceOf[java.lang.Float], fseq()),
-      (6L, Seq.fill(16)(java.lang.Float.valueOf(0.0f)), fseq()))
+      (6L, Seq.fill(16)(java.lang.Float.valueOf(0.0f)), fseq()),
+      (7L, null, fseq())) // NULL vector → signature 0, NOT NULL
     val df = vecsDf(rows)
     val out = df.select(col("id"),
       Similarity.lshSignature(col("a"), dim, 12).as("native"),
@@ -87,9 +88,25 @@ class VecExprSpec extends SparkTest {
     val sigs = out.filter(r => Seq(1L, 2L).contains(r.getLong(0)))
       .map(_.getLong(1))
     assert(sigs.distinct.length == 2 && sigs.forall(_ != 0L))
-    // short / null-element vectors → 0, matching the HOF fold
-    out.filter(r => Seq(3L, 5L).contains(r.getLong(0)))
-      .foreach(r => assert(r.getLong(1) == 0L))
+    // short / null-element / NULL vectors → 0 (a real value: bucket
+    // joins must keep these rows, not drop them via NULL keys)
+    out.filter(r => Seq(3L, 5L, 7L).contains(r.getLong(0)))
+      .foreach(r => assert(!r.isNullAt(1) && r.getLong(1) == 0L,
+        s"id ${r.getLong(0)}"))
+  }
+
+  test("VecDotExpr widens integer element arrays like the HOF cast") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Seq(1L, 2L, 3L), Seq(2, 4, 6))).asJava,
+      StructType(Seq(
+        StructField("id", LongType, false),
+        StructField("a", ArrayType(LongType, false), true),
+        StructField("b", ArrayType(IntegerType, false), true))))
+    val out = df.select(
+      Similarity.dot(col("a"), col("b")).as("n"),
+      Similarity.dotHof(col("a"), col("b")).as("h")).collect()(0)
+    assert(out.getDouble(0) == 28.0 && out.getDouble(1) == 28.0)
   }
 
   test("VecSqDistLongExpr matches the zip_with fold over long arrays") {
