@@ -32,61 +32,67 @@ object SqlFunctions {
   private def strArg(e: Expression): String =
     String.valueOf(e.eval(null))
 
+  /** The function surface as (name, builder) pairs — shared by
+    * [[registerAll]] (temp functions on a live session) and
+    * [[graft.GraftExtensions]] (injectFunction at session build).
+    * Builders that need a session resolve `SparkSession.active` at
+    * CALL time, so the list itself can be built before any session
+    * exists (the extensions path). */
+  def builders(geo: GeoDb = BuiltinTables.geoDb,
+               ipLists: Map[String, IpList] = BuiltinTables.ipLists)
+      : Seq[(String, Seq[Expression] => Column)] = {
+    def sess = SparkSession.active
+    Seq[(String, Seq[Expression] => Column)](
+      "tfstr" -> (es => NetFns.tfstr(colOf(es.head))),
+      "portstr" -> (es => NetFns.portstr(colOf(es.head))),
+      "ppstr" -> (es => NetFns.ppstr(colOf(es(0)), colOf(es(1)))),
+      "xdiv" -> (es => NetFns.xdiv(colOf(es(0)), colOf(es(1)))),
+      "xdiv_r" -> (es =>
+        NetFns.xdivR(colOf(es(0)), colOf(es(1)), longArg(es(2)))),
+      "xdiv_l" -> (es =>
+        NetFns.xdivL(colOf(es(0)), colOf(es(1)), longArg(es(2)))),
+      "ip4str" -> (es => NetFns.ip4str(colOf(es.head))),
+      "asn" -> (es => geo.asn(sess)(colOf(es.head))),
+      "asd" -> (es => geo.asd(sess)(colOf(es.head))),
+      "ip_in_list" -> (es => {
+        val nm = strArg(es(1))
+        val list = ipLists.getOrElse(nm,
+          sys.error(s"unknown IP list '$nm'"))
+        LpmExpr.contains4(list.v4)(colOf(es(0)))
+      }),
+      "ip6str" -> (es => NetFns.ip6str(colOf(es.head))),
+      "asn6" -> (es => geo.asn6(sess)(colOf(es.head))),
+      "asd6" -> (es => geo.asd6(sess)(colOf(es.head))),
+      "ip6_in_list" -> (es => {
+        val nm = strArg(es(1))
+        val list = ipLists.getOrElse(nm,
+          sys.error(s"unknown IP list '$nm'"))
+        LpmExpr.contains6(list.v6)(colOf(es(0)))
+      }),
+      "hash_bucket" -> (es =>
+        graft.operators.Curation.hashBucket(colOf(es.head))),
+      "vec_dot" -> (es =>
+        graft.operators.Similarity.dot(colOf(es(0)), colOf(es(1)))),
+      "vec_cosine" -> (es =>
+        graft.operators.Similarity.cosineNullSafe(
+          colOf(es(0)), colOf(es(1)))),
+      "lsh_signature" -> (es =>
+        graft.operators.Similarity.lshSignature(colOf(es.head),
+          longArg(es(1)).toInt, longArg(es(2)).toInt))) ++
+      GeoDb.attrs.map(attr =>
+        attr -> ((es: Seq[Expression]) =>
+          geo.geoAttr(sess, attr)(colOf(es.head)))) ++
+      GeoDb.attrs.map(attr =>
+        s"${attr}6" -> ((es: Seq[Expression]) =>
+          geo.geoAttr6(sess, attr)(colOf(es.head))))
+  }
+
   def registerAll(spark: SparkSession,
                   geo: GeoDb = BuiltinTables.geoDb,
                   ipLists: Map[String, IpList] =
                     BuiltinTables.ipLists): Unit = {
-    register(spark, "tfstr", es => NetFns.tfstr(colOf(es.head)))
-    register(spark, "portstr", es => NetFns.portstr(colOf(es.head)))
-    register(spark, "ppstr",
-      es => NetFns.ppstr(colOf(es(0)), colOf(es(1))))
-    register(spark, "xdiv",
-      es => NetFns.xdiv(colOf(es(0)), colOf(es(1))))
-    register(spark, "xdiv_r",
-      es => NetFns.xdivR(colOf(es(0)), colOf(es(1)), longArg(es(2))))
-    register(spark, "xdiv_l",
-      es => NetFns.xdivL(colOf(es(0)), colOf(es(1)), longArg(es(2))))
-    register(spark, "ip4str", es => NetFns.ip4str(colOf(es.head)))
-    GeoDb.attrs.foreach { attr =>
-      register(spark, attr,
-        es => geo.geoAttr(spark, attr)(colOf(es.head)))
+    builders(geo, ipLists).foreach { case (n, fn) =>
+      register(spark, n, fn)
     }
-    register(spark, "asn", es => geo.asn(spark)(colOf(es.head)))
-    register(spark, "asd", es => geo.asd(spark)(colOf(es.head)))
-    register(spark, "ip_in_list", es => {
-      val nm = strArg(es(1))
-      val list = ipLists.getOrElse(nm,
-        sys.error(s"unknown IP list '$nm'"))
-      LpmExpr.contains4(list.v4)(colOf(es(0)))
-    })
-    // v6 variants over binary(16) columns (first-class like the
-    // reference's xe_ip covering both families, geoip.h:43-55)
-    register(spark, "ip6str", es => NetFns.ip6str(colOf(es.head)))
-    GeoDb.attrs.foreach { attr =>
-      register(spark, s"${attr}6",
-        es => geo.geoAttr6(spark, attr)(colOf(es.head)))
-    }
-    register(spark, "asn6", es => geo.asn6(spark)(colOf(es.head)))
-    register(spark, "asd6", es => geo.asd6(spark)(colOf(es.head)))
-    register(spark, "ip6_in_list", es => {
-      val nm = strArg(es(1))
-      val list = ipLists.getOrElse(nm,
-        sys.error(s"unknown IP list '$nm'"))
-      LpmExpr.contains6(list.v6)(colOf(es(0)))
-    })
-    // curation surface: stable [0,100) bucket for split assignment
-    register(spark, "hash_bucket",
-      es => graft.operators.Curation.hashBucket(colOf(es.head)))
-    // embedding surface: the native codegen'd vector expressions
-    // (VecExprs) — vec_dot(a,b), vec_cosine(a,b) (NULL on zero norm),
-    // lsh_signature(v, dim, nbits)
-    register(spark, "vec_dot", es =>
-      graft.operators.Similarity.dot(colOf(es(0)), colOf(es(1))))
-    register(spark, "vec_cosine", es =>
-      graft.operators.Similarity.cosineNullSafe(
-        colOf(es(0)), colOf(es(1))))
-    register(spark, "lsh_signature", es =>
-      graft.operators.Similarity.lshSignature(colOf(es.head),
-        longArg(es(1)).toInt, longArg(es(2)).toInt))
   }
 }

@@ -11,6 +11,14 @@ object GraftBridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Materialize a SparkSessionExtensions' injected functions into a
+    * live registry — the session-build step, callable from tests (the
+    * method is private[sql]). */
+  def registerInjectedFunctions(
+      ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : Unit = ext.registerFunctions(registry)
+
   /** Fully lower a Column's node tree to a Catalyst Expression (the
     * converter the classic Dataset API itself uses). Needed when the
     * expression escapes Dataset resolution — e.g. FunctionRegistry

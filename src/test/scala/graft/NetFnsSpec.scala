@@ -124,6 +124,25 @@ class SqlFunctionsSpec extends SparkTest {
     assert(b == b2)
   }
 
+  test("GraftExtensions injects the full surface at session build " +
+    "(registerFunctions path)") {
+    // apply the extensions object and materialize its injections into
+    // this session's registry — the same wiring
+    // spark.sql.extensions=graft.GraftExtensions performs at build
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftBridge.registerInjectedFunctions(
+      ext, spark.sessionState.functionRegistry)
+    val r = spark.sql("""
+      SELECT tfstr(18L) AS tf,
+             vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+             country_code(3221225985L) AS cc
+    """).collect()(0)
+    assert(r.getAs[String]("tf") == "ACK+SYN")
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[String]("cc") == "fr")
+  }
+
   test("vector function surface callable from spark.sql") {
     graft.functions.SqlFunctions.registerAll(spark)
     val r = spark.sql("""
