@@ -2147,12 +2147,17 @@ object Queries {
           "embedding", cents, "cid", "cv",
           nprobe = 2, emb.filter(col("vec_id") === 1), "embedding", 20)
         .select(col("vec_id"), round(col("sim"), 6).as("sim_r"))
-    }, {
-      def cos(a: String, b: String) =
-        s"${OracleSql.dotSql(a, b, 64)} / " +
-          s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
-          s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
-      Some(s"""WITH ${OracleSql.kmeansCtes(4, 2, 64, 1000000L)},
+    }, Some(kmeansIvfOracle))
+
+  /** Shared DuckDB oracle for the kmeans→IVF composition — q58 runs it
+    * in-flight, q73 through a persisted index; the results are defined
+    * to be identical. */
+  private lazy val kmeansIvfOracle: String = {
+    def cos(a: String, b: String) =
+      s"${OracleSql.dotSql(a, b, 64)} / " +
+        s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
+        s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
+    s"""WITH ${OracleSql.kmeansCtes(4, 2, 64, 1000000L)},
       cent AS (SELECT cid,
           list(CAST(cx AS DOUBLE) / 1000000 ORDER BY pos) AS cv
         FROM c2 GROUP BY cid),
@@ -2172,8 +2177,30 @@ object Queries {
       sc AS (SELECT vec_id, ${cos("embedding", "qv")} AS sim
              FROM cand, q)
       SELECT vec_id, round(sim, 6) AS sim_r FROM sc
-      ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 20""")
-    })
+      ORDER BY sim DESC NULLS LAST, vec_id ASC LIMIT 20"""
+  }
+
+  // The persisted-index variant of q58: train + assign + WRITE the
+  // partitioned inverted lists, then search through the index reader
+  // (probe-literal filter → parquet partition pruning). Same oracle —
+  // the persisted path is defined to be bit-identical to in-flight.
+  private val q73 = Q(
+    "q73_ivf_index",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q73_ivf_${ProcessHandle.current().pid()}")
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") =!= 1), "vec_id",
+        "embedding", cents, "cid", "cv", idxDir.getAbsolutePath)
+      Similarity.searchIvfIndex(s, idxDir.getAbsolutePath,
+          emb.filter(col("vec_id") === 1), "embedding",
+          nprobe = 2, k = 20)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+    Some(kmeansIvfOracle))
 
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2181,7 +2208,7 @@ object Queries {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -183,12 +183,16 @@ object Similarity {
     * only those inverted lists. The centroid table is caller-supplied
     * (k-means offline, or any deterministic subset); candidate count
     * scales with nprobe/|centroids|, not |data|. */
+  private def prepCent(centroids: DataFrame, centIdCol: String,
+                       centVecCol: String): DataFrame =
+    broadcast(centroids.select(col(centIdCol).as("__cid"),
+      col(centVecCol).as("__cv"), norm2(col(centVecCol)).as("__cn")))
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, centIdCol: String, centVecCol: String,
               nprobe: Int, query: DataFrame, queryVecCol: String,
               k: Int): DataFrame = {
-    val cent = broadcast(centroids.select(col(centIdCol).as("__cid"),
-      col(centVecCol).as("__cv"), norm2(col(centVecCol)).as("__cn")))
+    val cent = prepCent(centroids, centIdCol, centVecCol)
     // assignment: argmin over centroids as a partial-aggregated
     // min(struct(-sim, cid, …)) — the broadcast join fans each vector
     // out to k rows INSIDE the map task, and the partial aggregate
@@ -205,18 +209,7 @@ object Similarity {
     // struct-min sorts a NULL first field SMALLEST, which would let a
     // degenerate centroid win every argmin, so coalesce NULL to +Inf —
     // the nulls-last semantics the old `cs.desc` ordering had.
-    val assigned = df.select(col(idCol), col(vecCol),
-        norm2(col(vecCol)).as("__n"))
-      .join(cent)
-      .withColumn("__csNeg",
-        coalesce(
-          -cosinePre(col(vecCol), col("__cv"), col("__n"), col("__cn")),
-          lit(Double.PositiveInfinity)))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("__csNeg"), col("__cid"),
-        col(vecCol).as("__v"), col("__n").as("__vn"))).as("m"))
-      .select(col(idCol), col("m.__v").as(vecCol),
-        col("m.__vn").as("__n"), col("m.__cid").as("__cid"))
+    val assigned = assignToCentroids(df, idCol, vecCol, cent)
     // probe list: the query's nprobe nearest centroids
     val probes = broadcast(query.select(col(queryVecCol).as("__qv"),
         norm2(col(queryVecCol)).as("__qn"))
@@ -231,6 +224,76 @@ object Similarity {
         cosinePre(col(vecCol), col("__qv"),
           col("__n"), col("__qn")).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The IVF assignment step shared by [[ivfTopK]] (in-flight) and
+    * [[buildIvfIndex]] (persisted): one row per vector with its nearest
+    * centroid, shuffle volume |vectors| (see the argmin commentary
+    * above). Returns (idCol, vecCol, __n, __cid). */
+  private def assignToCentroids(df: DataFrame, idCol: String,
+                                vecCol: String,
+                                cent: DataFrame): DataFrame =
+    df.select(col(idCol), col(vecCol), norm2(col(vecCol)).as("__n"))
+      .join(cent)
+      .withColumn("__csNeg",
+        coalesce(
+          -cosinePre(col(vecCol), col("__cv"), col("__n"), col("__cn")),
+          lit(Double.PositiveInfinity)))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__csNeg"), col("__cid"),
+        col(vecCol).as("__v"), col("__n").as("__vn"))).as("m"))
+      .select(col(idCol), col("m.__v").as(vecCol),
+        col("m.__vn").as("__n"), col("m.__cid").as("__cid"))
+
+  /** Persist an IVF index: `dir/centroids` (cid, cv) and `dir/lists`
+    * — the assignment output written PARTITIONED BY centroid id, so the
+    * inverted lists are physical parquet partitions. Training and the
+    * corpus-wide assignment pass (the expensive parts at 100 TB) run
+    * once; every [[searchIvfIndex]] after that reads only its probes'
+    * partitions (file-level pruning — nprobe/k of the data). */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, centIdCol: String,
+                    centVecCol: String, dir: String): Unit = {
+    centroids.select(col(centIdCol).as("cid"), col(centVecCol).as("cv"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assignToCentroids(df, idCol, vecCol,
+        prepCent(centroids, centIdCol, centVecCol))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("__n").as("norm"), col("__cid").as("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$dir/lists")
+  }
+
+  /** Search a persisted IVF index (single query vector, like
+    * [[ivfTopK]]). Probe selection collects ≤ nprobe rows — bounded by
+    * construction — so the list filter is LITERAL and parquet partition
+    * pruning skips every non-probed inverted list on disk. Row norms
+    * come from the index (computed once at build), so the cosine is
+    * bit-identical to the in-flight path. Returns (id, sim). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, query: DataFrame, queryVecCol: String,
+                     nprobe: Int, k: Int): DataFrame = {
+    val cent = prepCent(spark.read.parquet(s"$dir/centroids"),
+      "cid", "cv")
+    val probeRows = query.select(col(queryVecCol).as("__qv"),
+        norm2(col(queryVecCol)).as("__qn"))
+      .join(cent)
+      .withColumn("__cs",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .orderBy(col("__cs").desc, col("__cid").asc)
+      .limit(nprobe)
+      .select(col("__cid"), col("__qv"), col("__qn"))
+      .collect() // bounded: ≤ nprobe rows
+    require(probeRows.nonEmpty, "empty centroid table")
+    val cids = probeRows.map(_.getLong(0)).toSeq
+    val qv = typedlit(probeRows.head.getSeq[Float](1))
+    val qn = lit(probeRows.head.getDouble(2))
+    spark.read.parquet(s"$dir/lists")
+      .filter(col("cid").isin(cids: _*))
+      .select(col("id"),
+        cosinePre(col("vec"), qv, col("norm"), qn).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
   }
 

@@ -549,6 +549,36 @@ class ExtensionOpsSpec extends SparkTest {
     assert(Multimodal.mp4SampleFrames(good, 1).get.length == 6)
   }
 
+  test("persisted IVF index: search equals the in-flight path, probes " +
+    "prune to their partitions on disk") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toFile
+    dir.deleteOnExit()
+    val data = emb.filter(col("vec_id") =!= 1)
+    val query = emb.filter(col("vec_id") === 1)
+    Similarity.buildIvfIndex(data, "vec_id", "embedding", cents,
+      "cid", "cv", dir.getAbsolutePath)
+    // inverted lists are physical partitions
+    val listDirs = new java.io.File(dir, "lists").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(listDirs.nonEmpty && listDirs.forall(_.matches("cid=\\d+")))
+    val viaIndex = Similarity.searchIvfIndex(spark, dir.getAbsolutePath,
+      query, "embedding", nprobe = 2, k = 10)
+    // probe filter reaches the scan as a partition filter (pruning)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"no partition pruning:\n$plan")
+    val live = Similarity.ivfTopK(data, "vec_id", "embedding", cents,
+      "cid", "cv", nprobe = 2, query, "embedding", 10)
+    val a = viaIndex.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = live.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq, s"index=$a live=$b")
+  }
+
   test("mp4 co64 + stts: 64-bit chunk offsets feed the index sampler, " +
     "time-based sampling picks the first sample per bucket") {
     import graft.operators.Multimodal
