@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Native Catalyst expressions for the embedding hot path (SURVEY.md
   * §2.9 — "promote to Catalyst Expressions for codegen").
@@ -34,16 +34,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   */
 object VecExprs {
 
-  /** Interpreted-eval helper shared with generated code. Returns a
-    * boxed Double or null (mismatch / null element). */
   /** Element accessor codes for [[dot]]/generated loops: 0=double,
-    * 1=float, 2=long, 3=int — every numeric the HOF form's per-element
-    * `cast("double")` accepted. */
+    * 1=float, 2=long, 3=int, 4=short, 5=byte — every fixed-width
+    * numeric the HOF form's per-element `cast("double")` accepted
+    * (decimal arrays are not supported — quantized embeddings are
+    * integer or float typed). */
   def elemKind(t: DataType): Int = t match {
     case ArrayType(DoubleType, _)  => 0
     case ArrayType(FloatType, _)   => 1
     case ArrayType(LongType, _)    => 2
     case ArrayType(IntegerType, _) => 3
+    case ArrayType(ShortType, _)   => 4
+    case ArrayType(ByteType, _)    => 5
     case _                         => -1
   }
 
@@ -51,7 +53,9 @@ object VecExprs {
     case 0 => a.getDouble(i)
     case 1 => a.getFloat(i).toDouble
     case 2 => a.getLong(i).toDouble
-    case _ => a.getInt(i).toDouble
+    case 3 => a.getInt(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case _ => a.getByte(i).toDouble
   }
 
   def dot(a: ArrayData, b: ArrayData, aKind: Int,
@@ -122,7 +126,9 @@ object VecExprs {
       case 0 => s"$a.getDouble($i)"
       case 1 => s"((double) $a.getFloat($i))"
       case 2 => s"((double) $a.getLong($i))"
-      case _ => s"((double) $a.getInt($i))"
+      case 3 => s"((double) $a.getInt($i))"
+      case 4 => s"((double) $a.getShort($i))"
+      case _ => s"((double) $a.getByte($i))"
     }
 
   private val helper = VecExprs.getClass.getName.stripSuffix("$") +

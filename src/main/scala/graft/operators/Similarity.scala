@@ -39,11 +39,8 @@ object Similarity {
   /** [[cosine]] that yields NULL (undefined) instead of an ANSI
     * divide-by-zero error when either vector has zero norm — the SQL
     * registry's `vec_cosine`. */
-  def cosineNullSafe(a: Column, b: Column): Column = {
-    val na = norm2(a)
-    val nb = norm2(b)
-    when(na =!= 0.0 && nb =!= 0.0, dot(a, b) / (na * nb))
-  }
+  def cosineNullSafe(a: Column, b: Column): Column =
+    cosinePre(a, b, norm2(a), norm2(b))
 
   /** cosine with both norms precomputed (bit-identical to [[cosine]]:
     * the factors are the same `sqrt(Σx²)` doubles multiplied in the same
@@ -276,6 +273,15 @@ object Similarity {
                      nprobe: Int, k: Int): DataFrame = {
     val cent = prepCent(spark.read.parquet(s"$dir/centroids"),
       "cid", "cv")
+    // single-query contract (like ivfTopK's practical use): with
+    // multiple rows, probe selection would mix centroids chosen for
+    // different vectors while the scoring below used only the first —
+    // silently wrong, so reject instead
+    val queryRows = query.select(col(queryVecCol).as("__qv"),
+      norm2(col(queryVecCol)).as("__qn")).limit(2).collect()
+    require(queryRows.length == 1,
+      s"searchIvfIndex expects exactly one query row, got " +
+        s"${if (queryRows.isEmpty) "none" else "several"}")
     val probeRows = query.select(col(queryVecCol).as("__qv"),
         norm2(col(queryVecCol)).as("__qn"))
       .join(cent)

@@ -589,27 +589,47 @@ object NetflowDecoder {
     * (Spark schedules one task per partition per batch; the per-packet
     * synchronized only matters under retry/speculation overlap).
     * Memory is bounded: TemplateCache's own LRU caps × partitions. */
-  // access-order LRU so the registry itself is bounded: a long-lived
-  // executor JVM running successive streaming queries with fresh
-  // namespaces must not accumulate (namespace, partition) entries
-  // forever. 1024 entries ≫ any concurrent (queries × partitions)
-  // population; an evicted-but-live entry only costs a template
-  // re-learn on that partition's next packets.
-  private val streamCaches = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Int), TemplateCache](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), TemplateCache]): Boolean =
-        size() > 1024
-    })
+  // IDLE-based eviction, not a hard LRU cap: a cap could evict a LIVE
+  // query's cache when one JVM hosts more (namespace, partition)
+  // entries than the cap (a 2000-partition source alone would), and an
+  // evicted live cache silently drops every record until the
+  // exporter's next template re-announcement. Live caches are touched
+  // every micro-batch, so anything idle past the window belongs to a
+  // stopped query; the sweep runs on misses, when the registry is
+  // already growing.
+  private final case class Stamped(cache: TemplateCache) {
+    @volatile var lastUsedNanos: Long = System.nanoTime()
+  }
+  private val streamCacheIdleEvictNanos = 30L * 60 * 1000000000L
+  private val streamCaches =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Stamped]
 
-  /** Drop a namespace's persistent stream caches (deterministic
-    * teardown on query stop; the registry also self-bounds via LRU). */
-  def clearStreamCache(namespace: String): Unit =
-    streamCaches.synchronized {
-      val it = streamCaches.keySet().iterator()
-      while (it.hasNext) if (it.next()._1 == namespace) it.remove()
+  private def streamCache(namespace: String, pid: Int): TemplateCache = {
+    val key = (namespace, pid)
+    var st = streamCaches.get(key)
+    if (st == null) {
+      // sweep stale namespaces before growing
+      val cutoff = System.nanoTime() - streamCacheIdleEvictNanos
+      val it = streamCaches.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getValue.lastUsedNanos < cutoff) it.remove()
+      st = streamCaches.computeIfAbsent(key,
+        _ => Stamped(new TemplateCache))
     }
+    st.lastUsedNanos = System.nanoTime()
+    st.cache
+  }
+
+  /** Drop a namespace's persistent stream caches — deterministic
+    * teardown for tests and single-JVM deployments. NOTE: this clears
+    * only the CALLING JVM; in cluster mode the caches live in executor
+    * JVMs, where the 30-minute idle sweep (above) is what reclaims a
+    * stopped query's state. A restarted query that must not see stale
+    * templates should use a fresh namespace. */
+  def clearStreamCache(namespace: String): Unit = {
+    val it = streamCaches.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == namespace) it.remove()
+  }
 
   /** Streaming decode: constant-memory single-pass per micro-batch,
     * with the template/sampling store PERSISTED across micro-batches
@@ -631,8 +651,7 @@ object NetflowDecoder {
       col(srcIpCol).cast(LongType))
     proj.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val cache = streamCaches.computeIfAbsent((namespace, pid),
-        _ => new TemplateCache)
+      val cache = streamCache(namespace, pid)
       it.flatMap { r =>
         cache.synchronized {
           decodePacket(r.getAs[Array[Byte]](0), r.getLong(1),

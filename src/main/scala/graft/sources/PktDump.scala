@@ -5,6 +5,8 @@ import java.util
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -13,7 +15,6 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** `pktdump` — a DataSource V2 for raw capture-dump FILES, the batch
   * ingest path SURVEY §2.1 maps the reference's live UDP loop onto
@@ -47,10 +48,17 @@ object PktDump {
     StructField("ts_sec", LongType, nullable = false),
     StructField("src_ip", LongType, nullable = false)))
 
+  /** The session's Hadoop conf when a session is up (spark.hadoop.*,
+    * fs.defaultFS, object-store credentials), else a default. */
+  private[sources] def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** Reference writer (collector-side / tests): one dump file. */
   def write(path: String,
             packets: Seq[(Array[Byte], Long, Long)]): Unit = {
-    val conf = new Configuration()
+    val conf = hadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val out = new DataOutputStream(fs.create(p, true))
@@ -100,29 +108,34 @@ class PktDumpScanBuilder(path: String)
 
 class PktDumpScan(path: String, required: StructType)
     extends Scan with Batch {
+  // the SESSION's Hadoop conf, captured at scan build on the driver and
+  // shipped to executors — a bare `new Configuration()` would drop
+  // spark.hadoop.* (object-store credentials, fs.defaultFS)
+  private val conf = new SerializableConfiguration(PktDump.hadoopConf())
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"pktdump $path cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    PktDumpScan.listFiles(path)
+    PktDumpScan.listFiles(path, conf.value)
       .map(f => PktDumpPartition(f): InputPartition)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PktDumpReaderFactory(required.fieldNames)
+    new PktDumpReaderFactory(required.fieldNames, conf)
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new PktDumpMicroBatchStream(path, required.fieldNames)
+    new PktDumpMicroBatchStream(path, required.fieldNames, conf)
 }
 
 object PktDumpScan {
   /** Sorted visible dump files (dot/underscore prefixes hidden — the
     * collector's write-then-rename staging convention). */
-  def listFiles(path: String): Array[String] = {
+  def listFiles(path: String, conf: Configuration): Array[String] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName
         .startsWith(".") && !s.getPath.getName.startsWith("_"))
@@ -142,7 +155,10 @@ object PktDumpScan {
   * watermark (clock skew, manual copies) are ignored rather than
   * double-counted; a replay from checkpoint re-lists deterministically
   * because the offset pins the (start, end] name interval. */
-class PktDumpMicroBatchStream(path: String, fields: Array[String])
+class PktDumpMicroBatchStream(path: String, fields: Array[String],
+                              conf: SerializableConfiguration =
+                                new SerializableConfiguration(
+                                  PktDump.hadoopConf()))
     extends MicroBatchStream {
 
   // offset payload: one JSON string (the watermark file name)
@@ -193,9 +209,26 @@ class PktDumpMicroBatchStream(path: String, fields: Array[String])
   // and the first batch must still cover everything already present
   override def initialOffset(): Offset = Mark("")
 
+  // a STRAGGLER is a file newly appearing at or below a watermark
+  // established before it existed (a rename that completed after a
+  // later-named file was ingested): permanently skipped by design —
+  // but never silently. Warned once per name.
+  @volatile private var prevListing: Set[String] = Set.empty
+  private val warnedBelow = new java.util.HashSet[String]()
+
   override def latestOffset(): Offset = {
-    val fs = PktDumpScan.listFiles(path)
-    Mark(bump(if (fs.isEmpty) "" else fs.max))
+    val fs = PktDumpScan.listFiles(path, conf.value)
+    val prevHigh = high
+    val mark = bump(if (fs.isEmpty) "" else fs.max)
+    fs.foreach { f =>
+      if (f <= prevHigh && !prevListing.contains(f) &&
+          warnedBelow.size < 100000 && warnedBelow.add(f))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"pktdump: $f appeared at or below the watermark " +
+            s"($prevHigh) and will NOT be ingested (late rename?)")
+    }
+    prevListing = fs.toSet
+    Mark(mark)
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -212,13 +245,13 @@ class PktDumpMicroBatchStream(path: String, fields: Array[String])
                                    end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[Mark].last
     val hi = end.asInstanceOf[Mark].last
-    PktDumpScan.listFiles(path)
+    PktDumpScan.listFiles(path, conf.value)
       .filter(f => f > lo && f <= hi)
       .map(f => PktDumpPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PktDumpReaderFactory(fields)
+    new PktDumpReaderFactory(fields, conf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -226,30 +259,51 @@ class PktDumpMicroBatchStream(path: String, fields: Array[String])
 
 case class PktDumpPartition(file: String) extends InputPartition
 
-class PktDumpReaderFactory(fields: Array[String])
+class PktDumpReaderFactory(fields: Array[String],
+                           conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new PktDumpReader(
-      partition.asInstanceOf[PktDumpPartition].file, fields)
+      partition.asInstanceOf[PktDumpPartition].file, fields, conf.value)
 }
 
-class PktDumpReader(file: String, fields: Array[String])
+class PktDumpReader(file: String, fields: Array[String],
+                    conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val needPayload = fields.contains("payload")
+  // projection: per-record work is index lookups, not string matches
+  private val slots: Array[Int] = fields.map {
+    case "payload" => 0
+    case "ts_sec"  => 1
+    case "src_ip"  => 2
+    case other => throw new IllegalArgumentException(
+      s"unknown pktdump column $other")
+  }
   private val in: DataInputStream = {
     val p = new Path(file)
-    val s = new DataInputStream(p.getFileSystem(new Configuration())
-      .open(p))
-    val magic = s.readInt()
-    val ver = s.readInt()
-    if (magic != PktDump.MAGIC || ver != PktDump.VERSION) {
-      s.close()
-      throw new java.io.IOException(
-        s"$file: not a pktdump v${PktDump.VERSION} file " +
-          f"(magic 0x$magic%08x, version $ver)")
+    val s = new DataInputStream(p.getFileSystem(conf).open(p))
+    try {
+      val magic = s.readInt()
+      val ver = s.readInt()
+      if (magic != PktDump.MAGIC || ver != PktDump.VERSION)
+        throw new java.io.IOException(
+          s"$file: not a pktdump v${PktDump.VERSION} file " +
+            f"(magic 0x$magic%08x, version $ver)")
+      s
+    } catch {
+      // close on ANY header failure (incl. a <8-byte file's EOF, which
+      // would otherwise surface as a bare EOFException AND leak the
+      // stream — Spark never closes a reader whose constructor threw)
+      case e: Exception =>
+        s.close()
+        throw (e match {
+          case _: EOFException => new java.io.IOException(
+            s"$file: not a pktdump v${PktDump.VERSION} file " +
+              "(shorter than the 8-byte header)")
+          case other => other
+        })
     }
-    s
   }
   private var payload: Array[Byte] = _
   private var ts = 0L
@@ -284,14 +338,19 @@ class PktDumpReader(file: String, fields: Array[String])
     }
   }
 
-  override def get(): InternalRow =
-    InternalRow.fromSeq(fields.toSeq.map {
-      case "payload" => payload
-      case "ts_sec"  => ts
-      case "src_ip"  => src
-      case other => // unreachable given the fixed schema
-        UTF8String.fromString(other)
-    })
+  override def get(): InternalRow = {
+    val vals = new Array[Any](slots.length)
+    var i = 0
+    while (i < slots.length) {
+      vals(i) = slots(i) match {
+        case 0 => payload
+        case 1 => ts
+        case _ => src
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
 
   override def close(): Unit = in.close()
 }
