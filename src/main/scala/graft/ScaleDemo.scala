@@ -31,6 +31,9 @@ object ScaleDemo {
     if (args.contains("cc")) { ccDemo(spark); spark.stop(); return }
     if (args.contains("ivf")) { ivfDemo(spark, sfDir); spark.stop(); return }
     if (args.contains("lsh")) { lshDemo(spark); spark.stop(); return }
+    if (args.contains("pktdump")) {
+      pktdumpDemo(spark); spark.stop(); return
+    }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.count() // warm the scan
@@ -153,6 +156,51 @@ object ScaleDemo {
     println(s"""{"n":$n,"dim64":{"plan_sec":$p64,"run_sec":$r64,""" +
       s""""buckets":$b64},"dim1024":{"plan_sec":$p1k,"run_sec":$r1k,""" +
       s""""buckets":$b1k}}""")
+  }
+
+  /** Capture-file ingest throughput: write 32 rotated dump files of
+    * self-contained v9 packets (one flow record each), then time the
+    * full batch path — pktdump scan (one partition per file) → decode →
+    * filter → fwm aggregate — the same shape the streaming soak drives
+    * from the rate source, here from disk. */
+  private def pktdumpDemo(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.sources.{NetflowDecoder, PktDump}
+    import graft.filter.{Compiler, FilterEnv}
+    import graft.operators.Fwm
+    val nFiles = 32
+    val perFile = 31250 // 1M packets total
+    val dir = java.nio.file.Files.createTempDirectory("pktscale").toFile
+    dir.deleteOnExit()
+    val t0 = System.nanoTime()
+    (0 until nFiles).foreach { f =>
+      val pkts = (0 until perFile).map { k =>
+        val i = f.toLong * perFile + k
+        (Soak.mkPacket(i), 1700000000L + i % 3600, 1L + i % 64)
+      }
+      PktDump.write(f"$dir/$f%04d.gpkd", pkts)
+    }
+    val tWrite = (System.nanoTime() - t0) / 1e9
+    val total = nFiles.toLong * perFile
+    def run(): (Double, Long) = {
+      val t1 = System.nanoTime()
+      val flows = NetflowDecoder.decode(
+        spark.read.format("pktdump").load(dir.getAbsolutePath))
+      val env = FilterEnv.flow(spark)
+      val pred = Compiler.filterColumn("proto 6 and src net 10.0.0.0/8",
+        env).fold(e => sys.error(e), identity)
+      val n = Fwm.batch(flows.filter(pred), env,
+        Fwm.Conf("scale", Seq("octets desc", "src host"), timeSec = 600),
+        tsCol = org.apache.spark.sql.functions.col("ts_sec")).count()
+      ((System.nanoTime() - t1) / 1e9, n)
+    }
+    run() // warm
+    val (tRead, groups) = run()
+    System.err.println(f"write $tWrite%.1f s; " +
+      f"scan+decode+fwm $tRead%.2f s = ${total / tRead}%.0f pkt/s")
+    println(s"""{"files":$nFiles,"packets":$total,""" +
+      s""""write_sec":$tWrite,"pipeline_sec":$tRead,""" +
+      s""""packets_per_sec":${(total / tRead).toLong},""" +
+      s""""fwm_groups":$groups}""")
   }
 
   /** Connected-components round-count measurement. */
