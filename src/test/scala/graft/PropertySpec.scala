@@ -282,6 +282,34 @@ class PropertySpec extends SparkTest {
     }
   }
 
+  test("TemplateCache: floor lookups are independent of announcement " +
+    "arrival order for random revision histories") {
+    import graft.sources.NetflowDecoder
+    import graft.sources.NetflowDecoder.Template
+    val genTemplate: Gen[Template] = for {
+      nf <- Gen.chooseNum(1, 5)
+      fields <- Gen.listOfN(nf, Gen.zip(
+        Gen.chooseNum(1, 64), Gen.oneOf(1, 2, 4, 8)))
+    } yield Template(fields.map { case (f, l) => (f, l, 0L) })
+    val genAnnouncements = Gen.listOfN(10, Gen.zip(
+      Gen.chooseNum(100L, 110L), genTemplate)) // dense epochs → conflicts
+    samples(genAnnouncements, 40).foreach { anns =>
+      val c1 = new NetflowDecoder.TemplateCache
+      anns.foreach { case (e, t) => c1.put(1L, 1L, 9, 256, e, t) }
+      val c2 = new NetflowDecoder.TemplateCache
+      // deterministic non-trivial reorder: reversed + rotated
+      val reordered = {
+        val r = anns.reverse
+        r.drop(3) ++ r.take(3)
+      }
+      reordered.foreach { case (e, t) => c2.put(1L, 1L, 9, 256, e, t) }
+      (95L to 115L).foreach { ts =>
+        assert(c1.get(1L, 1L, 9, 256, ts) == c2.get(1L, 1L, 9, 256, ts),
+          s"ts=$ts anns=$anns")
+      }
+    }
+  }
+
   test("alert machine: Started and Ended strictly alternate per key") {
     val genOps = Gen.listOfN(40, for {
       isBreach <- Gen.prob(0.4)
