@@ -1674,6 +1674,26 @@ object Queries {
   // the aggregation independently. Byte-level decode correctness is
   // covered by DecoderSpec goldens; this closes the driver's hash gate.
 
+  /** Per-process scratch dir under tmpdir, recursively deleted at JVM
+    * exit (File.deleteOnExit cannot remove non-empty directories —
+    * without this, every driver process would leak one fixture dir per
+    * self-generating query). Hook registered once per dir. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def tmpWorkDir(name: String): java.io.File = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"), name)
+    d.mkdirs()
+    if (cleanupRegistered.add(d.getAbsolutePath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del))
+          f.delete(); ()
+        }
+        del(d)
+      }))
+    d
+  }
+
   // shared big-endian byte writers for the analytic packet generators
   private def u16(v: Int): Array[Byte] =
     Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -1933,10 +1953,8 @@ object Queries {
       // per-PROCESS dir: deterministic across this process's reruns
       // (Bench runs the query several times) but never shared with a
       // concurrent driver, whose overwrites would race our readers
-      val dumpDir = new java.io.File(sys.props("java.io.tmpdir"),
+      val dumpDir = tmpWorkDir(
         s"graft_q72_pktdump_${ProcessHandle.current().pid()}")
-      dumpDir.mkdirs()
-      dumpDir.deleteOnExit()
       v9Packets(64).zipWithIndex
         .map { case (p, i) => (p, 1700000000L + i, 1L + i % 4) }
         .grouped(16).zipWithIndex.foreach { case (group, f) =>
@@ -2189,7 +2207,7 @@ object Queries {
     (s, dir) => {
       import graft.operators.Similarity
       val emb = t(s, dir, "embeddings")
-      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      val idxDir = tmpWorkDir(
         s"graft_q73_ivf_${ProcessHandle.current().pid()}_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
       // build once per process ("train once, search many" IS the

@@ -159,10 +159,11 @@ object ScaleDemo {
   }
 
   /** Capture-file ingest throughput: write 32 rotated dump files of
-    * self-contained v9 packets (one flow record each), then time the
+    * self-contained packets (Soak.mkPacket — a 50/50 v9+IPFIX mix with
+    * periodic options templates, one flow record each), then time the
     * full batch path — pktdump scan (one partition per file) → decode →
-    * filter → fwm aggregate — the same shape the streaming soak drives
-    * from the rate source, here from disk. */
+    * filter → fwm aggregate — the same mixed traffic the streaming
+    * soak drives from the rate source, here from disk. */
   private def pktdumpDemo(spark: org.apache.spark.sql.SparkSession): Unit = {
     import graft.sources.{NetflowDecoder, PktDump}
     import graft.filter.{Compiler, FilterEnv}
@@ -201,6 +202,10 @@ object ScaleDemo {
       s""""write_sec":$tWrite,"pipeline_sec":$tRead,""" +
       s""""packets_per_sec":${(total / tRead).toLong},""" +
       s""""fwm_groups":$groups}""")
+    // ~100 MB of dumps: delete now (deleteOnExit can't remove a
+    // non-empty directory)
+    dir.listFiles().foreach(_.delete())
+    dir.delete()
   }
 
   /** Connected-components round-count measurement. */

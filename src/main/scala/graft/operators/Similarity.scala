@@ -275,30 +275,35 @@ object Similarity {
       "cid", "cv")
     // single-query contract (like ivfTopK's practical use): with
     // multiple rows, probe selection would mix centroids chosen for
-    // different vectors while the scoring below used only the first —
-    // silently wrong, so reject instead
-    val queryRows = query.select(col(queryVecCol).as("__qv"),
-      norm2(col(queryVecCol)).as("__qn")).limit(2).collect()
-    require(queryRows.length == 1,
+    // different vectors — silently wrong, so reject. This collect is
+    // the ONLY execution of the caller's query plan; everything below
+    // works from the collected row, with the vector's ELEMENT TYPE
+    // preserved by rebuilding a one-row frame under the original
+    // schema (a typedlit[Seq[Float]] here would corrupt double- or
+    // integer-typed embeddings).
+    val qProj = query.select(col(queryVecCol).as("__qv"))
+    val qRows = qProj.limit(2).collect()
+    require(qRows.length == 1,
       s"searchIvfIndex expects exactly one query row, got " +
-        s"${if (queryRows.isEmpty) "none" else "several"}")
-    val probeRows = query.select(col(queryVecCol).as("__qv"),
-        norm2(col(queryVecCol)).as("__qn"))
-      .join(cent)
+        s"${if (qRows.isEmpty) "none" else "several"}")
+    val q1 = broadcast(spark.createDataFrame(
+        java.util.Collections.singletonList(qRows.head), qProj.schema)
+      .withColumn("__qn", norm2(col("__qv"))))
+    val probes = q1.join(cent)
       .withColumn("__cs",
         cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .orderBy(col("__cs").desc, col("__cid").asc)
       .limit(nprobe)
       .select(col("__cid"), col("__qv"), col("__qn"))
-      .collect() // bounded: ≤ nprobe rows
+    val probeRows = probes.collect() // bounded: ≤ nprobe rows
     require(probeRows.nonEmpty, "empty centroid table")
-    val cids = probeRows.map(_.getLong(0)).toSeq
-    val qv = typedlit(probeRows.head.getSeq[Float](1))
-    val qn = lit(probeRows.head.getDouble(2))
+    val cids = probeRows.map(_.get(0)).toSeq
     spark.read.parquet(s"$dir/lists")
       .filter(col("cid").isin(cids: _*))
+      .join(broadcast(probes.withColumnRenamed("__cid", "cid")), "cid")
       .select(col("id"),
-        cosinePre(col("vec"), qv, col("norm"), qn).as("sim"))
+        cosinePre(col("vec"), col("__qv"), col("norm"), col("__qn"))
+          .as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
   }

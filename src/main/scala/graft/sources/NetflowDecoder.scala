@@ -594,29 +594,41 @@ object NetflowDecoder {
   // entries than the cap (a 2000-partition source alone would), and an
   // evicted live cache silently drops every record until the
   // exporter's next template re-announcement. Live caches are touched
-  // every micro-batch, so anything idle past the window belongs to a
-  // stopped query; the sweep runs on misses, when the registry is
-  // already growing.
+  // every micro-batch; the 6-hour window exceeds any sane trigger
+  // interval, so anything idle past it belongs to a stopped query.
+  // The sweep runs only on misses once the registry is non-trivial.
+  // Miss-path stamping happens INSIDE compute() so create-then-sweep
+  // races cannot orphan a fresh entry. (A hot-path get can still race
+  // a concurrent sweep, but only for an entry ALREADY idle past the
+  // 6-hour window — i.e. a live query with a trigger interval beyond
+  // anything Structured Streaming deployments use; accepted.)
   private final case class Stamped(cache: TemplateCache) {
     @volatile var lastUsedNanos: Long = System.nanoTime()
   }
-  private val streamCacheIdleEvictNanos = 30L * 60 * 1000000000L
+  private val streamCacheIdleEvictNanos = 6L * 3600 * 1000000000L
   private val streamCaches =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Stamped]
 
   private def streamCache(namespace: String, pid: Int): TemplateCache = {
     val key = (namespace, pid)
-    var st = streamCaches.get(key)
-    if (st == null) {
-      // sweep stale namespaces before growing
-      val cutoff = System.nanoTime() - streamCacheIdleEvictNanos
-      val it = streamCaches.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue.lastUsedNanos < cutoff) it.remove()
-      st = streamCaches.computeIfAbsent(key,
-        _ => Stamped(new TemplateCache))
-    }
-    st.lastUsedNanos = System.nanoTime()
+    val existing = streamCaches.get(key)
+    val st =
+      if (existing != null) { // hot path: no per-key lock
+        existing.lastUsedNanos = System.nanoTime()
+        existing
+      } else {
+        if (streamCaches.size() > 256) {
+          val cutoff = System.nanoTime() - streamCacheIdleEvictNanos
+          val it = streamCaches.entrySet().iterator()
+          while (it.hasNext)
+            if (it.next().getValue.lastUsedNanos < cutoff) it.remove()
+        }
+        streamCaches.compute(key, (_, cur) => {
+          val v = if (cur == null) Stamped(new TemplateCache) else cur
+          v.lastUsedNanos = System.nanoTime()
+          v
+        })
+      }
     st.cache
   }
 

@@ -212,15 +212,19 @@ class PktDumpMicroBatchStream(path: String, fields: Array[String],
   // a STRAGGLER is a file newly appearing at or below a watermark
   // established before it existed (a rename that completed after a
   // later-named file was ingested): permanently skipped by design —
-  // but never silently. Warned once per name.
-  @volatile private var prevListing: Set[String] = Set.empty
+  // but never silently. Warned once per name. The FIRST listing is
+  // exempt: on a fresh start its files go into the initial batch, and
+  // on a checkpoint restart they were already processed — neither is a
+  // skip (without the exemption, a restart would log one false alarm
+  // per rotated file in the directory).
+  @volatile private var prevListing: Set[String] = null
   private val warnedBelow = new java.util.HashSet[String]()
 
   override def latestOffset(): Offset = {
     val fs = PktDumpScan.listFiles(path, conf.value)
     val prevHigh = high
     val mark = bump(if (fs.isEmpty) "" else fs.max)
-    fs.foreach { f =>
+    if (prevListing != null) fs.foreach { f =>
       if (f <= prevHigh && !prevListing.contains(f) &&
           warnedBelow.size < 100000 && warnedBelow.add(f))
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
