@@ -166,6 +166,35 @@ class PktDumpSpec extends SparkTest {
     assert(stream.planInputPartitions(o3, o4).length == 1)
   }
 
+  test("streaming restart from checkpoint: processed files are not " +
+    "re-ingested, new files still arrive") {
+    val dir = Files.createTempDirectory("pktdumprestart").toFile
+    val ckpt = Files.createTempDirectory("pktdumpckpt").toFile
+    dir.deleteOnExit(); ckpt.deleteOnExit()
+    val pkts = Queries.v9Packets(48).zipWithIndex
+      .map { case (p, i) => (p, 1700000000L + i, 1L) }
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("pktdump")
+      .load(dir.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.add(b.count()); ()
+      }
+      .start()
+    PktDump.write(s"$dir/a.gpkd", pkts.slice(0, 16))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart against the same checkpoint; file b appears while DOWN
+    PktDump.write(s"$dir/b.gpkd", pkts.slice(16, 48))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val seen = counts.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).filter(_ > 0)
+    // exactly once each: 16 before restart, 32 after — never 48+16
+    assert(seen.toSeq == Seq(16L, 32L), s"got ${seen.toSeq}")
+  }
+
   test("a non-pktdump file is rejected with a clear error") {
     val dir = Files.createTempDirectory("pktdumpbad").toFile
     dir.deleteOnExit()
