@@ -1774,6 +1774,70 @@ object Queries {
       ORDER BY time ASC, (src_host IS NULL) ASC,
                octets DESC NULLS LAST, src_host ASC NULLS FIRST"""))
 
+  /** Deterministic NetFlow v5 packets, analytic in `i` (mirrors the
+    * v9Packets recipe; fixed 24-byte header + 48-byte records per the
+    * public v5 spec, reference netflow.c:680-786). Each packet carries
+    * TWO records (global index k = 2i+j) and a header
+    * sampling_interval with the 2-bit mode set (mode 1 | value
+    * 10*(1+i%4)) — the decode must mask the mode off and apply the
+    * value to both records of the packet. */
+  private[graft] def v5Packets(n: Int): Seq[Array[Byte]] = {
+    (0 until n).map { i =>
+      val sampling = (1 << 14) | (10 * (1 + i % 4))
+      val header = u16(5) ++ u16(2) ++ u32(0) ++ u32(1700000000L + i) ++
+        u32(0) ++ u32(i.toLong) ++ Array[Byte](0, 0) ++ u16(sampling)
+      val recs = (0 until 2).flatMap { j =>
+        val k = 2 * i + j
+        u32(0x0a000000L + k % 16) ++ // srcaddr
+          u32(0x0a000100L + k % 8) ++ // dstaddr
+          u32(0) ++ // nexthop
+          u16(10 + k % 3) ++ u16(20 + k % 3) ++ // input/output
+          u32(1L + k % 5) ++ // dPkts
+          u32(1000L + 13 * k) ++ // dOctets
+          u32(0) ++ u32(0) ++ // first/last uptime
+          u16(1024 + k) ++ u16(if (k % 2 == 0) 443 else 53) ++
+          Array[Byte](0, 0x18) ++ // pad, tcp_flags
+          Array[Byte](if (k % 2 == 0) 6 else 17, 0) ++ // prot, tos
+          u16(100 + k % 4) ++ u16(200 + k % 4) ++ // src_as/dst_as
+          Array[Byte](24, 24) ++ u16(0) // masks, pad
+      }.toArray
+      header ++ recs
+    }
+  }
+
+  private val q75 = Q(
+    "q75_decode_netflow_v5",
+    (s, dir) => {
+      import graft.sources.NetflowDecoder
+      import s.implicits._
+      val packets = v5Packets(64).zipWithIndex
+        .map { case (p, i) => (p, 1700000000L + i, 1L) }
+      val df = s.createDataset(packets).toDF("payload", "ts_sec", "src_ip")
+      NetflowDecoder.decode(df)
+        .groupBy(col("protocol"), col("ip4_src_addr").as("src_host"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("est_octets"),
+          sum(col("in_pkts")).as("pkts"),
+          sum(col("src_as")).as("as_sum"))
+        .orderBy(col("protocol").asc, col("src_host").asc)
+    },
+    Some("""WITH flows AS (
+        SELECT CASE WHEN k % 2 = 0 THEN 6 ELSE 17 END AS protocol,
+               167772160 + (k % 16) AS src_host,
+               1000 + 13 * k AS in_bytes,
+               1 + (k % 5) AS in_pkts,
+               100 + (k % 4) AS src_as,
+               10 * (1 + ((k // 2) % 4)) AS rate
+        FROM range(128) t(k))
+      SELECT CAST(protocol AS BIGINT) AS protocol,
+             CAST(src_host AS BIGINT) AS src_host,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * rate) AS BIGINT) AS est_octets,
+             CAST(SUM(in_pkts) AS BIGINT) AS pkts,
+             CAST(SUM(src_as) AS BIGINT) AS as_sum
+      FROM flows GROUP BY protocol, src_host
+      ORDER BY protocol ASC, src_host ASC"""))
+
   /** Deterministic sFlow v5 datagrams, analytic in `i` (mirrors the
     * v9Packets recipe): one flow sample each — PLAIN (type 1) for even
     * i, EXPANDED (type 3) for odd — carrying a raw Ethernet frame
@@ -1855,6 +1919,112 @@ object Queries {
              CAST(SUM(dport) AS BIGINT) AS port_sum
       FROM flows GROUP BY protocol, src_host
       ORDER BY protocol ASC, src_host ASC"""))
+
+  /** Deterministic sFlow v5 datagrams whose sampled frames carry
+    * application payloads, analytic in `i` (extends the sflowPackets
+    * recipe to the reference's payload-parse path, sflow.c:96-112 +
+    * xe-dns.h/xe-sni.h):
+    *   even i — UDP src-port-53 DNS response: qname
+    *     d(i%5).example.com, one A answer 10.9.0.(i%8), plus a second
+    *     A 10.9.1.(i%8) when i%4==0 → dns_ips "{a}" / "{a, b}";
+    *   odd i — TCP dst-port-443 TLS ClientHello with SNI
+    *     s(i%7).example.org;
+    *   sampling_rate = 100*(1+i%4), frame_len = 500+10*i (as q69). */
+  private[graft] def sflowPayloadPackets(n: Int): Seq[Array[Byte]] = {
+    (0 until n).map { i =>
+      val dnsCase = i % 2 == 0
+      val rate = 100L * (1 + i % 4)
+      val frameLen = 500L + 10 * i
+      val payload: Array[Byte] =
+        if (dnsCase) {
+          val qname = Seq(s"d${i % 5}", "example", "com").flatMap { l =>
+            l.length.toByte +: l.getBytes(StandardCharsets.US_ASCII).toSeq
+          }.toArray :+ 0.toByte
+          val twoAns = i % 4 == 0
+          def aRec(third: Int): Array[Byte] =
+            u16(0xc00c) ++ u16(1) ++ u16(1) ++ u32(60L) ++ u16(4) ++
+              Array[Byte](10, 9, third.toByte, (i % 8).toByte)
+          u16(i) ++ u16(0x8180) ++ u16(1) ++ u16(if (twoAns) 2 else 1) ++
+            u16(0) ++ u16(0) ++ qname ++ u16(1) ++ u16(1) ++
+            aRec(0) ++ (if (twoAns) aRec(1) else Array.empty[Byte])
+        } else {
+          val hb = s"s${i % 7}.example.org"
+            .getBytes(StandardCharsets.US_ASCII)
+          val sniExt = u16(0) ++ u16(hb.length + 5) ++
+            u16(hb.length + 3) ++ Array[Byte](0) ++ u16(hb.length) ++ hb
+          val chBody = u16(0x0303) ++ new Array[Byte](32) ++
+            Array[Byte](0) ++ u16(2) ++ u16(0x1301) ++
+            Array[Byte](1, 0) ++ u16(sniExt.length) ++ sniExt
+          val hs = Array[Byte](1, 0) ++ u16(chBody.length) ++ chBody
+          Array[Byte](22, 3, 1) ++ u16(hs.length) ++ hs
+        }
+      val l4 =
+        if (dnsCase)
+          u16(53) ++ u16(1024 + i) ++ u16(8 + payload.length) ++ u16(0) ++
+            payload
+        else
+          u16(1024 + i) ++ u16(443) ++ u32(0) ++ u32(0) ++
+            Array[Byte](0x50, 0x18) ++ u16(0xffff) ++ u16(0) ++ u16(0) ++
+            payload
+      val ip = Array[Byte](0x45, 0) ++ u16(20 + l4.length) ++
+        u16(7000 + i) ++ u16(0) ++
+        Array[Byte](64, if (dnsCase) 17 else 6) ++ u16(0) ++
+        u32(0x0a000100L + i % 8) ++ u32(0x0a000200L + i % 16)
+      val eth = Array[Byte](2, 0, 0, 0, 0, (i % 5).toByte,
+          2, 0, 0, 0, 1, (i % 7).toByte) ++ u16(0x0800) ++ ip ++ l4
+      val pad = new Array[Byte]((4 - eth.length % 4) % 4)
+      val rec = u32(1) ++ u32(16L + eth.length + pad.length) ++
+        u32(1) ++ u32(frameLen) ++ u32(4) ++ u32(eth.length.toLong) ++
+        eth ++ pad
+      val body = u32(i.toLong) ++ u32(5) ++ u32(rate) ++
+        u32(rate * (i + 1)) ++ u32(0) ++ u32(10 + i % 3) ++
+        u32(20 + i % 3) ++ u32(1) ++ rec
+      val sample = u32(1L) ++ u32(body.length.toLong) ++ body
+      u32(5) ++ u32(1) ++ u32(0x7f000001L) ++ u32(0) ++ u32(i.toLong) ++
+        u32(123450L + i) ++ u32(1) ++ sample
+    }
+  }
+
+  // Sampled payloads → DNS/SNI extraction → aggregate on the extracted
+  // columns: the reference's payload-parse reporting recipe
+  // (EXTRA.md:595-612) end-to-end under the formula oracle.
+  private val q74 = Q(
+    "q74_decode_dns_sni",
+    (s, dir) => {
+      import graft.sources.SflowDecoder
+      import s.implicits._
+      val packets = sflowPayloadPackets(64).zipWithIndex
+        .map { case (p, i) => (p, 1700000000L + i) }
+      val df = s.createDataset(packets).toDF("payload", "ts_sec")
+      SflowDecoder.decode(df, parseDns = true, parseSni = true)
+        .groupBy(col("dns_name"), col("dns_ips"), col("sni"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("est_octets"))
+        .orderBy(col("dns_name").asc_nulls_first,
+          col("dns_ips").asc_nulls_first, col("sni").asc_nulls_first)
+    },
+    Some("""WITH flows AS (
+        SELECT CASE WHEN i % 2 = 0
+                 THEN 'd' || CAST(i % 5 AS VARCHAR) || '.example.com' END
+                 AS dns_name,
+               CASE WHEN i % 2 = 0 THEN
+                 CASE WHEN i % 4 = 0
+                   THEN '{10.9.0.' || CAST(i % 8 AS VARCHAR) ||
+                        ', 10.9.1.' || CAST(i % 8 AS VARCHAR) || '}'
+                   ELSE '{10.9.0.' || CAST(i % 8 AS VARCHAR) || '}' END
+               END AS dns_ips,
+               CASE WHEN i % 2 = 1
+                 THEN 's' || CAST(i % 7 AS VARCHAR) || '.example.org' END
+                 AS sni,
+               500 + 10 * i AS in_bytes,
+               100 * (1 + i % 4) AS sampling_rate
+        FROM range(64) t(i))
+      SELECT dns_name, dns_ips, sni,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS est_octets
+      FROM flows GROUP BY dns_name, dns_ips, sni
+      ORDER BY dns_name ASC NULLS FIRST, dns_ips ASC NULLS FIRST,
+               sni ASC NULLS FIRST"""))
 
   /** Deterministic IPFIX message stream, analytic in `i`, exercising
     * the three RFC 7011 features the spec-only tests covered (varlen,
@@ -2235,7 +2405,7 @@ object Queries {
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

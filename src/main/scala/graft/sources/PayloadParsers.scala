@@ -12,13 +12,24 @@ object PayloadParsers {
 
   /** Parse a DNS response payload: (qname, answer IPs). Answer IPs are
     * serialized "{a, b}" for parity with the reference's text format
-    * (EXTRA.md:595-597); the array form is a one-liner split. */
+    * (EXTRA.md:595-597); the array form is a one-liner split.
+    *
+    * Header validation mirrors the reference (xe-dns.h:31-37): only a
+    * well-formed RESPONSE (QR=1, opcode=0, rcode=0, qdcount>0,
+    * ancount>0) is extracted. Besides fidelity, this makes the parser
+    * safe to attempt on arbitrary sampled payloads — a TLS record or
+    * random bytes deterministically fail the flag check instead of
+    * yielding a garbage name. */
   def parseDns(b: Array[Byte]): Option[(String, String)] = {
     try {
       if (b.length < 12) return None
+      val qr = (b(2) & 0x80) != 0
+      val opcode = (b(2) >> 3) & 0x0f
+      val rcode = b(3) & 0x0f
+      if (!qr || opcode != 0 || rcode != 0) return None
       val qd = ((b(4) & 0xff) << 8) | (b(5) & 0xff)
       val an = ((b(6) & 0xff) << 8) | (b(7) & 0xff)
-      if (qd < 1) return None
+      if (qd < 1 || an < 1) return None
       var off = 12
       // qname labels
       val name = new StringBuilder

@@ -36,7 +36,8 @@ object SflowDecoder {
   }
 
   /** Parse a raw Ethernet frame into flow fields. */
-  private def parseEthernet(b: Array[Byte], row: Array[Any]): Unit = {
+  private def parseEthernet(b: Array[Byte], row: Array[Any],
+                            dns: Boolean, sni: Boolean): Unit = {
     if (b.length < 14) return
     row(slot("dst_mac")) = java.util.Arrays.copyOfRange(b, 0, 6)
     row(slot("src_mac")) = java.util.Arrays.copyOfRange(b, 6, 12)
@@ -53,13 +54,14 @@ object SflowDecoder {
       off += 4
     }
     ethType match {
-      case 0x0800 => parseIpv4(b, off, row)
-      case 0x86dd => parseIpv6(b, off, row)
+      case 0x0800 => parseIpv4(b, off, row, dns, sni)
+      case 0x86dd => parseIpv6(b, off, row, dns, sni)
       case _      => ()
     }
   }
 
-  private def parseIpv4(b: Array[Byte], off: Int, row: Array[Any]): Unit = {
+  private def parseIpv4(b: Array[Byte], off: Int, row: Array[Any],
+                        dns: Boolean, sni: Boolean): Unit = {
     if (off + 20 > b.length) return
     val ihl = (b(off) & 0x0f) * 4
     row(slot("ip_protocol_version")) = 4L
@@ -70,10 +72,11 @@ object SflowDecoder {
     row(slot("frag_id")) = u16(b, off + 4).toLong
     row(slot("ip4_src_addr")) = u32(b, off + 12)
     row(slot("ip4_dst_addr")) = u32(b, off + 16)
-    parseL4(b, off + ihl, proto, row)
+    parseL4(b, off + ihl, proto, row, dns, sni)
   }
 
-  private def parseIpv6(b: Array[Byte], off: Int, row: Array[Any]): Unit = {
+  private def parseIpv6(b: Array[Byte], off: Int, row: Array[Any],
+                        dns: Boolean, sni: Boolean): Unit = {
     if (off + 40 > b.length) return
     row(slot("ip_protocol_version")) = 6L
     val proto = (b(off + 6) & 0xff).toLong
@@ -83,31 +86,61 @@ object SflowDecoder {
       off + 24)
     row(slot("ip6_dst_addr")) = java.util.Arrays.copyOfRange(b, off + 24,
       off + 40)
-    parseL4(b, off + 40, proto, row)
+    parseL4(b, off + 40, proto, row, dns, sni)
   }
 
   private def parseL4(b: Array[Byte], off: Int, proto: Long,
-                      row: Array[Any]): Unit = proto match {
-    case 6 => // TCP
-      if (off + 14 <= b.length) {
-        row(slot("l4_src_port")) = u16(b, off).toLong
-        row(slot("l4_dst_port")) = u16(b, off + 2).toLong
-        row(slot("tcp_flags")) = (b(off + 13) & 0xff).toLong
-      }
-    case 17 => // UDP
-      if (off + 4 <= b.length) {
-        row(slot("l4_src_port")) = u16(b, off).toLong
-        row(slot("l4_dst_port")) = u16(b, off + 2).toLong
-      }
-    case 1 | 58 => // ICMP / ICMPv6: type+code packed like the reference
-      if (off + 2 <= b.length)
-        row(slot("icmp_type")) =
-          (((b(off) & 0xffL) << 8) | (b(off + 1) & 0xffL))
-    case _ => ()
+                      row: Array[Any], dns: Boolean, sni: Boolean): Unit =
+    proto match {
+      case 6 => // TCP
+        if (off + 14 <= b.length) {
+          row(slot("l4_src_port")) = u16(b, off).toLong
+          row(slot("l4_dst_port")) = u16(b, off + 2).toLong
+          row(slot("tcp_flags")) = (b(off + 13) & 0xff).toLong
+          val dataOff = off + ((b(off + 12) >> 4) & 0x0f) * 4
+          if ((dns || sni) && dataOff < b.length)
+            parsePayload(b, dataOff, row, dns, sni)
+        }
+      case 17 => // UDP
+        if (off + 4 <= b.length) {
+          row(slot("l4_src_port")) = u16(b, off).toLong
+          row(slot("l4_dst_port")) = u16(b, off + 2).toLong
+          if ((dns || sni) && off + 8 < b.length)
+            parsePayload(b, off + 8, row, dns, sni)
+        }
+      case 1 | 58 => // ICMP / ICMPv6: type+code packed like the reference
+        if (off + 2 <= b.length)
+          row(slot("icmp_type")) =
+            (((b(off) & 0xffL) << 8) | (b(off + 1) & 0xffL))
+      case _ => ()
+    }
+
+  /** Application-payload extraction over the sampled bytes past the L4
+    * header (reference sflow.c:96-112 hands `payload_ptr..end` to
+    * xe_dns/xe_sni per monitoring object). Both parsers are attempted;
+    * each validates its own framing (DNS response flags, TLS handshake
+    * record type) and returns None on a non-matching payload, so
+    * enabling both on mixed traffic is safe — the reference gets the
+    * same effect from per-object filters. */
+  private def parsePayload(b: Array[Byte], off: Int, row: Array[Any],
+                           dns: Boolean, sni: Boolean): Unit = {
+    val p = java.util.Arrays.copyOfRange(b, off, b.length)
+    if (dns) PayloadParsers.parseDns(p).foreach { case (name, ips) =>
+      row(slot("dns_name")) = name
+      row(slot("dns_ips")) = ips
+    }
+    if (sni) PayloadParsers.parseSni(p).foreach { host =>
+      row(slot("sni")) = host
+    }
   }
 
-  /** Decode one sFlow v5 datagram into flow rows. */
-  def decodePacket(b: Array[Byte], tsSec: Long): Seq[Array[Any]] = {
+  /** Decode one sFlow v5 datagram into flow rows. `parseDns`/`parseSni`
+    * opt into application-payload extraction (dns_name/dns_ips/sni
+    * columns) from the sampled bytes, like the reference's per-object
+    * `payload-parse-dns`/`payload-parse-sni` config (sflow.c:96-112). */
+  def decodePacket(b: Array[Byte], tsSec: Long,
+                   parseDns: Boolean = false,
+                   parseSni: Boolean = false): Seq[Array[Any]] = {
     if (b.length < 28 || u32(b, 0) != 5L) return Nil
     var off = 4
     val addrType = u32(b, off); off += 4
@@ -163,7 +196,8 @@ object SflowDecoder {
               row(slot("output_snmp")) = output
               if (headerProto == 1L && q + headerLen <= recEnd)
                 parseEthernet(
-                  java.util.Arrays.copyOfRange(b, q, q + headerLen), row)
+                  java.util.Arrays.copyOfRange(b, q, q + headerLen), row,
+                  parseDns, parseSni)
               out += row
             }
             p = recEnd
@@ -177,14 +211,19 @@ object SflowDecoder {
     out.result()
   }
 
-  /** DataFrame-level decode, mirroring NetflowDecoder.decode. */
+  /** DataFrame-level decode, mirroring NetflowDecoder.decode.
+    * `parseDns`/`parseSni` enable payload extraction (see
+    * [[decodePacket]]). */
   def decode(df: DataFrame, payloadCol: String = "payload",
-             tsCol: String = "ts_sec"): DataFrame = {
+             tsCol: String = "ts_sec",
+             parseDns: Boolean = false,
+             parseSni: Boolean = false): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val proj = df.select(col(payloadCol), col(tsCol).cast(LongType))
     proj.mapPartitions { it =>
       it.flatMap { r =>
-        decodePacket(r.getAs[Array[Byte]](0), r.getLong(1))
+        decodePacket(r.getAs[Array[Byte]](0), r.getLong(1),
+            parseDns, parseSni)
           .map(vals => Row.fromSeq(vals.toSeq))
       }
     }(enc)

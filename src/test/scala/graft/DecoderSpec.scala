@@ -160,6 +160,28 @@ class DecoderSpec extends SparkTest {
     assert(ips == "{93.184.216.34, 0:0:0:0:0:0:0:1}")
   }
 
+  test("sFlow payload parse fills dns_name/dns_ips/sni slots, opt-in " +
+    "(reference sflow.c:96-112)") {
+    val pkts = Queries.sflowPayloadPackets(2)
+    val r0 = SflowDecoder.decodePacket(pkts(0), 1L,
+      parseDns = true, parseSni = true).head
+    assert(r0(fieldIndexOf("dns_name")) == "d0.example.com")
+    assert(r0(fieldIndexOf("dns_ips")) == "{10.9.0.0, 10.9.1.0}")
+    assert(r0(fieldIndexOf("sni")) == null)
+    val r1 = SflowDecoder.decodePacket(pkts(1), 1L,
+      parseDns = true, parseSni = true).head
+    assert(r1(fieldIndexOf("sni")) == "s1.example.org")
+    assert(r1(fieldIndexOf("dns_name")) == null)
+    // flags off (the default): no extraction even with payload present
+    val r2 = SflowDecoder.decodePacket(pkts(0), 1L).head
+    assert(r2(fieldIndexOf("dns_name")) == null)
+    assert(r2(fieldIndexOf("sni")) == null)
+    // a DNS QUERY (qr=0) must not extract (xe-dns.h:31-37 parity)
+    val query = Array[Byte](0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+      3, 'w', 'w', 'w', 0, 0, 1, 0, 1)
+    assert(PayloadParsers.parseDns(query).isEmpty)
+  }
+
   test("TLS SNI extraction (RFC 8446 ClientHello)") {
     val host = "api.example.org"
     val sniExt = bytes(0, host.length + 5,
