@@ -2399,13 +2399,76 @@ object Queries {
     },
     Some(kmeansIvfOracle))
 
+  // Batched persisted-IVF search: three query vectors through one
+  // index read. Defined as a per-query loop of q73 — the oracle ranks
+  // candidates per q_id over the same probe selection formula.
+  private val q76 = Q(
+    "q76_ivf_batch",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val qIds = Seq(1L, 2L, 3L)
+      val idxDir = tmpWorkDir(
+        s"graft_q76_ivfb_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!new java.io.File(idxDir, "lists/_SUCCESS").exists()) {
+        val cents = Similarity.kmeansCentroids(emb, "vec_id",
+          "embedding", k = 4, iters = 2)
+        Similarity.buildIvfIndex(
+          emb.filter(!col("vec_id").isin(qIds: _*)),
+          "vec_id", "embedding", cents, "cid", "cv",
+          idxDir.getAbsolutePath)
+      }
+      Similarity.searchIvfIndexBatch(s, idxDir.getAbsolutePath,
+          emb.filter(col("vec_id").isin(qIds: _*)), "vec_id",
+          "embedding", nprobe = 2, k = 10)
+        .select(col("q_id"), col("id").as("vec_id"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy(col("q_id").asc, col("sim_r").desc, col("vec_id").asc)
+    },
+    Some {
+      def cos(a: String, b: String) =
+        s"${OracleSql.dotSql(a, b, 64)} / " +
+          s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
+          s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
+      s"""WITH ${OracleSql.kmeansCtes(4, 2, 64, 1000000L)},
+        cent AS (SELECT cid,
+            list(CAST(cx AS DOUBLE) / 1000000 ORDER BY pos) AS cv
+          FROM c2 GROUP BY cid),
+        q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+              WHERE vec_id IN (1, 2, 3)),
+        asg AS (SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cos("e.embedding", "c.cv")} DESC NULLS LAST,
+                            c.cid ASC) AS rn
+          FROM embeddings e, cent c WHERE e.vec_id NOT IN (1, 2, 3))
+          WHERE rn = 1),
+        probes AS (SELECT q_id, cid FROM (
+          SELECT q.q_id, c.cid,
+                 row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY ${cos("q.qv", "c.cv")} DESC NULLS LAST,
+                            c.cid ASC) AS rn
+          FROM cent c, q) WHERE rn <= 2),
+        cand AS (SELECT p.q_id, a.vec_id, a.embedding, q.qv
+                 FROM asg a JOIN probes p ON a.cid = p.cid
+                 JOIN q ON q.q_id = p.q_id),
+        sc AS (SELECT q_id, vec_id, ${cos("embedding", "qv")} AS sim
+               FROM cand),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rn FROM sc)
+        SELECT q_id, vec_id, round(sim, 6) AS sim_r FROM ranked
+        WHERE rn <= 10
+        ORDER BY q_id ASC, round(sim, 6) DESC NULLS LAST, vec_id ASC"""
+    })
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

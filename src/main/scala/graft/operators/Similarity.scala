@@ -308,6 +308,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch search over a persisted IVF index — the [[annTopKBatch]]
+    * shape on the [[searchIvfIndex]] storage: per-query probe
+    * selection is a window top-nprobe over the broadcast centroid
+    * table (stays distributed — query vectors are never collected),
+    * and the probe UNION is collected as the literal partition filter.
+    * That collect is bounded by |centroids| distinct ids regardless of
+    * batch size, so the literal-filter → parquet-partition-pruning
+    * property of the single-query path survives arbitrarily large
+    * query sets. Cosines reuse the index's stored norms, so each
+    * (q_id, id) score is bit-identical to a per-query loop of
+    * [[searchIvfIndex]]. Returns (q_id, id, sim), top-k per query. */
+  def searchIvfIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, queries: DataFrame, qIdCol: String,
+                          qVecCol: String, nprobe: Int,
+                          k: Int): DataFrame = {
+    val cent = prepCent(spark.read.parquet(s"$dir/centroids"),
+      "cid", "cv")
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).as("__qv"), norm2(col(qVecCol)).as("__qn"))
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cs").desc, col("__cid").asc)
+    val probes = q.join(cent)
+      .withColumn("__cs",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("__cid").as("cid"), col("__qv"),
+        col("__qn"))
+    val cids = probes.select(col("cid")).distinct()
+      .collect().map(_.get(0)).toSeq
+    require(cids.nonEmpty, "empty query set or centroid table")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    spark.read.parquet(s"$dir/lists")
+      .filter(col("cid").isin(cids: _*))
+      .join(broadcast(probes), "cid")
+      .select(col("q_id"), col("id"),
+        cosinePre(col("vec"), col("__qv"), col("norm"), col("__qn"))
+          .as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Distributed k-means (Lloyd) over integer-quantized vectors — the
     * trainer that produces [[ivfTopK]]'s centroid table.
     *

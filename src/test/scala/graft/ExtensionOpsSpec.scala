@@ -579,6 +579,36 @@ class ExtensionOpsSpec extends SparkTest {
     assert(a.toSeq == b.toSeq, s"index=$a live=$b")
   }
 
+  test("batched persisted-IVF search: equals a per-query loop of the " +
+    "single-query path, probe union still prunes partitions") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidxb").toFile
+    dir.deleteOnExit()
+    val qIds = Seq(1L, 2L, 3L)
+    val data = emb.filter(!col("vec_id").isin(qIds: _*))
+    Similarity.buildIvfIndex(data, "vec_id", "embedding", cents,
+      "cid", "cv", dir.getAbsolutePath)
+    val batch = Similarity.searchIvfIndexBatch(spark, dir.getAbsolutePath,
+      emb.filter(col("vec_id").isin(qIds: _*)), "vec_id", "embedding",
+      nprobe = 2, k = 10)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"no partition pruning:\n$plan")
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, -t._3, t._2))
+    val want = qIds.flatMap { qid =>
+      Similarity.searchIvfIndex(spark, dir.getAbsolutePath,
+          emb.filter(col("vec_id") === qid), "embedding",
+          nprobe = 2, k = 10)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.sortBy(t => (t._1, -t._3, t._2))
+    assert(got.toSeq == want, s"batch=$got loop=$want")
+  }
+
   test("mp4 co64 + stts: 64-bit chunk offsets feed the index sampler, " +
     "time-based sampling picks the first sample per bucket") {
     import graft.operators.Multimodal
