@@ -654,25 +654,34 @@ object Multimodal {
         var lastBucket = -1L
         var e = 0
         var inRun = 0L
-        while (sample < st.positions.length && e < st.stts.length) {
+        var overflow = false
+        while (!overflow && sample < st.positions.length &&
+            e < st.stts.length) {
           val (runCount, delta) = st.stts(e)
           if (inRun < runCount) {
-            val tMs = t * 1000 / st.timescale
-            val bucket = tMs / everyMs
-            if (bucket > lastBucket) {
-              val (off, len) = st.positions(sample)
-              out += java.util.Arrays.copyOfRange(bytes, off.toInt,
-                (off + len).toInt)
-              lastBucket = bucket
+            // cumulative start time can reach samples × 2^32 timescale
+            // units on adversarial tables: reject before t*1000 wraps
+            // Long (a negative bucket would silently skip frames,
+            // inconsistent with the reject-malformed posture here)
+            if (t > Long.MaxValue / 1000) overflow = true
+            else {
+              val tMs = t * 1000 / st.timescale
+              val bucket = tMs / everyMs
+              if (bucket > lastBucket) {
+                val (off, len) = st.positions(sample)
+                out += java.util.Arrays.copyOfRange(bytes, off.toInt,
+                  (off + len).toInt)
+                lastBucket = bucket
+              }
+              t += delta
+              inRun += 1
+              sample += 1
             }
-            t += delta
-            inRun += 1
-            sample += 1
           } else { e += 1; inRun = 0 }
         }
         // an stts that doesn't cover every sample is malformed — reject
         // rather than silently sampling a prefix
-        if (sample < st.positions.length) None
+        if (overflow || sample < st.positions.length) None
         else Some(out.result())
       }
     }

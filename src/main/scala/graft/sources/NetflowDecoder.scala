@@ -635,8 +635,9 @@ object NetflowDecoder {
   /** Drop a namespace's persistent stream caches — deterministic
     * teardown for tests and single-JVM deployments. NOTE: this clears
     * only the CALLING JVM; in cluster mode the caches live in executor
-    * JVMs, where the 30-minute idle sweep (above) is what reclaims a
-    * stopped query's state. A restarted query that must not see stale
+    * JVMs, where the 6-hour idle sweep (streamCacheIdleEvictNanos,
+    * above) is what reclaims a stopped query's state. A restarted
+    * query that must not see stale
     * templates should use a fresh namespace. */
   def clearStreamCache(namespace: String): Unit = {
     val it = streamCaches.keySet().iterator()

@@ -66,6 +66,9 @@ object PktDump {
       out.writeInt(MAGIC)
       out.writeInt(VERSION)
       packets.foreach { case (payload, ts, src) =>
+        // src is stored as 4 bytes on the wire: IPv4-only by format
+        require(src >= 0 && src <= 0xffffffffL,
+          s"pktdump src must be an IPv4 address as u32, got $src")
         out.writeInt(payload.length)
         out.writeLong(ts)
         out.writeInt(src.toInt)
@@ -95,18 +98,20 @@ class PktDumpTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new PktDumpScanBuilder(
-      Option(path).getOrElse(options.get("path")))
+      Option(path).getOrElse(options.get("path")),
+      options.getBoolean("strict", false))
 }
 
-class PktDumpScanBuilder(path: String)
+class PktDumpScanBuilder(path: String, strict: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PktDump.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PktDumpScan(path, required)
+  override def build(): Scan = new PktDumpScan(path, required, strict)
 }
 
-class PktDumpScan(path: String, required: StructType)
+class PktDumpScan(path: String, required: StructType,
+                  strict: Boolean = false)
     extends Scan with Batch {
   // the SESSION's Hadoop conf, captured at scan build on the driver and
   // shipped to executors — a bare `new Configuration()` would drop
@@ -127,7 +132,7 @@ class PktDumpScan(path: String, required: StructType)
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new PktDumpMicroBatchStream(path, required.fieldNames, conf)
+    new PktDumpMicroBatchStream(path, required.fieldNames, conf, strict)
 }
 
 object PktDumpScan {
@@ -149,16 +154,35 @@ object PktDumpScan {
   * and RENAMES it in when the rotation period closes; each micro-batch
   * picks up the files that appeared since the last offset.
   *
+  * ==NAMING CONTRACT (read this before pointing a collector here)==
   * Offset = lexicographic high-water mark of processed file names, so
-  * rotation must use monotonically increasing names (timestamped names
-  * — the universal convention — are). Files that appear BELOW the
-  * watermark (clock skew, manual copies) are ignored rather than
-  * double-counted; a replay from checkpoint re-lists deterministically
-  * because the offset pins the (start, end] name interval. */
+  * rotation MUST use monotonically increasing names — zero-padded
+  * timestamped names (`dump-20260101T000500.pkt`), the universal
+  * rotation convention, are. A collector whose names are NOT monotone
+  * (unpadded counters rolling 9→10, clock-skewed writers, manual
+  * copies) will have files land at or below the watermark and be
+  * PERMANENTLY SKIPPED: warned once per name (capped at 100K names,
+  * silent past the cap), never ingested. With the read option
+  * `strict=true` such a straggler instead FAILS the query
+  * (StreamingQueryException) so the operator must resolve the naming
+  * rather than lose data. Replay from checkpoint re-lists
+  * deterministically because the offset pins the (start, end] name
+  * interval.
+  *
+  * Restart blind spot: the first listing after a (re)start is exempt
+  * from straggler detection — on a fresh start those files form the
+  * initial batch, and on a checkpoint restart they were already
+  * processed, so neither is a skip. The cost: a file late-renamed to
+  * below the watermark WHILE THE QUERY WAS DOWN is indistinguishable
+  * from an already-processed file (the store would have to persist the
+  * full processed-name set to tell them apart) and is dropped with no
+  * warning and no strict-mode failure. Monotone naming makes the case
+  * unreachable. */
 class PktDumpMicroBatchStream(path: String, fields: Array[String],
                               conf: SerializableConfiguration =
                                 new SerializableConfiguration(
-                                  PktDump.hadoopConf()))
+                                  PktDump.hadoopConf()),
+                              strict: Boolean = false)
     extends MicroBatchStream {
 
   // offset payload: one JSON string (the watermark file name)
@@ -225,11 +249,17 @@ class PktDumpMicroBatchStream(path: String, fields: Array[String],
     val prevHigh = high
     val mark = bump(if (fs.isEmpty) "" else fs.max)
     if (prevListing != null) fs.foreach { f =>
-      if (f <= prevHigh && !prevListing.contains(f) &&
-          warnedBelow.size < 100000 && warnedBelow.add(f))
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"pktdump: $f appeared at or below the watermark " +
-            s"($prevHigh) and will NOT be ingested (late rename?)")
+      if (f <= prevHigh && !prevListing.contains(f)) {
+        if (strict)
+          throw new IllegalStateException(
+            s"pktdump strict mode: $f appeared at or below the " +
+              s"watermark ($prevHigh) and would never be ingested — " +
+              "the collector's rotation names are not monotone")
+        if (warnedBelow.size < 100000 && warnedBelow.add(f))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"pktdump: $f appeared at or below the watermark " +
+              s"($prevHigh) and will NOT be ingested (late rename?)")
+      }
     }
     prevListing = fs.toSet
     Mark(mark)

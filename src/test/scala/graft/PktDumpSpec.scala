@@ -91,6 +91,36 @@ class PktDumpSpec extends SparkTest {
     } finally q.stop()
   }
 
+  test("strict mode: a below-watermark rename fails the query instead " +
+    "of warn-and-skip (the naming-contract enforcement switch)") {
+    val dir = Files.createTempDirectory("pktdumpstrict").toFile
+    dir.deleteOnExit()
+    val pkts = Queries.v9Packets(8).zipWithIndex
+      .map { case (p, i) => (p, 1700000000L + i, 1L) }
+    PktDump.write(s"$dir/20260101-000500.gpkd", pkts.take(4))
+    val q = spark.readStream.format("pktdump")
+      .option("strict", "true")
+      .load(dir.getAbsolutePath)
+      .writeStream
+      .format("noop")
+      .start()
+    try {
+      q.processAllAvailable()
+      // a straggler named BELOW the established watermark
+      PktDump.write(s"$dir/.late.gpkd", pkts.drop(4))
+      new java.io.File(dir, ".late.gpkd")
+        .renameTo(new java.io.File(dir, "20260101-000000.gpkd"))
+      val ex = intercept[org.apache.spark.sql.streaming
+          .StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      }
+      assert(ex.getMessage.contains("strict") ||
+        Option(ex.getCause).exists(_.getMessage.contains("strict")),
+        s"unexpected failure: $ex")
+    } finally q.stop()
+  }
+
   test("streaming decode end-to-end: capture files through " +
     "decodeStream produce the analytic flow rows") {
     val dir = Files.createTempDirectory("pktdumpstream2").toFile
