@@ -507,28 +507,30 @@ object Queries {
       FROM j ORDER BY flow_id ASC"""))
 
   // ------------------------------------------------ GeoIP / ASN enrich
-  private val q14 = Q(
-    "q14_geoip",
-    (s, dir) => {
-      import graft.flow.BuiltinTables
-      val geo = BuiltinTables.geoDb
-      TestFlowView.load(s, dir)
-        .select(
-          geo.geoAttr(s, "country")(col("ip4_dst_addr")).as("country"),
-          geo.geoAttr(s, "country_code")(col("ip4_dst_addr")).as("cc"),
-          geo.asn(s)(col("ip4_src_addr")).as("src_asn"),
-          geo.asd(s)(col("ip4_src_addr")).as("src_asd"),
-          col("in_bytes"), col("sampling_rate"))
-        .groupBy(col("country"), col("cc"), col("src_asn"), col("src_asd"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
-        .orderBy(col("country").asc, col("cc").asc, col("src_asn").asc)
-    }, {
-      import graft.flow.BuiltinTables
-      // oracle mirrors the SAME loader-built tables the query uses
-      val geo4 = BuiltinTables.geoDb.geo4
-      val as4 = BuiltinTables.geoDb.as4
-      Some(s"""WITH $F,
+  /** The q14 enrichment body, parameterized on the GeoDb so q77 can
+    * run the identical query through a compiled-artifact-loaded db. */
+  private def geoipQuery(s: SparkSession, dir: String,
+                         geo: graft.functions.GeoDb): DataFrame =
+    TestFlowView.load(s, dir)
+      .select(
+        geo.geoAttr(s, "country")(col("ip4_dst_addr")).as("country"),
+        geo.geoAttr(s, "country_code")(col("ip4_dst_addr")).as("cc"),
+        geo.asn(s)(col("ip4_src_addr")).as("src_asn"),
+        geo.asd(s)(col("ip4_src_addr")).as("src_asd"),
+        col("in_bytes"), col("sampling_rate"))
+      .groupBy(col("country"), col("cc"), col("src_asn"), col("src_asd"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+      .orderBy(col("country").asc, col("cc").asc, col("src_asn").asc)
+
+  /** Shared oracle for q14 (in-memory tables) and q77 (parquet
+    * artifact) — the two paths are defined to be identical. */
+  private lazy val geoipOracle: String = {
+    import graft.flow.BuiltinTables
+    // oracle mirrors the SAME loader-built tables the query uses
+    val geo4 = BuiltinTables.geoDb.geo4
+    val as4 = BuiltinTables.geoDb.as4
+    s"""WITH $F,
       g AS (SELECT
         ${OracleSql.lpmCase(geo4, "ip4_dst_addr", 2)} AS country,
         ${OracleSql.lpmCase(geo4, "ip4_dst_addr", 1)} AS cc,
@@ -540,8 +542,13 @@ object Queries {
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
       FROM g GROUP BY country, cc, src_asn, src_asd
-      ORDER BY country ASC, cc ASC, src_asn ASC""")
-    })
+      ORDER BY country ASC, cc ASC, src_asn ASC"""
+  }
+
+  private val q14 = Q(
+    "q14_geoip",
+    (s, dir) => geoipQuery(s, dir, graft.flow.BuiltinTables.geoDb),
+    Some(geoipOracle))
 
   // ------------------------------------- classification (top-X% classes)
   private val q31 = Q(
@@ -2462,13 +2469,40 @@ object Queries {
         ORDER BY q_id ASC, round(sim, 6) DESC NULLS LAST, vec_id ASC"""
     })
 
+  // The compiled-GeoDb ops loop (reference xemkgeodb → mmap'd DB →
+  // lookup): CSV dumps → GeoDbStore.compile (sorted-disjoint-range
+  // parquet artifact) → GeoDbStore.read → the EXACT q14 enrichment.
+  // Same oracle as q14 — artifact round-trip is defined lossless.
+  private val q77 = Q(
+    "q77_geodb_artifact",
+    (s, dir) => {
+      import graft.flow.BuiltinTables
+      import graft.functions.GeoDbStore
+      val dbDir = tmpWorkDir(
+        s"graft_q77_geodb_${ProcessHandle.current().pid()}")
+      if (!new java.io.File(dbDir, "_SUCCESS").exists()) {
+        val csvDir = java.nio.file.Files.createTempDirectory("geodump")
+        val geoCsv = csvDir.resolve("geo.csv")
+        val asCsv = csvDir.resolve("as.csv")
+        java.nio.file.Files.write(geoCsv,
+          BuiltinTables.geoCsv.getBytes(StandardCharsets.UTF_8))
+        java.nio.file.Files.write(asCsv,
+          BuiltinTables.asCsv.getBytes(StandardCharsets.UTF_8))
+        GeoDbStore.compile(s, geoCsv.toString, asCsv.toString,
+          dbDir.getAbsolutePath)
+      }
+      geoipQuery(s, dir, GeoDbStore.read(s, dbDir.getAbsolutePath))
+    },
+    Some(geoipOracle))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
+    q77)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

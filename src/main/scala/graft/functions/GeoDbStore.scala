@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Persisted GeoIP/AS database — the Spark analog of the reference's
+  * compiled-DB ops loop (xemkgeodb.c builds an artifact offline, the
+  * collector mmaps it; geoip.c:91-183). [[compile]] turns the public
+  * CSV dumps into sorted disjoint ranges stored as parquet on shared
+  * storage ONCE; every job then [[read]]s the artifact — no per-job
+  * CSV re-parse — and ships the broadcast-sized [[GeoDb]] to
+  * executors. The parquet form is also directly queryable: a batch
+  * enrichment can range-join `ip >= start AND ip <= end` against the
+  * `lists` rows without loading a GeoDb at all (SURVEY §2.6's
+  * range-join alternative).
+  *
+  * Addresses are stored as 16-byte big-endian binaries (v4 values
+  * zero-extended) so one schema carries both families; the `family`
+  * partition column (geo4 | as4 | geo6 | as6) keeps each table's rows
+  * in their own parquet partition.
+  */
+object GeoDbStore {
+
+  val schema: StructType = StructType(Seq(
+    StructField("start", BinaryType, nullable = false),
+    StructField("end", BinaryType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("family", StringType, nullable = false)))
+
+  private[graft] def toBytes(x: BigInt): Array[Byte] = {
+    val raw = x.toByteArray.dropWhile(_ == 0) // strip sign/leading zeros
+    require(raw.length <= 16, s"address wider than 128 bits: $x")
+    val out = new Array[Byte](16)
+    System.arraycopy(raw, 0, out, 16 - raw.length, raw.length)
+    out
+  }
+  private[graft] def toBig(b: Array[Byte]): BigInt = BigInt(1, b)
+
+  private def rows(family: String, t: Lpm.Table): Seq[Row] =
+    t.starts.indices.map { i =>
+      Row(toBytes(t.starts(i)), toBytes(t.ends(i)), t.values(i), family)
+    }
+
+  /** Write a built [[GeoDb]] as the parquet artifact. */
+  def write(spark: SparkSession, db: GeoDb, dir: String): Unit = {
+    val all = rows("geo4", db.geo4) ++ rows("as4", db.as4) ++
+      rows("geo6", db.geo6) ++ rows("as6", db.as6)
+    spark.createDataFrame(
+        java.util.Arrays.asList(all: _*), schema)
+      .write.mode("overwrite").partitionBy("family").parquet(dir)
+  }
+
+  /** Load the artifact back into a broadcast-ready [[GeoDb]]. The
+    * collect is bounded by the DB size — geo databases are
+    * driver-sized by contract (the reference mmaps the whole artifact
+    * per worker; a broadcast table is the same trade). Rows are
+    * re-sorted on load, so the artifact does not depend on parquet
+    * preserving write order. */
+  def read(spark: SparkSession, dir: String): GeoDb = {
+    val byFam = spark.read.parquet(dir)
+      .select("family", "start", "end", "value")
+      .collect()
+      .groupBy(_.getString(0))
+    def table(f: String): Lpm.Table = {
+      val rs = byFam.getOrElse(f, Array.empty[Row])
+        .map(r => (toBig(r.getAs[Array[Byte]](1)),
+          toBig(r.getAs[Array[Byte]](2)), r.getString(3)))
+        .sortBy(_._1)
+      Lpm.Table(rs.map(_._1), rs.map(_._2), rs.map(_._3))
+    }
+    GeoDb(table("geo4"), table("as4"), table("geo6"), table("as6"))
+  }
+
+  /** The xemkgeodb-parity compile job: CSV dumps in, parquet artifact
+    * out (geo + AS side by side, like the reference's geodb dir,
+    * CONFIG.md:104-106). */
+  def compile(spark: SparkSession, geoCsvPath: String, asCsvPath: String,
+              outDir: String): Unit =
+    write(spark, GeoLoader.fromFiles(geoCsvPath, asCsvPath), outDir)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.flow.BuiltinTables
+import graft.functions.{GeoDb, GeoDbStore, GeoLoader}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** Compiled GeoDb parquet artifact (reference xemkgeodb ops loop). */
+class GeoDbStoreSpec extends SparkTest {
+
+  private def probesEqual(a: GeoDb, b: GeoDb): Unit = {
+    val v4Probes = Seq("192.0.1.1", "192.0.2.200", "192.70.0.1",
+      "192.130.0.1", "10.0.0.1", "10.5.5.5", "10.13.0.9", "8.8.8.8",
+      "0.0.0.1", "255.255.255.255")
+    v4Probes.foreach { ip =>
+      val x = GeoLoader.ipv4ToBig(ip)
+      assert(a.geo4.lookup(x) == b.geo4.lookup(x), s"geo4 $ip")
+      assert(a.as4.lookup(x) == b.as4.lookup(x), s"as4 $ip")
+    }
+    val v6Probes = Seq("2001:db8::1", "2001:db8:1::42", "2001:db9::1",
+      "::1", "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff")
+    v6Probes.foreach { ip =>
+      val x = GeoLoader.ipv6ToBig(ip)
+      assert(a.geo6.lookup(x) == b.geo6.lookup(x), s"geo6 $ip")
+      assert(a.as6.lookup(x) == b.as6.lookup(x), s"as6 $ip")
+    }
+  }
+
+  test("compile → read round-trips every family, including v6 and " +
+    "full-width addresses") {
+    val csvDir = Files.createTempDirectory("geodump")
+    val geoCsv = csvDir.resolve("geo.csv")
+    val asCsv = csvDir.resolve("as.csv")
+    // builtin v4 fixtures + v6 rows so all four families are non-empty
+    Files.write(geoCsv, (BuiltinTables.geoCsv +
+      "\n6,2001:db8::,2001:db8:ffff:ffff:ffff:ffff:ffff:ffff," +
+      "EU,NL,Netherlands,NH,Amsterdam,1011,Europe/Amsterdam,52.37,4.90\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.write(asCsv, (BuiltinTables.asCsv +
+      "\n2001:db8::,2001:db8:1:ffff:ffff:ffff:ffff:ffff,64496,EXAMPLE-V6\n")
+      .getBytes(StandardCharsets.UTF_8))
+    val built = GeoLoader.fromFiles(geoCsv.toString, asCsv.toString)
+    val out = Files.createTempDirectory("geodb_artifact").toFile
+    GeoDbStore.compile(spark, geoCsv.toString, asCsv.toString,
+      out.getAbsolutePath)
+    // the artifact is family-partitioned parquet on disk
+    val fams = out.listFiles().map(_.getName).filter(_.startsWith("family="))
+    assert(fams.toSet == Set("family=geo4", "family=as4",
+      "family=geo6", "family=as6"), fams.toSeq.toString)
+    val loaded = GeoDbStore.read(spark, out.getAbsolutePath)
+    probesEqual(built, loaded)
+  }
+
+  test("binary address codec: zero, v4-width, and 128-bit-max values") {
+    Seq(BigInt(0), BigInt(1), GeoLoader.ipv4ToBig("255.255.255.255"),
+      (BigInt(1) << 127), (BigInt(1) << 128) - 1).foreach { x =>
+      assert(GeoDbStore.toBig(GeoDbStore.toBytes(x)) == x, x.toString)
+    }
+  }
+}
