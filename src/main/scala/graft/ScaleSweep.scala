@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope sweep (SCALE.md): times the headline queries at sf0.1
+  * and at a synthetic sf1.0 (10× the rows) and reports the time-vs-data
+  * slope. 10× data should cost ~10× for the linear operators; a
+  * superlinear surprise here is the cheapest 100×-scale bug detector
+  * available in this sandbox (VERDICT r8 "Next round" #4).
+  *
+  * The sf1.0 set is TEN DISJOINT UNIVERSES of sf0.1, built so every
+  * per-universe output is identical to the original and cross-universe
+  * interaction is nil — total output is exactly 10×, so slope measures
+  * the ENGINE, not a changed data distribution:
+  *  - events: ids and timestamps offset per replica (disjoint epoch
+  *    buckets, disjoint derived flow key spaces per the TestFlowView
+  *    modular arithmetic);
+  *  - documents: every word suffixed with a per-replica tag — the word
+  *    k-shingle universes of two replicas are disjoint, so MinHash/
+  *    SimHash bands never produce cross-replica candidates while each
+  *    replica's intra-duplicate structure is untouched;
+  *  - embeddings: vectors cyclically shifted by the replica index — a
+  *    permutation (orthogonal map) preserves every intra-replica dot
+  *    product bit-for-bit while shifted copies decorrelate across
+  *    replicas (autocorrelation of i.i.d. components at lag r ≈ 0).
+  *
+  * Prints ONE JSON line: per-query t(sf0.1), t(sf1.0), ratio and
+  * slope = ratio/10 (1.0 = perfectly linear; <1 = amortized constants;
+  * >1.3 needs adjudication in SCALE.md).
+  */
+object ScaleSweep {
+
+  val headline: Seq[String] = Seq(
+    "q01_fwm_agg", "q02_fwm_topn_others", "q16_dedup_minhash",
+    "q44_embed_neardup", "q47_dedup_pipeline", "q54_simhash_pairs",
+    "q65_sliding_window")
+
+  /** Build the 10-universe replica set under dstDir (idempotent). */
+  def replicate(spark: SparkSession, srcDir: String, dstDir: String,
+                copies: Int): Unit = {
+    val done = new java.io.File(s"$dstDir/_REPLICATED_$copies")
+    if (done.exists()) return
+    val reps = 0 until copies
+
+    def union(per: Int => DataFrame): DataFrame =
+      reps.map(per).reduce(_ union _)
+
+    // events: ts is TIMESTAMP(NANOS) → Long via nanosAsLong (set by the
+    // session builder). Offsets keep each replica's epoch buckets and
+    // modular-derived flow keys in their own disjoint range.
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val dayNs = 86400L * 1_000_000_000L
+    union { r =>
+      ev.select(
+        (col("event_id") + lit(r.toLong * (1L << 24))).as("event_id"),
+        (col("ts") + lit(r.toLong * 400L * dayNs)).as("ts"),
+        (col("user_id") + lit(r.toLong * (1L << 20))).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$dstDir/events.parquet")
+
+    // documents: per-word replica tag → disjoint shingle universes
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    union { r =>
+      val text =
+        if (r == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1~" + r)
+      docs.select(
+        (col("doc_id") + lit(r.toLong * (1L << 20))).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$dstDir/documents.parquet")
+
+    // embeddings: cyclic shift by r (a permutation of coordinates)
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    union { r =>
+      val e = col("embedding")
+      val shifted =
+        if (r == 0) e
+        else concat(slice(e, lit(r + 1), size(e) - lit(r)),
+          slice(e, lit(1), lit(r)))
+      emb.select(
+        (col("vec_id") + lit(r.toLong * (1L << 20))).as("vec_id"),
+        shifted.as("embedding"), col("label"))
+    }.repartition(32)
+      .write.mode("overwrite").parquet(s"$dstDir/embeddings.parquet")
+
+    done.createNewFile(); ()
+  }
+
+  /** Re-run the two sweep outliers with SCALE-APPROPRIATE parameters.
+    * The contract q54/q44 fix tiny sketch widths (16-bit simhash, 4-bit
+    * LSH + minSim 0.3) so the DuckDB oracle stays cheap; at a 10×
+    * corpus those widths birthday-collide across even DISJOINT
+    * universes (16-bit space: P[dist ≤ 2] ≈ 137/2^16 per pair; dim-64
+    * cosine fluctuation σ ≈ 1/√64 makes 0.3 only a 2.4σ cut). Widening
+    * to 32-bit simhash / minSim 0.5 — what a real 50 K-doc corpus would
+    * use — must restore ~10× output and ~linear time if the ENGINE is
+    * linear. */
+  def adjudicate(spark: SparkSession, srcDir: String,
+                 dstDir: String): Unit = {
+    import graft.operators.{Dedup, Similarity}
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def timed(what: String, dir: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = r3((System.nanoTime() - t0) / 1e9)
+      println(s"""{"adjudicate":"$what","dir":"$dir","rows":$n,""" +
+        s""""sec":$sec}""")
+    }
+    for (dir <- Seq(srcDir, dstDir)) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      timed("simhash_b32_d2", dir)(
+        Dedup.simhashPairs(docs, "doc_id", "text", bits = 32,
+          maxDist = 2))
+      timed("neardup_minsim05", dir)(
+        Similarity.nearDupPairs(emb, "vec_id", "embedding", dim = 64,
+          nBits = 4, minSim = 0.5))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dstDir =
+      if (args.length > 1) args(1) else "/tmp/graft_sf1.0"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    replicate(spark, srcDir, dstDir, copies = 10)
+
+    if (args.contains("adjudicate")) { adjudicate(spark, srcDir, dstDir)
+      spark.stop(); return }
+
+    def timeOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"SWEEP FAILURE $name@$dir: $e"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(name: String, dir: String, runs: Int): Double = {
+      val ok = (1 to runs).map(_ => timeOnce(name, dir)).filter(_ >= 0)
+      val s = ok.sorted
+      if (s.isEmpty) -1.0 else s(s.size / 2)
+    }
+
+    // warmup both directories through the full stack
+    headline.take(1).foreach { q =>
+      timeOnce(q, srcDir); timeOnce(q, dstDir)
+    }
+
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val rows = headline.map { q =>
+      val t01 = median(q, srcDir, 3)
+      val t10 = median(q, dstDir, 3)
+      // output-cardinality sanity: 10 disjoint universes must produce
+      // exactly 10× the rows for every headline query
+      val n01 = SparkEntry.queries(q)(spark, srcDir).count()
+      val n10 = SparkEntry.queries(q)(spark, dstDir).count()
+      val ratio = if (t01 > 0 && t10 > 0) t10 / t01 else -1.0
+      (q, t01, t10, ratio, n01, n10)
+    }
+    val qs = rows.map { case (q, t01, t10, ratio, n01, n10) =>
+      s""""$q":{"t_sf01":${r3(t01)},"t_sf10":${r3(t10)},""" +
+        s""""ratio":${r3(ratio)},"slope":${r3(ratio / 10)},""" +
+        s""""rows_sf01":$n01,"rows_sf10":$n10}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_slope","copies":10,""" +
+      s""""src":"$srcDir","dst":"$dstDir","queries":$qs}""")
+    spark.stop()
+  }
+}
