@@ -20,7 +20,8 @@ object Plans {
         "q02_fwm_topn_others", "q14_geoip", "q29_mavg_decay",
         "q38_filter_v6", "q39_geoip_v6", "q44_embed_neardup",
         "q54_simhash_pairs", "q55_keywords", "q56_mix_sample",
-        "q57_kmeans", "q58_kmeans_ivf")
+        "q57_kmeans", "q58_kmeans_ivf", "q74_decode_dns_sni",
+        "q76_ivf_batch", "q77_geodb_artifact")
     names.foreach { n =>
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir)
