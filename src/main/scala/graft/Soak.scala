@@ -68,6 +68,75 @@ object Soak {
     }
   }
 
+  /** Live-socket soak: blast `mkPacket` datagrams at a [[graft.sources
+    * .UdpCollector]] over loopback at the target rate and run the
+    * strict pktdump tail → decodeStream → filter → fwm pipeline on the
+    * spool — the complete live ingest path, kernel socket included.
+    * Reports sent/spooled (UDP drop visibility) and the sustained
+    * flow-ingest rate. */
+  private def udpSoak(spark: SparkSession, rps: Int, secs: Int): Unit = {
+    import graft.sources.UdpCollector
+    val spool = java.nio.file.Files
+      .createTempDirectory("graft_udp_soak").toString
+    val collector = new UdpCollector(spool, rotateMillis = 500,
+      rotateBytes = 32L << 20, receiveBufferBytes = 32 << 20)
+
+    val packets = spark.readStream.format("pktdump")
+      .option("strict", "true").load(spool)
+    val flows = NetflowDecoder.decodeStream(packets, "udpsoak")
+    val env = FilterEnv.flow(spark)
+    val pred = Compiler.filterColumn("proto 6 and src net 10.0.0.0/8", env)
+      .fold(e => sys.error(e), identity)
+    val fwm = Fwm.stream(
+      flows.withColumn("ts", to_timestamp(col("ts_sec"))).filter(pred),
+      env, Fwm.Conf("udpsoak", Seq("octets desc", "src host"),
+        timeSec = 10, limit = Some(10)))
+    val flowRows = new java.util.concurrent.atomic.AtomicLong
+    val q = fwm.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        flowRows.addAndGet(b.count()); () }
+      .start()
+
+    // paced sender: one burst per 10 ms tick
+    val sock = new java.net.DatagramSocket()
+    val addr = java.net.InetAddress.getByName("127.0.0.1")
+    val total = rps.toLong * secs
+    val t0 = System.nanoTime()
+    var sent = 0L
+    while (sent < total) {
+      val due = ((System.nanoTime() - t0) / 1e9 * rps).toLong min total
+      while (sent < due) {
+        val p = mkPacket(sent)
+        sock.send(new java.net.DatagramPacket(p, p.length, addr,
+          collector.localPort))
+        sent += 1
+      }
+      Thread.sleep(10)
+    }
+    val sendWall = (System.nanoTime() - t0) / 1e9
+    sock.close()
+    Thread.sleep(1000) // let the last rotation period close
+    collector.close()
+    q.processAllAvailable() // drain the spool completely
+    val ingestWall = (System.nanoTime() - t0) / 1e9
+    val spooled = collector.packetsReceived.get()
+    q.stop()
+
+    // every spooled packet decodes to >= 1 flow row pre-filter; fwm
+    // output is |top-k x windows|-sized, so count ingested flows from
+    // the spool itself (batch read, cheap at these sizes)
+    val ingested = spark.read.format("pktdump").load(spool).count()
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    println(s"""{"udp_soak":{"target_pps":$rps,"secs":$secs,""" +
+      s""""sent":$sent,"spooled":$spooled,""" +
+      s""""drop_pct":${r3(100.0 * (sent - spooled) / sent)},""" +
+      s""""send_wall_sec":${r3(sendWall)},""" +
+      s""""ingest_wall_sec":${r3(ingestWall)},""" +
+      s""""ingested":$ingested,""" +
+      s""""ingest_pps":${r3(ingested / ingestWall)},""" +
+      s""""fwm_out_rows":${flowRows.get}}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val rps = sys.env.getOrElse("SPARK_GRAFT_SOAK_RPS", "50000").toInt
     val secs = sys.env.getOrElse("SPARK_GRAFT_SOAK_SECS", "120").toInt
@@ -80,6 +149,9 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+
+    if (args.contains("udp")) { udpSoak(spark, rps, secs)
+      spark.stop(); return }
 
     val packets = spark.readStream.format("rate")
       .option("rowsPerSecond", rps).option("numPartitions", 8).load()

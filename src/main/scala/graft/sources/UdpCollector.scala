@@ -79,7 +79,10 @@ final class UdpCollector(
 
   private def openSegment(): Unit = {
     staging = new File(spool, f".seg-$seq%012d.gpkd")
-    out = new DataOutputStream(new FileOutputStream(staging))
+    // buffered: one syscall per ~64 KB, not four per packet — the
+    // receive thread must keep up with the socket at 10^5+ pkt/s
+    out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(staging), 64 << 10))
     out.writeInt(PktDump.MAGIC)
     out.writeInt(PktDump.VERSION)
     stagedBytes = 8L
