@@ -148,14 +148,20 @@ object SflowDecoder {
     off += 4 // sub-agent id
     off += 4 // sequence
     off += 4 // uptime
+    // the 28-byte minimum assumed a v4 agent address; a v6 agent makes
+    // the header 12 bytes longer than the up-front check covered
+    if (off + 4 > b.length) return Nil
     val nSamples = u32(b, off); off += 4
     val out = Vector.newBuilder[Array[Any]]
     var s = 0L
     while (s < nSamples && off + 8 <= b.length) {
       val sampleType = u32(b, off)
+      // lengths are UNTRUSTED u32s: a value >= 2^31 turns .toInt
+      // negative, which would move the cursor BACKWARDS past every
+      // forward bound check (negative-offset read / unbounded loop)
       val sampleLen = u32(b, off + 4).toInt
       val sampleEnd = off + 8 + sampleLen
-      if (sampleEnd > b.length) return out.result()
+      if (sampleLen < 0 || sampleEnd > b.length) return out.result()
       // type 1 = flow sample, type 3 = expanded flow sample (sFlow v5
       // spec: expanded uses u32-pair source ids and u32 interface
       // format+value pairs)
@@ -178,7 +184,7 @@ object SflowDecoder {
           val recType = u32(b, p)
           val recLen = u32(b, p + 4).toInt
           val recEnd = p + 8 + recLen
-          if (recEnd > sampleEnd) { r = nRecords }
+          if (recLen < 0 || recEnd > sampleEnd) { r = nRecords }
           else {
             if (recType == 1L && recLen >= 16) {
               // raw packet header record
@@ -194,7 +200,8 @@ object SflowDecoder {
               row(slot("sampling_rate")) = samplingRate
               row(slot("input_snmp")) = input
               row(slot("output_snmp")) = output
-              if (headerProto == 1L && q + headerLen <= recEnd)
+              if (headerProto == 1L && headerLen >= 0 &&
+                  q + headerLen <= recEnd)
                 parseEthernet(
                   java.util.Arrays.copyOfRange(b, q, q + headerLen), row,
                   parseDns, parseSni)

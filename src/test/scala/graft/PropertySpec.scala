@@ -344,4 +344,70 @@ class PropertySpec extends SparkTest {
       }
     }
   }
+
+  // ---- decoder fuzz: packet bytes are UNTRUSTED NETWORK INPUT and the
+  // contract is skip-malformed, never throw. Three input classes per
+  // decoder: pure random bytes, random bytes behind a valid version
+  // prefix (reaches the per-version paths), and valid packets mutated
+  // by truncation + byte flips (reaches the deepest parse states).
+
+  private def mutations(valid: Seq[Array[Byte]]): Seq[Array[Byte]] = {
+    val rnd = new scala.util.Random(42)
+    valid.flatMap { p =>
+      val trunc = (0 until 4).map(_ => p.take(rnd.nextInt(p.length + 1)))
+      val flips = (0 until 4).map { _ =>
+        val c = p.clone()
+        (0 until (1 + rnd.nextInt(8))).foreach { _ =>
+          c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte }
+        c
+      }
+      trunc ++ flips
+    }
+  }
+
+  test("NetflowDecoder.decodePacket never throws on fuzzed input " +
+    "(random, version-prefixed random, mutated v5/v9/IPFIX)") {
+    import graft.sources.NetflowDecoder
+    val rnd = new scala.util.Random(7)
+    val random = (1 to 200).map(_ =>
+      Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte))
+    val prefixed = for {
+      v <- Seq(5, 9, 10); _ <- 1 to 50
+    } yield Array[Byte](0, v.toByte) ++
+      Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+    val valid = Queries.v9Packets(8) ++ Queries.v5Packets(8) ++
+      Queries.ipfixPackets(8).map(_._1) ++
+      (0L until 8L).map(Soak.mkPacket)
+    val cache = new NetflowDecoder.TemplateCache()
+    (random ++ prefixed ++ mutations(valid)).foreach { p =>
+      NetflowDecoder.decodePacket(p, 1700000000L, 1L, cache)
+    }
+  }
+
+  test("SflowDecoder.decodePacket never throws on fuzzed input, with " +
+    "payload extraction enabled") {
+    import graft.sources.SflowDecoder
+    val rnd = new scala.util.Random(11)
+    val random = (1 to 200).map(_ =>
+      Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte))
+    val prefixed = (1 to 100).map(_ =>
+      Array[Byte](0, 0, 0, 5) ++
+        Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte))
+    val valid = Queries.sflowPackets(8) ++
+      Queries.sflowPayloadPackets(8)
+    (random ++ prefixed ++ mutations(valid)).foreach { p =>
+      SflowDecoder.decodePacket(p, 1700000000L,
+        parseDns = true, parseSni = true)
+    }
+  }
+
+  test("PayloadParsers never throw on arbitrary bytes") {
+    import graft.sources.PayloadParsers
+    val rnd = new scala.util.Random(13)
+    (1 to 500).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      PayloadParsers.parseDns(b)
+      PayloadParsers.parseSni(b)
+    }
+  }
 }
