@@ -410,4 +410,26 @@ class PropertySpec extends SparkTest {
       PayloadParsers.parseSni(b)
     }
   }
+
+  test("multimodal byte parsers never throw on fuzzed input " +
+    "(random + mutated real containers)") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(17)
+    val random = (1 to 150).map(_ =>
+      Array.fill(rnd.nextInt(500))(rnd.nextInt(256).toByte))
+    val valid = (0L until 4L).flatMap(i => Seq(
+      Multimodal.encodeTestImage(i), Multimodal.encodeTestAudio(i),
+      Multimodal.encodeTestVideo(i),
+      Multimodal.encodeTestVideoSamples(i),
+      Multimodal.encodeTestVideoSamplesTimed(i)))
+    (random ++ mutations(valid)).foreach { b =>
+      Multimodal.decodeImage(b)
+      Multimodal.decodeAudio(b)
+      Multimodal.decodeVideo(b)
+      Multimodal.resizeImage(b, 32)
+      Multimodal.imageChannelSums(b)
+      Multimodal.mp4SampleFrames(b, stride = 2)
+      Multimodal.mp4SampleFramesByTime(b, everyMs = 40)
+    }
+  }
 }
