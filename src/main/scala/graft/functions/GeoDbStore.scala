@@ -77,4 +77,51 @@ object GeoDbStore {
   def compile(spark: SparkSession, geoCsvPath: String, asCsvPath: String,
               outDir: String): Unit =
     write(spark, GeoLoader.fromFiles(geoCsvPath, asCsvPath), outDir)
+
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** Distributed v4 range-join enrichment — the scale path for when an
+    * enrichment table OUTGROWS broadcast (the broadcast [[GeoDb]] is
+    * the right tool for the reference-sized geo/AS DBs; a 100 TB-corpus
+    * IP-reputation or flow-annotation table is not driver-sized).
+    *
+    * A naive `ip BETWEEN start AND end` join is a BroadcastNestedLoop /
+    * cartesian — O(rows × ranges). Instead both sides are keyed by the
+    * IP's top `prefixBits` bits: each range EXPLODES into the buckets
+    * it overlaps (bounded by its width / 2^(32-prefixBits)), the flow
+    * side computes one shift per row, and the join is a plain shuffled
+    * EQUI-join on the bucket with the range test as residual. Ranges
+    * are sorted-disjoint by construction ([[GeoLoader]]), so at most
+    * one range matches any address — no post-join dedup needed.
+    *
+    * Returns `flows` + `valueAs` (null where no range covers the ip).
+    * Skew note: a bucket is one /prefixBits block; pick prefixBits so
+    * the hottest block's flow share fits an executor (8 → /8 blocks;
+    * AQE skew-join splits residual hot buckets). */
+  def rangeJoinV4(flows: DataFrame, ipCol: String, artifact: DataFrame,
+                  family: String, valueAs: String,
+                  prefixBits: Int = 8): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 24, s"prefixBits $prefixBits")
+    val shift = 32 - prefixBits
+    // v4 addresses sit in the last 4 of the 16 artifact bytes
+    def v4(c: Column): Column =
+      conv(substring(hex(c), 25, 8), 16, 10).cast("long")
+    val ranges = artifact
+      .filter(col("family") === family)
+      .select(v4(col("start")).as("_rj_start"),
+        v4(col("end")).as("_rj_end"), col("value").as(valueAs))
+      .select(col("_rj_start"), col("_rj_end"), col(valueAs),
+        explode(sequence(shiftright(col("_rj_start"), shift),
+          shiftright(col("_rj_end"), shift))).as("_rj_bucket"))
+    val f = flows
+      .withColumn("_rj_bucket", shiftright(col(ipCol), shift)).alias("_f")
+    val r = ranges.alias("_r")
+    f.join(r,
+        col("_f._rj_bucket") === col("_r._rj_bucket") &&
+          col(s"_f.$ipCol") >= col("_r._rj_start") &&
+          col(s"_f.$ipCol") <= col("_r._rj_end"),
+        "left")
+      .drop("_rj_bucket", "_rj_start", "_rj_end")
+  }
 }

@@ -58,4 +58,33 @@ class GeoDbStoreSpec extends SparkTest {
       assert(GeoDbStore.toBig(GeoDbStore.toBytes(x)) == x, x.toString)
     }
   }
+
+  test("rangeJoinV4 equals the broadcast LPM path and plans as an " +
+    "equi-join, not a nested loop") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("geodb_rj").toFile
+    GeoDbStore.write(spark, BuiltinTables.geoDb, out.getAbsolutePath)
+    val artifact = spark.read.parquet(out.getAbsolutePath)
+    val geo = BuiltinTables.geoDb
+    // deterministic ip spread: inside/outside ranges, bucket edges
+    val flows = spark.range(4096).select(
+      col("id"),
+      ((col("id") * 7919 * 65537) % 4294967296L).as("ip"))
+    val viaJoin = GeoDbStore.rangeJoinV4(flows, "ip", artifact,
+        family = "geo4", valueAs = "g")
+      .select(col("id"), col("ip"),
+        // geo4 values pack "attr1|attr2|..." — compare raw
+        coalesce(col("g"), lit("-")).as("g"))
+    val viaLpm = flows.select(col("id"), col("ip"),
+      coalesce(graft.functions.LpmExpr.lookup4(geo.geo4)(col("ip")),
+        lit("-")).as("g"))
+    val a = viaJoin.orderBy("id").collect().map(_.toSeq)
+    val b = viaLpm.orderBy("id").collect().map(_.toSeq)
+    assert(a.length == 4096 && a.toSeq == b.toSeq)
+    // at most one range matches (disjoint ranges): row count preserved
+    assert(viaJoin.count() == 4096)
+    val plan = viaJoin.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must be an equi-join on the bucket:\n$plan")
+  }
 }
