@@ -45,9 +45,15 @@ object FilterEnv {
 
 object Compiler {
 
-  /** Parse + compile a filter string to a boolean Column. */
+  /** Parse + compile a filter string to a boolean Column. Semantic
+    * errors ([[compile]]'s sys.error: unknown field/list, type
+    * mismatch) surface as Left like parse errors — the filter text is
+    * user config, and the contract is Either, not an exception. */
   def filterColumn(input: String, env: FilterEnv): Either[String, Column] =
-    Parser.parse(input, env.fieldNames).map(compile(_, env))
+    Parser.parse(input, env.fieldNames).flatMap { e =>
+      try Right(compile(e, env))
+      catch { case ex: RuntimeException => Left(ex.getMessage) }
+    }
 
   def compile(e: Expr, env: FilterEnv): Column = e match {
     case MatchAll    => lit(true)

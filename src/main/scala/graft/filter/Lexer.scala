@@ -44,7 +44,11 @@ object Lexer {
     val start = i
     while (i < s.length && Character.digit(s(i), radix) >= 0) i += 1
     if (i == start) return None
-    val v = java.lang.Long.parseLong(s.substring(start, i), radix)
+    // a literal wider than Long is a malformed token, not an exception
+    // (the config file is user input; the DSL contract is Left(error))
+    val v =
+      try java.lang.Long.parseLong(s.substring(start, i), radix)
+      catch { case _: NumberFormatException => return None }
     Some((if (neg) -v else v, s.substring(i)))
   }
 

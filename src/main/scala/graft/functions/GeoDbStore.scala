@@ -78,6 +78,18 @@ object GeoDbStore {
               outDir: String): Unit =
     write(spark, GeoLoader.fromFiles(geoCsvPath, asCsvPath), outDir)
 
+  /** CLI form of [[compile]] (the xemkgeodb invocation shape):
+    * `runMain graft.functions.GeoDbStore <geo.csv> <as.csv> <outDir>` */
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: GeoDbStore <geo.csv> <as.csv> <outDir>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try compile(spark, args(0), args(1), args(2))
+    finally spark.stop()
+  }
+
   import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.functions._
 

@@ -411,6 +411,30 @@ class PropertySpec extends SparkTest {
     }
   }
 
+  test("filter DSL compiler returns Left, never throws, on fuzzed " +
+    "expressions (random tokens + mutated valid filters)") {
+    import graft.filter.{Compiler, FilterEnv}
+    val env = FilterEnv.flow(spark)
+    val rnd = new scala.util.Random(23)
+    val tokens = Seq("src", "dst", "host", "net", "port", "proto", "and",
+      "or", "not", "(", ")", "10.0.0.0/8", "2001:db8::/32", "443",
+      "0..100", "div", "#", "\"", "~", "9999999999999999999999", "",
+      "net6", "..", "-1", "0x", "list", "%", "\\", " ")
+    val garbage = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(12)).map(_ => tokens(rnd.nextInt(tokens.size)))
+        .mkString(" "))
+    val valid = Seq("proto 6 and src net 10.0.0.0/8",
+      "port 443 or port 80", "not dst host 192.0.2.1")
+    val mutated = valid.flatMap { f => (1 to 20).map { _ =>
+      val c = f.toCharArray
+      c(rnd.nextInt(c.length)) = (32 + rnd.nextInt(95)).toChar
+      new String(c)
+    }}
+    (garbage ++ mutated).foreach { f =>
+      Compiler.filterColumn(f, env) // Either — both sides acceptable
+    }
+  }
+
   test("multimodal byte parsers never throw on fuzzed input " +
     "(random + mutated real containers)") {
     import graft.operators.Multimodal
