@@ -78,16 +78,36 @@ object GeoDbStore {
               outDir: String): Unit =
     write(spark, GeoLoader.fromFiles(geoCsvPath, asCsvPath), outDir)
 
-  /** CLI form of [[compile]] (the xemkgeodb invocation shape):
-    * `runMain graft.functions.GeoDbStore <geo.csv> <as.csv> <outDir>` */
+  /** One `xegeoq`-style lookup line per family (xegeoq.c:155-188:
+    * "<addr> geo: a, b, ..." / "<addr> as: n, desc"; '?' unknown). */
+  private[graft] def queryLines(db: GeoDb, addr: String): Seq[String] = {
+    val isV6 = addr.contains(":")
+    val x =
+      if (isV6) GeoLoader.ipv6ToBig(addr) else GeoLoader.ipv4ToBig(addr)
+    val geo = (if (isV6) db.geo6 else db.geo4).lookup(x)
+      .map(_.split("\\|", -1).mkString(", ")).getOrElse("?")
+    val as = (if (isV6) db.as6 else db.as4).lookup(x)
+      .map(_.split("\\|", -1).mkString(", ")).getOrElse("?")
+    Seq(s"$addr geo: $geo", s"$addr as: $as")
+  }
+
+  /** CLI: the reference's two geo-DB tools in one main.
+    *  - compile (xemkgeodb shape): `GeoDbStore <geo.csv> <as.csv> <out>`
+    *  - lookup  (xegeoq shape):    `GeoDbStore query <dbDir> <ip>...` */
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: GeoDbStore <geo.csv> <as.csv> <outDir>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.ui.enabled", "false").getOrCreate()
-    try compile(spark, args(0), args(1), args(2))
-    finally spark.stop()
+    try args.toSeq match {
+      case Seq("query", dbDir, addrs @ _*) if addrs.nonEmpty =>
+        val db = read(spark, dbDir)
+        addrs.foreach(a => queryLines(db, a).foreach(println))
+      case Seq(geoCsv, asCsv, outDir) =>
+        compile(spark, geoCsv, asCsv, outDir)
+      case _ => sys.error(
+        "usage: GeoDbStore <geo.csv> <as.csv> <outDir> | " +
+          "GeoDbStore query <dbDir> <ip>...")
+    } finally spark.stop()
   }
 
   import org.apache.spark.sql.{Column, DataFrame}

@@ -59,6 +59,20 @@ class GeoDbStoreSpec extends SparkTest {
     }
   }
 
+  test("xegeoq-style query lines: hit formats pipe fields, miss is '?'") {
+    val db = BuiltinTables.geoDb
+    // a covered address renders every pipe field comma-joined
+    val hitIp = "192.0.2.10" // inside the builtin geo fixture ranges
+    val hit = GeoDbStore.queryLines(db, hitIp)
+    assert(hit.length == 2 && hit.forall(_.startsWith(s"$hitIp ")))
+    assert(hit.exists(l => l.startsWith(s"$hitIp geo: ") &&
+      !l.contains("|") && l.split(", ").length > 2), hit.toString)
+    // an uncovered address prints '?' for both databases
+    val miss = GeoDbStore.queryLines(db, "203.0.113.250")
+    assert(miss == Seq("203.0.113.250 geo: ?", "203.0.113.250 as: ?"),
+      miss.toString)
+  }
+
   test("rangeJoinV4 equals the broadcast LPM path and plans as an " +
     "equi-join, not a nested loop") {
     import org.apache.spark.sql.functions._
