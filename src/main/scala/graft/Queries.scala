@@ -2469,6 +2469,28 @@ object Queries {
         ORDER BY q_id ASC, round(sim, 6) DESC NULLS LAST, vec_id ASC"""
     })
 
+  /** Build (once per JVM) the compiled GeoDb parquet artifact from the
+    * builtin CSV dumps — shared by q77 (broadcast-load path) and q78
+    * (range-join path). */
+  private def geoArtifactDir(s: SparkSession): String = {
+    import graft.flow.BuiltinTables
+    import graft.functions.GeoDbStore
+    val dbDir = tmpWorkDir(
+      s"graft_q77_geodb_${ProcessHandle.current().pid()}")
+    if (!new java.io.File(dbDir, "_SUCCESS").exists()) {
+      val csvDir = java.nio.file.Files.createTempDirectory("geodump")
+      val geoCsv = csvDir.resolve("geo.csv")
+      val asCsv = csvDir.resolve("as.csv")
+      java.nio.file.Files.write(geoCsv,
+        BuiltinTables.geoCsv.getBytes(StandardCharsets.UTF_8))
+      java.nio.file.Files.write(asCsv,
+        BuiltinTables.asCsv.getBytes(StandardCharsets.UTF_8))
+      GeoDbStore.compile(s, geoCsv.toString, asCsv.toString,
+        dbDir.getAbsolutePath)
+    }
+    dbDir.getAbsolutePath
+  }
+
   // The compiled-GeoDb ops loop (reference xemkgeodb → mmap'd DB →
   // lookup): CSV dumps → GeoDbStore.compile (sorted-disjoint-range
   // parquet artifact) → GeoDbStore.read → the EXACT q14 enrichment.
@@ -2476,24 +2498,43 @@ object Queries {
   private val q77 = Q(
     "q77_geodb_artifact",
     (s, dir) => {
-      import graft.flow.BuiltinTables
       import graft.functions.GeoDbStore
-      val dbDir = tmpWorkDir(
-        s"graft_q77_geodb_${ProcessHandle.current().pid()}")
-      if (!new java.io.File(dbDir, "_SUCCESS").exists()) {
-        val csvDir = java.nio.file.Files.createTempDirectory("geodump")
-        val geoCsv = csvDir.resolve("geo.csv")
-        val asCsv = csvDir.resolve("as.csv")
-        java.nio.file.Files.write(geoCsv,
-          BuiltinTables.geoCsv.getBytes(StandardCharsets.UTF_8))
-        java.nio.file.Files.write(asCsv,
-          BuiltinTables.asCsv.getBytes(StandardCharsets.UTF_8))
-        GeoDbStore.compile(s, geoCsv.toString, asCsv.toString,
-          dbDir.getAbsolutePath)
-      }
-      geoipQuery(s, dir, GeoDbStore.read(s, dbDir.getAbsolutePath))
+      geoipQuery(s, dir, GeoDbStore.read(s, geoArtifactDir(s)))
     },
     Some(geoipOracle))
+
+  // The beyond-broadcast enrichment path: the SAME parquet artifact
+  // consumed as a distributed bucketed range join (ranges exploded
+  // into /8 buckets, flows equi-joined on the bucket, range residual —
+  // GeoDbStore.rangeJoinV4) instead of a broadcast LPM. Disjoint
+  // ranges → at most one match → identical semantics to an LPM CASE.
+  private val q78 = Q(
+    "q78_geo_range_join",
+    (s, dir) => {
+      import graft.functions.GeoDbStore
+      val artifact = s.read.parquet(geoArtifactDir(s))
+      val flows = TestFlowView.load(s, dir)
+        .select(col("ip4_dst_addr"), col("in_bytes"),
+          col("sampling_rate"))
+      GeoDbStore.rangeJoinV4(flows, "ip4_dst_addr", artifact,
+          family = "geo4", valueAs = "geo")
+        .select(coalesce(col("geo"), lit("?")).as("geo"),
+          col("in_bytes"), col("sampling_rate"))
+        .groupBy(col("geo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+        .orderBy(col("geo").asc)
+    }, {
+      import graft.flow.BuiltinTables
+      val geo4 = BuiltinTables.geoDb.geo4
+      Some(s"""WITH $F,
+        g AS (SELECT ${OracleSql.lpmCase(geo4, "ip4_dst_addr", -1)}
+                AS geo, in_bytes, sampling_rate
+              FROM flow)
+        SELECT geo, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+        FROM g GROUP BY geo ORDER BY geo ASC""")
+    })
 
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2502,7 +2543,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77)
+    q77, q78)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
