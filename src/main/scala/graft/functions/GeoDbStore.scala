@@ -156,4 +156,38 @@ object GeoDbStore {
         "left")
       .drop("_rj_bucket", "_rj_start", "_rj_end")
   }
+
+  /** v6 form of [[rangeJoinV4]] over a binary(16) address column. The
+    * bucket is the address's top `prefixBits` bits (hex-aligned so it
+    * extracts as a substring of `hex()`; 32 → one bucket per /32
+    * allocation). Residual range tests compare the binary columns
+    * directly — Spark's BinaryType ordering is unsigned lexicographic,
+    * which at fixed 16-byte width IS numeric order. A range wider than
+    * a bucket explodes into every bucket it overlaps, so keep
+    * prefixBits ≤ the narrowest expected allocation. */
+  def rangeJoin6(flows: DataFrame, ipCol: String, artifact: DataFrame,
+                 family: String, valueAs: String,
+                 prefixBits: Int = 32): DataFrame = {
+    require(prefixBits >= 4 && prefixBits <= 60 && prefixBits % 4 == 0,
+      s"prefixBits must be a multiple of 4 in [4,60], got $prefixBits")
+    val h = prefixBits / 4
+    def bucket(c: Column): Column =
+      conv(substring(hex(c), 1, h), 16, 10).cast("long")
+    val ranges = artifact
+      .filter(col("family") === family)
+      .select(col("start").as("_rj_start"), col("end").as("_rj_end"),
+        col("value").as(valueAs))
+      .select(col("_rj_start"), col("_rj_end"), col(valueAs),
+        explode(sequence(bucket(col("_rj_start")),
+          bucket(col("_rj_end")))).as("_rj_bucket"))
+    val f = flows
+      .withColumn("_rj_bucket", bucket(col(ipCol))).alias("_f")
+    val r = ranges.alias("_r")
+    f.join(r,
+        col("_f._rj_bucket") === col("_r._rj_bucket") &&
+          col(s"_f.$ipCol") >= col("_r._rj_start") &&
+          col(s"_f.$ipCol") <= col("_r._rj_end"),
+        "left")
+      .drop("_rj_bucket", "_rj_start", "_rj_end")
+  }
 }

@@ -73,6 +73,32 @@ class GeoDbStoreSpec extends SparkTest {
       miss.toString)
   }
 
+  test("rangeJoin6 equals the broadcast v6 LPM path over NAT64-shaped " +
+    "addresses") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("geodb_rj6").toFile
+    GeoDbStore.write(spark, BuiltinTables.geoDb, out.getAbsolutePath)
+    val artifact = spark.read.parquet(out.getAbsolutePath)
+    // the flow view's v6 shape: v4 test space embedded at 2001:db8:1::/96
+    val flows = spark.range(2048).select(
+      col("id"),
+      expr("unhex(concat('20010DB80001000000000000', " +
+        "lpad(hex((id * 2654435761) % 16777216 + 3221225472), 8, '0')))")
+        .as("ip6"))
+    val viaJoin = GeoDbStore.rangeJoin6(flows, "ip6", artifact,
+        family = "geo6", valueAs = "g")
+      .select(col("id"), coalesce(col("g"), lit("-")).as("g"))
+    val viaLpm = flows.select(col("id"),
+      coalesce(graft.functions.LpmExpr.lookup6(
+        BuiltinTables.geoDb.geo6)(col("ip6")), lit("-")).as("g"))
+    assert(viaJoin.count() == 2048) // disjoint ranges: no row fan-out
+    assert(viaJoin.orderBy("id").collect().map(_.toSeq).toSeq ==
+      viaLpm.orderBy("id").collect().map(_.toSeq).toSeq)
+    val plan = viaJoin.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"v6 range join must be an equi-join on the bucket:\n$plan")
+  }
+
   test("rangeJoinV4 equals the broadcast LPM path and plans as an " +
     "equi-join, not a nested loop") {
     import org.apache.spark.sql.functions._
