@@ -53,12 +53,29 @@ object GeoLoader {
     out.result()
   }
 
-  def ipv4ToBig(s: String): BigInt =
-    BigInt(s.trim.split('.').foldLeft(0L)((a, p) => a * 256 + p.toLong))
+  def ipv4ToBig(s: String): BigInt = {
+    val parts = s.trim.split('.')
+    require(parts.length == 4, s"not an IPv4 address: '$s'")
+    BigInt(parts.foldLeft(0L) { (a, p) =>
+      val v = p.toLongOption.getOrElse(-1L)
+      require(v >= 0 && v <= 255, s"not an IPv4 address: '$s'")
+      a * 256 + v
+    })
+  }
 
   def ipv6ToBig(s: String): BigInt = {
-    val bytes = java.net.InetAddress.getByName(s.trim).getAddress
-    require(bytes.length == 16, s"not an IPv6 address: $s")
+    val t = s.trim
+    // refuse anything that isn't a v6 literal BEFORE InetAddress sees
+    // it: getByName on a non-literal is a DNS lookup, and a dump field
+    // must never trigger one
+    require(t.contains(":") &&
+      t.forall(c => Character.digit(c, 16) >= 0 || c == ':'),
+      s"not an IPv6 address literal: '$s'")
+    val bytes =
+      try java.net.InetAddress.getByName(t).getAddress
+      catch { case _: java.net.UnknownHostException =>
+        throw new IllegalArgumentException(s"not an IPv6 address: '$s'") }
+    require(bytes.length == 16, s"not an IPv6 address: '$s'")
     BigInt(1, bytes)
   }
 
@@ -82,16 +99,25 @@ object GeoLoader {
     out.result()
   }
 
-  private def dataLines(text: String): Iterator[Seq[String]] =
-    text.linesIterator.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(csvFields)
+  /** Non-comment lines as (1-based line number, fields); parse errors
+    * rethrow with the offending line's number and text — the dumps are
+    * user-supplied files fed through a CLI. */
+  private def dataLines(text: String): Iterator[(Int, Seq[String])] =
+    text.linesIterator.zipWithIndex
+      .map { case (l, i) => (i + 1, l.trim) }
+      .filter { case (_, l) => l.nonEmpty && !l.startsWith("#") }
+      .map { case (n, l) => (n, csvFields(l)) }
+
+  private def withLine[A](n: Int)(body: => A): A =
+    try body
+    catch { case e: IllegalArgumentException =>
+      throw new IllegalArgumentException(s"line $n: ${e.getMessage}") }
 
   /** Parse a geo dump (ipapi format) into v4 + v6 prefix sets. */
   def parseGeoPrefixes(text: String): (Seq[Lpm.Prefix], Seq[Lpm.Prefix]) = {
     val v4 = Seq.newBuilder[Lpm.Prefix]
     val v6 = Seq.newBuilder[Lpm.Prefix]
-    dataLines(text).foreach { f =>
+    dataLines(text).foreach { case (n, f) => withLine(n) {
       require(f.length >= 12, s"geo row needs 12 fields, got ${f.length}")
       // field 9 is the timezone — unused, like the reference
       val rec = GeoDb.record(f(3).toLowerCase, f(4).toLowerCase, f(5),
@@ -100,7 +126,7 @@ object GeoLoader {
         v6 ++= rangeToPrefixes(ipv6ToBig(f(1)), ipv6ToBig(f(2)), 128, rec)
       else
         v4 ++= rangeToPrefixes(ipv4ToBig(f(1)), ipv4ToBig(f(2)), 32, rec)
-    }
+    }}
     (v4.result(), v6.result())
   }
 
@@ -108,7 +134,7 @@ object GeoLoader {
   def parseAsPrefixes(text: String): (Seq[Lpm.Prefix], Seq[Lpm.Prefix]) = {
     val v4 = Seq.newBuilder[Lpm.Prefix]
     val v6 = Seq.newBuilder[Lpm.Prefix]
-    dataLines(text).foreach { f =>
+    dataLines(text).foreach { case (n, f) => withLine(n) {
       require(f.length >= 4, s"AS row needs 4 fields, got ${f.length}")
       val asn = f(2).toIntOption.getOrElse(0) // reference atoi
       val rec = s"$asn|${f(3)}"
@@ -116,7 +142,7 @@ object GeoLoader {
         v6 ++= rangeToPrefixes(ipv6ToBig(f(0)), ipv6ToBig(f(1)), 128, rec)
       else
         v4 ++= rangeToPrefixes(ipv4ToBig(f(0)), ipv4ToBig(f(1)), 32, rec)
-    }
+    }}
     (v4.result(), v6.result())
   }
 

@@ -42,6 +42,7 @@ import java.util.concurrent.atomic.AtomicLong
 final class UdpCollector(
     dir: String,
     port: Int = 0,
+    bindHost: String = "127.0.0.1", // production: the exporter-facing if
     rotateBytes: Long = 64L << 20,
     rotateMillis: Long = 10_000L,
     receiveBufferBytes: Int = 4 << 20,
@@ -51,7 +52,7 @@ final class UdpCollector(
   require(spool.isDirectory || spool.mkdirs(), s"cannot create $dir")
 
   private val socket = new DatagramSocket(
-    new InetSocketAddress("127.0.0.1", port))
+    new InetSocketAddress(bindHost, port))
   socket.setReceiveBufferSize(receiveBufferBytes)
   socket.setSoTimeout(50) // wake to check the rotation deadline
 

@@ -100,4 +100,33 @@ class GeoLoaderSpec extends AnyFunSuite {
       assert(loaded.as4.lookup(x) == fromPrefixes.as4.lookup(x), ip)
     }
   }
+
+  test("malformed dump rows fail with the line number, never with a " +
+    "raw NumberFormatException or a DNS lookup") {
+    // bad v4 octet / wrong part count / garbage: clear line-tagged error
+    Seq("4,999.1.1.1,1.2.3.4,EU,DE,g,s,c,z,tz,1,2",
+        "4,1.2.3,1.2.3.4,EU,DE,g,s,c,z,tz,1,2",
+        "4,xx,1.2.3.4,EU,DE,g,s,c,z,tz,1,2").foreach { row =>
+      val e = intercept[IllegalArgumentException] {
+        GeoLoader.parseGeoPrefixes(s"# header\n$row")
+      }
+      assert(e.getMessage.contains("line 2"), s"$row -> ${e.getMessage}")
+    }
+    // a HOSTNAME in a v6 field must be rejected by the literal check
+    // (InetAddress.getByName on a non-literal would attempt DNS)
+    val e6 = intercept[IllegalArgumentException] {
+      GeoLoader.parseGeoPrefixes(
+        "6,evil.example.com,2001:db8::2,EU,DE,g,s,c,z,tz,1,2")
+    }
+    assert(e6.getMessage.contains("line 1") &&
+      e6.getMessage.contains("literal"), e6.getMessage)
+    // AS dump: same contract
+    val ea = intercept[IllegalArgumentException] {
+      GeoLoader.parseAsPrefixes("1.2.3.4,1.2.999.4,64500,X")
+    }
+    assert(ea.getMessage.contains("line 1"), ea.getMessage)
+    // valid v6 literals still parse (compressed + full width)
+    assert(GeoLoader.ipv6ToBig("2001:db8::1") ==
+      GeoLoader.ipv6ToBig("2001:0db8:0000:0000:0000:0000:0000:0001"))
+  }
 }
