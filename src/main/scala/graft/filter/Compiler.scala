@@ -45,14 +45,20 @@ object FilterEnv {
 
 object Compiler {
 
+  /** User-config semantic error (unknown field/list, type mismatch) —
+    * the ONLY exception [[filterColumn]] converts to Left. Anything
+    * else escaping compile is a compiler bug and must stay a crash,
+    * not masquerade as a config problem. */
+  final class FilterError(msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new FilterError(msg)
+
   /** Parse + compile a filter string to a boolean Column. Semantic
-    * errors ([[compile]]'s sys.error: unknown field/list, type
-    * mismatch) surface as Left like parse errors — the filter text is
+    * errors surface as Left like parse errors — the filter text is
     * user config, and the contract is Either, not an exception. */
   def filterColumn(input: String, env: FilterEnv): Either[String, Column] =
     Parser.parse(input, env.fieldNames).flatMap { e =>
       try Right(compile(e, env))
-      catch { case ex: RuntimeException => Left(ex.getMessage) }
+      catch { case ex: FilterError => Left(ex.getMessage) }
     }
 
   def compile(e: Expr, env: FilterEnv): Column = e match {
@@ -63,7 +69,7 @@ object Compiler {
     case FieldRule(dir, name, values) =>
       val (kind, srcC, dstC) = env.fields.getOrElse(name,
         env.measures.get(name).map(c => (RangeL: LKind, c, c))
-          .getOrElse(sys.error(s"Unknown field '$name'")))
+          .getOrElse(fail(s"Unknown field '$name'")))
       val cols: Seq[Column] = dir match {
         case Dir.Src  => Seq(srcC)
         case Dir.Dst  => Seq(dstC)
@@ -95,7 +101,7 @@ object Compiler {
       }
     case (Addr4L, ListName(nm)) =>
       val list = env.ipLists.getOrElse(nm,
-        sys.error(s"Unknown IP list '$nm'"))
+        fail(s"Unknown IP list '$nm'"))
       LpmExpr.contains4(list.v4)(c) // codegen'd, no UDF
     case (Addr6L, Cidr6(addr, maskLen)) =>
       val pfx = Lpm.build(Seq(
@@ -104,7 +110,7 @@ object Compiler {
       LpmExpr.contains6(pfx)(c) // codegen'd two-long search, no UDF
     case (Addr6L, ListName(nm)) =>
       val list = env.ipLists.getOrElse(nm,
-        sys.error(s"Unknown IP list '$nm'"))
+        fail(s"Unknown IP list '$nm'"))
       LpmExpr.contains6(list.v6)(c)
     case (MacL, MacV(bytes)) => c === lit(bytes)
     case (StringL, StrV(s))  => c === lit(s)
@@ -112,7 +118,7 @@ object Compiler {
     // after a string field as a literal string
     case (StringL, IntRange(lo, hi)) if lo == hi => c === lit(lo.toString)
     case (k, other) =>
-      sys.error(s"Type mismatch: field kind $k vs value $other")
+      fail(s"Type mismatch: field kind $k vs value $other")
   }
 
   /** String-returning functions compare textually (reference keeps these
@@ -128,12 +134,12 @@ object Compiler {
     v match {
       case IntRange(lo, hi) if returnsString(fn) =>
         if (lo == hi) c === lit(lo.toString)
-        else sys.error(s"Range compare on string function $fn")
+        else fail(s"Range compare on string function $fn")
       case IntRange(lo, hi) =>
         if (lo == hi) c === lit(lo) else c.between(lit(lo), lit(hi))
       case StrV(s)    => c === lit(s)
       case ListName(s)=> c === lit(s) // bare word after string fn = literal
-      case other      => sys.error(s"Unsupported function comparison: $other")
+      case other      => fail(s"Unsupported function comparison: $other")
     }
 
   private def net6start(addr: Array[Byte], maskLen: Int): BigInt = {
@@ -150,13 +156,13 @@ object Compiler {
       case Some(c) => c
       case None =>
         val (_, srcC, dstC) = env.fields.getOrElse(ref.name,
-          sys.error(s"Unknown function arg field '${ref.name}'"))
+          fail(s"Unknown function arg field '${ref.name}'"))
         ref.dir match {
           case Dir.Src => srcC
           case Dir.Dst => dstC
           case Dir.Both =>
             if (srcC == dstC) srcC
-            else sys.error(
+            else fail(
               s"Function arg '${ref.name}' requires src/dst direction")
         }
     }

@@ -67,16 +67,24 @@ object GeoLoader {
     val t = s.trim
     // refuse anything that isn't a v6 literal BEFORE InetAddress sees
     // it: getByName on a non-literal is a DNS lookup, and a dump field
-    // must never trigger one
+    // must never trigger one. A ':' is the discriminator (hostnames
+    // cannot contain one); '.' stays allowed for the RFC 4291 embedded
+    // dotted-quad forms (::ffff:10.0.0.1, 64:ff9b::192.0.2.1).
     require(t.contains(":") &&
-      t.forall(c => Character.digit(c, 16) >= 0 || c == ':'),
+      t.forall(c => Character.digit(c, 16) >= 0 || c == ':' || c == '.'),
       s"not an IPv6 address literal: '$s'")
     val bytes =
       try java.net.InetAddress.getByName(t).getAddress
       catch { case _: java.net.UnknownHostException =>
         throw new IllegalArgumentException(s"not an IPv6 address: '$s'") }
-    require(bytes.length == 16, s"not an IPv6 address: '$s'")
-    BigInt(1, bytes)
+    bytes.length match {
+      case 16 => BigInt(1, bytes)
+      // Java collapses ::ffff:a.b.c.d to an Inet4Address — rebuild the
+      // 128-bit v4-mapped value (RFC 4291 §2.5.5.2)
+      case 4 => (BigInt(0xffff) << 32) + BigInt(1, bytes)
+      case _ =>
+        throw new IllegalArgumentException(s"not an IPv6 address: '$s'")
+    }
   }
 
   /** Split an inclusive address range into maximal aligned CIDR

@@ -336,12 +336,33 @@ object Similarity {
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("__cid").as("cid"), col("__qv"),
         col("__qn"))
+      // materialize ONCE (bounded: |batch| × nprobe rows). The probe
+      // plan is consumed three times — the cids collect, the broadcast
+      // join side, and the pruning subquery — and re-executing it
+      // would re-read centroids 3× AND silently drop candidates if the
+      // caller's queries frame is nondeterministic (sample/limit): a
+      // cid probed in one execution but absent from another's literal
+      // filter loses its whole list partition.
+      .localCheckpoint()
     val cids = probes.select(col("cid")).distinct()
       .collect().map(_.get(0)).toSeq
-    require(cids.nonEmpty, "empty query set or centroid table")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("id").asc)
-    spark.read.parquet(s"$dir/lists")
+    val lists = spark.read.parquet(s"$dir/lists")
+    // empty batch (or empty centroid table) → empty result, the
+    // natural N=0 of a batch API — not an error like the single-query
+    // path's one-row contract
+    if (cids.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            q.schema("q_id").dataType),
+          org.apache.spark.sql.types.StructField("id",
+            lists.schema("id").dataType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType))))
+    lists
       .filter(col("cid").isin(cids: _*))
       .join(broadcast(probes), "cid")
       .select(col("q_id"), col("id"),

@@ -63,9 +63,24 @@ final class UdpCollector(
   val packetsReceived = new AtomicLong(0)
 
   // resume numbering above any segment already in the spool so names
-  // stay monotone across collector restarts
+  // stay monotone across collector restarts — INCLUDING a staging
+  // orphan a crashed collector left behind: its packets are durably on
+  // disk, so rename it in (the reader handles a truncated tail) rather
+  // than truncating it by reopening the same staging name. Empty
+  // orphans (header only) are deleted.
   private val SegName = raw"seg-(\d{12})\.gpkd".r
+  private val StagingName = raw"\.seg-(\d{12})\.gpkd".r
   private var seq: Long = {
+    Option(spool.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case StagingName(n) =>
+          if (f.length() <= 8) { f.delete(); () }
+          else if (!f.renameTo(new File(spool, s"seg-$n.gpkd")))
+            throw new java.io.IOException(
+              s"cannot recover orphaned staging segment $f")
+        case _ => ()
+      }
+    }
     val existing = Option(spool.list()).getOrElse(Array.empty).collect {
       case SegName(n) => n.toLong
     }
@@ -105,6 +120,7 @@ final class UdpCollector(
   }
 
   @volatile private var running = true
+  @volatile private var writerError: Throwable = null
   private val thread = new Thread(() => {
     val buf = new Array[Byte](maxPacketBytes)
     val pkt = new DatagramPacket(buf, buf.length)
@@ -117,6 +133,11 @@ final class UdpCollector(
           case _: java.net.SocketException if !running => false
         }
       if (got) {
+        // the segment age clock starts at the FIRST packet, not at
+        // open: an idle period must not count against the new segment
+        // (otherwise sparse traffic rotates a 1-packet file per
+        // datagram — one tiny scan partition each)
+        if (stagedPackets == 0) segStartMs = System.currentTimeMillis()
         val ts = System.currentTimeMillis() / 1000L
         val src = pkt.getAddress match {
           case v4: Inet4Address =>
@@ -136,23 +157,37 @@ final class UdpCollector(
           (stagedPackets > 0 &&
             System.currentTimeMillis() - segStartMs >= rotateMillis))
         rotate()
+    } catch { case e: Throwable => writerError = e
     } finally {
       // final flush — also on an unexpected loop death, so packets
       // already spooled to staging are never stranded
-      out.close()
-      if (stagedPackets == 0) staging.delete()
-      else if (!staging.renameTo(new File(spool, f"seg-$seq%012d.gpkd")))
-        throw new java.io.IOException(s"final rename of $staging failed")
+      try {
+        out.close()
+        if (stagedPackets == 0) { staging.delete(); () }
+        else if (!staging.renameTo(new File(spool, f"seg-$seq%012d.gpkd")))
+          throw new java.io.IOException(s"final rename of $staging failed")
+      } catch { case e: Throwable =>
+        if (writerError == null) writerError = e }
     }
   }, s"udp-collector-$dir")
   thread.setDaemon(true)
   thread.start()
 
   /** Stop receiving, flush the open segment, release the port.
-    * Blocks until the spool is complete (safe to read afterwards). */
+    * Blocks until the spool is complete (safe to read afterwards);
+    * throws if the writer died or its final flush failed — a silent
+    * return MUST mean every received packet is durably in the spool. */
   override def close(): Unit = {
     running = false
     socket.close() // unblocks a receive parked inside the timeout
     thread.join(10_000)
+    if (thread.isAlive)
+      throw new java.io.IOException(
+        "udp collector writer did not finish within 10 s; " +
+          "the last segment may be incomplete")
+    if (writerError != null)
+      throw new java.io.IOException(
+        "udp collector writer failed; spool may be incomplete",
+        writerError)
   }
 }

@@ -607,6 +607,11 @@ class ExtensionOpsSpec extends SparkTest {
         .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
     }.sortBy(t => (t._1, -t._3, t._2))
     assert(got.toSeq == want, s"batch=$got loop=$want")
+    // N=0 batch is the natural empty result, not an error
+    val none = Similarity.searchIvfIndexBatch(spark, dir.getAbsolutePath,
+      emb.filter(lit(false)), "vec_id", "embedding", nprobe = 2, k = 10)
+    assert(none.columns.toSeq == Seq("q_id", "id", "sim") &&
+      none.count() == 0)
   }
 
   test("mp4 co64 + stts: 64-bit chunk offsets feed the index sampler, " +

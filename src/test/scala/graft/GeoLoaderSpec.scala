@@ -125,8 +125,11 @@ class GeoLoaderSpec extends AnyFunSuite {
       GeoLoader.parseAsPrefixes("1.2.3.4,1.2.999.4,64500,X")
     }
     assert(ea.getMessage.contains("line 1"), ea.getMessage)
-    // valid v6 literals still parse (compressed + full width)
+    // valid v6 literals still parse (compressed + full width + the
+    // RFC 4291 embedded dotted-quad forms)
     assert(GeoLoader.ipv6ToBig("2001:db8::1") ==
       GeoLoader.ipv6ToBig("2001:0db8:0000:0000:0000:0000:0000:0001"))
+    assert(GeoLoader.ipv6ToBig("::ffff:10.0.0.1") ==
+      (BigInt(0xffff) << 32) + GeoLoader.ipv4ToBig("10.0.0.1"))
   }
 }

@@ -92,6 +92,50 @@ class UdpCollectorSpec extends SparkTest {
     } finally q.stop()
   }
 
+  test("segment age starts at the first packet: sparse traffic does " +
+    "not rotate one-packet files") {
+    val dir = Files.createTempDirectory("udpspool4").toFile
+    dir.deleteOnExit()
+    val c = new UdpCollector(dir.getAbsolutePath, rotateMillis = 400)
+    try {
+      Thread.sleep(900) // idle longer than the rotation period
+      sendAll(c.localPort, Queries.v9Packets(3))
+      eventually()(c.packetsReceived.get() == 3)
+    } finally c.close()
+    // pre-fix: the first packet found the idle segment already 'old'
+    // and rotated alone — >= 2 files; now all 3 share one segment
+    val files = dir.listFiles().filter(!_.getName.startsWith("."))
+    assert(files.length == 1, files.toSeq.toString)
+    assert(spark.read.format("pktdump")
+      .load(dir.getAbsolutePath).count() == 3)
+  }
+
+  test("an orphaned staging segment from a crashed collector is " +
+    "recovered, not truncated") {
+    val dir = Files.createTempDirectory("udpspool5").toFile
+    dir.deleteOnExit()
+    val pkts = Queries.v9Packets(8).zipWithIndex
+      .map { case (p, i) => (p, 1700000000L + i, 1L) }
+    graft.sources.PktDump.write(s"$dir/seg-000000000000.gpkd",
+      pkts.take(4))
+    // a crashed collector's staging file with durable packets
+    graft.sources.PktDump.write(s"$dir/.seg-000000000001.gpkd",
+      pkts.drop(4))
+    val c = new UdpCollector(dir.getAbsolutePath,
+      rotateMillis = 60_000)
+    try {
+      sendAll(c.localPort, Queries.v9Packets(1))
+      eventually()(c.packetsReceived.get() == 1)
+    } finally c.close()
+    val names = dir.listFiles().map(_.getName)
+      .filter(!_.startsWith(".")).sorted.toSeq
+    // orphan renamed in, new collector numbered ABOVE it
+    assert(names == Seq("seg-000000000000.gpkd",
+      "seg-000000000001.gpkd", "seg-000000000002.gpkd"), names.toString)
+    assert(spark.read.format("pktdump")
+      .load(dir.getAbsolutePath).count() == 9)
+  }
+
   test("empty segments are never renamed in; close flushes the tail") {
     val dir = Files.createTempDirectory("udpspool3").toFile
     dir.deleteOnExit()
