@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming MinHash near-dup candidates: continuous-ingestion dedup
+  * over the same sketch family as the batch path. */
+class StreamingNearDupSpec extends SparkTest {
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs away"),
+    (2L, "the quick brown fox jumps over the lazy dog and walks away"),
+    (3L, "completely unrelated text about distributed query engines"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs home"),
+    (5L, "another unrelated paragraph mentioning parquet and shuffles"))
+
+  private def runStream(batches: Seq[Seq[(Long, String)]],
+                        minEst: Double,
+                        bands: Int): Seq[StreamingNearDup.Cand] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, String)]
+    val cands = StreamingNearDup.candidates(
+      mem.toDF().toDF("id", "ts", "text"), "id", "ts", "text",
+      shingleK = 2, numHashes = 16, bands = bands, minEst = minEst)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamingNearDup.Cand]()
+    val q = cands.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("neardup").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingNearDup.Cand],
+         _: Long) => b.collect().foreach(got.add); ()
+      }
+      .start()
+    try {
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        mem.addData(batch.map { case (id, t) => (id, i * 1000L + id, t) })
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    got.toArray(Array.empty[StreamingNearDup.Cand]).toSeq
+  }
+
+  test("pairs emit across micro-batches; a is always the earlier doc; " +
+    "unrelated docs never pair") {
+    // bands=8 (rows of 2): all three similar-pair buckets collide for
+    // these fixed texts; deterministic ests 0.625 / 0.9375 / 0.5625
+    val out = runStream(
+      Seq(Seq(docs(0), docs(1), docs(2)), Seq(docs(3), docs(4))),
+      minEst = 0.5, bands = 8)
+    val pairs = out.map(c => (c.a, c.b)).distinct.sorted
+    assert(pairs == Seq((1L, 2L), (1L, 4L), (2L, 4L)), s"got $out")
+    // batch-1 pair found within the batch; batch-2 arrivals matched
+    // against RESTORED state from batch 1
+    assert(out.forall(c => c.est >= 0.5 && c.a < c.b), out.toString)
+    assert(!out.exists(c => c.a == 3L || c.b == 3L || c.a == 5L ||
+      c.b == 5L), s"unrelated docs paired: $out")
+  }
+
+  test("minEst = 0 replayed corpus equals the batch candidate set " +
+    "(same sketch family, same banding)") {
+    import spark.implicits._
+    val out = runStream(Seq(docs.take(3), docs.drop(3)), minEst = 0.0,
+      bands = 4)
+    val streamed = out.map(c => (c.a, c.b)).distinct.sorted
+    val batch = Dedup.minhashCandidates(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        shingleK = 2, numHashes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(streamed == batch,
+      s"stream=$streamed batch=$batch (must be identical)")
+  }
+}
