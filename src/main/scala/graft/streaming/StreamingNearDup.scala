@@ -30,7 +30,8 @@ import org.apache.spark.sql.streaming._
   * band. A hot bucket (boilerplate shingles) grows with the corpus:
   * `maxPerBucket` caps it — past the cap, arrivals still COMPARE
   * against the stored prefix but are not added (recall on pairs wholly
-  * past the cap is lost; the warning is logged once per bucket).
+  * past the cap is lost; the warning is logged once per bucket per
+  * micro-batch).
   * `ttl` bounds state age for infinite feeds (re-crawls past the TTL
   * re-admit, the [[Dedup.streamingExact]] trade).
   */
@@ -70,21 +71,28 @@ object StreamingNearDup {
       var warned = false
       // (ts, id) order makes within-batch pairs deterministic
       rows.toSeq.sortBy(r => (r.tsNs, r.id)).foreach { r =>
-        stored.foreach { e =>
-          if (e.id != r.id) {
+        // first arrival wins, like streamingExact's
+        // dropDuplicatesWithinWatermark: a re-delivered or re-crawled id
+        // that is already stored is a complete no-op — comparing it
+        // again would re-emit its pairs REVERSED ((b, a) with a the
+        // later arrival), so at-least-once upstreams neither bloat
+        // bucket state nor duplicate output
+        if (stored.exists(_.id == r.id)) ()
+        else {
+          stored.foreach { e =>
             val est = estimate(e.sig, r.sig)
             if (est >= minEst) out += Cand(e.id, r.id, est)
           }
-        }
-        if (stored.size < maxPerBucket) {
-          val e = BucketEntry(r.id, r.sig)
-          entries.appendValue(e)
-          stored += e
-        } else if (!warned) {
-          warned = true
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"near-dup bucket $key at maxPerBucket=$maxPerBucket: " +
-              "new docs compare but are not retained")
+          if (stored.size < maxPerBucket) {
+            val e = BucketEntry(r.id, r.sig)
+            entries.appendValue(e)
+            stored += e
+          } else if (!warned) {
+            warned = true
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"near-dup bucket $key at maxPerBucket=$maxPerBucket: " +
+                "new docs compare but are not retained")
+          }
         }
       }
       out.result().iterator

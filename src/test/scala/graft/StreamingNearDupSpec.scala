@@ -67,6 +67,21 @@ class StreamingNearDupSpec extends SparkTest {
       c.b == 5L), s"unrelated docs paired: $out")
   }
 
+  test("a re-delivered id is compared but not re-stored: emitted pair " +
+    "multiset identical to the exactly-once run") {
+    val once = runStream(
+      Seq(Seq(docs(0), docs(1)), Seq(docs(3))), minEst = 0.5, bands = 8)
+    val redelivered = runStream(
+      Seq(Seq(docs(0), docs(1)), Seq(docs(0)), Seq(docs(3))),
+      minEst = 0.5, bands = 8)
+    // no self-pairs from the redelivery, and doc 4's arrivals pair with
+    // doc 1 exactly as often as when doc 1 was stored once
+    assert(!redelivered.exists(c => c.a == c.b), redelivered.toString)
+    assert(redelivered.map(c => (c.a, c.b)).sorted ==
+      once.map(c => (c.a, c.b)).sorted,
+      s"redelivered=$redelivered once=$once")
+  }
+
   test("minEst = 0 replayed corpus equals the batch candidate set " +
     "(same sketch family, same banding)") {
     import spark.implicits._
