@@ -2536,6 +2536,42 @@ object Queries {
         FROM g GROUP BY geo ORDER BY geo ASC""")
     })
 
+  // The incremental-ingest variant of q73: HALF the corpus is indexed
+  // by buildIvfIndex, the other half arrives later through
+  // appendToIvfIndex (assignment via the index's persisted quantizer).
+  // Same oracle as q58/q73 — an appended index is defined bit-identical
+  // to one built from the union at once.
+  private val q79 = Q(
+    "q79_ivf_append",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val idxDir = tmpWorkDir(
+        s"graft_q79_ivfa_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      // the done marker is ours, not parquet's: append rewrites
+      // lists/_SUCCESS, so that file can't distinguish "built" from
+      // "built + appended"
+      if (!new java.io.File(idxDir, "graft_append_done").exists()) {
+        val cents = Similarity.kmeansCentroids(emb, "vec_id",
+          "embedding", k = 4, iters = 2)
+        val corpus = emb.filter(col("vec_id") =!= 1)
+        Similarity.buildIvfIndex(
+          corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", cents, "cid", "cv",
+          idxDir.getAbsolutePath)
+        Similarity.appendToIvfIndex(s, idxDir.getAbsolutePath,
+          corpus.filter(pmod(col("vec_id"), lit(2)) =!= 0),
+          "vec_id", "embedding")
+        new java.io.File(idxDir, "graft_append_done").createNewFile()
+      }
+      Similarity.searchIvfIndex(s, idxDir.getAbsolutePath,
+          emb.filter(col("vec_id") === 1), "embedding",
+          nprobe = 2, k = 20)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+    Some(kmeansIvfOracle))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2543,7 +2579,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78)
+    q77, q78, q79)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -262,6 +262,34 @@ object Similarity {
       .parquet(s"$dir/lists")
   }
 
+  /** Incrementally extend a persisted IVF index with newly-ingested
+    * vectors — the continuous-ingestion half of the index lifecycle
+    * (at 100 TB the corpus never stops growing; re-running
+    * [[buildIvfIndex]]'s corpus-wide assignment per ingest batch
+    * would be quadratic over the index's life). Assignment reads the
+    * index's OWN persisted quantizer (`dir/centroids`), so new rows
+    * are placed by exactly the formula the build used, and land as
+    * appended parquet files under the same `cid=` partitions: a
+    * search after any number of appends is bit-identical to one over
+    * an index built from the union at once (q79 oracle; spec'd).
+    * The quantizer is NOT retrained — the standard IVF trade: cheap
+    * ingest, recall drifts if the data distribution moves, rebuild
+    * when it does. Caller contract: ids must be new to the index (a
+    * re-appended id simply appears twice in search results, like any
+    * duplicate row — route through [[Dedup.exact]] upstream if the
+    * feed can re-deliver); each call adds one file per touched
+    * partition, so compact lists periodically under high-frequency
+    * small appends. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, df: DataFrame, idCol: String,
+                       vecCol: String): Unit =
+    assignToCentroids(df, idCol, vecCol,
+        prepCent(spark.read.parquet(s"$dir/centroids"), "cid", "cv"))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("__n").as("norm"), col("__cid").as("cid"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$dir/lists")
+
   /** Search a persisted IVF index (single query vector, like
     * [[ivfTopK]]). Probe selection collects ≤ nprobe rows — bounded by
     * construction — so the list filter is LITERAL and parquet partition

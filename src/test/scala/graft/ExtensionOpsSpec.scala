@@ -579,6 +579,38 @@ class ExtensionOpsSpec extends SparkTest {
     assert(a.toSeq == b.toSeq, s"index=$a live=$b")
   }
 
+  test("appendToIvfIndex: build half + append half searches identically " +
+    "to an index built from the union at once") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val query = emb.filter(col("vec_id") === 1)
+    val data = emb.filter(col("vec_id") =!= 1)
+    val full = java.nio.file.Files.createTempDirectory("ivffull").toFile
+    val inc = java.nio.file.Files.createTempDirectory("ivfinc").toFile
+    full.deleteOnExit(); inc.deleteOnExit()
+    Similarity.buildIvfIndex(data, "vec_id", "embedding", cents,
+      "cid", "cv", full.getAbsolutePath)
+    Similarity.buildIvfIndex(
+      data.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", cents, "cid", "cv", inc.getAbsolutePath)
+    Similarity.appendToIvfIndex(spark, inc.getAbsolutePath,
+      data.filter(pmod(col("vec_id"), lit(2)) =!= 0),
+      "vec_id", "embedding")
+    val viaInc = Similarity.searchIvfIndex(spark, inc.getAbsolutePath,
+      query, "embedding", nprobe = 2, k = 10)
+    // append must not break the probe-literal partition pruning
+    val plan = viaInc.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"no partition pruning after append:\n$plan")
+    val a = viaInc.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Similarity.searchIvfIndex(spark, full.getAbsolutePath,
+        query, "embedding", nprobe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq, s"appended=${a.toSeq} full=${b.toSeq}")
+  }
+
   test("batched persisted-IVF search: equals a per-query loop of the " +
     "single-query path, probe union still prunes partitions") {
     import graft.operators.Similarity
