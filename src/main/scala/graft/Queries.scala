@@ -2536,6 +2536,40 @@ object Queries {
         FROM g GROUP BY geo ORDER BY geo ASC""")
     })
 
+  // q78's v6 sibling: the SAME artifact consumed through rangeJoin6 —
+  // hex-aligned top-bits buckets over the binary(16) address, range
+  // residual on Spark's unsigned-lexicographic binary ordering (at
+  // fixed 16-byte width that IS numeric order). Oracle rebases the
+  // NAT64-embedded v4 like q38/q39.
+  private val q80 = Q(
+    "q80_geo6_range_join",
+    (s, dir) => {
+      import graft.functions.GeoDbStore
+      val artifact = s.read.parquet(geoArtifactDir(s))
+      val flows = TestFlowView.load(s, dir)
+        .select(col("ip6_dst_addr"), col("in_bytes"),
+          col("sampling_rate"))
+      GeoDbStore.rangeJoin6(flows, "ip6_dst_addr", artifact,
+          family = "geo6", valueAs = "geo")
+        .select(coalesce(col("geo"), lit("?")).as("geo"),
+          col("in_bytes"), col("sampling_rate"))
+        .groupBy(col("geo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+        .orderBy(col("geo").asc)
+    }, {
+      import graft.flow.BuiltinTables
+      val geo6 = BuiltinTables.geoDb.geo6
+      Some(s"""WITH $F,
+        g AS (SELECT
+            ${OracleSql.lpmCase6(geo6, "ip4_dst_addr", -1, v6DstBase)}
+              AS geo, in_bytes, sampling_rate
+          FROM flow)
+        SELECT geo, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+        FROM g GROUP BY geo ORDER BY geo ASC""")
+    })
+
   // The incremental-ingest variant of q73: HALF the corpus is indexed
   // by buildIvfIndex, the other half arrives later through
   // appendToIvfIndex (assignment via the index's persisted quantizer).
@@ -2579,7 +2613,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79)
+    q77, q78, q79, q80)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
