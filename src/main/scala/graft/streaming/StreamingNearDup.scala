@@ -33,7 +33,12 @@ import org.apache.spark.sql.streaming._
   * past the cap is lost; the warning is logged once per bucket per
   * micro-batch).
   * `ttl` bounds state age for infinite feeds (re-crawls past the TTL
-  * re-admit, the [[Dedup.streamingExact]] trade).
+  * re-admit, the [[Dedup.streamingExact]] trade). Operational note:
+  * a TTL switches the query to `TimeMode.ProcessingTime`, under which
+  * the engine schedules housekeeping micro-batches even with no data
+  * (the TTL clock must advance) — set a real trigger interval, and
+  * don't wait on `processAllAvailable`/`AvailableNow` quiescence (it
+  * never settles; the spec waits on reported `numInputRows` instead).
   */
 object StreamingNearDup {
 

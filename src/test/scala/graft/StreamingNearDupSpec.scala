@@ -18,7 +18,10 @@ class StreamingNearDupSpec extends SparkTest {
 
   private def runStream(batches: Seq[Seq[(Long, String)]],
                         minEst: Double,
-                        bands: Int): Seq[StreamingNearDup.Cand] = {
+                        bands: Int,
+                        ttl: Option[java.time.Duration] = None,
+                        interBatchSleepMs: Long = 0L)
+      : Seq[StreamingNearDup.Cand] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -27,27 +30,57 @@ class StreamingNearDupSpec extends SparkTest {
     val mem = MemoryStream[(Long, Long, String)]
     val cands = StreamingNearDup.candidates(
       mem.toDF().toDF("id", "ts", "text"), "id", "ts", "text",
-      shingleK = 2, numHashes = 16, bands = bands, minEst = minEst)
+      shingleK = 2, numHashes = 16, bands = bands, minEst = minEst,
+      ttl = ttl)
     val got = new java.util.concurrent.ConcurrentLinkedQueue[
       StreamingNearDup.Cand]()
-    val q = cands.writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("neardup").toString)
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[StreamingNearDup.Cand],
-         _: Long) => b.collect().foreach(got.add); ()
-      }
-      .start()
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup").toString
+    def mkQuery(trigger: org.apache.spark.sql.streaming.Trigger) =
+      cands.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamingNearDup.Cand],
+           _: Long) => b.collect().foreach(got.add); ()
+        }
+        .start()
     try {
-      batches.zipWithIndex.foreach { case (batch, i) =>
-        mem.addData(batch.map { case (id, t) => (id, i * 1000L + id, t) })
-        q.processAllAvailable()
+      if (ttl.isEmpty) {
+        val q = mkQuery(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(0))
+        try {
+          batches.zipWithIndex.foreach { case (batch, i) =>
+            mem.addData(
+              batch.map { case (id, t) => (id, i * 1000L + id, t) })
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } else {
+        // TimeMode.ProcessingTime schedules housekeeping micro-batches
+        // forever (TTL needs the clock to advance), so neither
+        // processAllAvailable nor AvailableNow ever settles — instead
+        // wait until the engine REPORTS having consumed our input rows
+        // (numInputRows over recentProgress), then move on
+        val q = mkQuery(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(100))
+        try {
+          var total = 0L
+          batches.zipWithIndex.foreach { case (batch, i) =>
+            if (i > 0 && interBatchSleepMs > 0)
+              Thread.sleep(interBatchSleepMs)
+            mem.addData(
+              batch.map { case (id, t) => (id, i * 1000L + id, t) })
+            total += batch.size
+            val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+            while (q.recentProgress.map(_.numInputRows).sum < total &&
+                System.nanoTime < deadline) Thread.sleep(50)
+            assert(q.recentProgress.map(_.numInputRows).sum >= total,
+              s"timed out waiting for batch $i to be consumed")
+          }
+        } finally q.stop()
       }
-    } finally {
-      q.stop()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     got.toArray(Array.empty[StreamingNearDup.Cand]).toSeq
   }
 
@@ -80,6 +113,24 @@ class StreamingNearDupSpec extends SparkTest {
     assert(redelivered.map(c => (c.a, c.b)).sorted ==
       once.map(c => (c.a, c.b)).sorted,
       s"redelivered=$redelivered once=$once")
+  }
+
+  test("state TTL: a generous TTL keeps cross-batch pairing; an expired " +
+    "TTL forgets batch-1 docs (the bounded-state infinite-feed trade)") {
+    // TTL >> test runtime: identical behavior to no-TTL
+    val kept = runStream(
+      Seq(Seq(docs(0)), Seq(docs(3))), minEst = 0.5, bands = 8,
+      ttl = Some(java.time.Duration.ofHours(1)))
+    assert(kept.map(c => (c.a, c.b)).distinct == Seq((1L, 4L)),
+      s"long TTL must pair across batches: $kept")
+    // TTL of 1 ms + a 1.5 s gap: batch-1 state is expired before doc 4
+    // arrives, so the (1, 4) pair is never formed
+    val expired = runStream(
+      Seq(Seq(docs(0)), Seq(docs(3))), minEst = 0.5, bands = 8,
+      ttl = Some(java.time.Duration.ofMillis(1)),
+      interBatchSleepMs = 1500)
+    assert(expired.isEmpty,
+      s"expired TTL must forget batch-1 docs: $expired")
   }
 
   test("minEst = 0 replayed corpus equals the batch candidate set " +
