@@ -290,6 +290,31 @@ object Similarity {
       .write.mode("append").partitionBy("cid")
       .parquet(s"$dir/lists")
 
+  /** Compact a persisted IVF index's inverted lists: each
+    * [[appendToIvfIndex]] call leaves one more parquet file per
+    * touched `cid=` partition, and search latency follows file count
+    * (open + footer per file), so a high-frequency append cadence
+    * needs periodic compaction. Rewrites every list clustered on cid
+    * — one task owns all of a cid's rows, so each partition comes out
+    * as ONE file — into a sibling directory, then atomically swaps it
+    * in. Row content is untouched: searches return bit-identical
+    * results before and after (spec'd). Run it offline or tolerate a
+    * transient read failure at the swap instant (the rename window);
+    * searches hold no open handles between queries. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lists = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/lists_compacting")
+    val fs = lists.getFileSystem(conf)
+    spark.read.parquet(lists.toString)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(tmp.toString)
+    if (!fs.delete(lists, true) || !fs.rename(tmp, lists))
+      sys.error(s"compaction swap failed for $lists")
+  }
+
   /** Search a persisted IVF index (single query vector, like
     * [[ivfTopK]]). Probe selection collects ≤ nprobe rows — bounded by
     * construction — so the list filter is LITERAL and parquet partition

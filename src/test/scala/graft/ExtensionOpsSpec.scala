@@ -609,6 +609,25 @@ class ExtensionOpsSpec extends SparkTest {
         query, "embedding", nprobe = 2, k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(a.toSeq == b.toSeq, s"appended=${a.toSeq} full=${b.toSeq}")
+
+    // compaction: the appended index has >1 file in some partition;
+    // after compactIvfIndex every partition is one file and search is
+    // bit-identical
+    def filesPerPart(base: java.io.File) =
+      new java.io.File(base, "lists").listFiles()
+        .filter(_.getName.startsWith("cid=")).map(d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(filesPerPart(inc).values.exists(_ > 1),
+      s"append should leave multiple files: ${filesPerPart(inc)}")
+    Similarity.compactIvfIndex(spark, inc.getAbsolutePath)
+    val after = filesPerPart(inc)
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction must leave one file per list: $after")
+    val c = Similarity.searchIvfIndex(spark, inc.getAbsolutePath,
+        query, "embedding", nprobe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(c.toSeq == a.toSeq, s"compacted=${c.toSeq} appended=${a.toSeq}")
   }
 
   test("batched persisted-IVF search: equals a per-query loop of the " +
