@@ -127,10 +127,28 @@ object Dedup {
   }
 
   /** MinHash signature array (convenience form — re-hashes the shingle
-    * array per j; use [[lshBuckets]]'s explode-once shape at scale). */
+    * array per j; use [[lshBuckets]]'s explode-once shape, or
+    * [[shingleHashes]] + [[minhashFromHashes]] across a projection
+    * boundary, at scale). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map(j =>
       array_min(transform(shingleCol, s => hashJ(baseHash(s), j)))): _*)
+
+  /** Base hashes of a shingle array — ONE md5 per shingle. Materialize
+    * this as its own column (a real projection), then feed
+    * [[minhashFromHashes]]: CollapseProject keeps a non-cheap
+    * expression referenced more than once from being inlined, so the
+    * md5 pass runs once instead of once per hash function (the
+    * [[minhashSignature]] trap). */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => baseHash(s))
+
+  /** Signature from pre-computed [[shingleHashes]] — per-element it is
+    * hashJ∘baseHash exactly like [[minhashSignature]], so the two forms
+    * are bit-identical (differentially spec'd via the streaming path). */
+  def minhashFromHashes(hashesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(hashesCol, h => hashJ(h, j)))): _*)
 
   /** LSH bands: split the signature into `bands` concatenated buckets →
     * (band_idx, bucket_hash) rows per doc.

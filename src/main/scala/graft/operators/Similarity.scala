@@ -296,23 +296,35 @@ object Similarity {
     * (open + footer per file), so a high-frequency append cadence
     * needs periodic compaction. Rewrites every list clustered on cid
     * — one task owns all of a cid's rows, so each partition comes out
-    * as ONE file — into a sibling directory, then atomically swaps it
-    * in. Row content is untouched: searches return bit-identical
-    * results before and after (spec'd). Run it offline or tolerate a
-    * transient read failure at the swap instant (the rename window);
-    * searches hold no open handles between queries. */
+    * as ONE file — into a sibling directory, then swaps it in via two
+    * renames (`lists`→`lists_old`, `lists_compacting`→`lists`, then
+    * delete `lists_old`): at no point is there ZERO copies on disk, so
+    * a crash mid-swap is recoverable by renaming whichever copy
+    * survives back to `lists` (never delete-then-rename, whose crash
+    * window destroys the index). Row content is untouched: searches
+    * return bit-identical results before and after (spec'd). Run it
+    * OFFLINE — a concurrent [[appendToIvfIndex]] landing between the
+    * compaction's read and the swap is silently lost with the old
+    * directory; searches racing the swap instant can transiently fail
+    * and should retry. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val lists = new org.apache.hadoop.fs.Path(s"$dir/lists")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/lists_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/lists_old")
     val fs = lists.getFileSystem(conf)
+    if (fs.exists(old)) fs.delete(old, true) // prior-crash leftover
     spark.read.parquet(lists.toString)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(tmp.toString)
-    if (!fs.delete(lists, true) || !fs.rename(tmp, lists))
-      sys.error(s"compaction swap failed for $lists")
+    if (!fs.rename(lists, old))
+      sys.error(s"compaction swap failed moving $lists aside")
+    if (!fs.rename(tmp, lists))
+      sys.error(s"compaction swap failed installing $tmp; previous " +
+        s"lists preserved at $old — rename it back to recover")
+    fs.delete(old, true)
   }
 
   /** Search a persisted IVF index (single query vector, like

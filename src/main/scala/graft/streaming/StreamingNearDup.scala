@@ -13,7 +13,11 @@ import org.apache.spark.sql.streaming._
   * Same sketch family as the batch path (word k-shingles → md5-derived
   * MinHash → `bands` concatenated buckets), so with `minEst = 0` the
   * emitted pair set over a replayed corpus is IDENTICAL to the batch
-  * candidates (differentially spec'd). Each arriving doc is compared
+  * candidates AS UNORDERED PAIRS (differentially spec'd): orientation
+  * differs when arrival order differs from id order — streaming sets
+  * a = the earlier ARRIVAL, batch normalizes a < b by id. Docs with no
+  * shingles (< shingleK words, NULL text) are dropped, as in batch.
+  * Each arriving doc is compared
   * against every PRIOR doc sharing a band bucket; a pair is emitted as
   * (a = earlier id, b = later id, est), where `est` is the unbiased
   * signature-agreement Jaccard estimate (matching components /
@@ -31,7 +35,10 @@ import org.apache.spark.sql.streaming._
   * `maxPerBucket` caps it — past the cap, arrivals still COMPARE
   * against the stored prefix but are not added (recall on pairs wholly
   * past the cap is lost; the warning is logged once per bucket per
-  * micro-batch).
+  * micro-batch). The re-delivery no-op below covers RETAINED ids only:
+  * a doc that arrived past the cap was never stored, so re-delivering
+  * it re-emits its pairs — consumers must dedup on (a, b) regardless
+  * (band multiplicity already requires it).
   * `ttl` bounds state age for infinite feeds (re-crawls past the TTL
   * re-admit, the [[Dedup.streamingExact]] trade). Operational note:
   * a TTL switches the query to `TimeMode.ProcessingTime`, under which
@@ -80,8 +87,8 @@ object StreamingNearDup {
         // dropDuplicatesWithinWatermark: a re-delivered or re-crawled id
         // that is already stored is a complete no-op — comparing it
         // again would re-emit its pairs REVERSED ((b, a) with a the
-        // later arrival), so at-least-once upstreams neither bloat
-        // bucket state nor duplicate output
+        // later arrival). Covers RETAINED ids; an id that arrived past
+        // the cap re-compares on re-delivery (see class doc)
         if (stored.exists(_.id == r.id)) ()
         else {
           stored.foreach { e =>
@@ -115,8 +122,6 @@ object StreamingNearDup {
     require(numHashes % bands == 0, s"$bands bands must divide $numHashes")
     import docs.sparkSession.implicits._
     val rows = numHashes / bands
-    val sig = Dedup.minhashSignature(
-      Dedup.shingles(col(textCol), shingleK), numHashes)
     // band key layout mirrors Dedup.lshBuckets: "<band>|h_i|h_j|..."
     val bandCols = (0 until bands).map { b =>
       concat_ws("|", lit(b) +:
@@ -125,7 +130,20 @@ object StreamingNearDup {
     }
     docs
       .select(col(idCol).cast("long").as("id"),
-        col(tsCol).cast("long").as("tsNs"), sig.as("__sig"))
+        col(tsCol).cast("long").as("tsNs"),
+        Dedup.shingles(col(textCol), shingleK).as("__sh"))
+      // a doc with no shingles (< shingleK words, or NULL text) has an
+      // all-NULL signature that would poison the query PERMANENTLY on
+      // BandRow deserialization (restart replays the batch and dies
+      // again); drop it here — the batch path's explode drops the same
+      // docs, so the replay equivalence is preserved
+      .filter(size(col("__sh")) > 0)
+      // base hashes as their OWN projection: one md5 per shingle total,
+      // not one per hash function (see Dedup.shingleHashes)
+      .select(col("id"), col("tsNs"),
+        Dedup.shingleHashes(col("__sh")).as("__h"))
+      .select(col("id"), col("tsNs"),
+        Dedup.minhashFromHashes(col("__h"), numHashes).as("__sig"))
       .select(col("id"), col("tsNs"), col("__sig"),
         explode(array(bandCols: _*)).as("bandKey"))
       .select(col("bandKey"), col("id"), col("tsNs"),

@@ -115,6 +115,17 @@ class StreamingNearDupSpec extends SparkTest {
       s"redelivered=$redelivered once=$once")
   }
 
+  test("a doc with fewer than shingleK words, or NULL text, is dropped " +
+    "instead of poisoning the query with an all-NULL signature") {
+    // doc 6 ("single") has no 2-shingles; doc 7 has NULL text — both
+    // would crash BandRow deserialization if they reached the encoder
+    val out = runStream(
+      Seq(Seq(docs(0), (6L, "single"), (7L, null)), Seq(docs(3))),
+      minEst = 0.5, bands = 8)
+    assert(out.map(c => (c.a, c.b)).distinct == Seq((1L, 4L)),
+      s"shingle-less docs must be dropped, others still pair: $out")
+  }
+
   test("state TTL: a generous TTL keeps cross-batch pairing; an expired " +
     "TTL forgets batch-1 docs (the bounded-state infinite-feed trade)") {
     // TTL >> test runtime: identical behavior to no-TTL
@@ -131,6 +142,32 @@ class StreamingNearDupSpec extends SparkTest {
       interBatchSleepMs = 1500)
     assert(expired.isEmpty,
       s"expired TTL must forget batch-1 docs: $expired")
+  }
+
+  test("shingleHashes across a projection boundary keeps ONE md5 per " +
+    "shingle in the optimized plan (not one per hash function)") {
+    // range-backed source: a LocalRelation of literals would be fully
+    // constant-folded away, leaving no md5 in the plan at all
+    val df = spark.range(4)
+      .select(col("id"), concat(lit("a b c d "), col("id")).as("text"))
+      .select(col("id"), Dedup.shingles(col("text"), 2).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), Dedup.shingleHashes(col("__sh")).as("__h"))
+      .select(col("id"), Dedup.minhashFromHashes(col("__h"), 16)
+        .as("__sig"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    val md5s = "md5\\(".r.findAllIn(plan).length
+    assert(md5s == 1,
+      s"expected the single shingleHashes md5 pass, got $md5s in:\n$plan")
+    // and the convenience form really does inline 16 of them — the
+    // trap the boundary exists to avoid
+    val naive = spark.range(4)
+      .select(concat(lit("a b c d "), col("id")).as("text"))
+      .select(Dedup.minhashSignature(
+        Dedup.shingles(col("text"), 2), 16).as("__sig"))
+    val naiveMd5s = "md5\\(".r
+      .findAllIn(naive.queryExecution.optimizedPlan.toString).length
+    assert(naiveMd5s == 16, s"expected 16 inlined md5s, got $naiveMd5s")
   }
 
   test("minEst = 0 replayed corpus equals the batch candidate set " +
