@@ -144,6 +144,40 @@ class StreamingNearDupSpec extends SparkTest {
       s"expired TTL must forget batch-1 docs: $expired")
   }
 
+  test("property: random corpora under random batch splits stream the " +
+    "batch candidate set exactly, as unordered pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    (1 to 2).foreach { round =>
+      // clustered corpus: a few base docs plus mutated near-copies, and
+      // some short/empty poison docs that must be silently dropped
+      val bases = (0 until 3).map(_ =>
+        (0 until 8).map(_ => vocab(rnd.nextInt(vocab.size))))
+      val corpus = (0 until 14).map { i =>
+        val words = bases(rnd.nextInt(bases.size)).map(w =>
+          if (rnd.nextInt(10) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+        (i.toLong, words.mkString(" "))
+      } ++ Seq((14L, "solo"), (15L, ""))
+      // random split into 1-4 batches, random order within the corpus
+      val shuffled = rnd.shuffle(corpus)
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = shuffled.grouped(
+        math.max(1, (shuffled.size + nBatches - 1) / nBatches)).toSeq
+      val streamed = runStream(batches, minEst = 0.0, bands = 4)
+        .map(c => (math.min(c.a, c.b), math.max(c.a, c.b)))
+        .distinct.sorted
+      val batch = Dedup.minhashCandidates(
+          corpus.toDF("doc_id", "text"), "doc_id", "text",
+          shingleK = 2, numHashes = 16, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(streamed == batch,
+        s"round $round: stream=$streamed batch=$batch " +
+          s"(split=${batches.map(_.map(_._1))})")
+    }
+  }
+
   test("shingleHashes across a projection boundary keeps ONE md5 per " +
     "shingle in the optimized plan (not one per hash function)") {
     // range-backed source: a LocalRelation of literals would be fully
