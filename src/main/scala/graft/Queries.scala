@@ -2606,6 +2606,93 @@ object Queries {
     },
     Some(kmeansIvfOracle))
 
+  // ----------------------- streaming-mode oracle (the micro-batch gate)
+  /** q81 runs q41's EXACT pipeline — v9 decode → filter DSL → fwm — but
+    * through the micro-batch engine end-to-end: a pktdump spool tailed
+    * by the DSv2 streaming source, [[graft.sources.NetflowDecoder.decodeStream]]
+    * (cross-micro-batch template store), [[Fwm.stream]]'s watermarked
+    * tumbling windows in Append mode under `Trigger.AvailableNow`, into
+    * a memory sink. Hash-matching the SAME DuckDB oracle as the batch
+    * query proves micro-batching preserves the reference's semantics
+    * (INTERNALS.md:16; window close monit-objects-fwm.c:693-723) — the
+    * batch/stream equivalence claim, oracle-checked.
+    *
+    * Watermark mechanics: a sentinel packet (i=64 — even, so proto 6,
+    * src 10.0.0.0: it PASSES the filter and therefore reaches the
+    * watermark node) is stamped one full window past the data
+    * (ts=1700000100). After the data batch the watermark advances to
+    * the sentinel's event time, and the engine's no-data flush batch
+    * emits all three data windows (ends 1700000010/40/70 ≤ watermark)
+    * exactly once; the sentinel's own window stays open and is never
+    * emitted, so the oracle sees only range(64). */
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger
+  private val q81 = Q(
+    "q81_stream_fwm",
+    (s, dir) => {
+      import graft.sources.{NetflowDecoder, PktDump}
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      // per-run spool/checkpoint/sink/namespace: reruns in one process
+      // (Bench) must not see a committed checkpoint or a stale memory
+      // table, and concurrent drivers must not share a spool
+      val base = tmpWorkDir(s"graft_q81_stream_$pid")
+      val spool = new java.io.File(base, s"spool-$run")
+      spool.mkdirs()
+      v9Packets(65).zipWithIndex
+        .map { case (p, i) =>
+          (p, if (i < 64) 1700000000L + i else 1700000100L, 1L) }
+        .grouped(16).zipWithIndex.foreach { case (g, f) =>
+          PktDump.write(f"$spool/part-$f%03d.gpkd", g.toSeq)
+        }
+      val ns = s"q81-$pid-$run"
+      NetflowDecoder.clearStreamCache(ns)
+      val env = FilterEnv.flow(s)
+      val pred = Compiler.filterColumn("proto 6 and src net 10.0.0.0/24",
+        env).fold(e => sys.error(e), identity)
+      val conf = Fwm.Conf("streamed", Seq("octets desc", "src host"),
+        timeSec = 30)
+      val flows = NetflowDecoder.decodeStream(
+          s.readStream.format("pktdump").load(spool.getAbsolutePath), ns)
+        .filter(pred)
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      val sinkName = s"q81_sink_$run"
+      val query = Fwm.stream(flows, env, conf, tsColName = "ts")
+        .writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation",
+          new java.io.File(base, s"ckpt-$run").getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      // the micro-batch-execution assertion: progress entries exist and
+      // the data flowed through the streaming engine (not a batch plan)
+      require(query.recentProgress.exists(_.numInputRows > 0),
+        "q81 must execute through the micro-batch engine " +
+          "(no progress with input rows recorded)")
+      // finish = q41's declared sort; the time guard excludes the
+      // sentinel window defensively (it is never emitted anyway)
+      Fwm.finishWindows(
+        s.table(sinkName).filter(col("time") < 1700000100L), conf)
+    },
+    Some("""WITH flows AS (
+        SELECT 1700000000 + i AS ts_sec,
+               CASE WHEN i % 2 = 0 THEN 6 ELSE 17 END AS protocol,
+               100 + i AS in_bytes,
+               167772160 + (i % 16) AS src_host
+        FROM range(64) t(i)),
+      f AS (SELECT * FROM flows WHERE protocol = 6),
+      agg AS (
+        SELECT ts_sec - (ts_sec % 30) AS time, src_host,
+               CAST(SUM(in_bytes * 1 * 1) AS BIGINT) AS octets
+        FROM f GROUP BY 1, 2)
+      SELECT CAST(time AS BIGINT) AS time,
+             CAST(src_host AS BIGINT) AS src_host, octets
+      FROM agg
+      ORDER BY time ASC, (src_host IS NULL) ASC,
+               octets DESC NULLS LAST, src_host ASC NULLS FIRST"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2613,7 +2700,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80)
+    q77, q78, q79, q80, q81)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
