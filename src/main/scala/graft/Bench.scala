@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions.col
   * row, zero write cost.
   *
   * `events.ts` is nanosecond parquet; `nanosAsLong` is set at session
-  * build time so the raw warmup scans (which run BEFORE any query path
-  * calls TestFlowView.load) don't abort on PARQUET_TYPE_ILLEGAL.
+  * build time for Spark 4.0 (which rejects NANOS without it) and is a
+  * harmless no-op on >= 4.1 (conf removed; native TIMESTAMP_NTZ read —
+  * TestFlowView adapts to whichever type actually loads).
   *
-  * Failures are NEVER silent: any exception is logged to stderr with the
-  * query name (the query reports -1.0), so an aborted Spark job cannot
-  * hide inside a positive-looking total.
+  * Failures are NEVER silent, but they are also never allowed to drown
+  * the contract: one line per failure on stderr (the query reports
+  * -1.0), full stack traces appended to `bench_errors.log`, and the
+  * one-line JSON is BOTH printed last on stdout (flushed) and written
+  * to `bench.json`, so the driver's tail capture can't be windowed onto
+  * an error flood (BENCH_r10 was lost exactly that way).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,8 +47,13 @@ object Bench {
 
     def logFailure(what: String, e: Throwable): Unit = {
       System.err.println(s"BENCH FAILURE in $what: ${e.getClass.getName}: " +
-        s"${e.getMessage}")
-      e.printStackTrace()
+        s"${String.valueOf(e.getMessage).linesIterator.take(1).mkString}")
+      try {
+        val w = new java.io.PrintWriter(new java.io.FileWriter(
+          "bench_errors.log", true))
+        try { w.println(s"=== $what ==="); e.printStackTrace(w) }
+        finally w.close()
+      } catch { case _: Exception => () }
     }
 
     def envInt(name: String, default: Int, min: Int): Int =
@@ -145,7 +154,7 @@ object Bench {
     // scalars lead; the long queries map sits last with the headline
     // numbers REPEATED after it, so a capture window anchored at either
     // end of the line still sees the totals
-    println(s"""{"metric":"total_query_seconds","value":$total,""" +
+    val json = s"""{"metric":"total_query_seconds","value":$total,""" +
       s""""unit":"sec","sf":"$sfDir",""" +
       s""""runs_per_query":$runs,""" +
       s""""flagship_flows_per_sec":${r3(fps)},""" +
@@ -155,7 +164,17 @@ object Bench {
       s""""n_queries":${results.size},""" +
       s""""queries":$qs,""" +
       s""""total_sec":$total,""" +
-      s""""scaled_flows_per_sec_tail":${r3(scaledFps)}}""")
+      s""""scaled_flows_per_sec_tail":${r3(scaledFps)}}"""
+    // durable copy first (tail capture must never be the only path)...
+    try {
+      val w = new java.io.PrintWriter("bench.json")
+      try w.println(json) finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"BENCH: bench.json write failed: $e") }
     spark.stop()
+    // ...then the contract line LAST on stdout, after every possible
+    // source of interleaved output (including Spark shutdown) is done
+    println(json)
+    System.out.flush()
   }
 }

@@ -2624,7 +2624,11 @@ object Queries {
     * the sentinel's event time, and the engine's no-data flush batch
     * emits all three data windows (ends 1700000010/40/70 ≤ watermark)
     * exactly once; the sentinel's own window stays open and is never
-    * emitted, so the oracle sees only range(64). */
+    * emitted, so the oracle sees only range(64). The flush batch only
+    * runs under AvailableNow because the source implements
+    * SupportsTriggerAvailableNow (PktDump.scala) — Spark's generic
+    * wrapper for plain MicroBatchStreams stops after the single data
+    * batch commits, leaving the sink empty (r10's red). */
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger
   private val q81 = Q(
     "q81_stream_fwm",
@@ -2671,10 +2675,28 @@ object Queries {
       require(query.recentProgress.exists(_.numInputRows > 0),
         "q81 must execute through the micro-batch engine " +
           "(no progress with input rows recorded)")
+      // ...and the OUTPUT assertion: numInputRows alone passed even
+      // when the watermark flush never ran and the sink stayed empty
+      // (r10's 0-rows-vs-21 red). The spool is authored above, so the
+      // closed-window count is a constant of the query: 3 windows x 7
+      // distinct (src,window) survivors = 21. Fails fast with the
+      // cause instead of an opaque oracle hash mismatch.
+      val frozen = s.table(sinkName)
+        .filter(col("time") < 1700000100L).localCheckpoint()
+      val cnt = frozen.count()
+      require(cnt == 21,
+        s"q81 sink has $cnt rows, expected 21 closed-window rows — " +
+          "the engine did not flush the watermark-closed Append " +
+          "windows (SupportsTriggerAvailableNow regression?)")
+      // per-run teardown: a long Bench process reruns this query many
+      // times — without these, stream-cache namespaces and memory-sink
+      // temp views accumulate for the life of the JVM (frozen above is
+      // checkpoint-materialized, so dropping its source view is safe)
+      NetflowDecoder.clearStreamCache(ns)
+      s.catalog.dropTempView(sinkName)
       // finish = q41's declared sort; the time guard excludes the
       // sentinel window defensively (it is never emitted anyway)
-      Fwm.finishWindows(
-        s.table(sinkName).filter(col("time") < 1700000100L), conf)
+      Fwm.finishWindows(frozen, conf)
     },
     Some("""WITH flows AS (
         SELECT 1700000000 + i AS ts_sec,

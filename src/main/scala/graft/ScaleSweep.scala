@@ -46,15 +46,22 @@ object ScaleSweep {
     def union(per: Int => DataFrame): DataFrame =
       reps.map(per).reduce(_ union _)
 
-    // events: ts is TIMESTAMP(NANOS) → Long via nanosAsLong (set by the
-    // session builder). Offsets keep each replica's epoch buckets and
-    // modular-derived flow keys in their own disjoint range.
+    // events: ts is TIMESTAMP(NANOS) parquet → Long of nanos on Spark
+    // 4.0 (nanosAsLong, set by the session builder) or TIMESTAMP_NTZ on
+    // >= 4.1 (conf removed); shift by the type that actually loaded.
+    // Offsets keep each replica's epoch buckets and modular-derived
+    // flow keys in their own disjoint range.
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
     val dayNs = 86400L * 1_000_000_000L
+    def shiftTs(r: Int) = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") + lit(r.toLong * 400L * dayNs)
+      case _ => col("ts") + expr(s"INTERVAL '${r * 400}' DAY")
+    }
     union { r =>
       ev.select(
         (col("event_id") + lit(r.toLong * (1L << 24))).as("event_id"),
-        (col("ts") + lit(r.toLong * 400L * dayNs)).as("ts"),
+        shiftTs(r).as("ts"),
         (col("user_id") + lit(r.toLong * (1L << 20))).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.repartition(32)

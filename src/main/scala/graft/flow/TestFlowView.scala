@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions.expr
   * makes the DuckDB oracle exact (integer-only, no float divergence).
   *
   * `events.ts` is nanosecond-precision parquet; Spark reads it as a Long
-  * (nanos, legacy nanosAsLong conf) and DuckDB as TIMESTAMP_NS, so the
-  * shared column is `ts_sec` = epoch seconds via integer floor-division
-  * (engine-specific expression, identical result).
+  * of nanos (4.0, legacy nanosAsLong conf) or TIMESTAMP_NTZ (>= 4.1) and
+  * DuckDB as TIMESTAMP_NS, so the shared column is `ts_sec` = epoch
+  * seconds (engine- and version-specific expression, identical result —
+  * see [[fromEvents]]).
   */
 object TestFlowView {
 
@@ -61,18 +62,36 @@ object TestFlowView {
       "lpad(hex(3221225472 + (event_id * 2654435761) % 16777216), " +
       "8, '0')))"))
 
-  /** Spark side: events DataFrame (ts already a Long of nanos) → flow. */
-  def fromEvents(events: DataFrame): DataFrame =
+  /** Spark side: events DataFrame → flow. `events.ts` is
+    * TIMESTAMP(NANOS) parquet, whose Spark-side type depends on the
+    * runtime: Spark 4.0 only reads it as a raw Long of nanos (legacy
+    * `nanosAsLong` conf), Spark ≥ 4.1 reads it natively as
+    * TIMESTAMP_NTZ (and removed the conf — setting it is a silent
+    * no-op). Branch the `ts_sec` derivation on the ACTUAL read schema
+    * so both runtimes produce the identical epoch-seconds integer: the
+    * session time zone is UTC everywhere (Bench, Verify, specs), so
+    * the NTZ→TIMESTAMP cast is instant-exact, and second granularity
+    * makes the nanos-vs-micros truncation irrelevant. */
+  def fromEvents(events: DataFrame): DataFrame = {
+    val tsSec = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("CAST(ts DIV 1000000000 AS BIGINT)")
+      case _ => // TimestampNTZType (Spark >= 4.1) or TimestampType
+        expr("unix_seconds(CAST(ts AS TIMESTAMP))")
+    }
     events.select(
-      (expr("CAST(ts DIV 1000000000 AS BIGINT)").as("ts_sec") +:
+      (tsSec.as("ts_sec") +:
         expr("event_id").as("flow_id") +:
         (derivations ++ sparkOnlyDerivations)
           .map { case (n, e) => expr(e).as(n) }): _*)
+  }
 
   def load(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects as a
-    // TimestampType; read it as raw nanos instead (runtime SQLConf)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Spark 4.0 rejects TIMESTAMP(NANOS) parquet unless this legacy
+    // conf maps it to Long; Spark >= 4.1 removed the conf (native NTZ
+    // read) and ignores the set. Try-set for 4.0, adapt on schema.
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () }
     fromEvents(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Kafka → flow-packet glue: adapts the standard Spark Kafka source
+  * schema to the decoder contract shared by every ingest path
+  * (`payload` binary, `ts_sec` long, `src_ip` long — the same triple
+  * [[PktDump]] files and the UDP spool produce).
+  *
+  * BASELINE's Spark approach names "Kafka/socket source" as the ingest
+  * front door; the socket half is [[UdpCollector]] (spool → pktdump
+  * tail), and this object is the Kafka half. The collector-side
+  * convention mirrors the reference's per-exporter accounting
+  * (scapture.c keys everything by the exporter address): producers
+  * publish one message per datagram with
+  *
+  *   - `value` = the raw NetFlow v5/v9 / IPFIX / sFlow payload bytes,
+  *   - `key`   = the exporter's IPv4 address, 4 bytes big-endian
+  *     (v6 exporters: publish the mapped/embedded v4 as the reference
+  *     does for its u32 device key),
+  *   - Kafka's own `timestamp` = receive time (CreateTime).
+  *
+  * Usage (the kafka connector jar ships with any Spark distro that
+  * has Kafka enabled; this module only consumes its OUTPUT schema, so
+  * it compiles and tests without the connector on the classpath):
+  *
+  * {{{
+  *   val raw = spark.readStream.format("kafka")
+  *     .option("kafka.bootstrap.servers", brokers)
+  *     .option("subscribe", "netflow")
+  *     .option("maxOffsetsPerTrigger", 5_000_000) // bound batch size
+  *     .load()
+  *   val flows = KafkaIngest.decodeStream(raw, namespace = "prod")
+  * }}}
+  *
+  * Scale notes (1000-executor shape):
+  *   - Parallelism = Kafka partitions, 1:1 with Spark tasks by
+  *     default. Key messages by exporter IP (the default partitioner
+  *     hashes the key) so ONE exporter's packets — templates and the
+  *     data they describe — stay in ONE partition, the same
+  *     template-locality contract [[NetflowDecoder.decode]] documents
+  *     for files. Leave `minPartitions` unset: forcing it splits a
+  *     Kafka partition by offset range and can separate a template
+  *     announcement from its data records within a batch.
+  *   - `maxOffsetsPerTrigger` bounds per-batch admission (Kafka-side
+  *     admission control composes with the decoder's cross-batch
+  *     template store, [[NetflowDecoder.decodeStream]]).
+  *   - The projection below is all codegen'd column ops — no UDF, no
+  *     driver hop; decode itself distributes per-partition.
+  */
+object KafkaIngest {
+
+  /** Kafka record → decoder-contract projection. `ts_sec` prefers the
+    * broker/producer timestamp; records from a pre-timestamp topic
+    * (timestamp null) fall back to `fallbackTsSec` (default 0 —
+    * templates then resolve at epoch, matching the decoder's
+    * "template live at or before the record" seek-LE rule for topics
+    * with no time axis). A missing/short key yields src_ip 0, the
+    * decoder's "unknown exporter" device. */
+  def packets(kafka: DataFrame, fallbackTsSec: Long = 0L): DataFrame =
+    kafka.select(
+      col("value").as("payload"),
+      coalesce(unix_seconds(col("timestamp")), lit(fallbackTsSec))
+        .as("ts_sec"),
+      coalesce(
+        when(length(col("key")) >= 4,
+          conv(hex(substring(col("key"), 1, 4)), 16, 10).cast(LongType)),
+        lit(0L)).as("src_ip"))
+
+  /** Streaming decode: Kafka micro-batches → flow records, templates
+    * persisting across batches under `namespace`
+    * ([[NetflowDecoder.decodeStream]]). */
+  def decodeStream(kafka: DataFrame, namespace: String,
+                   entMap: Map[(Long, Int), Int] =
+                     NetflowDecoder.defaultEnterpriseMap): DataFrame =
+    NetflowDecoder.decodeStream(packets(kafka), namespace,
+      entMap = entMap)
+
+  /** Batch decode for archived-topic replay
+    * (`spark.read.format("kafka")` with start/end offsets): same
+    * projection, order-independent template resolution
+    * ([[NetflowDecoder.decode]]). */
+  def decode(kafka: DataFrame,
+             entMap: Map[(Long, Int), Int] =
+               NetflowDecoder.defaultEnterpriseMap): DataFrame =
+    NetflowDecoder.decode(packets(kafka), entMap = entMap)
+}

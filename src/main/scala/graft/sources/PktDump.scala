@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -183,7 +183,7 @@ class PktDumpMicroBatchStream(path: String, fields: Array[String],
                                 new SerializableConfiguration(
                                   PktDump.hadoopConf()),
                               strict: Boolean = false)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // offset payload: one JSON string (the watermark file name)
   private def esc(s: String): String = "\"" + s.flatMap {
@@ -264,6 +264,32 @@ class PktDumpMicroBatchStream(path: String, fields: Array[String],
     prevListing = fs.toSet
     Mark(mark)
   }
+
+  // ---- Trigger.AvailableNow (SupportsTriggerAvailableNow): without
+  // this, Spark >= 3.4's generic wrapper pins ONE batch and terminates
+  // as soon as it commits — the engine never gets the extra batch a
+  // watermark-closed Append window needs to flush, so a windowed agg
+  // over this source would end with data committed but nothing emitted
+  // (observed as q81's 0-row memory sink on 4.1.2). Pinning the listing
+  // ourselves keeps multi-batch execution + the no-data flush batch.
+  @volatile private var pinned: String = null
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    pinned = latestOffset().asInstanceOf[Mark].last
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control variant the engine uses once
+    * SupportsAdmissionControl is in play: everything up to the pinned
+    * end under AvailableNow (files appearing after prepare are the
+    * NEXT run's work, per the trigger's contract), live listing
+    * otherwise. ReadLimit is allAvailable-only for a file-granular
+    * source. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    if (pinned != null) Mark(pinned) else latestOffset()
+
+  override def reportLatestOffset(): Offset = Mark(high)
 
   override def deserializeOffset(json: String): Offset = {
     // seed the monotone clamp from checkpoint-restored offsets, but
