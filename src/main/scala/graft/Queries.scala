@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import graft.filter.{Compiler, FilterEnv}
 import graft.flow.TestFlowView
-import graft.operators.{Fwm, TopK}
+import graft.operators.{AlertTimeline, Fwm, TopK}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -2715,6 +2715,137 @@ object Queries {
       ORDER BY time ASC, (src_host IS NULL) ASC,
                octets DESC NULLS LAST, src_host ASC NULLS FIRST"""))
 
+  // ------------------------------------- alert lifecycle timeline oracle
+  /** q82 drives the REAL alert state machine ([[AlertMachine]], the act
+    * thread's lifecycle: monit-objects-mavg-act.c:342-444) over driver
+    * data and oracle-checks the full event timeline. Per-src_as traffic
+    * is bucketed onto a fixed 240-tick grid; a bucket whose octet sum
+    * exceeds a global limit (1.5x the mean key-bucket load, integer
+    * arithmetic) breaches; [[AlertTimeline.replay]] then replays
+    * breach→tick per key and emits started/updated/ended events with
+    * the machine's decayed values. The DuckDB oracle is an INDEPENDENT
+    * re-derivation: a recursive CTE stepping the same transition
+    * function (including the check_items:477-489 stale-value quirk and
+    * the 3-tick update cadence) — hash-equality proves the distributed
+    * replay preserves the reference's lifecycle semantics end to end.
+    * All event values are exact multiples of 1/8 of integer sums
+    * (decay factors k/8, window 8 ticks), so Double comparison is
+    * bit-exact in both engines. */
+  private val q82 = Q(
+    "q82_alert_timeline",
+    (s, dir) => {
+      val flow = TestFlowView.load(s, dir)
+        .select(col("ts_sec"), col("src_as"), col("in_bytes"))
+      // grid + limit constants: one bounded 1-row aggregate (two scans
+      // total at any scale; cache flow upstream if that matters)
+      val b = flow.agg(min("ts_sec"), max("ts_sec"),
+        sum("in_bytes")).head()
+      val (mn, mx, tot) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      val w = (mx - mn + 240L) / 240L // ceil((span)/240), span=mx-mn+1
+      val lim = (tot * 3L) / 3840L    // 1.5x mean over 240 ticks x 8 keys
+      val series = flow
+        .groupBy(col("src_as"),
+          expr(s"(ts_sec - ${mn}L) DIV ${w}L").as("idx"))
+        .agg(sum("in_bytes").as("v"))
+        .withColumn("lim", lit(lim))
+      AlertTimeline.replay(series, "src_as", "idx", "v", "lim",
+          nTicks = 240, windowTicks = 8, back2normTicks = 2)
+        .select(col("key").as("src_as"), col("t"), col("ev"), col("val"))
+        .orderBy(col("src_as").asc, col("t").asc)
+    },
+    Some(s"""WITH RECURSIVE $F,
+      b AS (SELECT MIN(ts_sec) AS mn, MAX(ts_sec) AS mx,
+                   SUM(in_bytes) AS tot FROM flow),
+      p AS (SELECT mn, (mx - mn + 240) // 240 AS w,
+                   CAST((tot * 3) // 3840 AS DOUBLE) AS lim FROM b),
+      series AS (SELECT src_as AS k, (ts_sec - mn) // w AS i,
+                        CAST(SUM(in_bytes) AS DOUBLE) AS v
+                 FROM flow, p GROUP BY 1, 2),
+      keys AS (SELECT DISTINCT k FROM series),
+      mach AS (
+        SELECT k, CAST(-1 AS BIGINT) AS i, 'none' AS st,
+               CAST(0 AS BIGINT) AS t_last, CAST(0 AS BIGINT) AS t_dump,
+               CAST(0 AS BIGINT) AS t_b2n, CAST(0 AS DOUBLE) AS val,
+               CAST(NULL AS VARCHAR) AS ev, CAST(NULL AS DOUBLE) AS ev_val
+        FROM keys
+        UNION ALL
+        SELECT k, now AS i,
+               CASE WHEN b_st = 'none' THEN 'none'
+                    WHEN b_st = 'gone' THEN 'gone'
+                    WHEN b_st = 'new'  THEN 'update'
+                    WHEN gone THEN 'gone' ELSE a_st END,
+               b_tlast,
+               CASE WHEN b_st = 'new' THEN now
+                    WHEN b_st IN ('update','almost') AND NOT gone
+                         AND b_tdump + 3 <= now THEN now
+                    ELSE b_tdump END,
+               CASE WHEN b_st IN ('update','almost') THEN a_tb2n
+                    ELSE b_tb2n END,
+               b_val,
+               CASE WHEN b_st = 'new' THEN 'started'
+                    WHEN b_st IN ('update','almost') AND gone THEN 'ended'
+                    WHEN b_st IN ('update','almost')
+                         AND b_tdump + 3 <= now THEN 'updated'
+                    ELSE NULL END,
+               CASE WHEN b_st = 'new' THEN b_val
+                    WHEN b_st IN ('update','almost') THEN decayed
+                    ELSE NULL END
+        FROM (
+          SELECT *, (a_st = 'almost' AND now > a_tb2n + 2) AS gone
+          FROM (
+            SELECT *,
+              CASE WHEN b_st NOT IN ('update','almost') THEN b_st
+                   WHEN breaching2 THEN 'update'
+                   WHEN b_st = 'update' THEN 'almost'
+                   ELSE b_st END AS a_st,
+              CASE WHEN b_st NOT IN ('update','almost') THEN b_tb2n
+                   WHEN breaching2 THEN 0
+                   WHEN b_st = 'update' THEN now
+                   ELSE b_tb2n END AS a_tb2n
+            FROM (
+              SELECT *, (decayed > lim) AS breaching2
+              FROM (
+                SELECT *,
+                  CASE WHEN now > b_tlast + 8 THEN 0.0
+                       ELSE b_val - (now - b_tlast) / 8.0 * b_val
+                  END AS decayed
+                FROM (
+                  SELECT k, now, lim,
+                    CASE WHEN NOT breach THEN st
+                         WHEN st IN ('none','gone') THEN 'new'
+                         ELSE st END AS b_st,
+                    CASE WHEN NOT breach THEN t_last
+                         WHEN st IN ('none','gone') THEN now
+                         WHEN st = 'update' THEN now
+                         ELSE t_last END AS b_tlast,
+                    CASE WHEN breach AND st IN ('none','gone') THEN 0
+                         ELSE t_dump END AS b_tdump,
+                    CASE WHEN breach AND st IN ('none','gone') THEN 0
+                         ELSE t_b2n END AS b_tb2n,
+                    CASE WHEN NOT breach THEN val
+                         WHEN st IN ('none','gone') THEN v
+                         WHEN st = 'update' AND t_dump + 3 < now THEN val
+                         WHEN st = 'update' THEN v
+                         ELSE val END AS b_val
+                  FROM (
+                    SELECT m.k, m.i + 1 AS now, m.st, m.t_last, m.t_dump,
+                           m.t_b2n, m.val, s.v, p.lim,
+                           (s.v IS NOT NULL AND s.v > p.lim) AS breach
+                    FROM mach m
+                    LEFT JOIN series s ON s.k = m.k AND s.i = m.i + 1
+                    CROSS JOIN p
+                    WHERE m.i < 239
+                  )
+                )
+              )
+            )
+          )
+        )
+      )
+      SELECT k AS src_as, i AS t, ev, ev_val AS val
+      FROM mach WHERE ev IS NOT NULL
+      ORDER BY src_as ASC, t ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2722,7 +2853,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81)
+    q77, q78, q79, q80, q81, q82)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

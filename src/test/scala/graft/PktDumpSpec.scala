@@ -225,6 +225,41 @@ class PktDumpSpec extends SparkTest {
     assert(seen.toSeq == Seq(16L, 32L), s"got ${seen.toSeq}")
   }
 
+  test("Trigger.AvailableNow flushes watermark-closed Append windows " +
+    "in ONE start (SupportsTriggerAvailableNow; r10 q81 regression)") {
+    val dir = Files.createTempDirectory("pktdumpavail").toFile
+    dir.deleteOnExit()
+    // 20 packets over [1700000000, 1700000020) + one sentinel a full
+    // window later: the sentinel advances the watermark past both
+    // 10-second data windows, whose rows must be in the sink when the
+    // query self-terminates — WITHOUT a second start() feeding more
+    // data (the plain-MicroBatchStream wrapper never ran that flush)
+    val pkts = Queries.v9Packets(21).zipWithIndex.map { case (p, i) =>
+      (p, if (i < 20) 1700000000L + i else 1700000030L, 1L)
+    }
+    PktDump.write(s"$dir/part-0.gpkd", pkts)
+    val ckpt = Files.createTempDirectory("pktdumpavailck").toFile
+    ckpt.deleteOnExit()
+    val q = spark.readStream.format("pktdump")
+      .load(dir.getAbsolutePath)
+      .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 seconds")).count()
+      .select(unix_timestamp(col("window.start")).as("w"), col("count"))
+      .writeStream.format("memory").queryName("pkt_avail")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val got = spark.table("pkt_avail").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1700000000L -> 10L, 1700000010L -> 10L),
+        s"closed windows must flush before self-termination: $got")
+    } finally spark.catalog.dropTempView("pkt_avail")
+  }
+
   test("a non-pktdump file is rejected with a clear error") {
     val dir = Files.createTempDirectory("pktdumpbad").toFile
     dir.deleteOnExit()
