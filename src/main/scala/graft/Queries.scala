@@ -2846,6 +2846,41 @@ object Queries {
       FROM mach WHERE ev IS NOT NULL
       ORDER BY src_as ASC, t ASC"""))
 
+  // --------------------------------------- named IP-list LPM membership
+  /** q83 oracle-checks `src net <listname>` — the reference's named
+    * IP-list filter (filter.c:186-218, loaded from iplists.d) compiled
+    * to the codegen'd LPM membership expression
+    * ([[graft.functions.LpmExpr.contains4]], no UDF). The list mixes
+    * DISJOINT, NESTED (10.0.4.0/22 inside 10.0.0.0/20) and /32
+    * prefixes so the interval build's overlap handling is on the hook;
+    * the DuckDB oracle re-expresses membership as the union of closed
+    * address ranges (nested range absorbed). */
+  private val q83 = Q(
+    "q83_filter_netlist",
+    (s, dir) => {
+      import graft.functions.IpList
+      val env = FilterEnv.flow(s, ipLists = Map("watch" -> IpList("watch",
+        Seq("10.0.0.0/20", "10.0.4.0/22", "10.2.0.0/15",
+          "10.8.128.0/17", "10.15.0.1/32"))))
+      val pred = Compiler.filterColumn("src net watch and proto 6", env)
+        .fold(e => sys.error(e), identity)
+      TestFlowView.load(s, dir)
+        .filter(pred)
+        .groupBy(col("src_as"))
+        .agg(count(lit(1)).as("n"), sum(col("in_bytes")).as("octets"))
+        .orderBy(col("src_as").asc)
+    },
+    Some(s"""WITH $F
+      SELECT src_as, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes) AS BIGINT) AS octets
+      FROM flow
+      WHERE (ip4_src_addr BETWEEN 167772160 AND 167776255
+         OR ip4_src_addr BETWEEN 167903232 AND 168034303
+         OR ip4_src_addr BETWEEN 168329216 AND 168361983
+         OR ip4_src_addr = 168755201)
+        AND protocol = 6
+      GROUP BY src_as ORDER BY src_as ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2853,7 +2888,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82)
+    q77, q78, q79, q80, q81, q82, q83)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
