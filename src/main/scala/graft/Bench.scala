@@ -45,6 +45,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // fresh error log per run — stale stacks from a previous run must
+    // not be attributable to this one
+    new java.io.File("bench_errors.log").delete()
+
     def logFailure(what: String, e: Throwable): Unit = {
       System.err.println(s"BENCH FAILURE in $what: ${e.getClass.getName}: " +
         s"${String.valueOf(e.getMessage).linesIterator.take(1).mkString}")

@@ -2669,34 +2669,41 @@ object Queries {
           new java.io.File(base, s"ckpt-$run").getAbsolutePath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      query.awaitTermination()
-      // the micro-batch-execution assertion: progress entries exist and
-      // the data flowed through the streaming engine (not a batch plan)
-      require(query.recentProgress.exists(_.numInputRows > 0),
-        "q81 must execute through the micro-batch engine " +
-          "(no progress with input rows recorded)")
-      // ...and the OUTPUT assertion: numInputRows alone passed even
-      // when the watermark flush never ran and the sink stayed empty
-      // (r10's 0-rows-vs-21 red). The spool is authored above, so the
-      // closed-window count is a constant of the query: 3 windows x 7
-      // distinct (src,window) survivors = 21. Fails fast with the
-      // cause instead of an opaque oracle hash mismatch.
-      val frozen = s.table(sinkName)
-        .filter(col("time") < 1700000100L).localCheckpoint()
-      val cnt = frozen.count()
-      require(cnt == 21,
-        s"q81 sink has $cnt rows, expected 21 closed-window rows — " +
-          "the engine did not flush the watermark-closed Append " +
-          "windows (SupportsTriggerAvailableNow regression?)")
-      // per-run teardown: a long Bench process reruns this query many
-      // times — without these, stream-cache namespaces and memory-sink
-      // temp views accumulate for the life of the JVM (frozen above is
-      // checkpoint-materialized, so dropping its source view is safe)
-      NetflowDecoder.clearStreamCache(ns)
-      s.catalog.dropTempView(sinkName)
-      // finish = q41's declared sort; the time guard excludes the
-      // sentinel window defensively (it is never emitted anyway)
-      Fwm.finishWindows(frozen, conf)
+      try {
+        query.awaitTermination()
+        // the micro-batch-execution assertion: progress entries exist
+        // and data flowed through the streaming engine (not batch)
+        require(query.recentProgress.exists(_.numInputRows > 0),
+          "q81 must execute through the micro-batch engine " +
+            "(no progress with input rows recorded)")
+        // ...and the OUTPUT assertion: numInputRows alone passed even
+        // when the watermark flush never ran and the sink stayed empty
+        // (r10's 0-rows-vs-21 red). The spool is authored above, so
+        // the closed-window count is a constant of the query: distinct
+        // (src, window) survivors per closed window are 5 + 8 + 8 = 21
+        // (window 1 holds even i in 0..9 -> 5 srcs; windows 2 and 3
+        // each cover all 8 even residues of i % 16). Fails fast with
+        // the cause instead of an opaque oracle hash mismatch.
+        val frozen = s.table(sinkName)
+          .filter(col("time") < 1700000100L).localCheckpoint()
+        val cnt = frozen.count()
+        require(cnt == 21,
+          s"q81 sink has $cnt rows, expected 21 closed-window rows — " +
+            "the engine did not flush the watermark-closed Append " +
+            "windows (SupportsTriggerAvailableNow regression?)")
+        // finish = q41's declared sort; the time guard excludes the
+        // sentinel window defensively (it is never emitted anyway)
+        Fwm.finishWindows(frozen, conf)
+      } finally {
+        // per-run teardown — in finally so the failure paths the
+        // requires guard also clean up: a long Bench process reruns
+        // this query many times, and without these the stream-cache
+        // namespace and the memory-sink temp view (which pins the
+        // sink's rows) accumulate for the life of the JVM. frozen is
+        // checkpoint-materialized, so dropping its source view is safe.
+        NetflowDecoder.clearStreamCache(ns)
+        s.catalog.dropTempView(sinkName)
+      }
     },
     Some("""WITH flows AS (
         SELECT 1700000000 + i AS ts_sec,

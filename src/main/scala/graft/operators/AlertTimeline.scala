@@ -34,8 +34,11 @@ import org.apache.spark.sql.types._
   *                      [0, nTicks), missing idx = no traffic that
   *                      tick (the machine decays through it). Multiple
   *                      rows per (key, idx) are summed. `limit` is
-  *                      per-key (first row's value wins — config join
-  *                      upstream).
+  *                      per-key: supply one constant per key (config
+  *                      join upstream); if in-grid rows disagree, the
+  *                      MAXIMUM wins — a deterministic, shuffle-order-
+  *                      independent rule (rows outside the grid never
+  *                      contribute a limit).
   * @param nTicks        grid length; every key ticks over the full grid
   * @param windowTicks   decay window (reference act():391-397)
   * @param back2normTicks hysteresis before Ended fires
@@ -75,7 +78,9 @@ object AlertTimeline {
           if (i >= 0 && i < nTicks) {
             v(i.toInt) += value
             seen(i.toInt) = true
-            if (limit.isNaN) limit = lim
+            // max, not first-seen: the group iterator's order after the
+            // shuffle is not stable, and the replay must be
+            limit = if (limit.isNaN) lim else math.max(limit, lim)
           }
         }
         var st: Option[LimState] = None

@@ -8,18 +8,8 @@ import java.nio.ByteBuffer
   * specs — SURVEY.md §5). */
 class DecoderSpec extends SparkTest {
 
-  // -------- helpers to build packets --------
-  private def bytes(parts: Any*): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4096)
-    parts.foreach {
-      case b: Byte   => buf.put(b)
-      case i: Int    => buf.putShort(i.toShort) // default: u16
-      case l: Long   => buf.putInt(l.toInt)     // u32
-      case a: Array[Byte] => buf.put(a)
-      case s: String => buf.put(s.getBytes("US-ASCII"))
-    }
-    java.util.Arrays.copyOf(buf.array(), buf.position())
-  }
+  // -------- helpers to build packets (shared convention: Wire) --------
+  private def bytes(parts: Any*): Array[Byte] = Wire.bytes(parts: _*)
 
   private def fieldIndexOf(name: String): Int =
     NetflowDecoder.outSchema.fieldIndex(name)

@@ -5,7 +5,6 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.ByteBuffer
 import java.sql.Timestamp
 
 /** Kafka glue: the standard kafka-source schema projected onto the
@@ -14,16 +13,7 @@ import java.sql.Timestamp
   * the classpath, and the glue only depends on its OUTPUT schema). */
 class KafkaIngestSpec extends SparkTest {
 
-  private def bytes(parts: Any*): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4096)
-    parts.foreach {
-      case b: Byte        => buf.put(b)
-      case i: Int         => buf.putShort(i.toShort) // u16
-      case l: Long        => buf.putInt(l.toInt)     // u32
-      case a: Array[Byte] => buf.put(a)
-    }
-    java.util.Arrays.copyOf(buf.array(), buf.position())
-  }
+  private def bytes(parts: Any*): Array[Byte] = Wire.bytes(parts: _*)
 
   // v9: header(version count uptime unix seq srcId), template 256 =
   // in_bytes(1,4) proto(4,1), one data record
