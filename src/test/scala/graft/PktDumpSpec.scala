@@ -225,6 +225,35 @@ class PktDumpSpec extends SparkTest {
     assert(seen.toSeq == Seq(16L, 32L), s"got ${seen.toSeq}")
   }
 
+  test("AvailableNow across restarts: each run drains exactly the " +
+    "delta since the last checkpoint (pin + restore compose)") {
+    val dir = Files.createTempDirectory("pktdumpavailrestart").toFile
+    val ckpt = Files.createTempDirectory("pktdumpavailrsck").toFile
+    dir.deleteOnExit(); ckpt.deleteOnExit()
+    val pkts = Queries.v9Packets(48).zipWithIndex
+      .map { case (p, i) => (p, 1700000000L + i, 1L) }
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("pktdump")
+        .load(dir.getAbsolutePath)
+        .writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          counts.add(b.count()); ()
+        }
+        .start()
+      q.awaitTermination() // AvailableNow self-terminates when drained
+    }
+    PktDump.write(s"$dir/a.gpkd", pkts.slice(0, 16))
+    runOnce()
+    PktDump.write(s"$dir/b.gpkd", pkts.slice(16, 48))
+    runOnce()
+    val seen = counts.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).filter(_ > 0)
+    assert(seen.toSeq == Seq(16L, 32L), s"got ${seen.toSeq}")
+  }
+
   test("Trigger.AvailableNow flushes watermark-closed Append windows " +
     "in ONE start (SupportsTriggerAvailableNow; r10 q81 regression)") {
     val dir = Files.createTempDirectory("pktdumpavail").toFile

@@ -456,4 +456,31 @@ class PropertySpec extends SparkTest {
       Multimodal.mp4SampleFramesByTime(b, everyMs = 40)
     }
   }
+
+  test("AlertTimeline.replay is partitioning- and row-order-invariant " +
+    "(random series, random limits, 1 vs 7 partitions)") {
+    import graft.operators.AlertTimeline
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29L)
+    val nTicks = 40
+    val rows = (0 until 4).flatMap { k =>
+      val lim = 50L + rnd.nextInt(100)
+      (0 until 60).map { _ =>
+        Seq(k.toLong, rnd.nextInt(nTicks).toLong,
+          rnd.nextInt(60).toLong, lim)
+      }
+    }
+    def run(rs: Seq[Seq[Long]], parts: Int): Seq[(Long, Long, String,
+        Double)] =
+      AlertTimeline.replay(
+        flowDf(Seq("k", "i", "v", "lim"), rs).repartition(parts),
+        "k", "i", "v", "lim", nTicks = nTicks)
+        .orderBy(col("key"), col("t")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSeq
+    val base = run(rows, 1)
+    assert(base.nonEmpty, "generator should produce some alerts")
+    assert(run(rnd.shuffle(rows), 7) == base,
+      "shuffled rows + different partitioning must replay identically")
+  }
 }
