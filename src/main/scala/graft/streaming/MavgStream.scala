@@ -61,8 +61,25 @@ object MavgStream {
       /** processing-time tick for silent keys (reference's 1 s underlimit
         * scanner cadence). <= 0 disables the timer: lifecycle then only
         * advances on arrivals — right for batch replays and tests, where
-        * wall-clock ticks against event-time data would churn forever. */
-      tickIntervalMs: Long = 1000L)
+        * wall-clock ticks against event-time data would churn forever.
+        *
+        * CLOCK CONTRACT: timer ticks decay state on the PROCESSING
+        * clock against event-time `tLast`, which is only coherent when
+        * ingestion is near-real-time (event ≈ wall clock) — the same
+        * assumption the reference's live collector embodies (its act /
+        * underlimit scanner threads run on the capture host's clock,
+        * and a live UDP feed cannot lag). Under sustained ingestion lag
+        * larger than `windowSec`, wall-clock ticks over-decay and close
+        * alerts conservatively; for replays or lag-prone feeds use
+        * tickIntervalMs = 0 (arrival-driven lifecycle only). A tick
+        * whose wall clock is BEHIND the newest event time is skipped
+        * outright (never inflates). */
+      tickIntervalMs: Long = 1000L,
+      /** per-overlimit-section hysteresis, aligned with `defaultLimits`
+        * indices (reference: each mavg_limit carries its own
+        * back2norm-time, CONFIG.md:407); indices beyond this seq fall
+        * back to the uniform `back2normSec`. */
+      back2normsSec: Seq[Long] = Nil)
 
   private def toS(s: LimState): LimStateS =
     LimStateS(s.state match {
@@ -87,60 +104,109 @@ object MavgStream {
         OutputMode.Append, timeout)(process(conf))
   }
 
-  /** The per-key update function (public for deterministic testing). */
-  def process(conf: Conf)(
-      key: String, rows: Iterator[Input],
-      state: GroupState[KeyState]): Iterator[AlertRow] = {
-    val windowNs = conf.windowSec * 1_000_000_000L
-    val b2nNs = conf.back2normSec * 1_000_000_000L
-    val limitVals: Seq[Double] =
-      if (conf.limitsProviders.nonEmpty)
-        // per-section resolution: a key row in one section's file never
-        // silences the OTHER sections' checks
-        conf.defaultLimits.zipWithIndex.map { case (d, i) =>
-          conf.limitsProviders.lift(i).flatten
-            .flatMap(_.get().get(key)).flatMap(_.headOption).getOrElse(d)
-        }
-      else {
-        val limitsMap = conf.limitsProvider match {
-          case Some(r) => r.get()
-          case None    => conf.limits
-        }
-        limitsMap.getOrElse(key, conf.defaultLimits)
+  /** Per-key limit thresholds (shared by the flatMapGroupsWithState and
+    * transformWithState processors — one resolution semantic). */
+  private[streaming] def resolveLimits(conf: Conf, key: String): Seq[Double] =
+    if (conf.limitsProviders.nonEmpty)
+      // per-section resolution: a key row in one section's file never
+      // silences the OTHER sections' checks
+      conf.defaultLimits.zipWithIndex.map { case (d, i) =>
+        conf.limitsProviders.lift(i).flatten
+          .flatMap(_.get().get(key)).flatMap(_.headOption).getOrElse(d)
       }
+    else {
+      val limitsMap = conf.limitsProvider match {
+        case Some(r) => r.get()
+        case None    => conf.limits
+      }
+      limitsMap.getOrElse(key, conf.defaultLimits)
+    }
 
-    var st = state.getOption.getOrElse(KeyState(0.0, Long.MinValue, Map.empty))
-    var lims: Map[Int, LimState] =
-      st.lims.map { case (i, s) => i -> fromS(s) }
+  /** Per-section hysteresis ns (falls back to the uniform value). */
+  private[streaming] def b2nNs(conf: Conf, i: Int): Long =
+    conf.back2normsSec.lift(i).getOrElse(conf.back2normSec) * 1_000_000_000L
+
+  /** Shared per-key step: fold arrivals (or take a tick instant), check
+    * limits, advance the lifecycle, prune finished entries, and decide
+    * retirement. Both stateful operators delegate here so the two can
+    * never diverge semantically.
+    *
+    * @return (new n, new tLast, surviving lim entries, events, retire) —
+    *         retire=true means the key's state can be dropped entirely
+    *         (overlimit mode, nothing tracked, value fully decayed); the
+    *         caller removes its state and stops re-arming its timer.
+    *         Underlimit keys never retire: silence IS their alert
+    *         condition, so the watched key set must stay resident —
+    *         size underlimit key cardinality accordingly (the reference
+    *         has the same property: its underlimit scanner walks a
+    *         configured key table, monit-objects-mavg-under.c).
+    */
+  private[streaming] def step(conf: Conf, key: String, rows: Seq[Input],
+      n0: Double, tLast0: Long, lims0: Map[Int, LimState],
+      tickNowNs: Option[Long])
+      : (Double, Long, Map[Int, LimState], Seq[AlertRow], Boolean) = {
+    val windowNs = conf.windowSec * 1_000_000_000L
+    val limitVals = resolveLimits(conf, key)
+    var n = n0
+    var tLast = tLast0
+    var lims = lims0
     val out = Seq.newBuilder[AlertRow]
     var nowNs = 0L
 
-    if (state.hasTimedOut) {
-      nowNs = state.getCurrentProcessingTimeMs() * 1_000_000L
-    } else {
-      // fold arrivals in event order (decay recurrence per arrival,
-      // reference mavg_recalc monit-objects-mavg.c:571-593)
-      val sorted = rows.toSeq.sortBy(r => (r.tsNs, r.v))
-      sorted.foreach { r =>
-        val dt = (r.tsNs - st.tLast).toDouble
-        val n =
-          if (st.tLast == Long.MinValue || dt >= windowNs) r.v
-          else st.n - dt / windowNs * st.n + r.v
-        st = st.copy(n = n, tLast = r.tsNs)
-        nowNs = r.tsNs
-        // limit check per arrival (mavg_limits_check:535-569)
+    tickNowNs match {
+      case Some(t) =>
+        // clock guard: tick time is the PROCESSING clock, tLast is event
+        // time — if the wall clock is behind the newest event (skew,
+        // replay), decaying would run time backwards and INFLATE the
+        // average; skip the tick instead (see Conf.tickIntervalMs doc)
+        if (tLast == Long.MinValue || t > tLast) nowNs = t
+      case None =>
+        // fold arrivals in event order (decay recurrence per arrival,
+        // reference mavg_recalc monit-objects-mavg.c:571-593)
+        rows.sortBy(r => (r.tsNs, r.v)).foreach { r =>
+          val dt = (r.tsNs - tLast).toDouble
+          n =
+            if (tLast == Long.MinValue || dt >= windowNs) r.v
+            // late cross-batch row: the value still contributes, but the
+            // clock never runs backwards (a negative dt in the recurrence
+            // would INFLATE n; the reference's capture clock is monotone
+            // so this case does not exist there)
+            else if (dt <= 0) n + r.v
+            else n - dt / windowNs * n + r.v
+          tLast = if (tLast == Long.MinValue) r.tsNs else math.max(tLast, r.tsNs)
+          nowNs = tLast
+          // limit check per arrival (mavg_limits_check:535-569)
+          limitVals.zipWithIndex.foreach { case (limit, i) =>
+            val perSec = n / conf.windowSec
+            val breach = if (conf.isOver) perSec >= limit else perSec <= limit
+            if (breach) {
+              lims += i ->
+                onBreach(lims.get(i), nowNs, perSec, limit, b2nNs(conf, i))
+            }
+          }
+        }
+    }
+
+    if (nowNs > 0L) {
+      // underlimit seeding at ANY lifecycle instant (arrival or silent
+      // tick): an absent entry whose decayed value sits at/below the
+      // limit inserts — this is the whole point of silent-key ticks
+      // (reference's dedicated scanner thread); before r11 this was
+      // skipped on the timeout path, so a key that went silent while
+      // healthy could never start its underlimit alert
+      if (!conf.isOver) {
+        val decayedN =
+          if (tLast == Long.MinValue || nowNs > tLast + windowNs) 0.0
+          else n - (nowNs - tLast).toDouble / windowNs * n
         limitVals.zipWithIndex.foreach { case (limit, i) =>
-          val perSec = n / conf.windowSec
-          val breach = if (conf.isOver) perSec >= limit else perSec <= limit
-          if (breach) {
-            lims += i -> onBreach(lims.get(i), r.tsNs, perSec, limit, b2nNs)
+          if (!lims.contains(i)) {
+            val perSec = decayedN / conf.windowSec
+            if (perSec <= limit)
+              lims += i -> onBreach(None, nowNs, perSec, limit, b2nNs(conf, i))
           }
         }
       }
-    }
-
-    // lifecycle tick (reference act thread)
-    if (nowNs > 0L) {
+      // lifecycle tick (reference act thread)
       lims = lims.map { case (i, s0) =>
         val (s1, evs) = onTick(s0, nowNs, windowNs, conf.isOver)
         evs.foreach { e =>
@@ -153,22 +219,42 @@ object MavgStream {
         }
         i -> s1
       }
-      // underlimit of silent keys: even with no arrivals the decayed value
-      // eventually crosses the limit — tested on the timeout path
-      if (!conf.isOver && !state.hasTimedOut) {
-        limitVals.zipWithIndex.foreach { case (limit, i) =>
-          if (!lims.contains(i)) {
-            val perSec = st.n / conf.windowSec
-            if (perSec <= limit)
-              lims += i -> onBreach(None, nowNs, perSec, limit, b2nNs)
-          }
-        }
-      }
+      // Gone entries are behaviorally identical to absent ones (onBreach
+      // restarts both as New, onTick no-ops) — prune so state shrinks
+      // back after an episode instead of growing with limit count
+      lims = lims.filter { case (_, s) => s.state != Gone }
     }
 
-    state.update(KeyState(st.n, st.tLast,
-      lims.map { case (i, s) => i -> toS(s) }))
-    if (conf.tickIntervalMs > 0) state.setTimeoutDuration(conf.tickIntervalMs)
-    out.result().iterator
+    // retirement: an overlimit key with nothing tracked and a fully
+    // decayed value is indistinguishable from a never-seen key — drop
+    // it so state size follows ACTIVE keys, not lifetime cardinality
+    // (the reference's fixed-size hash tables recycle the same way)
+    val retire = conf.isOver && lims.isEmpty && nowNs > 0L &&
+      (tLast == Long.MinValue || nowNs > tLast + windowNs)
+    (n, tLast, lims, out.result(), retire)
+  }
+
+  /** The per-key update function (public for deterministic testing). */
+  def process(conf: Conf)(
+      key: String, rows: Iterator[Input],
+      state: GroupState[KeyState]): Iterator[AlertRow] = {
+    val st = state.getOption.getOrElse(KeyState(0.0, Long.MinValue, Map.empty))
+    val lims0: Map[Int, LimState] =
+      st.lims.map { case (i, s) => i -> fromS(s) }
+    val tick =
+      if (state.hasTimedOut)
+        Some(state.getCurrentProcessingTimeMs() * 1_000_000L)
+      else None
+    val (n, tLast, lims, events, retire) =
+      step(conf, key, if (tick.isDefined) Nil else rows.toSeq,
+        st.n, st.tLast, lims0, tick)
+    if (retire) state.remove()
+    else {
+      state.update(KeyState(n, tLast,
+        lims.map { case (i, s) => i -> toS(s) }))
+      if (conf.tickIntervalMs > 0)
+        state.setTimeoutDuration(conf.tickIntervalMs)
+    }
+    events.iterator
   }
 }

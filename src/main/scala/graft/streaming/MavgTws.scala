@@ -5,14 +5,18 @@ import graft.streaming.MavgStream.{AlertRow, Conf, Input, LimStateS}
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming._
 
-/** Spark 4 `transformWithState` variant of the mavg processor: same
-  * decay/limit/lifecycle semantics as [[MavgStream]], but with
-  * PER-KEY timers — the exact primitive the reference's dedicated
+/** Spark 4 `transformWithState` variant of the mavg processor: the
+  * SAME semantics as [[MavgStream]] by construction — both delegate to
+  * [[MavgStream.step]] (fold, hot-reloadable limit resolution,
+  * per-section hysteresis, lifecycle, Gone-pruning, retirement) — but
+  * with PER-KEY timers, the exact primitive the reference's dedicated
   * underlimit scanner thread emulates (monit-objects-mavg-under.c:
   * every key must tick even when silent). flatMapGroupsWithState only
   * offers a per-group timeout reset by any activity; the TWS API
   * registers explicit timers that fire independently of data, giving
-  * the silent-key tick the natural Spark-native shape.
+  * the silent-key tick the natural Spark-native shape. Exactly one
+  * timer chain runs per live key (handleInputRows only registers when
+  * none is outstanding), and a retired key's chain stops with it.
   */
 class MavgTwsProcessor(conf: Conf)
     extends StatefulProcessor[String, Input, AlertRow] {
@@ -26,81 +30,52 @@ class MavgTwsProcessor(conf: Conf)
       Encoders.product[TwsState], TTLConfig.NONE)
   }
 
+  /** Shared-core step ([[MavgStream.step]] — identical fold, limit
+    * resolution incl. the hot-reloadable providers, lifecycle, pruning
+    * and retirement semantics as the flatMapGroupsWithState variant).
+    * @return retire: the caller decides timer re-arming from it */
   private def foldAndCheck(key: String, rows: Seq[Input],
-                           nowNsIfTick: Option[Long]): Iterator[AlertRow] = {
-    val windowNs = conf.windowSec * 1_000_000_000L
-    val b2nNs = conf.back2normSec * 1_000_000_000L
-    val limitVals = conf.limits.getOrElse(key, conf.defaultLimits)
-
-    var st = Option(state.get()).getOrElse(
+                           nowNsIfTick: Option[Long])
+      : (Iterator[AlertRow], Boolean) = {
+    val st = Option(state.get()).getOrElse(
       TwsState(0.0, Long.MinValue, Seq.empty))
-    var lims: Map[Int, LimState] =
+    val lims0: Map[Int, LimState] =
       st.lims.map(e => e.idx -> MavgTwsProcessor.fromS(e.s)).toMap
-    val out = Seq.newBuilder[AlertRow]
-    var nowNs = nowNsIfTick.getOrElse(0L)
-
-    rows.sortBy(r => (r.tsNs, r.v)).foreach { r =>
-      val dt = (r.tsNs - st.tLast).toDouble
-      val n =
-        if (st.tLast == Long.MinValue || dt >= windowNs) r.v
-        else st.n - dt / windowNs * st.n + r.v
-      st = st.copy(n = n, tLast = r.tsNs)
-      nowNs = r.tsNs
-      limitVals.zipWithIndex.foreach { case (limit, i) =>
-        val perSec = n / conf.windowSec
-        val breach = if (conf.isOver) perSec >= limit else perSec <= limit
-        if (breach)
-          lims += i -> onBreach(lims.get(i), r.tsNs, perSec, limit, b2nNs)
-      }
-    }
-
-    if (nowNs > 0L) {
-      lims = lims.map { case (i, s0) =>
-        val (s1, evs) = onTick(s0, nowNs, windowNs, conf.isOver)
-        evs.foreach { e =>
-          val (nm, v) = e match {
-            case Started(v0, _) => ("start", v0)
-            case Updated(v0)    => ("update", v0)
-            case Ended(v0)      => ("end", v0)
-          }
-          out += AlertRow(key, i, nm, v, s1.limit, nowNs)
-        }
-        i -> s1
-      }
-      if (!conf.isOver && rows.nonEmpty) {
-        limitVals.zipWithIndex.foreach { case (limit, i) =>
-          if (!lims.contains(i)) {
-            val perSec = st.n / conf.windowSec
-            if (perSec <= limit)
-              lims += i -> onBreach(None, nowNs, perSec, limit, b2nNs)
-          }
-        }
-      }
-    }
-
-    state.update(TwsState(st.n, st.tLast,
+    val (n, tLast, lims, events, retire) =
+      MavgStream.step(conf, key, rows, st.n, st.tLast, lims0, nowNsIfTick)
+    if (retire) state.clear()
+    else state.update(TwsState(n, tLast,
       lims.toSeq.sortBy(_._1).map { case (i, s) =>
         LimEntry(i, MavgTwsProcessor.toS(s)) }))
-    out.result().iterator
+    (events.iterator, retire)
   }
 
   override def handleInputRows(key: String, inputRows: Iterator[Input],
       timerValues: TimerValues): Iterator[AlertRow] = {
     val rows = inputRows.toSeq
-    // per-key timer: the silent-key tick (underlimit scanner cadence)
-    if (conf.tickIntervalMs > 0)
+    val (out, retire) = foldAndCheck(key, rows, None)
+    // per-key timer: the silent-key tick (underlimit scanner cadence).
+    // Register ONLY when none is outstanding — an unconditional register
+    // here would mint one self-perpetuating timer chain per data batch
+    // (each expiry re-registers in handleExpiredTimer), growing the
+    // timer column-family without bound.
+    if (conf.tickIntervalMs > 0 && !retire &&
+        !getHandle.listTimers().hasNext)
       getHandle.registerTimer(
         timerValues.getCurrentProcessingTimeInMs() + conf.tickIntervalMs)
-    foldAndCheck(key, rows, None)
+    out
   }
 
   override def handleExpiredTimer(key: String, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[AlertRow] = {
-    if (conf.tickIntervalMs > 0)
+    val (out, retire) = foldAndCheck(key, Nil,
+      Some(timerValues.getCurrentProcessingTimeInMs() * 1_000_000L))
+    // continue the (single) tick chain only while the key is live —
+    // a retired key's chain ends here and new data restarts it
+    if (conf.tickIntervalMs > 0 && !retire)
       getHandle.registerTimer(
         timerValues.getCurrentProcessingTimeInMs() + conf.tickIntervalMs)
-    foldAndCheck(key, Nil,
-      Some(timerValues.getCurrentProcessingTimeInMs() * 1_000_000L))
+    out
   }
 }
 

@@ -17,10 +17,15 @@ import java.util.concurrent.ConcurrentHashMap
   * holds them open).
   *
   * The reference uses per-window `is_active` atomics; the Spark analog is
-  * a driver-side control set consulted per micro-batch: an extended
-  * section whose name is inactive contributes NO aggregation work that
-  * batch (the branch is skipped before any job is launched), matching
-  * the reference's skip in the hot loop.
+  * a driver-side control set consulted per micro-batch: an inactive
+  * extended section skips its SINK work (finish sort + export), while the
+  * windowed aggregation itself still executes — Spark commits every
+  * stateful operator's state each batch, so the aggregation cannot be
+  * conditionally skipped inside one query (see
+  * [[Pipeline.fwmBatchWriter]]). For a truly zero-cost-while-inactive
+  * extended section, run it as its own query and start/stop it on gate
+  * transitions — that also matches the reference's from-empty-on-
+  * activation behavior.
   */
 final class ExtStatsGate extends Serializable {
   private val active = ConcurrentHashMap.newKeySet[String]()
@@ -97,6 +102,12 @@ object Pipeline {
         (unix_timestamp(col("ts")) * lit(1000000000L)).as("tsNs"),
         (measure.column(env) * lit(measure.scale) * rate)
           .cast("double").as("v"))
+        // a NULL measure/ts row would be a poison pill: Input's fields
+        // are non-nullable, so the deserializer throws, the batch dies,
+        // and the restart replays the same offsets forever — drop such
+        // rows instead (the reference's fixed-layout flow records
+        // cannot carry a missing measure at all)
+        .where(col("tsNs").isNotNull && col("v").isNotNull)
         .as[MavgStream.Input]
       val conf = MavgStream.Conf(
         windowSec = m.timeSec,
@@ -106,6 +117,10 @@ object Pipeline {
           _.default.headOption.getOrElse(Double.PositiveInfinity)),
         back2normSec = m.overlimit.headOption
           .map(_.back2normSec).getOrElse(30L),
+        // each overlimit section keeps its OWN hysteresis (reference:
+        // per-mavg_limit back2norm-time) — the uniform back2normSec
+        // above only backstops indices beyond this seq
+        back2normsSec = m.overlimit.map(_.back2normSec),
         // one hot-reloadable limits file PER overlimit section
         // (reference: each mavg_limit carries its own file)
         limitsProviders = m.overlimit.map(_.limitsFile.map(f =>

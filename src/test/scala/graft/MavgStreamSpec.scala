@@ -56,6 +56,107 @@ class MavgStreamSpec extends SparkTest {
     assert(!out2.exists(_.event == "start"), "no duplicate start")
   }
 
+  test("a key that goes silent while HEALTHY starts its underlimit " +
+    "alert from a timeout tick (r11: seeding used to need an arrival)") {
+    val conf = Conf(windowSec = 5, defaultLimits = Seq(100.0),
+      back2normSec = 30, isOver = false, tickIntervalMs = 1000)
+    val S = 1_000_000_000L
+    val state = new TestGroupState[MavgStream.KeyState]
+    // healthy: 1000/5 = 200/s > 100 → NO underlimit entry is inserted
+    val out1 = MavgStream.process(conf)("a",
+      Iterator(Input("a", 10 * S, 1000.0)), state).toSeq
+    assert(out1.isEmpty && state.get.lims.isEmpty,
+      s"healthy key must not alert: $out1")
+    // silence: wall-clock tick at 20s → decayed value 0 ≤ 100 → the
+    // entry seeds AND the same tick fires Started
+    state.timedOut = true
+    state.processingTimeMs = 20_000L
+    val out2 = MavgStream.process(conf)("a", Iterator.empty, state).toSeq
+    assert(out2.count(_.event == "start") == 1,
+      s"silent key must start its underlimit alert, got $out2")
+  }
+
+  test("late cross-batch rows contribute without inflating the decayed " +
+    "average, and the clock never runs backwards") {
+    val conf = Conf(windowSec = 5, defaultLimits = Seq(100.0),
+      back2normSec = 30, isOver = true, tickIntervalMs = 0)
+    val S = 1_000_000_000L
+    val state = new TestGroupState[MavgStream.KeyState]
+    MavgStream.process(conf)("a",
+      Iterator(Input("a", 10 * S, 400.0)), state).toSeq // 80/s, no breach
+    // late row (ts 6 < tLast 10): naive recurrence would compute
+    // n = 400·(1+4/5)+10 = 730 → 146/s → spurious overlimit Started
+    val out = MavgStream.process(conf)("a",
+      Iterator(Input("a", 6 * S, 10.0)), state).toSeq
+    assert(out.isEmpty, s"late row must not inflate into a breach: $out")
+    assert(state.get.n == 410.0 && state.get.tLast == 10 * S,
+      s"expected additive contribution with a monotone clock: ${state.get}")
+  }
+
+  test("overlimit state retires after the episode ends and the value " +
+    "fully decays (state size follows active keys, not lifetime keys)") {
+    val conf = Conf(windowSec = 5, defaultLimits = Seq(100.0),
+      back2normSec = 2, isOver = true, tickIntervalMs = 1000)
+    val S = 1_000_000_000L
+    val state = new TestGroupState[MavgStream.KeyState]
+    val out1 = MavgStream.process(conf)("a",
+      Iterator(Input("a", 10 * S, 600.0)), state).toSeq
+    assert(out1.exists(_.event == "start"))
+    // 16s: value decayed past the window → ALMOST_GONE (b2n clock runs)
+    state.timedOut = true
+    state.processingTimeMs = 16_000L
+    MavgStream.process(conf)("a", Iterator.empty, state).toSeq
+    assert(state.exists, "mid-hysteresis state must persist")
+    // 19s: past 16+2 → Ended fires, the Gone entry prunes, and the key
+    // retires entirely — indistinguishable from never-seen
+    state.processingTimeMs = 19_000L
+    val out3 = MavgStream.process(conf)("a", Iterator.empty, state).toSeq
+    assert(out3.count(_.event == "end") == 1, s"got $out3")
+    assert(!state.exists, "retired key must drop its state")
+    // a fresh breach later restarts cleanly from empty state
+    state.timedOut = false
+    val out4 = MavgStream.process(conf)("a",
+      Iterator(Input("a", 30 * S, 600.0)), state).toSeq
+    assert(out4.exists(_.event == "start"), s"restart after retire: $out4")
+  }
+
+  test("per-section back2norm hysteresis: each overlimit section ends " +
+    "on ITS OWN clock (r11: first section's value applied to all)") {
+    val conf = Conf(windowSec = 5, defaultLimits = Seq(100.0, 100.0),
+      back2normSec = 30, back2normsSec = Seq(2L, 30L),
+      isOver = true, tickIntervalMs = 1000)
+    val S = 1_000_000_000L
+    val state = new TestGroupState[MavgStream.KeyState]
+    val out1 = MavgStream.process(conf)("a",
+      Iterator(Input("a", 10 * S, 600.0)), state).toSeq
+    assert(out1.count(_.event == "start") == 2)
+    state.timedOut = true
+    state.processingTimeMs = 16_000L // both sections → ALMOST_GONE
+    MavgStream.process(conf)("a", Iterator.empty, state).toSeq
+    state.processingTimeMs = 19_000L // past 16+2 but NOT 16+30
+    val out3 = MavgStream.process(conf)("a", Iterator.empty, state).toSeq
+    assert(out3.count(_.event == "end") == 1 &&
+      out3.exists(r => r.event == "end" && r.limitIdx == 0),
+      s"only the 2s-hysteresis section may end: $out3")
+    assert(state.exists, "section 1 still mid-hysteresis → state stays")
+  }
+
+  test("a tick whose wall clock is behind the newest event time is " +
+    "skipped (clock-skew guard: decay must never run backwards)") {
+    val conf = Conf(windowSec = 5, defaultLimits = Seq(100.0),
+      back2normSec = 30, isOver = true, tickIntervalMs = 1000)
+    val S = 1_000_000_000L
+    val state = new TestGroupState[MavgStream.KeyState]
+    MavgStream.process(conf)("a",
+      Iterator(Input("a", 100 * S, 600.0)), state).toSeq
+    val before = state.get
+    state.timedOut = true
+    state.processingTimeMs = 50_000L // wall 50s < event 100s
+    val out = MavgStream.process(conf)("a", Iterator.empty, state).toSeq
+    assert(out.isEmpty && state.get == before,
+      s"skewed tick must be a no-op: $out, ${state.get}")
+  }
+
   test("timeout path ticks silent keys (underlimit scanner analog)") {
     val conf = Conf(windowSec = 5, defaultLimits = Seq(100.0),
       back2normSec = 30, isOver = false, tickIntervalMs = 1000)
