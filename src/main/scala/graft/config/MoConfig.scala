@@ -41,17 +41,17 @@ object MoConfig {
       classification: Seq[ClsSection],
       children: Seq[MonitoringObject])
 
+  // JSON-with-comments like the reference's aajson (CONFIG.md:203) —
+  // the parser-level feature understands string literals, so a trailing
+  // "// seconds" strips and a filter VALUE containing "/*" survives
+  // (a regex pre-strip gets both of those wrong)
   private val mapper = new ObjectMapper()
-
-  /** Strip `/* */` and `//` comments (the reference's aajson accepts
-    * JSON-with-comments, CONFIG.md:203). */
-  private def stripComments(s: String): String =
-    s.replaceAll("(?s)/\\*.*?\\*/", "")
-      .replaceAll("(?m)^\\s*//.*$", "")
+  mapper.configure(
+    com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_COMMENTS, true)
 
   def parse(name: String, json: String,
             children: Seq[MonitoringObject] = Nil): MonitoringObject = {
-    val root = mapper.readTree(stripComments(json))
+    val root = mapper.readTree(json)
     MonitoringObject(
       name = name,
       filter = opt(root, "filter").map(_.asText).getOrElse(""),
@@ -106,20 +106,29 @@ object MoConfig {
     * conjunction of its ancestors' (one shared scan, Catalyst merges the
     * predicates — the Spark analog of the reference's recursive
     * dispatch). Returns every fwm plan of every node. */
+  /** @param includeExtended compile `"extended": true` sections too.
+    *   Default false: extended windows aggregate ONLY while an alert
+    *   holds them open (CONFIG.md:411; the streaming path gates them
+    *   via ExtStatsGate), and a batch replay has no alert context — an
+    *   unconditional compile would export the most expensive sections
+    *   of the config over the entire input, output the reference never
+    *   produces. Pass true for an explicit what-if backfill. */
   def compileTree(mo: MonitoringObject, flows: DataFrame, env: FilterEnv,
                   tsCol: Column, samplingRate: Option[Column],
-                  parentPred: Column = lit(true)): Seq[CompiledFwm] = {
+                  parentPred: Column = lit(true),
+                  includeExtended: Boolean = false): Seq[CompiledFwm] = {
     val ownPred = Compiler.filterColumn(mo.filter, env)
       .fold(e => sys.error(s"MO '${mo.name}' filter: $e"), identity)
     val pred = parentPred && ownPred
     val filtered = flows.filter(pred)
-    val own = mo.fwm.map { f =>
+    val own = mo.fwm.filter(includeExtended || !_.extended).map { f =>
       CompiledFwm(mo.name, f,
         Fwm.batch(filtered, env,
           Fwm.Conf(f.name, f.fields, f.timeSec, f.limit),
           tsCol, samplingRate))
     }
     own ++ mo.children.flatMap(
-      compileTree(_, flows, env, tsCol, samplingRate, pred))
+      compileTree(_, flows, env, tsCol, samplingRate, pred,
+        includeExtended))
   }
 }

@@ -13,6 +13,13 @@ import org.apache.spark.sql.DataFrame
   */
 object MavgDump {
 
+  // dumps are a machine-parsed comma-separated format: the decimal
+  // separator must be '.' regardless of the JVM's default locale (the
+  // f interpolator uses Locale.getDefault — a German locale would
+  // render 5.0 as "5,000" and corrupt the field count)
+  private def d3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   /** `.d`-style dump: one line per key, fields comma-separated, the
     * decayed per-second value last (value = n / windowSec). */
   def dumpD(decayed: DataFrame, keyCols: Seq[String],
@@ -21,8 +28,16 @@ object MavgDump {
       org.apache.spark.sql.functions.col): _*).collect()
     rows.map { r =>
       val keys = keyCols.indices.map(i => String.valueOf(r.get(i)))
-      val perSec = r.getLong(keyCols.length).toDouble / windowSec
-      (keys :+ f"$perSec%.3f").mkString(",")
+      // n is LongType from the integer fixed-point path and DoubleType
+      // from decayedFinalDouble / a streaming-state snapshot — accept
+      // both (a bare getLong ClassCastExceptions on the latter two)
+      val n = r.get(keyCols.length) match {
+        case l: java.lang.Long   => l.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case x                   => String.valueOf(x).toDouble
+      }
+      val perSec = n / windowSec
+      (keys :+ d3(perSec)).mkString(",")
     }.sorted.mkString("\n")
   }
 
@@ -30,6 +45,6 @@ object MavgDump {
   def dumpA(limits: Map[Seq[String], Seq[Double]]): String =
     limits.toSeq.sortBy(_._1.mkString(","))
       .map { case (k, ls) =>
-        (k ++ ls.map(l => f"$l%.3f")).mkString(",")
+        (k ++ ls.map(d3)).mkString(",")
       }.mkString("\n")
 }

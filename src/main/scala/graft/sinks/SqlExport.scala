@@ -26,7 +26,8 @@ object SqlExport {
   def tableName(conf: Conf): String = s"${conf.moName}_${conf.fwmName}"
 
   private def pgType(f: StructField, conf: Conf): String =
-    if (f.name == "time") "TIMESTAMPTZ"
+    // time FIRST, but dialect-aware: ClickHouse has no TIMESTAMPTZ
+    if (f.name == "time") if (conf.clickhouse) "DateTime" else "TIMESTAMPTZ"
     else if (conf.ipCols.contains(f.name))
       if (conf.clickhouse)
         if (f.dataType == BinaryType) "Nullable(IPv6)" else "Nullable(IPv4)"
@@ -54,8 +55,8 @@ object SqlExport {
 
   private def literal(v: Any, f: StructField, conf: Conf): String = v match {
     case null => "NULL"
-    case _ if f.name == "time" =>
-      s"to_timestamp($v)" // epoch seconds column
+    case _ if f.name == "time" => // epoch seconds column
+      if (conf.clickhouse) s"toDateTime($v)" else s"to_timestamp($v)"
     case l: Long if conf.ipCols.contains(f.name) =>
       "'" + Seq(24, 16, 8, 0).map(s => (l >> s) & 0xff).mkString(".") + "'"
     case b: Array[Byte] if conf.ipCols.contains(f.name) && b.length == 16 =>
@@ -68,7 +69,13 @@ object SqlExport {
       // malformed address length: NULL beats an invalid INET literal
       // that would abort the whole INSERT at import time
       "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: String =>
+      // ClickHouse treats backslash as an escape inside string literals
+      // (Postgres with standard_conforming_strings does not): double it
+      // there, or a value ending in '\' swallows the closing quote and
+      // breaks the whole multi-row INSERT
+      val esc = if (conf.clickhouse) s.replace("\\", "\\\\") else s
+      "'" + esc.replace("'", "''") + "'"
     case b: Array[Byte] =>
       "'" + b.map("%02x".format(_)).mkString(":") + "'"
     case other => other.toString

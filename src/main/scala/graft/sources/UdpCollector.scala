@@ -124,48 +124,59 @@ final class UdpCollector(
   private val thread = new Thread(() => {
     val buf = new Array[Byte](maxPacketBytes)
     val pkt = new DatagramPacket(buf, buf.length)
-    openSegment()
-    try while (running) {
-      val got =
-        try { socket.receive(pkt); true }
-        catch {
-          case _: java.net.SocketTimeoutException => false
-          case _: java.net.SocketException if !running => false
+    // openSegment sits INSIDE the guarded region: a spool that is full
+    // or unwritable at startup must surface through writerError (and
+    // make close() throw), not kill the thread silently while the
+    // socket keeps accepting-and-dropping for the collector's lifetime
+    try {
+      openSegment()
+      while (running) {
+        val got =
+          try { socket.receive(pkt); true }
+          catch {
+            case _: java.net.SocketTimeoutException => false
+            case _: java.net.SocketException if !running => false
+          }
+        if (got) {
+          // the segment age clock starts at the FIRST packet, not at
+          // open: an idle period must not count against the new segment
+          // (otherwise sparse traffic rotates a 1-packet file per
+          // datagram — one tiny scan partition each)
+          if (stagedPackets == 0) segStartMs = System.currentTimeMillis()
+          val ts = System.currentTimeMillis() / 1000L
+          val src = pkt.getAddress match {
+            case v4: Inet4Address =>
+              java.nio.ByteBuffer.wrap(v4.getAddress).getInt.toLong &
+                0xffffffffL
+            case _ => 0L // v6 exporter: no 4-byte slot (format is v4-only)
+          }
+          out.writeInt(pkt.getLength)
+          out.writeLong(ts)
+          out.writeInt(src.toInt)
+          out.write(pkt.getData, pkt.getOffset, pkt.getLength)
+          stagedBytes += 16L + pkt.getLength
+          stagedPackets += 1
+          packetsReceived.incrementAndGet()
         }
-      if (got) {
-        // the segment age clock starts at the FIRST packet, not at
-        // open: an idle period must not count against the new segment
-        // (otherwise sparse traffic rotates a 1-packet file per
-        // datagram — one tiny scan partition each)
-        if (stagedPackets == 0) segStartMs = System.currentTimeMillis()
-        val ts = System.currentTimeMillis() / 1000L
-        val src = pkt.getAddress match {
-          case v4: Inet4Address =>
-            java.nio.ByteBuffer.wrap(v4.getAddress).getInt.toLong &
-              0xffffffffL
-          case _ => 0L // v6 exporter: no 4-byte slot (format is v4-only)
-        }
-        out.writeInt(pkt.getLength)
-        out.writeLong(ts)
-        out.writeInt(src.toInt)
-        out.write(pkt.getData, pkt.getOffset, pkt.getLength)
-        stagedBytes += 16L + pkt.getLength
-        stagedPackets += 1
-        packetsReceived.incrementAndGet()
+        if (stagedBytes >= rotateBytes ||
+            (stagedPackets > 0 &&
+              System.currentTimeMillis() - segStartMs >= rotateMillis))
+          rotate()
       }
-      if (stagedBytes >= rotateBytes ||
-          (stagedPackets > 0 &&
-            System.currentTimeMillis() - segStartMs >= rotateMillis))
-        rotate()
     } catch { case e: Throwable => writerError = e
     } finally {
       // final flush — also on an unexpected loop death, so packets
-      // already spooled to staging are never stranded
+      // already spooled to staging are never stranded (out is null iff
+      // openSegment itself failed: nothing staged, nothing to flush)
       try {
-        out.close()
-        if (stagedPackets == 0) { staging.delete(); () }
-        else if (!staging.renameTo(new File(spool, f"seg-$seq%012d.gpkd")))
-          throw new java.io.IOException(s"final rename of $staging failed")
+        if (out != null) {
+          out.close()
+          if (stagedPackets == 0) { staging.delete(); () }
+          else if (!staging.renameTo(
+              new File(spool, f"seg-$seq%012d.gpkd")))
+            throw new java.io.IOException(
+              s"final rename of $staging failed")
+        }
       } catch { case e: Throwable =>
         if (writerError == null) writerError = e }
     }

@@ -71,6 +71,32 @@ class SinkConfigSpec extends SparkTest {
     assert(sql.contains("Nullable(Int64)"))
   }
 
+  test("ClickHouse export end-to-end dialect: DateTime time column, " +
+    "toDateTime literals, backslash escaping (no Postgres-isms)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("time", LongType, false),
+      StructField("label", StringType, true),
+      StructField("octets", LongType, false)))
+    val rows = Seq(Row(1700000000L, "C:\\tmp\\", 10L))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val ch = SqlExport.exportSql(df,
+      SqlExport.Conf("mo1", "w", clickhouse = true))
+    assert(ch.contains(""""time" DateTime"""), ch)
+    assert(!ch.contains("TIMESTAMPTZ"), "ClickHouse has no TIMESTAMPTZ")
+    assert(ch.contains("toDateTime(1700000000)"), ch)
+    assert(!ch.contains("to_timestamp"), "to_timestamp is Postgres-only")
+    assert(ch.contains("'C:\\\\tmp\\\\'"),
+      s"backslashes must double in ClickHouse literals: $ch")
+    // ...and the Postgres dialect is untouched by the CH fixes
+    val pg = SqlExport.exportSql(df, SqlExport.Conf("mo1", "w"))
+    assert(pg.contains("TIMESTAMPTZ") && pg.contains("to_timestamp(") &&
+      pg.contains("'C:\\tmp\\'"), pg)
+  }
+
   test("mo.conf parse: FIXTURES.md §2 canonical config") {
     val json = """{
       /* comment */
@@ -106,6 +132,39 @@ class SinkConfigSpec extends SparkTest {
     assert(mo.mavg.head.overlimit.head.back2normSec == 60)
     assert(mo.mavg.head.overlimit.head.extNames == Seq("ext"))
     assert(mo.classification.head.topPct == 90.0)
+  }
+
+  test("mo.conf comments parse at the JSON level: trailing // after a " +
+    "value, and '/*' INSIDE a string value survives") {
+    val mo = MoConfig.parse("mo1", """{
+      "filter": "host 1.2.3.4 or proto 6", // the hot path
+      "fwm": [ { "name": "w", "fields": ["octets"], "time": 30 } ]
+    }""")
+    assert(mo.fwm.head.timeSec == 30)
+    val tricky = MoConfig.parse("mo2",
+      """{ "filter": "dst port 443 /* not a comment */" }""")
+    assert(tricky.filter == "dst port 443 /* not a comment */",
+      s"string contents must not be comment-stripped: '${tricky.filter}'")
+  }
+
+  test("compileTree gates extended sections: excluded from a batch " +
+    "replay unless explicitly requested (CONFIG.md:411 semantics)") {
+    val mo = MoConfig.parse("mo1",
+      """{"filter": "proto 6",
+         "fwm": [{"name": "base", "fields": ["octets"]},
+                 {"extended": true, "name": "ext",
+                  "fields": ["octets", "src host"]}]}""")
+    val flows = flowDf(
+      Seq("ts_sec", "protocol", "ip4_src_addr", "in_bytes"),
+      Seq(Seq(0L, 6L, 1L, 10L)))
+    val env = FilterEnv.flow(spark)
+    val defaultPlans = MoConfig.compileTree(mo, flows, env,
+      col("ts_sec"), None)
+    assert(defaultPlans.map(_.section.name) == Seq("base"),
+      "extended sections need an active alert; batch has none")
+    val withExt = MoConfig.compileTree(mo, flows, env,
+      col("ts_sec"), None, includeExtended = true)
+    assert(withExt.map(_.section.name) == Seq("base", "ext"))
   }
 
   test("MO tree compiles to conjunctive filters over one scan " +
@@ -174,5 +233,20 @@ class MavgDumpSpec extends SparkTest {
     val a = MavgDump.dumpA(Map(
       Seq("1.2.3.4", "6") -> Seq(100.0), Seq("1.2.3.4", "17") -> Seq(2.5)))
     assert(a == "1.2.3.4,17,2.500\n1.2.3.4,6,100.000")
+  }
+
+  test("dumpD accepts a DoubleType n column (decayedFinalDouble / " +
+    "streaming-state snapshots), not just the fixed-point Long") {
+    import graft.sinks.MavgDump
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("src_host", LongType, false),
+      StructField("n", DoubleType, false)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(Seq(Row(10L, 3000.0))).asJava), schema)
+    assert(MavgDump.dumpD(df, Seq("src_host"), windowSec = 600) ==
+      "10,5.000")
   }
 }
