@@ -483,4 +483,21 @@ class PropertySpec extends SparkTest {
     assert(run(rnd.shuffle(rows), 7) == base,
       "shuffled rows + different partitioning must replay identically")
   }
+
+  test("wire decoders never throw on fuzzed input (random bytes + " +
+    "mutated real v5/v9/IPFIX/sFlow packets + payload parsers)") {
+    import graft.sources.{NetflowDecoder, PayloadParsers, SflowDecoder}
+    val rnd = new scala.util.Random(23)
+    val random = (1 to 200).map(_ =>
+      Array.fill(rnd.nextInt(400))(rnd.nextInt(256).toByte))
+    val valid = Queries.v9Packets(8)
+    val all = random ++ valid ++ mutations(valid)
+    val cache = new NetflowDecoder.TemplateCache
+    all.foreach { b =>
+      NetflowDecoder.decodePacket(b, 100L, 9L, cache) // wire edge: must
+      SflowDecoder.decodePacket(b, 100L)              // tolerate hostile
+      PayloadParsers.parseDns(b)                      // bytes, not throw
+      PayloadParsers.parseSni(b)
+    }
+  }
 }
