@@ -93,7 +93,15 @@ object Lpm {
 
   def v4Prefix(cidr: String, value: String = ""): Prefix = {
     val (a, m) = splitCidr(cidr, 32)
-    val addr = BigInt(a.split('.').foldLeft(0L)((acc, p) => acc * 256 + p.toLong))
+    // validate, don't fold: "10.0.0/8" or "999.0.0.0/8" silently built
+    // a WRONG interval before r11 — a filter list that matches the
+    // wrong /8 is far worse than a config error
+    val parts = a.split('.')
+    require(parts.length == 4 &&
+      parts.forall(p => p.nonEmpty && p.forall(_.isDigit) &&
+        p.length <= 3 && p.toInt <= 255),
+      s"malformed IPv4 address in CIDR '$cidr'")
+    val addr = BigInt(parts.foldLeft(0L)((acc, p) => acc * 256 + p.toLong))
     val span = BigInt(1) << (32 - m)
     val start = (addr / span) * span
     Prefix(start, start + span - 1, m, value)
@@ -101,7 +109,17 @@ object Lpm {
 
   def v6Prefix(cidr: String, value: String = ""): Prefix = {
     val (a, m) = splitCidr(cidr, 128)
-    val bytes = java.net.InetAddress.getByName(a).getAddress
+    // only accept literals: getByName on a non-literal would do a
+    // blocking DNS lookup at table-build time
+    require(a.contains(':'), s"not an IPv6 literal: '$a'")
+    val raw = java.net.InetAddress.getByName(a).getAddress
+    // Java parses "::ffff:a.b.c.d" into an Inet4Address (4 bytes) —
+    // rebuild the RFC 4291 v4-mapped 16-byte form instead of rejecting
+    // a legitimate v6 CIDR
+    val bytes =
+      if (raw.length == 4)
+        Array.fill[Byte](10)(0) ++ Array[Byte](-1, -1) ++ raw
+      else raw
     require(bytes.length == 16, s"not an IPv6 address: $a")
     val addr = BigInt(1, bytes)
     val span = BigInt(1) << (128 - m)
@@ -112,7 +130,15 @@ object Lpm {
   private def splitCidr(cidr: String, maxLen: Int): (String, Int) = {
     val idx = cidr.indexOf('/')
     if (idx < 0) (cidr, maxLen)
-    else (cidr.substring(0, idx), cidr.substring(idx + 1).toInt)
+    else {
+      val m = cidr.substring(idx + 1).toInt
+      // an unchecked mask fails far from the cause: /33 makes the span
+      // BigInt(1) << -1 == 0 → "BigInteger divide by zero"; a negative
+      // mask silently over-matches everything
+      require(m >= 0 && m <= maxLen,
+        s"mask /$m out of range [0, $maxLen] in CIDR '$cidr'")
+      (cidr.substring(0, idx), m)
+    }
   }
 
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** IPv4 LPM lookup as a native Catalyst expression with whole-stage
@@ -27,9 +28,18 @@ object Lpm4Packed {
     new Lpm4Packed(
       t.starts.map(_.toLong),
       t.ends.map(_.toLong),
-      t.values.map { v =>
-        UTF8String.fromString(if (attr < 0) v else v.split('|')(attr))
-      })
+      t.values.map(v => UTF8String.fromString(sliceAttr(v, attr))))
+
+  /** Pipe-joined attribute slice with limit -1 (a bare split drops
+    * trailing empty fields — a record ending in '|' would then crash
+    * the build with AIOOBE); an absent attribute yields "" (the
+    * reference renders missing geo attributes as empty/unknown). */
+  private[functions] def sliceAttr(v: String, attr: Int): String =
+    if (attr < 0) v
+    else {
+      val parts = v.split("\\|", -1)
+      if (attr < parts.length) parts(attr) else ""
+    }
 
   /** Binary search; called from both interpreted eval and generated
     * code. Returns null when no interval covers the ip. */
@@ -50,6 +60,8 @@ object Lpm4Packed {
   * nullable result). */
 case class Lpm4LookupExpr(child: Expression, table: Lpm4Packed,
                           default: Option[String]) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = LpmExpr.expect(
+    child, LongType, prettyName)
   override def dataType: DataType = StringType
   // nullable even with a default: a NULL input ip still yields NULL
   // (callers coalesce if they want the reference's "?")
@@ -90,6 +102,8 @@ case class Lpm4LookupExpr(child: Expression, table: Lpm4Packed,
 /** Membership test (`net <listname>` semantics). */
 case class Lpm4ContainsExpr(child: Expression,
                             table: Lpm4Packed) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = LpmExpr.expect(
+    child, LongType, prettyName)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "lpm_contains"
@@ -136,9 +150,8 @@ object Lpm6Packed {
     new Lpm6Packed(
       t.starts.map(hiOf), t.starts.map(loOf),
       t.ends.map(hiOf), t.ends.map(loOf),
-      t.values.map { v =>
-        UTF8String.fromString(if (attr < 0) v else v.split('|')(attr))
-      })
+      t.values.map(v =>
+        UTF8String.fromString(Lpm4Packed.sliceAttr(v, attr))))
 
   /** Unsigned 128-bit compare of (aHi,aLo) vs (bHi,bLo). */
   @inline private def cmp(aHi: Long, aLo: Long, bHi: Long, bLo: Long): Int = {
@@ -173,6 +186,10 @@ object Lpm6Packed {
 /** `lookup(ip6_binary)` → matched value, `default` when unmatched. */
 case class Lpm6LookupExpr(child: Expression, table: Lpm6Packed,
                           default: Option[String]) extends UnaryExpression {
+  // a clean analysis error beats a janino failure / per-row CCE when a
+  // SQL caller hands a non-binary column to asn6() & friends
+  override def checkInputDataTypes(): TypeCheckResult = LpmExpr.expect(
+    child, BinaryType, prettyName)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "lpm6_lookup"
@@ -212,6 +229,8 @@ case class Lpm6LookupExpr(child: Expression, table: Lpm6Packed,
   * (`host6`/`net6`/v6-list semantics, reference filter.c:359-466). */
 case class Lpm6ContainsExpr(child: Expression,
                             table: Lpm6Packed) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = LpmExpr.expect(
+    child, BinaryType, prettyName)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "lpm6_contains"
@@ -241,26 +260,55 @@ case class Lpm6ContainsExpr(child: Expression,
 }
 
 object LpmExpr {
+  /** Analysis-time input check shared by the four expressions. */
+  private[functions] def expect(child: Expression, t: DataType,
+                                name: String): TypeCheckResult =
+    if (child.dataType == t) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects ${t.sql} input, got ${child.dataType.sql}")
+
+  // pack memoization: a production geo DB is hundreds of thousands of
+  // prefixes, and every country()/asn()/... Column used to repack the
+  // WHOLE table (map + attr slice + UTF8String per entry) on each call
+  // — asn+asd alone packed the AS table twice per query. Weak keys: the
+  // cache lives exactly as long as the Table it packs (GeoDb holds it).
+  private val cache4 =
+    new java.util.WeakHashMap[Lpm.Table, java.util.HashMap[Integer, Lpm4Packed]]
+  private val cache6 =
+    new java.util.WeakHashMap[Lpm.Table, java.util.HashMap[Integer, Lpm6Packed]]
+
+  private def packed4(t: Lpm.Table, attr: Int): Lpm4Packed =
+    cache4.synchronized {
+      cache4.computeIfAbsent(t, _ => new java.util.HashMap)
+        .computeIfAbsent(attr, _ => Lpm4Packed(t, attr))
+    }
+
+  private def packed6(t: Lpm.Table, attr: Int): Lpm6Packed =
+    cache6.synchronized {
+      cache6.computeIfAbsent(t, _ => new java.util.HashMap)
+        .computeIfAbsent(attr, _ => Lpm6Packed(t, attr))
+    }
+
   /** Column API: LPM value lookup with default. */
   def lookup4(table: Lpm.Table, attr: Int = -1,
               default: Option[String] = None)(ip: Column): Column =
     GraftBridge.toColumn(Lpm4LookupExpr(
       GraftBridge.toExpression(ip.cast("long")),
-      Lpm4Packed(table, attr), default))
+      packed4(table, attr), default))
 
   /** Column API: LPM membership. */
   def contains4(table: Lpm.Table)(ip: Column): Column =
     GraftBridge.toColumn(Lpm4ContainsExpr(
-      GraftBridge.toExpression(ip.cast("long")), Lpm4Packed(table)))
+      GraftBridge.toExpression(ip.cast("long")), packed4(table, -1)))
 
   /** Column API: v6 LPM value lookup over a binary(16) column. */
   def lookup6(table: Lpm.Table, attr: Int = -1,
               default: Option[String] = None)(ip: Column): Column =
     GraftBridge.toColumn(Lpm6LookupExpr(
-      GraftBridge.toExpression(ip), Lpm6Packed(table, attr), default))
+      GraftBridge.toExpression(ip), packed6(table, attr), default))
 
   /** Column API: v6 LPM membership over a binary(16) column. */
   def contains6(table: Lpm.Table)(ip: Column): Column =
     GraftBridge.toColumn(Lpm6ContainsExpr(
-      GraftBridge.toExpression(ip), Lpm6Packed(table)))
+      GraftBridge.toExpression(ip), packed6(table, -1)))
 }

@@ -41,10 +41,15 @@ object NetFns {
       buf.result()
     }
     val q = xdiv(a, b)
-    val arr = typedlit(powers)
-    when(q <= 0, lit(0L))
-      .otherwise(array_max(filter(arr, p => p <= q)))
-      .cast(LongType)
+    // descending when-chain (first power ≤ q wins) instead of the
+    // HOF filter+array_max form: the lambda is interpreted per element
+    // per row with a fresh filtered array each time, while the chain is
+    // whole-stage-codegen'd with zero allocation — same exact result
+    val chain = powers.reverse.tail.foldLeft(
+      when(q >= powers.last, lit(powers.last))) { (acc, p) =>
+      acc.when(q >= p, lit(p))
+    }.otherwise(lit(0L))
+    when(q <= 0, lit(0L)).otherwise(chain).cast(LongType)
   }
 
   /** min(a,b) over two int fields (reference filter.c:685-709). */
@@ -62,10 +67,15 @@ object NetFns {
         .mkString("+")
     }
 
+  // hoisted literal Columns: expression trees are immutable, so one
+  // instance serves every query — rebuilding a 256-entry (or full
+  // services-DB) literal per call costs driver CPU and bloats plans
+  private lazy val tcpFlagsLit = typedlit(tcpFlagsTable)
+
   /** tfstr(flags): flags byte → "ACK+SYN" style string via a literal
     * 256-entry lookup array (codegen'd element_at). */
   def tfstr(flags: Column): Column =
-    element_at(typedlit(tcpFlagsTable), (flags % 256).cast("int") + 1)
+    element_at(tcpFlagsLit, (flags % 256).cast("int") + 1)
 
   /** Parse a services(5)-format text ("name port/proto [aliases]", '#'
     * comments) into port → primary name. First entry per port wins —
@@ -122,9 +132,11 @@ object NetFns {
     } catch { case _: java.io.IOException => builtinServices }
   }
 
+  private lazy val servicesLit =
+    typedlit(servicesByPort.map { case (k, v) => k.toLong -> v })
+
   private def serviceName(port: Column): Column =
-    element_at(typedlit(servicesByPort.map { case (k, v) => k.toLong -> v }),
-      port.cast(LongType))
+    element_at(servicesLit, port.cast(LongType))
 
   /** portstr(port): "https (443)" when known, "443"-style otherwise
     * (reference utils.c:28-37 — note the space before the paren). */
@@ -189,8 +201,15 @@ object NetFns {
         i = j
       } else i += 1
     }
+    // RFC 5952 §5 / inet_ntop parity: IPv4-MAPPED addresses render in
+    // mixed notation ("::ffff:1.2.3.4", not "::ffff:102:304") — the
+    // form every tool prints and every SQL INET parser accepts
+    val v4mapped = (0 until 10).forall(b(_) == 0) &&
+      b(10) == -1 && b(11) == -1
+    if (v4mapped)
+      "::ffff:" + (12 until 16).map(b(_) & 0xff).mkString(".")
     // RFC 5952 §4.2.1: a single zero group is NOT compressed
-    if (bestLen < 2) g.map(_.toHexString).mkString(":")
+    else if (bestLen < 2) g.map(_.toHexString).mkString(":")
     else g.take(best).map(_.toHexString).mkString(":") + "::" +
       g.drop(best + bestLen).map(_.toHexString).mkString(":")
   }

@@ -121,6 +121,48 @@ class LpmSpec extends SparkTest {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("malformed CIDRs are rejected, not silently mis-built") {
+    import graft.functions.Lpm
+    // before r11: "10.0.0/8" folded to a wrong interval (matched 0/8),
+    // "/33" crashed later with "BigInteger divide by zero", and a
+    // negative mask over-matched everything
+    for (bad <- Seq("10.0.0/8", "999.0.0.0/8", "10.0.0.0.1/8",
+        "10.0.0.0/33", "10.0.0.0/-1", "10.0.x.0/8"))
+      intercept[Exception] { Lpm.v4Prefix(bad) }
+    for (bad <- Seq("2001:db8::/129", "2001:db8::/-1", "example.com/64"))
+      intercept[Exception] { Lpm.v6Prefix(bad) }
+    // v4-mapped v6 CIDR is legitimate (RFC 4291) — Java parses the
+    // literal to 4 bytes; the builder must rebuild the 16-byte form
+    val p = Lpm.v6Prefix("::ffff:10.0.0.1/128")
+    assert(p.start == (BigInt(0xffff) << 32) + 0x0a000001L)
+  }
+
+  test("packed attribute slice survives trailing empty fields and " +
+    "out-of-range attrs (r11: bare split dropped them then crashed)") {
+    import graft.functions.{Lpm, LpmExpr}
+    val t = Lpm.build(Seq(Lpm.v4Prefix("10.0.0.0/8", "as1|"))) // empty desc
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(0x0a000001L).toDF("ip")
+    // attr 1 is the empty trailing field; attr 5 does not exist
+    assert(df.select(LpmExpr.lookup4(t, attr = 1)(col("ip")))
+      .collect()(0).getString(0) == "")
+    assert(df.select(LpmExpr.lookup4(t, attr = 5)(col("ip")))
+      .collect()(0).getString(0) == "")
+  }
+
+  test("v6 expressions reject non-binary input at analysis time") {
+    import graft.functions.{Lpm, LpmExpr}
+    val t = Lpm.build(Seq(Lpm.v6Prefix("2001:db8::/32", "1")))
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq("not-bytes").toDF("s")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(LpmExpr.contains6(t)(col("s"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary"), e.getMessage)
+  }
+
   test("geo record attribute slicing") {
     val rec = GeoDb.record("EU", "de", "Germany", "BY", "Munich",
       "80331", "48.1", "11.5")

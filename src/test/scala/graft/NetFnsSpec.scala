@@ -192,6 +192,11 @@ class SqlFunctionsSpec extends SparkTest {
       java.net.InetAddress.getByName(s).getAddress
     // longest run wins, not the first
     assert(ip6Compressed(v6("2001:0:0:1:0:0:0:1")) == "2001:0:0:1::1")
+    // v4-MAPPED renders mixed (RFC 5952 §5, inet_ntop parity) — build
+    // the 16-byte form by hand (Java parses the literal to 4 bytes)
+    val mapped = Array.fill[Byte](10)(0) ++ Array[Byte](-1, -1) ++
+      Array[Byte](1, 2, 3, 4)
+    assert(ip6Compressed(mapped) == "::ffff:1.2.3.4")
     // leftmost on tie
     assert(ip6Compressed(v6("2001:db8:0:0:1:0:0:1")) == "2001:db8::1:0:0:1")
     // a single zero group is not compressed (§4.2.2)
