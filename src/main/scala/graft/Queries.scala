@@ -2888,6 +2888,106 @@ object Queries {
         AND protocol = 6
       GROUP BY src_as ORDER BY src_as ASC"""))
 
+  /** q84: the corpus-scale exact-dedup path (narrow digest winner
+    * shuffle + id semi-join, Dedup.exactByDigest) against the plain
+    * GROUP-BY-min oracle — proves the digest route loses nothing on
+    * real documents, not just on the spec corpus. */
+  private val q84 = Q(
+    "q84_dedup_digest",
+    (s, dir) => {
+      import graft.operators.Dedup
+      Dedup.exactByDigest(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id IN (SELECT CAST(MIN(doc_id) AS BIGINT)
+                       FROM documents GROUP BY text)
+      ORDER BY doc_id ASC"""))
+
+  /** q85: GLOBAL top-N + others via the distributed head path
+    * (TopK.topNOthersGlobal — TakeOrderedAndProject + narrow residual
+    * agg, no single-partition window). */
+  private val q85 = Q(
+    "q85_topn_global",
+    (s, dir) => {
+      val agg = TestFlowView.load(s, dir)
+        .groupBy(col("dst_as"))
+        .agg(sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+      TopK.topNOthersGlobal(agg, Seq("dst_as"), Seq("octets"),
+        Seq(col("octets").desc, col("dst_as").asc), 5)
+        .orderBy(col("dst_as").isNull.cast("int").asc,
+          col("octets").desc, col("dst_as").asc)
+    },
+    Some(s"""WITH $F,
+      agg AS (SELECT dst_as,
+                CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+              FROM flow GROUP BY 1),
+      head AS (SELECT * FROM agg
+               ORDER BY octets DESC, dst_as ASC LIMIT 5),
+      others AS (SELECT CAST(NULL AS BIGINT) AS dst_as,
+                   CAST(SUM(octets) AS BIGINT) AS octets
+                 FROM agg WHERE dst_as NOT IN (SELECT dst_as FROM head)
+                 HAVING COUNT(*) > 0)
+      SELECT * FROM (SELECT * FROM head UNION ALL SELECT * FROM others)
+      ORDER BY (dst_as IS NULL) ASC, octets DESC, dst_as ASC"""))
+
+  /** q86: GLOBAL top-pct cut via the banded path (TopK.topPctCutGlobal):
+    * only the crossing log2-band is exactly sorted; buckets above it are
+    * proven kept, below proven cut. Oracle is the plain windowed cumsum
+    * with identical double math. */
+  private val q86 = Q(
+    "q86_toppct_global",
+    (s, dir) => {
+      val agg = TestFlowView.load(s, dir)
+        .groupBy(col("src_as"), col("dst_as"))
+        .agg(sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+      TopK.topPctCutGlobal(agg, "octets", 80.0,
+        Seq(col("src_as").asc, col("dst_as").asc))
+        .orderBy(col("octets").desc, col("src_as").asc, col("dst_as").asc)
+    },
+    Some(s"""WITH $F,
+      agg AS (SELECT src_as, dst_as,
+                CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+              FROM flow GROUP BY 1, 2),
+      c AS (SELECT src_as, dst_as, octets,
+              CAST(COALESCE(SUM(octets) OVER (
+                ORDER BY octets DESC, src_as ASC, dst_as ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum,
+              CAST(SUM(octets) OVER () AS BIGINT) AS tot
+            FROM agg)
+      SELECT src_as, dst_as, octets FROM c
+      WHERE cum < tot * 80.0 / 100.0
+      ORDER BY octets DESC, src_as ASC, dst_as ASC"""))
+
+  /** q87: MAC-equality and string-equality DSL predicates end-to-end
+    * (reference filter.c MacL/StringL compares; CONFIG.md:298 unprefixed
+    * = src OR dst). The flow view's MACs embed a 6-bit id in
+    * 02:00:00:00:00:xx, so the oracle mirrors the byte compare on the
+    * embedded integer; `sni` is NULL on most rows — 3VL must agree. */
+  private val q87 = Q(
+    "q87_filter_mac_str",
+    (s, dir) => {
+      val env = FilterEnv.flow(s)
+      val pred = Compiler.filterColumn(
+        "mac 02:00:00:00:00:2a or sni cdn.example.org", env)
+        .fold(e => sys.error(e), identity)
+      TestFlowView.load(s, dir)
+        .filter(pred)
+        .groupBy(col("protocol"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+        .orderBy(col("protocol").asc)
+    },
+    Some(s"""WITH $F
+      SELECT protocol, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * sampling_rate) AS BIGINT) AS octets
+      FROM flow
+      WHERE (src_mac_id = 42 OR dst_mac_id = 42)
+         OR sni = 'cdn.example.org'
+      GROUP BY protocol ORDER BY protocol ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2895,7 +2995,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83)
+    q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

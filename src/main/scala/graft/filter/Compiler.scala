@@ -114,6 +114,10 @@ object Compiler {
       LpmExpr.contains6(list.v6)(c)
     case (MacL, MacV(bytes)) => c === lit(bytes)
     case (StringL, StrV(s))  => c === lit(s)
+    // bare word after a string field = literal string (the reference
+    // lexes both forms to one STRING token, filter.c:753-787), matching
+    // the string-function rule in matchFuncValue below
+    case (StringL, ListName(s)) => c === lit(s)
     // int compared where string expected etc. — reference treats a number
     // after a string field as a literal string
     case (StringL, IntRange(lo, hi)) if lo == hi => c === lit(lo.toString)

@@ -46,7 +46,15 @@ object TestFlowView {
     "input_snmp" -> "CAST(1 + (user_id % 4) AS BIGINT)",
     "output_snmp" -> "CAST(1 + (event_id % 4) AS BIGINT)",
     "dev_ip" -> "CAST(100 + (user_id % 2) AS BIGINT)",
-    "dev_id" -> "CAST(0 AS BIGINT)"
+    "dev_id" -> "CAST(0 AS BIGINT)",
+    // string dimension for StringL predicates (TLS SNI); NULL on most
+    // rows like real payload-derived columns
+    "sni" -> ("CASE WHEN event_id % 5 = 0 THEN 'video.example.com' " +
+      "WHEN event_id % 5 = 1 THEN 'cdn.example.org' ELSE NULL END"),
+    // the 6-bit ids embedded in the Spark-only binary MACs below —
+    // oracle predicates on `mac` mirror on these integers
+    "src_mac_id" -> "CAST(user_id % 64 AS BIGINT)",
+    "dst_mac_id" -> "CAST(event_id % 64 AS BIGINT)"
   )
 
   /** Spark-only columns (binary, never read by a DuckDB oracle): IPv6
@@ -60,7 +68,13 @@ object TestFlowView {
       "lpad(hex(167772160 + (user_id * 7919) % 1048576), 8, '0')))"),
     "ip6_dst_addr" -> ("unhex(concat('20010DB80001000000000000', " +
       "lpad(hex(3221225472 + (event_id * 2654435761) % 16777216), " +
-      "8, '0')))"))
+      "8, '0')))"),
+    // locally-administered MACs 02:00:00:00:00:xx embedding a 6-bit id;
+    // MacL oracle predicates mirror on the embedded integer
+    "src_mac" -> ("unhex(lpad(hex(2199023255552 + user_id % 64), " +
+      "12, '0'))"),
+    "dst_mac" -> ("unhex(lpad(hex(2199023255552 + event_id % 64), " +
+      "12, '0'))"))
 
   /** Spark side: events DataFrame → flow. `events.ts` is
     * TIMESTAMP(NANOS) parquet, whose Spark-side type depends on the

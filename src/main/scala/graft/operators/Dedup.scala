@@ -37,6 +37,36 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact dedup, corpus-scale path: winner selection runs entirely on
+    * a NARROW projection — (id, md5, xxhash64, length) — so document
+    * bytes never enter the winner shuffle. [[exact]]'s window moves
+    * every duplicate row's full content to its digest partition and
+    * sorts there; here the groupBy gets map-side partial `min(id)`, so
+    * each map partition ships at most ONE ~60-byte row per distinct
+    * content, and the only data-sized movement left is the id-keyed
+    * semi-join back (a no-shuffle zip when the corpus is stored
+    * id-bucketed, one content shuffle otherwise — never more than the
+    * window path, minus its sort).
+    *
+    * Collision stance: the winner key is (md5, xxhash64, length) — two
+    * independent hash families plus an exact attribute, >190 bits. Two
+    * DISTINCT contents agreeing on all three is beyond birthday reach
+    * at any corpus size (p < 2⁻⁶⁴ even at 2⁶⁰ docs); [[exact]] remains
+    * the collision-proof form and DedupSpec asserts set-equality of the
+    * two paths on the driver corpus. */
+  def exactByDigest(df: DataFrame, idCol: String,
+                    contentCol: String): DataFrame = {
+    val winners = df
+      .select(col(idCol).as("__keep_id"),
+        md5(col(contentCol)).as("__d"),
+        xxhash64(col(contentCol)).as("__x"),
+        length(col(contentCol)).as("__l"))
+      .groupBy(col("__d"), col("__x"), col("__l"))
+      .agg(min(col("__keep_id")).as("__keep_id"))
+      .select(col("__keep_id"))
+    df.join(winners, col(idCol) === col("__keep_id"), "left_semi")
+  }
+
   /** Exact-dup groups: one row per duplicated content with the winner id
     * and the number of copies. */
   def exactGroups(df: DataFrame, idCol: String,

@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Both run AFTER aggregation, so inputs are group-cardinality-bounded;
   * the window partitioning keeps the work distributed per time bucket at
-  * any scale. Global (unpartitioned) variants collapse to one partition —
-  * acceptable only post-aggregation, which is how the reference uses them.
+  * any scale. The window forms with EMPTY partCols collapse to one
+  * partition — acceptable post-aggregation (how the reference uses
+  * them); for raw-cardinality global cuts use [[topNOthersGlobal]] /
+  * [[topPctCutGlobal]], which stay distributed (TakeOrderedAndProject
+  * head + narrow residual agg; banded refinement) and are spec-asserted
+  * equal to the window forms.
   */
 object TopK {
 
@@ -86,5 +90,109 @@ object TopK {
       .withColumn("__tot", total)
       .filter(col("__cum") < col("__tot") * lit(pct) / lit(100.0))
       .drop("__cum", "__tot")
+  }
+
+  /** GLOBAL top-N + others without the single-partition window
+    * ([[topNOthers]] with empty partCols moves ALL rows to one task —
+    * fine post-aggregation, a scale-killer on raw cardinality).
+    *
+    * Shape: the head is `orderBy(...).limit(n)` — Spark plans
+    * TakeOrderedAndProject, a per-partition bounded heap merged on the
+    * driver (n·P candidate rows, never the data). The residual needs no
+    * order at all: grand totals come from one narrow map-side-combined
+    * aggregate, the others row is (totals − head sums). Two scans of
+    * `agg` instead of one, but both are partial-agg narrow — at raw
+    * cardinality that trade wins by orders of magnitude.
+    *
+    * Output set ≡ `topNOthers(agg, Nil, keyCols, measCols, sortCols, n)`
+    * whenever `sortCols` is a total order (the same determinism caveat
+    * the window form carries); TopKSpec asserts the equivalence. */
+  def topNOthersGlobal(agg: DataFrame, keyCols: Seq[String],
+                       measCols: Seq[String], sortCols: Seq[Column],
+                       n: Int): DataFrame = {
+    val outCols = agg.schema.fieldNames.toSeq
+    // n rows, read twice below (output + residual subtraction) — pin them
+    val head = agg.orderBy(sortCols: _*).limit(n).localCheckpoint()
+    val totCnt = count(lit(1)).as("__cnt")
+    val totals = agg.agg(totCnt,
+      measCols.map(m => sum(col(m)).as(m)): _*)
+    val headTotals = head.agg(totCnt,
+      measCols.map(m => sum(col(m)).as(m)): _*)
+    // 1-row × 1-row: the "join" is a broadcast of a scalar row.
+    val others = totals.crossJoin(
+        headTotals.select((col("__cnt").as("__hcnt") +:
+          measCols.map(m => col(m).as(s"__h_$m"))): _*))
+      .filter(col("__cnt") > col("__hcnt"))
+      .select(outCols.map { c =>
+        if (measCols.contains(c))
+          (col(c) - coalesce(col(s"__h_$c"), lit(0L))).as(c)
+        else lit(null).cast(agg.schema(c).dataType).as(c)
+      }: _*)
+    head.select(outCols.map(col): _*).unionAll(others)
+  }
+
+  /** GLOBAL top-X% cut without the single-partition window: banded
+    * refinement. Rows are bucketed by the measure's magnitude
+    * (floor(log2)); per-bucket (sum, count) — at most ~66 rows — is
+    * collected to the driver, which locates the one CROSSING bucket B
+    * where the descending cumulative sum passes `pct`% of the total.
+    * Rows above B are provably kept (their exclusive cumsum can't reach
+    * the target), rows below B provably cut, and only bucket B — one
+    * log-band of the distribution — gets the exact sorted-window
+    * treatment, seeded with the exact integer cumsum of the buckets
+    * above. The kept/cut comparison replicates [[topPctCut]]'s double
+    * math operand-for-operand, so the two paths agree bit-for-bit
+    * (TopKSpec asserts it).
+    *
+    * Degenerate case: a single-valued measure puts everything in one
+    * band and this collapses to [[topPctCut]] — no worse, never better.
+    * Requires a non-negative integral measure (the reference's octet /
+    * packet / flow-count sums). */
+  def topPctCutGlobal(agg: DataFrame, measure: String, pct: Double,
+                      tieBreak: Seq[Column]): DataFrame = {
+    val m = col(measure)
+    // bucket −1 holds zeros (they never move the cumsum but can still be
+    // emitted once the target is passed — they sort last, like
+    // topPctCut). Band index is the EXACT bit length − 1 (binary digit
+    // count via conv, pure integer — no floating log whose rounding
+    // could smear a power-of-two across two bands).
+    val bucket = when(m <= 0, lit(-1))
+      .otherwise((length(conv(m, 10, 2)) - 1).cast("int"))
+    val stats = agg.groupBy(bucket.as("__b"))
+      .agg(sum(m).as("__s"), count(lit(1)).as("__c"))
+      .collect()  // bounded: one row per log2 band, ≤ ~66
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val total = stats.map(_._2).sum
+    val target = total * pct / 100.0
+    // walk buckets high→low: all-kept while cumExcl of the NEXT bucket
+    // still starts below target AND this whole bucket ends below it
+    var cum = 0L
+    var crossing = Int.MinValue
+    var cumAbove = 0L
+    val keepAll = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for ((b, s, _) <- stats if crossing == Int.MinValue) {
+      if (cum + s < target || (cum < target && s == 0L)) {
+        // even the bucket's LAST row has cumExcl < target (cumExcl ≤
+        // cum + s − lastRow ≤ cum + s − 0) only when cum + s < target
+        // is not enough for zero rows — treat s == 0 buckets as kept
+        // whenever the running sum is still short of the target.
+        keepAll += b; cum += s
+      } else { crossing = b; cumAbove = cum }
+    }
+    if (crossing == Int.MinValue) return agg  // target never reached
+    val kept =
+      if (keepAll.isEmpty) agg.filter(lit(false))  // isin() is not total
+      else agg.filter(bucket.isin(keepAll.toSeq: _*))
+    val band = agg.filter(bucket === crossing)
+    val ord = (m.desc +: tieBreak)
+    val w = Window.orderBy(ord: _*)
+    val cumExcl = lit(cumAbove) + coalesce(
+      sum(m).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val bandKept = band.withColumn("__cum", cumExcl)
+      .withColumn("__tot", lit(total))
+      .filter(col("__cum") < col("__tot") * lit(pct) / lit(100.0))
+      .drop("__cum", "__tot")
+    kept.unionAll(bandKept)
   }
 }

@@ -28,6 +28,25 @@ class ExtensionOpsSpec extends SparkTest {
     assert(groups == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("exactByDigest ≡ exact (scale path), and its winner shuffle is " +
+    "narrow: partial min, no window sort of content") {
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 300L).map(i =>
+      i -> s"document body ${rnd.nextInt(80)}")  // ~80 distinct contents
+    val df = docs(corpus: _*)
+    val viaWindow = Dedup.exact(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaDigest = Dedup.exactByDigest(df, "doc_id", "text")
+    assert(viaDigest.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == viaWindow)
+    val plan = viaDigest.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      "winner selection must map-side combine before its shuffle")
+    assert(!plan.contains("Window"),
+      "the scale path must not sort document content in a window")
+    assert(plan.contains("LeftSemi"), "survivors come back via semi-join")
+  }
+
   test("shingles: k-grams, short docs yield empty") {
     val out = docs(1L -> "a b c d", 2L -> "x y")
       .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))

@@ -57,6 +57,35 @@ class FilterSpec extends SparkTest {
     assert(matching("dst net bogon") == Seq(1))
   }
 
+  test("mac equality (src OR dst) and bare-word / quoted string " +
+    "equality with NULL 3VL (reference filter.c:753-787)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def mac(s: String): Array[Byte] =
+      s.split(':').map(h => Integer.parseInt(h, 16).toByte)
+    val df = spark.createDataFrame(Seq(
+      Row(0L, mac("02:00:00:00:00:2a"), mac("02:00:00:00:00:01"), "a.example"),
+      Row(1L, mac("02:00:00:00:00:01"), mac("02:00:00:00:00:2a"), null),
+      Row(2L, mac("02:00:00:00:00:03"), mac("02:00:00:00:00:04"), "b.example"),
+      Row(3L, mac("02:00:00:00:00:05"), mac("02:00:00:00:00:06"), null)
+    ).asJava, StructType(Seq(
+      StructField("idx", LongType, false),
+      StructField("src_mac", BinaryType, true),
+      StructField("dst_mac", BinaryType, true),
+      StructField("sni", StringType, true))))
+    def m(e: String): Seq[Int] = {
+      val pred = Compiler.filterColumn(e, FilterEnv.flow(spark))
+        .fold(err => fail(s"compile failed for '$e': $err"), identity)
+      df.filter(pred).collect().map(_.getLong(0).toInt).toSeq.sorted
+    }
+    assert(m("mac 02:00:00:00:00:2a") == Seq(0, 1))        // src OR dst
+    assert(m("src mac 02:00:00:00:00:2a") == Seq(0))
+    assert(m("sni a.example") == Seq(0))                   // bare word
+    assert(m("sni 'b.example'") == Seq(2))  // quoted (filter-lexer.c:224)
+    assert(m("not sni a.example") == Seq(2))               // NULL ≠ match
+  }
+
   test("port value list = implicit OR (reference CONFIG.md:285)") {
     assert(matching("port 80 or 443") == Seq(0, 3))
   }

@@ -35,6 +35,59 @@ class TopKSpec extends SparkTest {
     assert(out.length == 2) // under the limit → no residual row
   }
 
+  test("topNOthersGlobal ≡ topNOthers(no partition), distributed head") {
+    val rnd = new scala.util.Random(7)
+    // 120 keys, distinct octet values so the sort order is total
+    val rows = rnd.shuffle((1L to 120L).toList).zipWithIndex.map {
+      case (k, i) => Seq(k, 10000L - i * 3L)
+    }
+    val df = flowDf(Seq("key", "octets"), rows)
+    val sort = Seq(col("octets").desc, col("key").asc)
+    for (n <- Seq(1, 10, 119, 120, 500)) {
+      val viaWindow = TopK.topNOthers(df, Seq.empty, Seq("key"),
+        Seq("octets"), sort, n).collect()
+        .map(r => (Option(r.get(0)), r.getLong(1))).toSet
+      val global = TopK.topNOthersGlobal(df, Seq("key"), Seq("octets"),
+        sort, n)
+      assert(global.collect()
+        .map(r => (Option(r.get(0)), r.getLong(1))).toSet == viaWindow,
+        s"n=$n")
+      if (n == 10) {
+        // the head is localCheckpoint'd inside topNOthersGlobal, so its
+        // plan is sealed there — assert the shape Spark gives that
+        // expression: a distributed bounded-heap take, not a sort
+        val headPlan = df.orderBy(sort: _*).limit(n)
+          .queryExecution.executedPlan.toString
+        assert(headPlan.contains("TakeOrderedAndProject"),
+          "global head must be a distributed bounded-heap take")
+        assert(!global.queryExecution.executedPlan.toString
+          .contains("Window"),
+          "the global form must not move all rows into one window task")
+      }
+    }
+  }
+
+  test("topPctCutGlobal ≡ topPctCut(no partition): banded refinement, " +
+    "zeros, single-band degenerate, never-reached target") {
+    val rnd = new scala.util.Random(11)
+    val spread = (1L to 150L).map(k =>
+      Seq(k, rnd.nextInt(1 << rnd.nextInt(20)).toLong))
+    val flat = (1L to 40L).map(k => Seq(k, 64L))         // one band only
+    val zeros = (1L to 30L).map(k => Seq(k, if (k % 3 == 0) 0L else k))
+    for ((rows, what) <- Seq((spread, "spread"), (flat, "flat"),
+        (zeros, "zeros"))) {
+      val df = flowDf(Seq("k", "v"), rows)
+      for (pct <- Seq(0.0, 10.0, 50.0, 90.0, 99.9, 100.0, 150.0)) {
+        val exact = TopK.topPctCut(df, Seq.empty, "v", pct,
+          Seq(col("k").asc)).select("k")
+          .collect().map(_.getLong(0)).toSet
+        val banded = TopK.topPctCutGlobal(df, "v", pct, Seq(col("k").asc))
+          .select("k").collect().map(_.getLong(0)).toSet
+        assert(banded == exact, s"$what pct=$pct")
+      }
+    }
+  }
+
   test("topPctCut keeps rows until cumulative reaches pct " +
     "(classification.c:524-619)") {
     val df = flowDf(Seq("k", "v"),
