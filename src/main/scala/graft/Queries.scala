@@ -2988,6 +2988,66 @@ object Queries {
          OR sni = 'cdn.example.org'
       GROUP BY protocol ORDER BY protocol ASC"""))
 
+  /** q88: STREAMING near-dup candidates over the real documents table
+    * (StreamingNearDup — transformWithState per LSH bucket), replayed
+    * with Trigger.AvailableNow from a parquet file source and checked
+    * against the BATCH minhash-candidates oracle (q16's CTE, same
+    * sketch parameters). Streaming orients pairs by arrival; with
+    * tsNs = doc_id the arrival order IS id order, and normalizing to
+    * (least, greatest) + distinct (band multiplicity — class doc) makes
+    * the two pair SETS provably identical at minEst = 0. */
+  private val q88 = Q(
+    "q88_stream_neardup",
+    (s, dir) => {
+      import graft.streaming.StreamingNearDup
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      val base = tmpWorkDir(s"graft_q88_stream_$pid")
+      val sinkName = s"q88_sink_$run"
+      // the file stream source lists a DIRECTORY; the testdata table is
+      // a bare parquet file — expose it via a per-run symlinked spool
+      val spool = new java.io.File(base, s"spool-$run")
+      spool.mkdirs()
+      val link = new java.io.File(spool, "documents.parquet").toPath
+      val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(target, link)
+      }
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      // transformWithState requires the RocksDB store; session-scoped,
+      // so bracket it (q81's HDFS-default streaming must not inherit it)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val docs = s.readStream.schema(schema)
+          .parquet(spool.getAbsolutePath)
+        val query = StreamingNearDup.candidates(docs, "doc_id", "doc_id",
+            "text", maxPerBucket = 1 << 20)
+          .toDF()
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation",
+            new java.io.File(base, s"ckpt-$run").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        require(query.recentProgress.exists(_.numInputRows > 0),
+          "q88 must execute through the micro-batch engine")
+        s.table(sinkName)
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .distinct().localCheckpoint()
+          .orderBy(col("a").asc, col("b").asc)
+      } finally {
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        s.catalog.dropTempView(sinkName)
+      }
+    },
+    Some(s"""WITH ${OracleSql.minhashPairsCtes}
+      SELECT a, b FROM pairs ORDER BY a ASC, b ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2995,7 +3055,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

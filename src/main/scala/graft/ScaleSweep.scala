@@ -39,7 +39,13 @@ object ScaleSweep {
     // row count does NOT follow the 10x rule the comment below states
     // for the others — the interesting number is its ~flat time slope
     // (scan+agg scale, the per-key machine replay stays constant)
-    "q82_alert_timeline")
+    "q82_alert_timeline",
+    // r11 scale paths: q84 output is 10x (per-replica word tags keep
+    // dup groups intra-replica); q85/q86 outputs are KEY-normalized
+    // (as-number keyspace is mod-16/mod-8 — replicas collide on keys
+    // by design), so their interesting number is the time slope of the
+    // scan+agg feeding the global cut
+    "q84_dedup_digest", "q85_topn_global", "q86_toppct_global")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
