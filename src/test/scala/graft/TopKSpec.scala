@@ -88,6 +88,27 @@ class TopKSpec extends SparkTest {
     }
   }
 
+  test("topPctCutGlobal ≡ topPctCut on randomized heavy-tailed data " +
+    "with huge magnitudes and random pcts (band-edge fuzz)") {
+    val rnd = new scala.util.Random(1729)
+    for (trial <- 1 to 5) {
+      // heavy-tailed: magnitudes spanning 2^0 .. 2^40, duplicates
+      // common (ties exercise the tieBreak across the band boundary)
+      val rows = (1L to 80L).map { k =>
+        val mag = rnd.nextInt(41)
+        Seq(k, (1L << mag) + rnd.nextInt(3).toLong - 1L)
+      }
+      val df = flowDf(Seq("k", "v"), rows)
+      val pct = rnd.nextDouble() * 120.0
+      val exact = TopK.topPctCut(df, Seq.empty, "v", pct,
+        Seq(col("k").asc)).select("k")
+        .collect().map(_.getLong(0)).toSet
+      val banded = TopK.topPctCutGlobal(df, "v", pct, Seq(col("k").asc))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(banded == exact, s"trial=$trial pct=$pct")
+    }
+  }
+
   test("topPctCut keeps rows until cumulative reaches pct " +
     "(classification.c:524-619)") {
     val df = flowDf(Seq("k", "v"),
