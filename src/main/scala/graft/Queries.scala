@@ -2630,6 +2630,33 @@ object Queries {
     * wrapper for plain MicroBatchStreams stops after the single data
     * batch commits, leaving the sink empty (r10's red). */
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Shared harness for the streaming oracles (q81, q88): run `plan`
+    * into a per-run memory sink under Trigger.AvailableNow, assert the
+    * micro-batch engine actually executed (progress with input rows —
+    * the batch path would satisfy a rows-only check), and return the
+    * sink's rows eagerly materialized so the temp view — which pins
+    * them — can always be dropped, even on the failure paths (a long
+    * Bench process reruns these queries many times; r10's leak was
+    * exactly this teardown missing). */
+  private def runStreamToMemory(s: SparkSession, sinkName: String,
+      ckptDir: java.io.File)(plan: DataFrame): DataFrame = {
+    val query = plan.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      query.awaitTermination()
+      require(query.recentProgress.exists(_.numInputRows > 0),
+        s"$sinkName must execute through the micro-batch engine " +
+          "(no progress with input rows recorded)")
+      s.table(sinkName).localCheckpoint()
+    } finally s.catalog.dropTempView(sinkName)
+  }
+
   private val q81 = Q(
     "q81_stream_fwm",
     (s, dir) => {
@@ -2659,50 +2686,31 @@ object Queries {
           s.readStream.format("pktdump").load(spool.getAbsolutePath), ns)
         .filter(pred)
         .withColumn("ts", timestamp_seconds(col("ts_sec")))
-      val sinkName = s"q81_sink_$run"
-      val query = Fwm.stream(flows, env, conf, tsColName = "ts")
-        .writeStream
-        .format("memory")
-        .queryName(sinkName)
-        .outputMode("append")
-        .option("checkpointLocation",
-          new java.io.File(base, s"ckpt-$run").getAbsolutePath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
       try {
-        query.awaitTermination()
-        // the micro-batch-execution assertion: progress entries exist
-        // and data flowed through the streaming engine (not batch)
-        require(query.recentProgress.exists(_.numInputRows > 0),
-          "q81 must execute through the micro-batch engine " +
-            "(no progress with input rows recorded)")
-        // ...and the OUTPUT assertion: numInputRows alone passed even
-        // when the watermark flush never ran and the sink stayed empty
+        val sunk = runStreamToMemory(s, s"q81_sink_$run",
+          new java.io.File(base, s"ckpt-$run"))(
+          Fwm.stream(flows, env, conf, tsColName = "ts"))
+        // the OUTPUT assertion: numInputRows alone passed even when
+        // the watermark flush never ran and the sink stayed empty
         // (r10's 0-rows-vs-21 red). The spool is authored above, so
         // the closed-window count is a constant of the query: distinct
         // (src, window) survivors per closed window are 5 + 8 + 8 = 21
         // (window 1 holds even i in 0..9 -> 5 srcs; windows 2 and 3
         // each cover all 8 even residues of i % 16). Fails fast with
         // the cause instead of an opaque oracle hash mismatch.
-        val frozen = s.table(sinkName)
-          .filter(col("time") < 1700000100L).localCheckpoint()
+        // The time guard excludes the sentinel window defensively (it
+        // is never emitted anyway).
+        val frozen = sunk.filter(col("time") < 1700000100L)
         val cnt = frozen.count()
         require(cnt == 21,
           s"q81 sink has $cnt rows, expected 21 closed-window rows — " +
             "the engine did not flush the watermark-closed Append " +
             "windows (SupportsTriggerAvailableNow regression?)")
-        // finish = q41's declared sort; the time guard excludes the
-        // sentinel window defensively (it is never emitted anyway)
-        Fwm.finishWindows(frozen, conf)
+        Fwm.finishWindows(frozen, conf)  // = q41's declared sort
       } finally {
-        // per-run teardown — in finally so the failure paths the
-        // requires guard also clean up: a long Bench process reruns
-        // this query many times, and without these the stream-cache
-        // namespace and the memory-sink temp view (which pins the
-        // sink's rows) accumulate for the life of the JVM. frozen is
-        // checkpoint-materialized, so dropping its source view is safe.
+        // the decode namespace outlives the sink teardown the helper
+        // does — clear it on every path (r10 leak, ADVICE.md)
         NetflowDecoder.clearStreamCache(ns)
-        s.catalog.dropTempView(sinkName)
       }
     },
     Some("""WITH flows AS (
@@ -3023,26 +3031,16 @@ object Queries {
       try {
         val docs = s.readStream.schema(schema)
           .parquet(spool.getAbsolutePath)
-        val query = StreamingNearDup.candidates(docs, "doc_id", "doc_id",
-            "text", maxPerBucket = 1 << 20)
-          .toDF()
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode("append")
-          .option("checkpointLocation",
-            new java.io.File(base, s"ckpt-$run").getAbsolutePath)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        query.awaitTermination()
-        require(query.recentProgress.exists(_.numInputRows > 0),
-          "q88 must execute through the micro-batch engine")
-        s.table(sinkName)
+        runStreamToMemory(s, sinkName,
+          new java.io.File(base, s"ckpt-$run"))(
+          StreamingNearDup.candidates(docs, "doc_id", "doc_id",
+            "text", maxPerBucket = 1 << 20).toDF())
           .select(least(col("a"), col("b")).as("a"),
             greatest(col("a"), col("b")).as("b"))
-          .distinct().localCheckpoint()
+          .distinct()
           .orderBy(col("a").asc, col("b").asc)
       } finally {
         s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        s.catalog.dropTempView(sinkName)
       }
     },
     Some(s"""WITH ${OracleSql.minhashPairsCtes}

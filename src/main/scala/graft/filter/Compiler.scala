@@ -114,9 +114,15 @@ object Compiler {
       LpmExpr.contains6(list.v6)(c)
     case (MacL, MacV(bytes)) => c === lit(bytes)
     case (StringL, StrV(s))  => c === lit(s)
-    // bare word after a string field = literal string (the reference
-    // lexes both forms to one STRING token, filter.c:753-787), matching
-    // the string-function rule in matchFuncValue below
+    // bare word after a string field = literal string. The reference
+    // only DEFINES quoted strings here (filter.c:159-233 stores the
+    // value solely for STRING tokens; a bare-word ID after a string
+    // field leaves the filter datum uninitialized — undefined
+    // behavior), so accepting the bare word as its literal text is a
+    // strictly-wider convenience, consistent with matchFuncValue's
+    // rule for string functions. Words that lex as CIDR/MAC tokens
+    // still need quotes — they fail below with an explicit type error
+    // instead of silently comparing a reconstructed spelling.
     case (StringL, ListName(s)) => c === lit(s)
     // int compared where string expected etc. — reference treats a number
     // after a string field as a literal string

@@ -111,24 +111,39 @@ object TopK {
                        measCols: Seq[String], sortCols: Seq[Column],
                        n: Int): DataFrame = {
     val outCols = agg.schema.fieldNames.toSeq
-    // n rows, read twice below (output + residual subtraction) — pin them
-    val head = agg.orderBy(sortCols: _*).limit(n).localCheckpoint()
+    // the head is n rows by contract — a BOUNDED driver collect (the
+    // distributed work is the TakeOrderedAndProject heap). Re-emitting
+    // it as a local relation avoids localCheckpoint's non-reliable
+    // executor-local blocks and makes the construction lazy apart from
+    // this one take.
+    val spark = agg.sparkSession
+    val headRows = agg.orderBy(sortCols: _*).limit(n).collect()
+    val head = spark.createDataFrame(
+      java.util.Arrays.asList(headRows: _*), agg.schema)
     val totCnt = count(lit(1)).as("__cnt")
+    // per-measure non-null counts: the others row's measure must be
+    // NULL — not 0 — when every tail value is NULL (sum over an
+    // all-NULL set is NULL in the window form this mirrors)
     val totals = agg.agg(totCnt,
-      measCols.map(m => sum(col(m)).as(m)): _*)
+      (measCols.map(m => sum(col(m)).as(m)) ++
+        measCols.map(m => count(col(m)).as(s"__nn_$m"))): _*)
     val headTotals = head.agg(totCnt,
-      measCols.map(m => sum(col(m)).as(m)): _*)
+      (measCols.map(m => sum(col(m)).as(m)) ++
+        measCols.map(m => count(col(m)).as(s"__nn_$m"))): _*)
     // 1-row × 1-row: the "join" is a broadcast of a scalar row.
     val others = totals.crossJoin(
         headTotals.select((col("__cnt").as("__hcnt") +:
-          measCols.map(m => col(m).as(s"__h_$m"))): _*))
+          (measCols.map(m => col(m).as(s"__h_$m")) ++
+            measCols.map(m => col(s"__nn_$m").as(s"__hnn_$m")))): _*))
       .filter(col("__cnt") > col("__hcnt"))
       .select(outCols.map { c =>
         if (measCols.contains(c))
-          (col(c) - coalesce(col(s"__h_$c"), lit(0L))).as(c)
+          when(col(s"__nn_$c") > col(s"__hnn_$c"),
+            col(c) - coalesce(col(s"__h_$c"), lit(0L)))
+            .otherwise(lit(null)).as(c)
         else lit(null).cast(agg.schema(c).dataType).as(c)
       }: _*)
-    head.select(outCols.map(col): _*).unionAll(others)
+    head.unionAll(others)
   }
 
   /** GLOBAL top-X% cut without the single-partition window: banded
@@ -147,7 +162,12 @@ object TopK {
     * Degenerate case: a single-valued measure puts everything in one
     * band and this collapses to [[topPctCut]] — no worse, never better.
     * Requires a non-negative integral measure (the reference's octet /
-    * packet / flow-count sums). */
+    * packet / flow-count sums); NULL or negative values throw rather
+    * than silently diverging from the window form's 3VL.
+    *
+    * Cost: three narrow passes over `agg` (band stats, kept filter,
+    * band filter) — persist `agg` upstream if recomputing it is
+    * expensive; each pass is a scan + pushed filter, never a sort. */
   def topPctCutGlobal(agg: DataFrame, measure: String, pct: Double,
                       tieBreak: Seq[Column]): DataFrame = {
     val m = col(measure)
@@ -155,35 +175,38 @@ object TopK {
     // emitted once the target is passed — they sort last, like
     // topPctCut). Band index is the EXACT bit length − 1 (binary digit
     // count via conv, pure integer — no floating log whose rounding
-    // could smear a power-of-two across two bands).
-    val bucket = when(m <= 0, lit(-1))
+    // could smear a power-of-two across two bands). NULL / negative
+    // measures land in the sentinel band −2: out of contract, rejected
+    // below with the cause instead of a driver NPE.
+    val bucket = when(m.isNull || m < 0, lit(-2))
+      .when(m === 0, lit(-1))
       .otherwise((length(conv(m, 10, 2)) - 1).cast("int"))
     val stats = agg.groupBy(bucket.as("__b"))
       .agg(sum(m).as("__s"), count(lit(1)).as("__c"))
       .collect()  // bounded: one row per log2 band, ≤ ~66
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        r.getLong(2)))
       .sortBy(-_._1)
+    require(!stats.exists(_._1 == -2),
+      s"topPctCutGlobal requires a non-negative, non-NULL '$measure' " +
+        "(the banded walk and the windowed form diverge otherwise)")
     val total = stats.map(_._2).sum
     val target = total * pct / 100.0
-    // walk buckets high→low: all-kept while cumExcl of the NEXT bucket
-    // still starts below target AND this whole bucket ends below it
+    // walk buckets high→low: a bucket is wholly kept while its END
+    // (cum + s) stays below the target — then even its last row's
+    // exclusive cumsum (≤ cum + s − m, m ≥ 0) is below the target.
+    // The first bucket that reaches the target is the crossing band.
     var cum = 0L
     var crossing = Int.MinValue
     var cumAbove = 0L
-    val keepAll = scala.collection.mutable.ArrayBuffer.empty[Int]
     for ((b, s, _) <- stats if crossing == Int.MinValue) {
-      if (cum + s < target || (cum < target && s == 0L)) {
-        // even the bucket's LAST row has cumExcl < target (cumExcl ≤
-        // cum + s − lastRow ≤ cum + s − 0) only when cum + s < target
-        // is not enough for zero rows — treat s == 0 buckets as kept
-        // whenever the running sum is still short of the target.
-        keepAll += b; cum += s
-      } else { crossing = b; cumAbove = cum }
+      if (cum + s < target) cum += s
+      else { crossing = b; cumAbove = cum }
     }
     if (crossing == Int.MinValue) return agg  // target never reached
-    val kept =
-      if (keepAll.isEmpty) agg.filter(lit(false))  // isin() is not total
-      else agg.filter(bucket.isin(keepAll.toSeq: _*))
+    // kept = every band above the crossing (the walk visits bands in
+    // strictly descending order, so "visited before crossing" ≡ ">")
+    val kept = agg.filter(bucket > crossing)
     val band = agg.filter(bucket === crossing)
     val ord = (m.desc +: tieBreak)
     val w = Window.orderBy(ord: _*)

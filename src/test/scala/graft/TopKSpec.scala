@@ -67,6 +67,34 @@ class TopKSpec extends SparkTest {
     }
   }
 
+  test("topNOthersGlobal: an all-NULL tail measure yields a NULL " +
+    "others measure (window-form parity); topPctCutGlobal rejects " +
+    "NULL / negative measures with a clear error") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def df(rows: Seq[(Long, java.lang.Long)]) = spark.createDataFrame(
+      rows.map { case (k, v) => Row(k, v) }.asJava,
+      StructType(Seq(StructField("k", LongType, false),
+        StructField("v", LongType, true))))
+    val nullTail = df(Seq(1L -> java.lang.Long.valueOf(5L),
+      2L -> null, 3L -> null))
+    val sort = Seq(col("v").desc, col("k").asc)
+    val window = TopK.topNOthers(nullTail, Seq.empty, Seq("k"), Seq("v"),
+      sort, 1).collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    val global = TopK.topNOthersGlobal(nullTail, Seq("k"), Seq("v"),
+      sort, 1).collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(global.toSet == window.toSet)
+    assert(global.toSet == Set((Some(1L), Some(5L)), (None, None)))
+    val e1 = intercept[IllegalArgumentException](
+      TopK.topPctCutGlobal(nullTail, "v", 50.0, Seq(col("k").asc)))
+    assert(e1.getMessage.contains("non-NULL"))
+    val e2 = intercept[IllegalArgumentException](
+      TopK.topPctCutGlobal(df(Seq(1L -> java.lang.Long.valueOf(-3L))),
+        "v", 50.0, Seq(col("k").asc)))
+    assert(e2.getMessage.contains("non-negative"))
+  }
+
   test("topPctCutGlobal ≡ topPctCut(no partition): banded refinement, " +
     "zeros, single-band degenerate, never-reached target") {
     val rnd = new scala.util.Random(11)
