@@ -235,4 +235,66 @@ object OracleSql {
                JOIN vsz sa ON i.a = sa.id JOIN vsz sb ON i.b = sb.id
                WHERE (10000 * inter) // (sa.sz + sb.sz - inter)
                  >= $minBp)"""
+
+  /** Product quantization replay (mirrors Similarity.pqTrainQuantized /
+    * pqEncode / pqSearchADC): per-subspace integer Lloyd — the SAME
+    * recurrence as [[kmeansCtes]] with a `sub` grouping column — then
+    * final-codebook assignment (`pcode`) and the query's ADC distance
+    * table (`ptab`); exposes `padc(id, adist)`. The query is the row
+    * with id = `queryId`. */
+  def pqCtes(m: Int, k: Int, iters: Int, dim: Int, scale: Long,
+             queryId: Long): String = {
+    val s = dim / m
+    val s1 = s + 1
+    val base = s"""pvq AS (SELECT vec_id AS id, t.sub,
+        list_transform(list_slice(embedding, t.sub * $s + 1,
+            t.sub * $s + $s),
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS v
+      FROM embeddings CROSS JOIN range(0, $m) t(sub)),
+      pseed AS (SELECT vec_id AS id, row_number() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+            AS cid
+        FROM embeddings),
+      pc0 AS (SELECT v.sub, e.cid, i AS pos, v.v[i] AS cx
+        FROM pseed e JOIN pvq v USING (id)
+        CROSS JOIN range(1, $s1) t(i) WHERE e.cid < $k)"""
+    val steps = (1 to iters).map { it =>
+      val p = it - 1
+      s"""pd$it AS (SELECT q.id, q.sub, c.cid,
+          SUM((q.v[c.pos] - c.cx) * (q.v[c.pos] - c.cx)) AS dist
+        FROM pvq q JOIN pc$p c ON q.sub = c.sub
+        GROUP BY q.id, q.sub, c.cid),
+      pa$it AS (SELECT id, sub, cid FROM (SELECT id, sub, cid,
+            row_number() OVER (PARTITION BY id, sub
+              ORDER BY dist ASC, cid ASC) AS rn FROM pd$it)
+        WHERE rn = 1),
+      pm$it AS (SELECT a.sub, a.cid, t.i AS pos,
+          CAST(floor(CAST(SUM(q.v[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+            AS cx
+        FROM pa$it a JOIN pvq q ON a.id = q.id AND a.sub = q.sub
+        CROSS JOIN range(1, $s1) t(i)
+        GROUP BY a.sub, a.cid, t.i),
+      pc$it AS (SELECT c.sub, c.cid, c.pos, COALESCE(m.cx, c.cx) AS cx
+        FROM pc$p c LEFT JOIN pm$it m
+          ON c.sub = m.sub AND c.cid = m.cid AND c.pos = m.pos)"""
+    }
+    val search = s"""pde AS (SELECT q.id, q.sub, c.cid,
+          SUM((q.v[c.pos] - c.cx) * (q.v[c.pos] - c.cx)) AS dist
+        FROM pvq q JOIN pc$iters c ON q.sub = c.sub
+        GROUP BY q.id, q.sub, c.cid),
+      pcode AS (SELECT id, sub, cid FROM (SELECT id, sub, cid,
+            row_number() OVER (PARTITION BY id, sub
+              ORDER BY dist ASC, cid ASC) AS rn FROM pde)
+        WHERE rn = 1),
+      ptab AS (SELECT c.sub, c.cid,
+          SUM((q.v[c.pos] - c.cx) * (q.v[c.pos] - c.cx)) AS d
+        FROM pc$iters c
+        JOIN (SELECT sub, v FROM pvq WHERE id = $queryId) q
+          ON c.sub = q.sub
+        GROUP BY c.sub, c.cid),
+      padc AS (SELECT e.id, CAST(SUM(t.d) AS BIGINT) AS adist
+        FROM pcode e JOIN ptab t ON e.sub = t.sub AND e.cid = t.cid
+        GROUP BY e.id)"""
+    (base +: steps :+ search).mkString(",\n      ")
+  }
 }

@@ -3046,6 +3046,28 @@ object Queries {
     Some(s"""WITH ${OracleSql.minhashPairsCtes}
       SELECT a, b FROM pairs ORDER BY a ASC, b ASC"""))
 
+  /** q89: product quantization end-to-end — train per-subspace
+    * codebooks (integer Lloyd, same recurrence as q57), encode the
+    * corpus to m codes, and run an ADC top-10 for a fixed query id.
+    * The oracle replays training + encoding + the distance-table sum
+    * exactly (OracleSql.pqCtes) — PQ is the memory side of IVF-PQ at
+    * corpus scale: codes are m small ints instead of 4·dim bytes and
+    * search reads codes, never vectors. */
+  private val q89 = Q(
+    "q89_pq_adc",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val book = Similarity.pqTrainQuantized(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 4, iters = 2)
+      Similarity.pqSearchADC(emb, "vec_id", "embedding", book,
+          queryId = 0L, dim = 64, m = 4, topK = 10)
+        .select(col("id").as("vec_id"), col("adist"))
+    },
+    Some(s"""WITH ${OracleSql.pqCtes(4, 4, 2, 64, 1000000L, 0L)}
+      SELECT id AS vec_id, adist FROM padc
+      ORDER BY adist ASC, vec_id ASC LIMIT 10"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3053,7 +3075,7 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

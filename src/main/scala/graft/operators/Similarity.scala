@@ -530,6 +530,104 @@ object Similarity {
     cents
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the memory side of the canonical
+  // IVF-PQ answer at corpus scale: a d-dim float vector becomes m
+  // small codes (m bytes at k ≤ 256), so a 100 TB embedding store
+  // compresses ~4·d/m× and asymmetric-distance search reads codes,
+  // never vectors. All math is the SAME integer-exact Lloyd as
+  // [[kmeansQuantized]] (md5 seeds, (dist, cid) tie-break, floor-div
+  // means), run independently per contiguous subspace, so the DuckDB
+  // oracle replays training, encoding and search bit-for-bit
+  // (OracleSql.pqCtes).
+  // ------------------------------------------------------------------
+
+  /** Train per-subspace codebooks: subspace j covers vector positions
+    * [j·dim/m, (j+1)·dim/m). Returns (sub, cid, cv: array<long>) with
+    * quantized centroid components (×scale, floored).
+    *
+    * The m trainings are independent small jobs (m ≤ 16 in practice);
+    * each is the bounded Lloyd loop of [[kmeansQuantized]] over a
+    * dim/m-wide slice — at corpus scale the slice projection prunes
+    * the shuffle width by the same m factor the codes win at rest. */
+  def pqTrainQuantized(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, k: Int, iters: Int,
+                       scale: Long = 1000000L): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansArrays(df.select(col(idCol),
+          slice(col(vecCol), j * sub + 1, sub).as("__subv")),
+        idCol, "__subv", k, iters, scale)
+        .select(lit(j).as("sub"), col("cid"), col("cv"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Encode every vector as its per-subspace nearest-centroid ids:
+    * (id, codes: array<long>) with codes(j) = argmin over the subspace-j
+    * codebook by (squared distance, cid). One broadcast of the m·k
+    * codebook rows; the data-sized side is a single explode+agg. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, dim: Int, m: Int,
+               scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sub = dim / m
+    val vq = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => floor(x * lit(scale.toDouble))
+        .cast(LongType)).as("v"))
+    val slices = vq.select(col("id"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).cast(LongType).as("sub"),
+          slice(col("v"), j * sub + 1, sub).as("sv"))): _*)).as("s"))
+      .select(col("id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    slices.join(broadcast(codebook), Seq("sub"))
+      .withColumn("dist", GraftBridge.toColumn(
+        graft.functions.VecSqDistLongExpr(
+          GraftBridge.toExpression(col("sv")),
+          GraftBridge.toExpression(col("cv")))))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("sub"),
+        col("m.cid").as("code")))).as("ps"))
+      .select(col("id"),
+        transform(col("ps"), p => p.getField("code")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the query row (by id) is sliced
+    * once against the codebook into an m·k distance table — broadcast,
+    * tiny — and every encoded vector's approximate distance is the sum
+    * of m table lookups joined on (sub, code). No full vector is read
+    * at search time; ties break by id. */
+  def pqSearchADC(df: DataFrame, idCol: String, vecCol: String,
+                  codebook: DataFrame, queryId: Long, dim: Int, m: Int,
+                  topK: Int, scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sub = dim / m
+    val q = df.filter(col(idCol) === queryId)
+      .select(explode(array((0 until m).map(j =>
+        struct(lit(j).cast(LongType).as("sub"),
+          transform(slice(col(vecCol), j * sub + 1, sub),
+            x => floor(x * lit(scale.toDouble)).cast(LongType))
+            .as("qv"))): _*)).as("s"))
+      .select(col("s.sub").as("sub"), col("s.qv").as("qv"))
+    val table = codebook.join(broadcast(q), Seq("sub"))
+      .withColumn("d", GraftBridge.toColumn(
+        graft.functions.VecSqDistLongExpr(
+          GraftBridge.toExpression(col("qv")),
+          GraftBridge.toExpression(col("cv")))))
+      .select(col("sub"), col("cid"), col("d"))
+    pqEncode(df, idCol, vecCol, codebook, dim, m, scale)
+      .select(col("id"), posexplode(col("codes")).as(Seq("pos", "code")))
+      .join(broadcast(table),
+        col("pos").cast(LongType) === col("sub") &&
+          col("code") === col("cid"))
+      .groupBy(col("id"))
+      .agg(sum(col("d")).as("adist"))
+      .orderBy(col("adist").asc, col("id").asc)
+      .limit(topK)
+  }
+
   /** Int8 scalar quantization of unit-normalized embeddings — the
     * storage form an index holds at corpus scale (4× smaller than f32,
     * dot products stay within ~1% for cosine ranking). Emitted as

@@ -76,6 +76,42 @@ class ExtensionOpsSpec extends SparkTest {
     assert(sigs(1L) >= 0 && sigs(1L) < (1L << 16))
   }
 
+  test("PQ: identical vectors share codes; codes stay in [0, k); the " +
+    "query (and its exact duplicate) achieve the minimal ADC distance") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rnd = new scala.util.Random(5)
+    val vecs: Seq[(Long, Seq[Double])] =
+      (1L to 10L).map(i => i -> Seq.fill(8)(rnd.nextDouble())) :+
+        (11L -> null)  // placeholder replaced below
+    val base = vecs.dropRight(1)
+    val rows = base :+ (11L -> base.head._2)  // id 11 duplicates id 1
+    val df = spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava,
+      StructType(Seq(StructField("vec_id", LongType, false),
+        StructField("embedding", ArrayType(DoubleType), false))))
+    val book = Similarity.pqTrainQuantized(df, "vec_id", "embedding",
+      dim = 8, m = 2, k = 2, iters = 2)
+    val bookRows = book.collect()
+    assert(bookRows.length == 4)  // m=2 subspaces x k=2 centroids
+    assert(bookRows.forall(_.getSeq[Long](2).length == 4)) // dim/m
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", book,
+        dim = 8, m = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(codes(1L) == codes(11L))
+    assert(codes.values.forall(c => c.length == 2 &&
+      c.forall(x => x >= 0 && x < 2)))
+    val top = Similarity.pqSearchADC(df, "vec_id", "embedding", book,
+        queryId = 1L, dim = 8, m = 2, topK = 11).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val best = top.head._2
+    val byId = top.toMap
+    // the query's own codes minimize the per-subspace table sums, so
+    // nothing can score below it — and its duplicate ties exactly
+    assert(byId(1L) == best && byId(11L) == best)
+  }
+
   test("kmeansQuantized matches a sequential Lloyd reference model") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
