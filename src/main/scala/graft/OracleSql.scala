@@ -297,4 +297,30 @@ object OracleSql {
         GROUP BY e.id)"""
     (base +: steps :+ search).mkString(",\n      ")
   }
+
+  /** IVF-PQ replay (mirrors Similarity.ivfPqSearch): the coarse
+    * quantizer is [[kmeansCtes]] (names kvq/c0..cN — disjoint from the
+    * PQ names), assignment and probe selection are integer argmins
+    * over its final centroids, and the PQ half is [[pqCtes]]; exposes
+    * `ivfpq(id, adist)` = ADC distances of the vectors in the probed
+    * lists. */
+  def ivfPqCtes(coarseK: Int, coarseIters: Int, m: Int, pqK: Int,
+                pqIters: Int, dim: Int, scale: Long, queryId: Long,
+                nprobe: Int): String = {
+    val cFin = s"c$coarseIters"
+    s"""${kmeansCtes(coarseK, coarseIters, dim, scale)},
+      ${pqCtes(m, pqK, pqIters, dim, scale, queryId)},
+      cdist AS (SELECT q.id, c.cid,
+          SUM((q.v[c.pos] - c.cx) * (q.v[c.pos] - c.cx)) AS dist
+        FROM kvq q CROSS JOIN $cFin c GROUP BY q.id, c.cid),
+      cass AS (SELECT id, cid FROM (SELECT id, cid,
+            row_number() OVER (PARTITION BY id
+              ORDER BY dist ASC, cid ASC) AS rn FROM cdist)
+        WHERE rn = 1),
+      cprobe AS (SELECT cid FROM cdist WHERE id = $queryId
+        ORDER BY dist ASC, cid ASC LIMIT $nprobe),
+      ivfpq AS (SELECT p.id, p.adist FROM padc p
+        JOIN cass a ON p.id = a.id
+        WHERE a.cid IN (SELECT cid FROM cprobe))"""
+  }
 }

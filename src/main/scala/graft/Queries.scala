@@ -3068,6 +3068,26 @@ object Queries {
       SELECT id AS vec_id, adist FROM padc
       ORDER BY adist ASC, vec_id ASC LIMIT 10"""))
 
+  /** q90: IVF-PQ composed — coarse inverted lists prune the candidate
+    * set (integer k-means + nprobe probes), PQ codes score it (ADC).
+    * The oracle replays BOTH halves: the coarse quantizer via the
+    * k-means CTEs, the codes via the PQ CTEs, joined by the probe
+    * filter. This is the 100 TB ANN deployment shape: per-query cost =
+    * nprobe list scans over m-int codes. */
+  private val q90 = Q(
+    "q90_ivfpq",
+    (s, dir) => {
+      import graft.operators.Similarity
+      Similarity.ivfPqSearch(t(s, dir, "embeddings"), "vec_id",
+          "embedding", coarseK = 4, coarseIters = 2, m = 4, pqK = 4,
+          pqIters = 2, nprobe = 2, queryId = 0L, dim = 64, topK = 10)
+        .select(col("id").as("vec_id"), col("adist"))
+    },
+    Some(s"""WITH ${OracleSql.ivfPqCtes(4, 2, 4, 4, 2, 64, 1000000L,
+        0L, 2)}
+      SELECT id AS vec_id, adist FROM ivfpq
+      ORDER BY adist ASC, vec_id ASC LIMIT 10"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3075,7 +3095,8 @@ object Queries {
     q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-    q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
+    q90)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

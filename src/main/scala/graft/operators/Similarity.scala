@@ -601,10 +601,24 @@ object Similarity {
     * at search time; ties break by id. */
   def pqSearchADC(df: DataFrame, idCol: String, vecCol: String,
                   codebook: DataFrame, queryId: Long, dim: Int, m: Int,
-                  topK: Int, scale: Long = 1000000L): DataFrame = {
+                  topK: Int, scale: Long = 1000000L): DataFrame =
+    pqAdcDistances(df, df, idCol, vecCol, codebook, queryId, dim, m,
+        scale)
+      .orderBy(col("adist").asc, col("id").asc)
+      .limit(topK)
+
+  /** The un-limited ADC core shared by [[pqSearchADC]] (whole corpus)
+    * and [[ivfPqSearch]] (probed lists only): score `candidates`
+    * against the query row looked up in `queryDf`. Returns
+    * (id, adist). */
+  private def pqAdcDistances(candidates: DataFrame, queryDf: DataFrame,
+                             idCol: String, vecCol: String,
+                             codebook: DataFrame, queryId: Long,
+                             dim: Int, m: Int,
+                             scale: Long): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val sub = dim / m
-    val q = df.filter(col(idCol) === queryId)
+    val q = queryDf.filter(col(idCol) === queryId)
       .select(explode(array((0 until m).map(j =>
         struct(lit(j).cast(LongType).as("sub"),
           transform(slice(col(vecCol), j * sub + 1, sub),
@@ -617,13 +631,58 @@ object Similarity {
           GraftBridge.toExpression(col("qv")),
           GraftBridge.toExpression(col("cv")))))
       .select(col("sub"), col("cid"), col("d"))
-    pqEncode(df, idCol, vecCol, codebook, dim, m, scale)
+    pqEncode(candidates, idCol, vecCol, codebook, dim, m, scale)
       .select(col("id"), posexplode(col("codes")).as(Seq("pos", "code")))
       .join(broadcast(table),
         col("pos").cast(LongType) === col("sub") &&
           col("code") === col("cid"))
       .groupBy(col("id"))
       .agg(sum(col("d")).as("adist"))
+  }
+
+  /** IVF-PQ: the two corpus-scale halves composed. A coarse integer
+    * k-means partitions the corpus into inverted lists (assignment =
+    * broadcast argmin, shuffle |vectors| — same shape as [[ivfTopK]]'s
+    * commentary); the query probes its `nprobe` nearest coarse
+    * centroids; only vectors in the probed lists are ADC-scored
+    * against the PQ codebook. Codes are trained on raw vectors (not
+    * residuals — a documented simplification: residual PQ needs
+    * per-list or shared-residual codebooks; raw-vector PQ keeps every
+    * stage bit-replayable by the q90 oracle). At deployment the
+    * assignment and codes are precomputed once (cf. buildIvfIndex);
+    * the per-query cost is nprobe list scans of m-int codes. */
+  def ivfPqSearch(df: DataFrame, idCol: String, vecCol: String,
+                  coarseK: Int, coarseIters: Int, m: Int, pqK: Int,
+                  pqIters: Int, nprobe: Int, queryId: Long, dim: Int,
+                  topK: Int, scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val coarse = kmeansArrays(df, idCol, vecCol, coarseK, coarseIters,
+      scale)
+    val vq = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => floor(x * lit(scale.toDouble))
+        .cast(LongType)).as("v"))
+    def sq(a: Column, b: Column) = GraftBridge.toColumn(
+      graft.functions.VecSqDistLongExpr(
+        GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+    val assigned = vq.join(broadcast(coarse))
+      .withColumn("dist", sq(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("a"))
+      .select(col("id"), col("a.cid").as("ccid"))
+    val probes = broadcast(
+      coarse.join(broadcast(vq.filter(col("id") === queryId)
+          .select(col("v").as("qv"))))
+        .withColumn("dist", sq(col("qv"), col("cv")))
+        .orderBy(col("dist").asc, col("cid").asc)
+        .limit(nprobe)
+        .select(col("cid").as("ccid")))
+    val candIds = assigned.join(probes, Seq("ccid")).select(col("id"))
+    val cand = df.join(candIds,
+      df(idCol) === candIds("id"), "left_semi")
+    val book = pqTrainQuantized(df, idCol, vecCol, dim, m, pqK,
+      pqIters, scale)
+    pqAdcDistances(cand, df, idCol, vecCol, book, queryId, dim, m,
+        scale)
       .orderBy(col("adist").asc, col("id").asc)
       .limit(topK)
   }
