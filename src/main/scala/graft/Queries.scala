@@ -3088,6 +3088,46 @@ object Queries {
       SELECT id AS vec_id, adist FROM ivfpq
       ORDER BY adist ASC, vec_id ASC LIMIT 10"""))
 
+  /** q91: Kafka archived-topic replay through the standard source
+    * SCHEMA (value = datagram bytes, key = exporter v4 BE, timestamp =
+    * receive time — KafkaIngest's producer convention) → batch decode.
+    * Exercises the whole projection: key→dev_ip, timestamp→ts_sec,
+    * value→v9 decode, with two interleaved exporters. The connector
+    * itself only shapes the DataFrame; everything after `.load()` is
+    * this path, so the oracle replays the decoded stream from the same
+    * integers the packets were built from (q40's pattern). */
+  private val q91 = Q(
+    "q91_kafka_replay",
+    (s, dir) => {
+      import graft.sources.KafkaIngest
+      import s.implicits._
+      val recs = v9Packets(64).zipWithIndex.map { case (p, i) =>
+        val ip = 3221225985L + (i % 2)  // 192.0.2.1 / 192.0.2.2
+        val key = Array[Byte]((ip >> 24).toByte, (ip >> 16).toByte,
+          (ip >> 8).toByte, ip.toByte)
+        (key, p, new java.sql.Timestamp((1700000000L + i) * 1000L))
+      }
+      val kafka = s.createDataset(recs).toDF("key", "value", "timestamp")
+      KafkaIngest.decode(kafka)
+        .groupBy(col("dev_ip"), col("protocol"))
+        .agg(count(lit(1)).as("n"), sum(col("in_bytes")).as("octets"),
+          min(col("ts_sec")).as("ts_min"), max(col("ts_sec")).as("ts_max"))
+        .orderBy(col("dev_ip").asc, col("protocol").asc)
+    },
+    Some("""WITH flows AS (
+        SELECT 3221225985 + (i % 2) AS dev_ip,
+               CASE WHEN i % 2 = 0 THEN 6 ELSE 17 END AS protocol,
+               100 + i AS in_bytes,
+               1700000000 + i AS ts_sec
+        FROM range(64) t(i))
+      SELECT CAST(dev_ip AS BIGINT) AS dev_ip,
+             CAST(protocol AS BIGINT) AS protocol,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes) AS BIGINT) AS octets,
+             CAST(MIN(ts_sec) AS BIGINT) AS ts_min,
+             CAST(MAX(ts_sec) AS BIGINT) AS ts_max
+      FROM flows GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3096,7 +3136,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90)
+    q90, q91)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -190,6 +190,12 @@ object NetflowDecoder {
   /** Slot of the virtual sampling_rate column (flow-info.h:19-33). */
   private val sampSlot: Int = fieldIdx(65504)._1
 
+  /** Slot of the virtual exporter-address column: the reference stamps
+    * every flow with its exporter's identity before processing
+    * (flow-info.h:19-33, netflow.c:113-144) — dev_ip here; dev_id /
+    * dev_mark are config enrichment (flow/Devices.scala). */
+  private val devIpSlot: Int = fieldIdx(65500)._1
+
   /** IPFIX enterprise-scoped fields to decode, (enterpriseId, fieldId) →
     * canonical nfId (reference maps its VAS vendor fields this way,
     * netflow.c:367-678); unmapped enterprise values are skipped over. */
@@ -223,7 +229,7 @@ object NetflowDecoder {
                           ph: Phase): Seq[Array[Any]] = {
     if (payload.length < 2) return Nil
     u16(payload, 0) match {
-      case 5  => if (ph.flows) decodeV5(payload, tsSec) else Nil
+      case 5  => if (ph.flows) decodeV5(payload, tsSec, srcIp) else Nil
       case 9  => decodeV9(payload, tsSec, srcIp, cache, ph)
       case 10 => decodeIpfix(payload, tsSec, srcIp, cache, entMap, ph)
       case _  => Nil
@@ -238,7 +244,8 @@ object NetflowDecoder {
     22 -> 4, 21 -> 4, 7 -> 2, 11 -> 2, -1 -> 1, 6 -> 1, 4 -> 1,
     5 -> 1, 16 -> 2, 17 -> 2, 9 -> 1, 13 -> 1, -1 -> 2)
 
-  private def decodeV5(b: Array[Byte], tsSec: Long): Seq[Array[Any]] = {
+  private def decodeV5(b: Array[Byte], tsSec: Long,
+                       srcIp: Long): Seq[Array[Any]] = {
     if (b.length < 24) return Nil
     val count = u16(b, 2)
     // header sampling_interval (bytes 22-23): 2-bit mode + 14-bit value
@@ -256,6 +263,7 @@ object NetflowDecoder {
         p += len
       }
       if (sampling > 0) row(sampSlot) = sampling.toLong
+      row(devIpSlot) = srcIp
       out += row
       off += 48
       i += 1
@@ -347,6 +355,7 @@ object NetflowDecoder {
               }
               if (row(sampSlot) == null)
                 sampling.foreach(v => row(sampSlot) = v)
+              row(devIpSlot) = srcIp
               out += row
               p += recLen
             }
@@ -486,6 +495,7 @@ object NetflowDecoder {
                 if (!isOpt) {
                   if (row(sampSlot) == null)
                     sampling.foreach(v => row(sampSlot) = v)
+                  row(devIpSlot) = srcIp
                   out += row
                 }
                 p = q

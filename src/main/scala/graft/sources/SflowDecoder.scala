@@ -144,6 +144,14 @@ object SflowDecoder {
     if (b.length < 28 || u32(b, 0) != 5L) return Nil
     var off = 4
     val addrType = u32(b, off); off += 4
+    // exporter identity: the datagram's own agent address (reference
+    // stamps every flow with its exporter, flow-info.h:19-33; sFlow
+    // carries the agent in-band rather than relying on the UDP source)
+    val agentV4: Any = if (addrType == 1L) u32(b, off) else null
+    val agentV6: Any =
+      if (addrType == 2L && off + 16 <= b.length)
+        java.util.Arrays.copyOfRange(b, off, off + 16)
+      else null
     off += (if (addrType == 1L) 4 else 16) // agent address
     off += 4 // sub-agent id
     off += 4 // sequence
@@ -200,6 +208,8 @@ object SflowDecoder {
               row(slot("sampling_rate")) = samplingRate
               row(slot("input_snmp")) = input
               row(slot("output_snmp")) = output
+              row(slot("dev_ip")) = agentV4
+              row(slot("dev_ip6")) = agentV6
               if (headerProto == 1L && headerLen >= 0 &&
                   q + headerLen <= recEnd)
                 parseEthernet(

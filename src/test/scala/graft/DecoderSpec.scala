@@ -37,6 +37,9 @@ class DecoderSpec extends SparkTest {
     assert(r(fieldIndexOf("l4_src_port")) == 443L)
     assert(r(fieldIndexOf("l4_dst_port")) == 51234L)
     assert(r(fieldIndexOf("src_as")) == null) // absent field stays null
+    // exporter identity stamped on every flow (flow-info.h:19-33,
+    // netflow.c:113-144): dev_ip = the decode call's src_ip
+    assert(r(fieldIndexOf("dev_ip")) == 1L)
   }
 
   test("NetFlow v9: template cached across packets (per exporter)") {
@@ -113,6 +116,7 @@ class DecoderSpec extends SparkTest {
     val r = rows.head
     assert(r(fieldIndexOf("in_bytes")) == 64L)
     assert(r(fieldIndexOf("sampling_rate")) == 1024L)
+    assert(r(fieldIndexOf("dev_ip")) == 0x7f000001L) // in-band agent addr
     assert(r(fieldIndexOf("src_vlan")) == 7L)
     assert(r(fieldIndexOf("protocol")) == 6L)
     assert(r(fieldIndexOf("ip4_src_addr")) == 0x0a000001L)
