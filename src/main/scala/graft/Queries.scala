@@ -3128,6 +3128,41 @@ object Queries {
              CAST(MAX(ts_sec) AS BIGINT) AS ts_max
       FROM flows GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** q92: the reference's actual processing chain over DECODED flows —
+    * wire decode (two v9 exporters) → device enrichment keyed on the
+    * decoder-stamped dev_ip (q91's fix made this possible; q32 covers
+    * the same operator over the synthetic view) → sampled-octet
+    * aggregation. Exercises that the per-device sampling rate reaches
+    * real decoded rows whose wire records carry no rate of their own. */
+  private val q92 = Q(
+    "q92_decode_enrich_agg",
+    (s, dir) => {
+      import graft.flow.Devices
+      import graft.sources.NetflowDecoder
+      import s.implicits._
+      val packets = v9Packets(64).zipWithIndex.map { case (p, i) =>
+        (p, 1700000000L + i, 3221225985L + (i % 2)) }
+      val df = s.createDataset(packets).toDF("payload", "ts_sec", "src_ip")
+      val env = FilterEnv.flow(s)
+      val devices = Seq(
+        Devices.Device(Some(3221225985L), None, samplingRate = 10L),
+        Devices.Device(Some(3221225986L), None, samplingRate = 1000L))
+      Devices.enrich(NetflowDecoder.decode(df), devices, env)
+        .groupBy(col("dev_ip"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * col("sampling_rate")).as("octets"))
+        .orderBy(col("dev_ip").asc)
+    },
+    Some("""WITH flows AS (
+        SELECT 3221225985 + (i % 2) AS dev_ip,
+               100 + i AS in_bytes,
+               CASE WHEN i % 2 = 0 THEN 10 ELSE 1000 END AS rate
+        FROM range(64) t(i))
+      SELECT CAST(dev_ip AS BIGINT) AS dev_ip,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * rate) AS BIGINT) AS octets
+      FROM flows GROUP BY 1 ORDER BY 1"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3136,7 +3171,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91)
+    q90, q91, q92)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
