@@ -3163,6 +3163,119 @@ object Queries {
              CAST(SUM(in_bytes * rate) AS BIGINT) AS octets
       FROM flows GROUP BY 1 ORDER BY 1"""))
 
+  /** q93: HyperLogLog distinct sources per destination AS — the
+    * bounded-state scale substitute for q26's exact DISTINCT (a full
+    * fwm DISTINCT key shuffles its whole cardinality; HLL shuffles
+    * ≤ keys·m rows at ANY input size). The oracle replays the md5
+    * register assignment, the ordered 2^−rho fold and the alpha·m²
+    * bias formula bit-for-bit, and carries the exact distinct count
+    * next to the estimate so the row itself shows the sketch error. */
+  private val q93 = Q(
+    "q93_hll_distinct",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val flow = TestFlowView.load(s, dir)
+      val est = Sketches.hllEstimate(flow, Seq("dst_as"), "ip4_src_addr", 8)
+      val exact = flow.groupBy(col("dst_as"))
+        .agg(countDistinct(col("ip4_src_addr")).as("exact"))
+      est.join(exact, "dst_as")
+        .select(col("dst_as"), col("n_obs"), col("est"), col("exact"))
+        .orderBy(col("dst_as").asc)
+    },
+    Some(s"""WITH $F,
+      hh AS (SELECT dst_as,
+               CAST('0x' || substr(md5(CAST(ip4_src_addr AS VARCHAR)),
+                 1, 15) AS BIGINT) AS h
+             FROM flow),
+      r AS (SELECT dst_as, h % 256 AS reg,
+              CASE WHEN (h >> 8) = 0 THEN 53
+                   ELSE 53 - length(bin(h >> 8)) END AS rho
+            FROM hh),
+      regs AS (SELECT dst_as, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+      l AS (SELECT dst_as,
+              list(struct_pack(reg := reg, rho := rho) ORDER BY reg)
+                AS arr
+            FROM regs GROUP BY 1),
+      e AS (SELECT dst_as, CAST(len(arr) AS BIGINT) AS n_obs,
+              CAST('${graft.operators.Sketches.hllAlpha(8)}' AS DOUBLE)
+                * CAST(65536 AS DOUBLE) /
+                (list_reduce(list_transform(arr, x ->
+                   CAST(1 AS DOUBLE) /
+                   CAST((CAST(1 AS BIGINT) << x.rho) AS DOUBLE)),
+                 (acc, x) -> acc + x)
+                 + CAST(256 - len(arr) AS DOUBLE)) AS est
+            FROM l),
+      x AS (SELECT dst_as,
+              CAST(COUNT(DISTINCT ip4_src_addr) AS BIGINT) AS exact
+            FROM flow GROUP BY 1)
+      SELECT e.dst_as, n_obs, est, exact FROM e JOIN x USING (dst_as)
+      ORDER BY e.dst_as ASC"""))
+
+  /** q94: Count-Min heavy-hitter ports — bounded-memory frequency
+    * estimation (the cluster-scale stance on the reference's exact
+    * `mfreq` most-frequent attribute, filter.c): the d×w integer grid
+    * is built with one map-side-combined groupBy and BROADCAST to
+    * estimate any candidate set without re-shuffling raw rows. Pure
+    * integer math → the estimates (over-counts included) replay
+    * exactly in DuckDB. */
+  private val q94 = Q(
+    "q94_cms_heavy",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val flow = TestFlowView.load(s, dir)
+      val cands = flow.select(col("l4_dst_port")).distinct()
+      Sketches.cmsHeavyHitters(flow, "l4_dst_port", 4, 1024, 50L, cands)
+        .orderBy(col("est").desc, col("l4_dst_port").asc)
+    },
+    Some(s"""WITH $F,
+      cm AS (SELECT t.j,
+               CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' ||
+                 CAST(l4_dst_port AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 1024 AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM flow CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT l4_dst_port FROM flow),
+      est AS (SELECT cand.l4_dst_port,
+                CAST(MIN(COALESCE(cm.cnt, 0)) AS BIGINT) AS est
+              FROM cand CROSS JOIN range(0, 4) t(j)
+              LEFT JOIN cm ON cm.j = t.j AND cm.c =
+                CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' ||
+                  CAST(cand.l4_dst_port AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 1024
+              GROUP BY 1)
+      SELECT l4_dst_port, est FROM est WHERE est >= 50
+      ORDER BY est DESC, l4_dst_port ASC"""))
+
+  /** q95: exact discrete quantiles of document length per language via
+    * the VALUE-DOMAIN path (Sketches.quantilesByValue): the cumulative
+    * window runs over distinct (lang, n_chars) pairs — never raw rows —
+    * so the length-percentile quality gate stays distributed at corpus
+    * scale. k = ⌊bp·(n−1)/10⁴⌋+1 order statistics, integer-exact. */
+  private val q95 = Q(
+    "q95_quantile_domain",
+    (s, dir) => {
+      import graft.operators.Sketches
+      Sketches.quantilesByValue(t(s, dir, "documents"), Seq("lang"),
+        "n_chars", Seq(2500, 5000, 9000, 9900))
+        .orderBy(col("lang").asc, col("bp").asc)
+    },
+    Some("""WITH c AS (SELECT lang, n_chars,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM documents GROUP BY 1, 2),
+      w AS (SELECT lang, n_chars, cnt,
+              CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+              CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+            FROM c),
+      b AS (SELECT w.*, CAST(t.bp AS BIGINT) AS bp
+            FROM w CROSS JOIN
+              (SELECT unnest([2500, 5000, 9000, 9900]) AS bp) t),
+      q AS (SELECT lang, bp, MIN(n_chars) AS q_value FROM b
+            WHERE cum >= ((bp * (total - 1)) // 10000) + 1
+            GROUP BY 1, 2)
+      SELECT lang, bp, q_value FROM q ORDER BY lang ASC, bp ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3171,7 +3284,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92)
+    q90, q91, q92, q93, q94, q95)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Bounded-memory sketches: the 100 TB-scale substitutes for exact
+  * DISTINCT counting, exact frequency tables and exact global sorts.
+  *
+  * The reference computes these exactly because a single collector sees
+  * a bounded window (DISTINCT fields in fwm keys, monit-objects-fwm.c;
+  * the `mfreq` most-frequent-value attribute, filter.c); at cluster
+  * scale the exact forms shuffle the full key cardinality. Each sketch
+  * here reduces that to a fixed-size state with map-side combine:
+  *
+  *  - [[hllRegisters]]/[[hllEstimate]]: HyperLogLog (Flajolet et al.,
+  *    AofA 2007) — distinct cardinality in m = 2^p registers; shuffle
+  *    is ≤ keys·m rows regardless of input.
+  *  - [[cmsSketch]]/[[cmsEstimate]]: Count-Min (Cormode & Muthukrishnan,
+  *    J.Alg 2005) — frequency over-estimates in a d×w integer grid;
+  *    heavy hitters without a full groupBy over the raw keys.
+  *  - [[quantilesByValue]]: exact discrete quantiles via the distinct
+  *    VALUE DOMAIN — the window runs over distinct values, never rows,
+  *    so percentile-of-length style queries stay distributed.
+  *
+  * DETERMINISM (the oracle contract of Queries.scala): every hash is
+  * md5-derived with literal salts, every sum is either pure integer or
+  * a canonically-ordered left-fold of exact doubles, so DuckDB replays
+  * the sketch bit-for-bit — the estimates themselves are asserted, not
+  * just their error bounds.
+  */
+object Sketches {
+
+  /** 60-bit nonnegative hash: the md5 15-hex-digit prefix. Mirrors the
+    * DuckDB replay `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. */
+  private[graft] def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  // ------------------------------------------------------------------ HLL
+
+  /** HLL alpha_m bias constant (the published table; single source of
+    * truth for the oracle SQL literal too). */
+  def hllAlpha(p: Int): Double = {
+    val m = 1 << p
+    m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+  }
+
+  /** Per-(key, register) max run length: `keyCols* + (reg, rho)`.
+    *
+    * The 60-bit hash splits into p register-index bits (`reg = h % m`)
+    * and W = 60−p payload bits; `rho` = leading zeros of the payload
+    * within its W-bit field, plus one (1..W+1). The groupBy is the
+    * ENTIRE shuffle: partial max aggregation combines map-side, and at
+    * most keys·m rows cross the wire however large the input is. */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                   p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of [4,16]")
+    val m = 1L << p
+    val bigW = 60 - p
+    val h = hash60(col(valueCol).cast("string"))
+    val w = shiftright(h, p) // h >= 0: exact floor(h / 2^p)
+    val rho = when(w === 0L, lit(bigW + 1))
+      .otherwise(lit(bigW + 1) - length(bin(w)))
+    df.select((keyCols.map(col) :+ (h % m).as("reg") :+ rho.as("rho")): _*)
+      .groupBy((keyCols.map(col) :+ col("reg")): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** HLL raw estimate per key: `keyCols* + (n_obs, est)`.
+    *
+    * est = alpha_m · m² / (Σ_observed 2^−rho + (m − n_obs)); the
+    * observed terms are folded in register order (sort_array over the
+    * (reg, rho) structs), each term an EXACT double (1/2^rho, rho ≤ 57),
+    * so the result is bit-reproducible by any engine folding the same
+    * order. No small/large-range correction here: ln() is
+    * transcendental and engine-dependent — callers that want the
+    * linear-counting correction apply it on (n_obs, est) driver-side. */
+  def hllEstimate(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha = hllAlpha(p)
+    val m2 = m.toDouble * m.toDouble
+    val regs = hllRegisters(df, keyCols, valueCol, p)
+    val arr = sort_array(collect_list(struct(col("reg"), col("rho"))))
+    val grouped =
+      if (keyCols.isEmpty) regs.agg(arr.as("arr"))
+      else regs.groupBy(keyCols.map(col): _*).agg(arr.as("arr"))
+    grouped.select(
+      (keyCols.map(col) :+
+        size(col("arr")).cast(LongType).as("n_obs") :+
+        expr(
+          s"""CAST($alpha AS DOUBLE) * CAST($m2 AS DOUBLE) /
+              (aggregate(arr, CAST(0 AS DOUBLE), (acc, x) ->
+                 acc + CAST(1 AS DOUBLE) /
+                       CAST(shiftleft(CAST(1 AS BIGINT), x.rho) AS DOUBLE))
+               + CAST($m - size(arr) AS DOUBLE))""").as("est")): _*)
+  }
+
+  // ------------------------------------------------------------ Count-Min
+
+  /** Row-j cell index for a value: md5("j|value") reduced mod width. */
+  private[graft] def cmsCell(v: Column, j: Int, width: Int): Column =
+    hash60(concat(lit(s"$j|"), v)) % width
+
+  /** Count-Min sketch: `(j, c, cnt)`, at most depth·width rows.
+    *
+    * One explode (depth struct cells per row) then a single integer
+    * groupBy-sum — map-side combine collapses each partition to the
+    * d·w grid before the shuffle, so the wire cost is constant in the
+    * input size. `weight` defaults to 1 per row (counts). */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int, width: Int,
+                weight: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth=$depth out of [1,8]")
+    require(width >= 16, s"width=$width too small")
+    val v = col(valueCol).cast("string")
+    val cells = array((0 until depth).map(j =>
+      struct(lit(j).as("j"), cmsCell(v, j, width).as("c"))): _*)
+    df.select(explode(cells).as("cell"), weight.cast(LongType).as("w"))
+      .groupBy(col("cell.j").as("j"), col("cell.c").as("c"))
+      .agg(sum(col("w")).as("cnt"))
+  }
+
+  /** Point estimates for a candidate set: `candidates* + est` where
+    * est = min_j sketch[j][h_j(v)] (the classic CMS over-estimate;
+    * 0 for values the sketch never saw).
+    *
+    * The sketch (≤ d·w rows) is broadcast, so estimating any number of
+    * candidates is a narrow map-side join — THE point of the structure:
+    * frequency answers at 100 TB without re-scanning or re-shuffling
+    * the raw data. */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame,
+                  valueCol: String, depth: Int, width: Int): DataFrame = {
+    val v = col(valueCol).cast("string")
+    val cells = array((0 until depth).map(j =>
+      struct(lit(j).as("j"), cmsCell(v, j, width).as("c"))): _*)
+    val keyCols = candidates.columns.map(col).toSeq
+    candidates
+      .select((keyCols :+ explode(cells).as("cell")): _*)
+      .join(broadcast(sketch),
+        col("cell.j") === sketch("j") && col("cell.c") === sketch("c"),
+        "left")
+      .groupBy(keyCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Heavy hitters: candidates whose CMS estimate meets `threshold`.
+    * Guaranteed superset of the true heavy hitters (CMS never
+    * under-counts); `candidates` bounds the answer domain (a bounded
+    * dimension like ports, or an externally-sampled key list). */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String, depth: Int,
+                      width: Int, threshold: Long,
+                      candidates: DataFrame,
+                      weight: Column = lit(1L)): DataFrame = {
+    val sk = cmsSketch(df, valueCol, depth, width, weight)
+    cmsEstimate(sk, candidates, valueCol, depth, width)
+      .filter(col("est") >= threshold)
+  }
+
+  // ------------------------------------------------------- exact quantiles
+
+  /** Exact discrete quantiles over the VALUE DOMAIN: one row per
+    * (key, bp) with the bp/10000-quantile of `valueCol`.
+    *
+    * k-th order statistic with k = ⌊bp·(n−1)/10000⌋ + 1 (bp 0 → min,
+    * 10000 → max, 5000 on odd n → the middle element) — pure integer
+    * arithmetic, so the DuckDB replay is exact.
+    *
+    * Scale shape: groupBy(value) first, so the window's cumulative sum
+    * runs over DISTINCT values per key — never over raw rows. Right for
+    * bounded/low-cardinality domains (lengths, ports, scores); for
+    * unbounded real domains, pre-bucket the value to a fixed resolution
+    * before calling (the quantile is then exact at that resolution). */
+  def quantilesByValue(df: DataFrame, keyCols: Seq[String],
+                       valueCol: String, bps: Seq[Int]): DataFrame = {
+    require(bps.nonEmpty && bps.forall(b => b >= 0 && b <= 10000),
+      s"bps must be in [0,10000]: $bps")
+    val counts = df
+      .groupBy((keyCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("bp", explode(array(bps.map(b => lit(b.toLong)): _*)))
+      .withColumn("k", expr("((bp * (total - 1)) DIV 10000) + 1"))
+    cum.filter(col("cum") >= col("k"))
+      .groupBy((keyCols.map(col) :+ col("bp")): _*)
+      .agg(min(col(valueCol)).as("q_value"))
+  }
+}
