@@ -3276,6 +3276,84 @@ object Queries {
             GROUP BY 1, 2)
       SELECT lang, bp, q_value FROM q ORDER BY lang ASC, bp ASC"""))
 
+  /** Shared q96/q97 versioned dimension: 10 sampling-rate versions per
+    * device at 3-day epochs starting 12 h into the data (so the first
+    * 12 h of flows predate any version → NULL-payload rows are
+    * exercised). Pure integer derivation, replayed in the oracle. */
+  private def deviceRateHistory(s: SparkSession): DataFrame =
+    s.range(0, 10).select(
+      explode(array(lit(100L), lit(101L))).as("dev_ip"),
+      (lit(1704110400L) + col("id") * 259200L).as("vt"),
+      (lit(1L) + (col("id") * 3L) % 5L).as("rate"))
+      .withColumn("rate", col("rate") + (col("dev_ip") % 2L))
+
+  private val asofDimCte =
+    """dim AS (SELECT d.dev_ip,
+               1704110400 + k.i*259200 AS vt,
+               1 + (k.i*3) % 5 + d.dev_ip % 2 AS rate
+             FROM (VALUES (100),(101)) d(dev_ip)
+             CROSS JOIN range(0,10) k(i))"""
+
+  /** q96: as-of join, union+window path — enrich every flow with the
+    * sampling-rate version in force AT THE FLOW'S TIME (the replay
+    * stance on the reference's mutate-in-place device settings,
+    * devices.c:153-200) and scale octets by it. Oracle: DuckDB's
+    * native ASOF LEFT JOIN — an independent implementation of the
+    * semantics, not a replay of ours. */
+  private val q96 = Q(
+    "q96_asof_window",
+    (s, dir) => {
+      import graft.operators.AsOfJoin
+      val flow = TestFlowView.load(s, dir)
+        .select("dev_ip", "ts_sec", "in_bytes")
+      AsOfJoin.backward(flow, deviceRateHistory(s), Seq("dev_ip"),
+          "ts_sec", "vt")
+        .groupBy(col("dev_ip"), col("rate"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_bytes") * coalesce(col("rate"), lit(1L)))
+            .cast(LongType).as("octets_scaled"))
+        .orderBy(col("dev_ip").asc, col("rate").asc_nulls_first)
+    },
+    Some(s"""WITH $F, $asofDimCte,
+      e AS (SELECT f.dev_ip, f.in_bytes, d.rate
+            FROM flow f ASOF LEFT JOIN dim d
+              ON f.dev_ip = d.dev_ip AND f.ts_sec >= d.vt)
+      SELECT dev_ip, rate, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * COALESCE(rate, 1)) AS BIGINT)
+               AS octets_scaled
+      FROM e GROUP BY 1, 2
+      ORDER BY dev_ip ASC, rate ASC NULLS FIRST"""))
+
+  /** q97: as-of join, broadcast zero-fact-shuffle path, with a 2-day
+    * staleness tolerance (version epochs are 3 days apart, so flows in
+    * each version's third day enrich as NULL — the "config too old to
+    * trust" guard). The fact side never shuffles: history → sorted
+    * arrays → broadcast → per-row array probe (plan-asserted in
+    * AsOfJoinSpec). */
+  private val q97 = Q(
+    "q97_asof_broadcast",
+    (s, dir) => {
+      import graft.operators.AsOfJoin
+      val flow = TestFlowView.load(s, dir)
+        .select("dev_ip", "ts_sec", "in_pkts")
+      AsOfJoin.backwardBroadcast(flow, deviceRateHistory(s), Seq("dev_ip"),
+          "ts_sec", "vt", tolerance = Some(172800L))
+        .groupBy(col("rate"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("in_pkts")).cast(LongType).as("pkts"))
+        .orderBy(col("rate").asc_nulls_first)
+    },
+    Some(s"""WITH $F, $asofDimCte,
+      e AS (SELECT CASE WHEN f.ts_sec - d.vt > 172800 THEN NULL
+                        ELSE d.rate END AS rate,
+                   f.in_pkts
+            FROM flow f ASOF LEFT JOIN dim d
+              ON f.dev_ip = d.dev_ip AND f.ts_sec >= d.vt)
+      SELECT rate, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_pkts) AS BIGINT) AS pkts
+      FROM e GROUP BY 1
+      ORDER BY rate ASC NULLS FIRST"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3284,7 +3362,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95)
+    q90, q91, q92, q93, q94, q95, q96, q97)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
