@@ -3354,6 +3354,55 @@ object Queries {
       FROM e GROUP BY 1
       ORDER BY rate ASC NULLS FIRST"""))
 
+  /** q98: Bloom-prefiltered contamination — the scale escape for q52's
+    * broadcast gram probe when the benchmark set outgrows a broadcast:
+    * k sorted position arrays (k·m longs) are broadcast instead of the
+    * gram strings, the corpus probes them map-side, and only admitted
+    * grams enter the shuffled exact semi join. n_maybe ≥ n_contam on
+    * every row (Bloom admits a superset); both counts are oracled, so
+    * the false-positive behavior of the filter itself is pinned, not
+    * just the final answer. */
+  private val q98 = Q(
+    "q98_bloom_contam",
+    (s, dir) => {
+      import graft.operators.Contamination
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("source").isin("src0", "src1"))
+      Contamination.bloomContamination(docs, bench, "doc_id", "text", 3,
+          k = 3, m = 65536)
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH dg AS (SELECT DISTINCT doc_id, g FROM
+        (SELECT doc_id, unnest(${OracleSql.shinglesSql("text", 3)}) AS g
+         FROM documents)),
+      bgr AS (SELECT DISTINCT g FROM
+        (SELECT unnest(${OracleSql.shinglesSql("text", 3)}) AS g
+         FROM documents WHERE source IN ('src0', 'src1'))),
+      bits AS (SELECT DISTINCT t.j,
+          CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || g),
+            1, 15) AS BIGINT) % 65536 AS c
+        FROM bgr CROSS JOIN range(0, 3) t(j)),
+      cells AS (SELECT doc_id, g, t.j,
+          CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || g),
+            1, 15) AS BIGINT) % 65536 AS c
+        FROM dg CROSS JOIN range(0, 3) t(j)),
+      mb AS (SELECT doc_id, g, (COUNT(b.j) = 3) AS maybe
+        FROM cells LEFT JOIN bits b ON b.j = cells.j AND b.c = cells.c
+        GROUP BY doc_id, g),
+      per AS (SELECT doc_id, COUNT(*) AS n_distinct_grams,
+          SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS n_maybe
+        FROM mb GROUP BY 1),
+      conf AS (SELECT doc_id, COUNT(*) AS n_contam FROM mb
+        WHERE maybe AND g IN (SELECT g FROM bgr) GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(per.n_distinct_grams, 0) AS BIGINT)
+          AS n_distinct_grams,
+        CAST(COALESCE(per.n_maybe, 0) AS BIGINT) AS n_maybe,
+        CAST(COALESCE(conf.n_contam, 0) AS BIGINT) AS n_contam
+      FROM documents d LEFT JOIN per USING (doc_id)
+      LEFT JOIN conf USING (doc_id)
+      ORDER BY doc_id ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3362,7 +3411,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q96, q97)
+    q90, q91, q92, q93, q94, q95, q96, q97, q98)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -58,6 +58,64 @@ object Contamination {
         lit(0L)).cast("long").as("contam_bp"))
   }
 
+  /** Benchmark contamination with a partitioned-Bloom pre-probe — the
+    * scale path [[ngramOverlap]]'s scaladoc promises for when the
+    * benchmark gram set outgrows a broadcast.
+    *
+    * Output: (idCol, n_distinct_grams, n_maybe, n_contam) — `n_maybe`
+    * counts grams the Bloom filter admits (a guaranteed SUPERSET:
+    * `n_maybe >= n_contam` on every row), `n_contam` the exactly
+    * verified hits among them.
+    *
+    * Shape at 100 TB: the filter is k sorted position arrays (k·m
+    * longs — a few MB even at m in the millions, broadcastable long
+    * after the gram STRINGS stop being), built with one distinct over
+    * the bench grams. The corpus probe is then map-side only —
+    * `array_contains` against the broadcast row, no join — and ONLY
+    * admitted grams enter the exact semi join against the full bench
+    * set: a 1%-contaminated corpus JOINS ~1% (+ false positives
+    * ~fill^k) of its grams instead of all of them. The per-doc
+    * distinct-gram count still shuffles every (doc, gram) pair once —
+    * that is the output contract (`n_distinct_grams`), not the probe;
+    * callers that only need the contamination verdict can drop it and
+    * keep nothing but the admitted-gram shuffle. Hash family: the same
+    * md5 cell as [[Sketches.cmsCell]] (row j probes position
+    * md5("j|gram") % m), so the DuckDB oracle replays the filter
+    * bit-for-bit. */
+  def bloomContamination(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         k: Int, m: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k=$k out of [1,8]")
+    require(m >= 64, s"m=$m too small")
+    val dg = distinctGrams(corpus, idCol, textCol, n)
+    val bg = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val bitCols = (0 until k).map(j =>
+      sort_array(collect_set(Sketches.cmsCell(col("g"), j, m)))
+        .as(s"__bits$j"))
+    val bitsRow = bg.agg(bitCols.head, bitCols.tail: _*)
+    val probed = dg.crossJoin(broadcast(bitsRow))
+      .withColumn("__maybe", (0 until k)
+        .map(j => array_contains(col(s"__bits$j"),
+          Sketches.cmsCell(col("g"), j, m)))
+        .reduce(_ && _))
+      .select(col(idCol), col("g"), col("__maybe"))
+    val per = probed.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_distinct_grams"),
+      sum(when(col("__maybe"), 1L).otherwise(0L)).as("n_maybe"))
+    // exact verify: only Bloom-admitted grams reach this join
+    val conf = probed.filter(col("__maybe"))
+      .join(bg, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
+    corpus.select(col(idCol)).join(per, Seq(idCol), "left")
+      .join(conf, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+  }
+
   /** Pairwise n-gram-vocabulary Jaccard between groups.
     *
     * Output: (grp_a, grp_b, n_common, jaccard_bp) for every unordered

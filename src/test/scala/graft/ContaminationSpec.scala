@@ -111,4 +111,44 @@ class ContaminationSpec extends SparkTest {
     assert(r.getString(0) == "aa" && r.getString(1) == "zz" &&
       r.getLong(3) == 10000L)
   }
+
+  private def bloomRows(corpus: org.apache.spark.sql.DataFrame,
+                        bench: org.apache.spark.sql.DataFrame,
+                        k: Int, m: Int) =
+    Contamination.bloomContamination(corpus, bench, "doc_id", "text", 2,
+        k, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+
+  test("bloomContamination: exact hits match ngramOverlap; maybe is a superset") {
+    val corpus = docs(
+      (1L, "x y z w", "c"),     // grams: "x y","y z","z w" — "y z" in bench
+      (2L, "p q r", "c"),       // no overlap
+      (3L, "", "c"))            // gram-less
+    val bench = docs((10L, "a y z b", "b")) // grams "a y","y z","z b"
+    val rows = bloomRows(corpus, bench, k = 4, m = 1 << 16)
+    // wide filter → no false positives here; n_contam matches exact
+    assert(rows == Seq((1L, 3L, 1L, 1L), (2L, 2L, 0L, 0L),
+      (3L, 0L, 0L, 0L)))
+    // parity with the broadcast-exact operator on the same input
+    val exact = Contamination.ngramOverlap(corpus, bench, "doc_id",
+        "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.forall { case (id, _, _, c) => exact(id) == c })
+  }
+
+  test("bloomContamination: tiny filter saturates — superset, never undercount") {
+    val corpus = docs((1L, "x y z w v u t s r q", "c"))
+    val bench = docs((10L, "m n o p", "b"))
+    // m=64, k=1: heavy false-positive regime
+    val Seq((_, grams, maybe, contam)) = bloomRows(corpus, bench, 1, 64)
+    assert(grams == 9L && contam == 0L)
+    assert(maybe >= contam) // superset guarantee even when saturated
+  }
+
+  test("bloomContamination: empty bench admits nothing") {
+    val corpus = docs((1L, "x y z", "c"))
+    val bench = docs((10L, "", "b")) // shingles of "" → no grams
+    assert(bloomRows(corpus, bench, 3, 1024) == Seq((1L, 2L, 0L, 0L)))
+  }
 }
