@@ -3403,6 +3403,79 @@ object Queries {
       LEFT JOIN conf USING (doc_id)
       ORDER BY doc_id ASC"""))
 
+  /** q99: STREAMING HLL distinct sources per destination AS — live
+    * bounded-state cardinality over a replayed feed
+    * (StreamingSketch.hllUpdates, transformWithState register state),
+    * checked against the same bit-exact DuckDB sketch replay as the
+    * batch q93. The spool symlinks the events file TWICE with
+    * maxFilesPerTrigger=1: two genuine micro-batches whose second is a
+    * full re-delivery — register max is idempotent, so the merged
+    * state (MAX over emissions) still equals the single-pass batch
+    * sketch, which is exactly what an at-least-once source needs and
+    * exactly what the oracle asserts. */
+  private val q99 = Q(
+    "q99_stream_hll",
+    (s, dir) => {
+      import graft.operators.Sketches
+      import graft.streaming.StreamingSketch
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      val base = tmpWorkDir(s"graft_q99_stream_$pid")
+      val spool = new java.io.File(base, s"spool-$run")
+      spool.mkdirs()
+      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+      for (nm <- Seq("replay-a.parquet", "replay-b.parquet")) {
+        val link = new java.io.File(spool, nm).toPath
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(target, link)
+        }
+      }
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      try {
+        val events = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(spool.getAbsolutePath)
+        val sunk = runStreamToMemory(s, s"q99_sink_$run",
+          new java.io.File(base, s"ckpt-$run"))(
+          StreamingSketch.hllUpdates(TestFlowView.fromEvents(events),
+            "dst_as", "ip4_src_addr", 8).toDF())
+        val regs = sunk
+          .groupBy(col("key").as("dst_as"), col("reg"))
+          .agg(max(col("rho")).as("rho"))
+        Sketches.estimateFromRegisters(regs, Seq("dst_as"), 8)
+          .orderBy(col("dst_as").asc)
+      } finally {
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+    Some(s"""WITH $F,
+      hh AS (SELECT dst_as,
+               CAST('0x' || substr(md5(CAST(ip4_src_addr AS VARCHAR)),
+                 1, 15) AS BIGINT) AS h
+             FROM flow),
+      r AS (SELECT dst_as, h % 256 AS reg,
+              CASE WHEN (h >> 8) = 0 THEN 53
+                   ELSE 53 - length(bin(h >> 8)) END AS rho
+            FROM hh),
+      regs AS (SELECT dst_as, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+      l AS (SELECT dst_as,
+              list(struct_pack(reg := reg, rho := rho) ORDER BY reg)
+                AS arr
+            FROM regs GROUP BY 1)
+      SELECT dst_as, CAST(len(arr) AS BIGINT) AS n_obs,
+             CAST('${graft.operators.Sketches.hllAlpha(8)}' AS DOUBLE)
+               * CAST(65536 AS DOUBLE) /
+               (list_reduce(list_transform(arr, x ->
+                  CAST(1 AS DOUBLE) /
+                  CAST((CAST(1 AS BIGINT) << x.rho) AS DOUBLE)),
+                (acc, x) -> acc + x)
+                + CAST(256 - len(arr) AS DOUBLE)) AS est
+      FROM l ORDER BY dst_as ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3411,7 +3484,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q96, q97, q98)
+    q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

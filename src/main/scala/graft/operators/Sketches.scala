@@ -51,23 +51,34 @@ object Sketches {
     }
   }
 
-  /** Per-(key, register) max run length: `keyCols* + (reg, rho)`.
+  /** Row-level register assignment: (reg, rho) column pair for one
+    * value — the shared derivation of the batch [[hllRegisters]] and
+    * the streaming [[graft.streaming.StreamingSketch]] (identical
+    * columns on both paths, so batch/stream equivalence is by
+    * construction, not by re-implementation).
     *
     * The 60-bit hash splits into p register-index bits (`reg = h % m`)
     * and W = 60−p payload bits; `rho` = leading zeros of the payload
-    * within its W-bit field, plus one (1..W+1). The groupBy is the
-    * ENTIRE shuffle: partial max aggregation combines map-side, and at
-    * most keys·m rows cross the wire however large the input is. */
-  def hllRegisters(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                   p: Int): DataFrame = {
+    * within its W-bit field, plus one (1..W+1). */
+  private[graft] def hllRegRho(value: Column, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 16, s"p=$p out of [4,16]")
-    val m = 1L << p
     val bigW = 60 - p
-    val h = hash60(col(valueCol).cast("string"))
+    val h = hash60(value.cast("string"))
     val w = shiftright(h, p) // h >= 0: exact floor(h / 2^p)
     val rho = when(w === 0L, lit(bigW + 1))
       .otherwise(lit(bigW + 1) - length(bin(w)))
-    df.select((keyCols.map(col) :+ (h % m).as("reg") :+ rho.as("rho")): _*)
+    (h % (1L << p), rho)
+  }
+
+  /** Per-(key, register) max run length: `keyCols* + (reg, rho)`.
+    *
+    * The groupBy is the ENTIRE shuffle: partial max aggregation
+    * combines map-side, and at most keys·m rows cross the wire however
+    * large the input is. */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                   p: Int): DataFrame = {
+    val (reg, rho) = hllRegRho(col(valueCol), p)
+    df.select((keyCols.map(col) :+ reg.as("reg") :+ rho.as("rho")): _*)
       .groupBy((keyCols.map(col) :+ col("reg")): _*)
       .agg(max(col("rho")).as("rho"))
   }
@@ -82,11 +93,18 @@ object Sketches {
     * transcendental and engine-dependent — callers that want the
     * linear-counting correction apply it on (n_obs, est) driver-side. */
   def hllEstimate(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                  p: Int): DataFrame = {
+                  p: Int): DataFrame =
+    estimateFromRegisters(hllRegisters(df, keyCols, valueCol, p),
+      keyCols, p)
+
+  /** The estimate over an already-built register frame
+    * (`keyCols* + (reg, rho)`, one row per observed register) — split
+    * out so the streaming path can estimate over merged state. */
+  def estimateFromRegisters(regs: DataFrame, keyCols: Seq[String],
+                            p: Int): DataFrame = {
     val m = 1 << p
     val alpha = hllAlpha(p)
     val m2 = m.toDouble * m.toDouble
-    val regs = hllRegisters(df, keyCols, valueCol, p)
     val arr = sort_array(collect_list(struct(col("reg"), col("rho"))))
     val grouped =
       if (keyCols.isEmpty) regs.agg(arr.as("arr"))
