@@ -500,4 +500,44 @@ class PropertySpec extends SparkTest {
       PayloadParsers.parseSni(b)
     }
   }
+
+  test("AsOfJoin: both paths equal the naive per-fact scan on random " +
+    "facts/versions (ties, tolerance, unmatched keys)") {
+    import graft.operators.AsOfJoin
+    // small domains force collisions: duplicate version times per key,
+    // facts exactly at version times, keys with no versions
+    val genFact = Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 20L))
+    val genVer = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 20L),
+      Gen.chooseNum(1L, 9L))
+    samples(Gen.zip(Gen.listOfN(30, genFact), Gen.listOfN(12, genVer),
+      Gen.option(Gen.chooseNum(0L, 8L))), 8)
+      .foreach { case (fs, vsRaw, tol) =>
+        // the operator's duplicate-(key,time) rule is max payload;
+        // keep the naive model aligned by deduping to the max rate
+        val vs = vsRaw.groupBy(v => (v._1, v._2))
+          .map { case ((k, t), g) => (k, t, g.map(_._3).max) }.toSeq
+        val facts = flowDf(Seq("k", "ts"),
+          fs.zipWithIndex.map { case ((k, t), i) => Seq(k, t) })
+        val vers = flowDf(Seq("k", "vt", "rate"),
+          vs.map { case (k, t, r) => Seq(k, t, r) })
+        def naive(k: Long, ts: Long): Option[Long] =
+          vs.filter(v => v._1 == k && v._2 <= ts)
+            .sortBy(v => (v._2, v._3)).lastOption
+            .filter(v => tol.forall(ts - v._2 <= _)).map(_._3)
+        val exp = fs.map { case (k, ts) => (k, ts, naive(k, ts)) }
+          .sorted(Ordering.by((x: (Long, Long, Option[Long])) =>
+            (x._1, x._2, x._3.getOrElse(Long.MinValue))))
+        for (out <- Seq(
+            AsOfJoin.backward(facts, vers, Seq("k"), "ts", "vt", tol),
+            AsOfJoin.backwardBroadcast(facts, vers, Seq("k"), "ts",
+              "vt", tol))) {
+          val got = out.collect().toSeq
+            .map(r => (r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2))))
+            .sorted(Ordering.by((x: (Long, Long, Option[Long])) =>
+              (x._1, x._2, x._3.getOrElse(Long.MinValue))))
+          assert(got == exp, s"facts=$fs vers=$vs tol=$tol")
+        }
+      }
+  }
 }
