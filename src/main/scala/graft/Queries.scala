@@ -3476,6 +3476,36 @@ object Queries {
                 + CAST(256 - len(arr) AS DOUBLE)) AS est
       FROM l ORDER BY dst_as ASC"""))
 
+  /** q100: exactly-n-per-stratum deterministic sample (eval-set
+    * construction: 20 docs per language, md5-ranked). The SPARK side
+    * runs the PRUNED plan — hash threshold from broadcast stratum
+    * sizes, ~4n rows per stratum reach the window instead of all of
+    * them, shortfall strata (none in practice) re-rank unpruned — while
+    * the oracle replays the naive full-sort rank; the hash match IS the
+    * losslessness proof of the prune. */
+  private val q100 = Q(
+    "q100_stratified_sample",
+    (s, dir) => {
+      import graft.operators.Curation
+      Curation.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", n = 20)
+        .select(col("doc_id"), col("lang"),
+          col("sample_rank").cast(LongType).as("sample_rank"))
+        .orderBy(col("lang").asc, col("sample_rank").asc)
+    },
+    Some("""WITH h AS (SELECT doc_id, lang,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS h
+        FROM documents),
+      r AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY h ASC, doc_id ASC) AS sample_rank
+        FROM h)
+      SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+      FROM r WHERE sample_rank <= 20
+      ORDER BY lang ASC, sample_rank ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3484,7 +3514,7 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
+    q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -69,6 +69,71 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Exactly-n-per-stratum deterministic sample: keep each stratum's n
+    * smallest (md5(id), id) rows, emitting `sample_rank` (1..n).
+    *
+    * Properties (SketchesSpec-style oracle q100 + CurationSpec):
+    *  - deterministic and order/partition independent (md5 rank);
+    *  - NESTED: rank ≤ k of an n-sample IS the k-sample (shrinking an
+    *    eval set keeps it a subset — same property hashBucket gives
+    *    splits);
+    *  - strata smaller than n keep all their rows.
+    *
+    * Scale shape: the naive plan sorts every stratum end-to-end for a
+    * window rank. With `prune = true` (default) a hash threshold cuts
+    * first: stratum sizes are a tiny broadcast aggregate, and rows with
+    * hash above ~4n/s · 2⁶⁰ cannot be among the n smallest except with
+    * vanishing probability (Chernoff: P < e^(−1.125·n) per stratum), so
+    * the window sees ~4n rows per stratum instead of s. Losslessness is
+    * not probabilistic though: strata whose surviving count falls short
+    * of min(n, s) — md5 adversaries, if they existed — are re-ranked
+    * UNPRUNED through the fallback union, so the result is always
+    * exactly the n smallest; the oracle replays the naive rank and must
+    * hash-match the pruned plan. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       n: Int, prune: Boolean = true): DataFrame = {
+    require(n >= 1, s"n=$n must be positive")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    def rank(in: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(strataCol))
+        .orderBy(col("__h").asc, col(idCol).asc)
+      in.withColumn("sample_rank", row_number().over(w))
+        .filter(col("sample_rank") <= n)
+    }
+    val base = df.withColumn("__h", h)
+    val out =
+      if (!prune) rank(base)
+      else {
+        val sizes = base.groupBy(col(strataCol))
+          .agg(count(lit(1)).as("__s"))
+        // threshold ≈ 4n/s of the 2^60 hash space; no prune when the
+        // stratum is within 4n anyway (threshold saturates)
+        val thr = when(col("__s") <= 4L * n, lit(Long.MaxValue))
+          .otherwise((lit(1L << 60) / col("__s")) * lit(4L * n))
+        // equi-joins below drop NULL-keyed rows; a NULL stratum is
+        // still a stratum in the window path, so rank it directly
+        val nullStratum = base.filter(col(strataCol).isNull)
+        val survivors = base
+          .join(broadcast(sizes), strataCol)
+          .filter(col("__h") <= thr)
+        // exactness guard: a stratum must keep min(n, s) rows through
+        // the prune or it re-ranks unpruned (never lossy, only slower)
+        val short = survivors.groupBy(col(strataCol))
+          .agg(count(lit(1)).as("__c"))
+          .join(broadcast(sizes), strataCol)
+          .filter(col("__c") < least(lit(n.toLong), col("__s")))
+          .select(col(strataCol))
+        rank(survivors.join(broadcast(short), Seq(strataCol),
+            "left_anti").drop("__s"))
+          .unionByName(rank(base.join(broadcast(short), Seq(strataCol),
+            "left_semi")))
+          .unionByName(rank(nullStratum))
+      }
+    // using-joins in the pruned path reorder columns; pin the contract
+    out.select((df.columns.map(col) :+ col("sample_rank")): _*)
+  }
+
   /** Greedy sequence packing: within each group (e.g. a (lang, shard)
     * pair), walk rows in id order accumulating token counts; a row's
     * bin is `floor(preceding_cumulative / budget)` — bin b holds the

@@ -70,4 +70,44 @@ class CurationSpec extends SparkTest {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(byId == Map(1L -> 0L, 2L -> 0L))
   }
+
+  private def sampleIds(df: org.apache.spark.sql.DataFrame, n: Int,
+                        prune: Boolean) =
+    Curation.stratifiedSample(df, "doc_id", "g", n, prune)
+      .collect()
+      .map(r => (Option(r.get(1)).map(_.toString).getOrElse("NULL"),
+        r.getLong(0), r.getAs[Number](2).longValue()))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("stratifiedSample: pruned equals unpruned; exactly n per stratum; nested") {
+    val df = flowDf(Seq("doc_id", "g"),
+      (0L until 600L).map(i => Seq(i, i % 3)))
+    val full = sampleIds(df, 16, prune = true)
+    assert(full == sampleIds(df, 16, prune = false))
+    assert(full.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("0" -> 16, "1" -> 16, "2" -> 16))
+    // ranks are 1..n within each stratum
+    assert(full.groupBy(_._1).values
+      .forall(_.map(_._3).sorted == (1L to 16L)))
+    // nested: the 5-sample is exactly ranks 1..5 of the 16-sample
+    val small = sampleIds(df, 5, prune = true)
+    assert(small.toSet == full.filter(_._3 <= 5).toSet)
+  }
+
+  test("stratifiedSample: small and NULL strata keep all rows") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      (Seq(Row(1L, java.lang.Long.valueOf(7L)),
+        Row(2L, java.lang.Long.valueOf(7L)),
+        Row(3L, null), Row(4L, null), Row(5L, null))).asJava,
+      StructType(Seq(StructField("doc_id", LongType, false),
+        StructField("g", LongType, true))))
+    val out = sampleIds(df, 10, prune = true)
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set(("7", 1L), ("7", 2L), ("NULL", 3L), ("NULL", 4L),
+        ("NULL", 5L)))
+    assert(out == sampleIds(df, 10, prune = false))
+  }
 }
