@@ -3378,14 +3378,18 @@ object Queries {
       bgr AS (SELECT DISTINCT g FROM
         (SELECT unnest(${OracleSql.shinglesSql("text", 3)}) AS g
          FROM documents WHERE source IN ('src0', 'src1'))),
-      bits AS (SELECT DISTINCT t.j,
-          CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || g),
-            1, 15) AS BIGINT) % 65536 AS c
-        FROM bgr CROSS JOIN range(0, 3) t(j)),
-      cells AS (SELECT doc_id, g, t.j,
-          CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' || g),
-            1, 15) AS BIGINT) % 65536 AS c
-        FROM dg CROSS JOIN range(0, 3) t(j)),
+      bh AS (SELECT g,
+          CAST('0x' || substr(md5(g), 1, 10) AS BIGINT) AS h1,
+          CAST('0x' || substr(md5(g), 11, 10) AS BIGINT) * 2 + 1 AS h2
+        FROM bgr),
+      bits AS (SELECT DISTINCT t.j, (h1 + t.j * h2) % 65536 AS c
+        FROM bh CROSS JOIN range(0, 3) t(j)),
+      dh AS (SELECT doc_id, g,
+          CAST('0x' || substr(md5(g), 1, 10) AS BIGINT) AS h1,
+          CAST('0x' || substr(md5(g), 11, 10) AS BIGINT) * 2 + 1 AS h2
+        FROM dg),
+      cells AS (SELECT doc_id, g, t.j, (h1 + t.j * h2) % 65536 AS c
+        FROM dh CROSS JOIN range(0, 3) t(j)),
       mb AS (SELECT doc_id, g, (COUNT(b.j) = 3) AS maybe
         FROM cells LEFT JOIN bits b ON b.j = cells.j AND b.c = cells.c
         GROUP BY doc_id, g),

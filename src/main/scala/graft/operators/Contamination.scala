@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-overlap operators for training-data hygiene:
@@ -67,38 +67,73 @@ object Contamination {
     * `n_maybe >= n_contam` on every row), `n_contam` the exactly
     * verified hits among them.
     *
-    * Shape at 100 TB: the filter is k sorted position arrays (k·m
-    * longs — a few MB even at m in the millions, broadcastable long
-    * after the gram STRINGS stop being), built with one distinct over
-    * the bench grams. The corpus probe is then map-side only —
-    * `array_contains` against the broadcast row, no join — and ONLY
+    * Shape at 100 TB: the filter is a dense k·m-BIT bitmap (k·m/64
+    * longs — 24 KB at m=65536, ~2 MB at m in the millions,
+    * broadcastable long after the gram STRINGS stop being), built with
+    * one distinct over the bench grams. The corpus probe is then
+    * map-side only — an O(1) indexed word fetch + mask per hash
+    * against the broadcast row, no join — and ONLY
     * admitted grams enter the exact semi join against the full bench
     * set: a 1%-contaminated corpus JOINS ~1% (+ false positives
     * ~fill^k) of its grams instead of all of them. The per-doc
     * distinct-gram count still shuffles every (doc, gram) pair once —
     * that is the output contract (`n_distinct_grams`), not the probe;
     * callers that only need the contamination verdict can drop it and
-    * keep nothing but the admitted-gram shuffle. Hash family: the same
-    * md5 cell as [[Sketches.cmsCell]] (row j probes position
-    * md5("j|gram") % m), so the DuckDB oracle replays the filter
-    * bit-for-bit. */
+    * keep nothing but the admitted-gram shuffle. Hash family:
+    * Kirsch–Mitzenmacher double hashing — ONE md5 per gram yields
+    * (h1, h2) from disjoint 40-bit digest slices and row j probes
+    * (h1 + j·h2) mod m (h2 forced odd), the standard k-from-2
+    * construction; the DuckDB oracle replays it bit-for-bit. */
   def bloomContamination(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, n: Int,
                          k: Int, m: Int): DataFrame = {
     require(k >= 1 && k <= 8, s"k=$k out of [1,8]")
     require(m >= 64, s"m=$m too small")
+    require(m % 64 == 0, s"m=$m must be a multiple of 64")
     val dg = distinctGrams(corpus, idCol, textCol, n)
     val bg = bench
       .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
       .distinct()
-    val bitCols = (0 until k).map(j =>
-      sort_array(collect_set(Sketches.cmsCell(col("g"), j, m)))
-        .as(s"__bits$j"))
-    val bitsRow = bg.agg(bitCols.head, bitCols.tail: _*)
+    // a DENSE bitmap (k·m bits as k·m/64 longs), not a position array:
+    // the per-gram probe is an O(1) indexed element_at + mask, where a
+    // sorted-array membership test is an O(m) scan per gram per row —
+    // at m=65536 that scan dominated the whole query (measured 6.2 s →
+    // sub-second at sf0.1). Row j's cell c lives at global bit j·m+c.
+    // Kirsch–Mitzenmacher: one md5 per gram, k cells from two 40-bit
+    // slices (codegen CSE computes the digest once per projection);
+    // h1 + j·h2 < 2^45, no overflow
+    def cell(j: Int): Column = {
+      val h1 = conv(substring(md5(col("g")), 1, 10), 16, 10)
+        .cast("long")
+      val h2 = conv(substring(md5(col("g")), 11, 10), 16, 10)
+        .cast("long") * 2 + 1 // odd: full-period stride mod 2^a·b
+      pmod(h1 + lit(j.toLong) * h2, lit(m.toLong))
+    }
+    val words = (0 until k).map { j =>
+      val gp = cell(j) + lit(j.toLong * m)
+      // call_function: the Scala shiftleft/shiftright helpers only
+      // take literal shift amounts; the SQL functions take columns
+      struct((gp / 64).cast("long").as("w"),
+        call_function("shiftleft", lit(1L),
+          (gp % 64).cast("int")).as("b"))
+    }
+    val nWords = k * m / 64
+    val bitsRow = bg
+      .select(explode(array(words: _*)).as("p"))
+      .groupBy(col("p.w").as("w")).agg(bit_or(col("p.b")).as("b"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("b"))))
+        .as("__m"))
+      .select(transform(sequence(lit(0L), lit(nWords - 1L)),
+        w => coalesce(try_element_at(col("__m"), w), lit(0L)))
+        .as("__bits"))
     val probed = dg.crossJoin(broadcast(bitsRow))
       .withColumn("__maybe", (0 until k)
-        .map(j => array_contains(col(s"__bits$j"),
-          Sketches.cmsCell(col("g"), j, m)))
+        .map { j =>
+          val gp = cell(j) + lit(j.toLong * m)
+          (call_function("shiftright", element_at(col("__bits"),
+            ((gp / 64) + 1).cast("int")), (gp % 64).cast("int"))
+            .bitwiseAND(lit(1L))) === lit(1L)
+        }
         .reduce(_ && _))
       .select(col(idCol), col("g"), col("__maybe"))
     val per = probed.groupBy(col(idCol)).agg(
