@@ -2,6 +2,8 @@ package graft
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import graft.filter.{Compiler, FilterEnv}
 import graft.flow.TestFlowView
 import graft.operators.{AlertTimeline, Fwm, TopK}
@@ -1693,7 +1695,12 @@ object Queries {
     if (cleanupRegistered.add(d.getAbsolutePath))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(del))
+          // NEVER recurse through a symlink: File.listFiles follows
+          // directory links, so a spool symlinked at a source table
+          // would delete the TARGET's files (this wiped a ScaleSweep
+          // replica set once). Deleting the link itself is enough.
+          if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+            Option(f.listFiles()).foreach(_.foreach(del))
           f.delete(); ()
         }
         del(d)
@@ -2640,11 +2647,12 @@ object Queries {
     * Bench process reruns these queries many times; r10's leak was
     * exactly this teardown missing). */
   private def runStreamToMemory(s: SparkSession, sinkName: String,
-      ckptDir: java.io.File)(plan: DataFrame): DataFrame = {
+      ckptDir: java.io.File, outputMode: String = "append")(
+      plan: DataFrame): DataFrame = {
     val query = plan.writeStream
       .format("memory")
       .queryName(sinkName)
-      .outputMode("append")
+      .outputMode(outputMode)
       .option("checkpointLocation", ckptDir.getAbsolutePath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -3427,21 +3435,31 @@ object Queries {
       val base = tmpWorkDir(s"graft_q99_stream_$pid")
       val spool = new java.io.File(base, s"spool-$run")
       spool.mkdirs()
+      // the driver's table is a single parquet FILE; a Spark-written
+      // one (ScaleSweep replicas) is a DIRECTORY of part files — link
+      // whichever shape into the spool, twice (the duplicate replay)
       val target = java.nio.file.Paths.get(s"$dir/events.parquet")
-      for (nm <- Seq("replay-a.parquet", "replay-b.parquet")) {
-        val link = new java.io.File(spool, nm).toPath
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch { case _: Exception =>
-          java.nio.file.Files.copy(target, link)
-        }
+      val parts: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(target))
+          java.nio.file.Files.list(target).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+        else Seq(target)
+      for (tag <- Seq("a", "b"); (p, i) <- parts.zipWithIndex) {
+        val link =
+          new java.io.File(spool, f"replay-$tag-$i%04d.parquet").toPath
+        try java.nio.file.Files.createSymbolicLink(link, p)
+        catch { case _: Exception => java.nio.file.Files.copy(p, link) }
       }
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
       try {
+        // cap per-trigger files at one COPY of the input: at least two
+        // micro-batches however the listing splits, without one-batch-
+        // per-file overhead on many-part directories
         val events = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", parts.size.toString)
           .parquet(spool.getAbsolutePath)
         val sunk = runStreamToMemory(s, s"q99_sink_$run",
           new java.io.File(base, s"ckpt-$run"))(
@@ -3510,6 +3528,106 @@ object Queries {
       FROM r WHERE sample_rank <= 20
       ORDER BY lang ASC, sample_rank ASC"""))
 
+  /** q101: STREAMING Count-Min heavy hitters — the live form of q94,
+    * deliberately built from NOTHING but Spark built-ins: the d×w cell
+    * projection feeds a streaming groupBy-sum (update mode), the
+    * engine's own aggregation state IS the sketch (d·w counters
+    * forever, merged across micro-batches by the state store). Counts
+    * are monotone, so MAX over the update-mode emissions reconstructs
+    * the final grid, and the heavy-hitter filter over it must equal
+    * the batch q94 bit-for-bit — same oracle text. The spool splits
+    * events into two REAL halves (event_id parity), so cross-batch
+    * state merge is exercised with genuinely different data, unlike
+    * q99's idempotent re-delivery. */
+  private val q101 = Q(
+    "q101_stream_cms",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      val base = tmpWorkDir(s"graft_q101_stream_$pid")
+      val spool = new java.io.File(base, s"spool-$run")
+      spool.mkdirs()
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      for (par <- Seq(0, 1))
+        ev.filter(col("event_id") % 2 === par).coalesce(1)
+          .write.mode("overwrite")
+          .parquet(s"${spool.getAbsolutePath}/half-$par")
+      val schema = ev.schema
+      val events = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${spool.getAbsolutePath}/half-*")
+      val grid = Sketches.cmsSketch(TestFlowView.fromEvents(events),
+        "l4_dst_port", 4, 1024)
+      val sunk = runStreamToMemory(s, s"q101_sink_$run",
+        new java.io.File(base, s"ckpt-$run"), outputMode = "update")(
+        grid)
+      val finalGrid = sunk.groupBy(col("j"), col("c"))
+        .agg(max(col("cnt")).as("cnt"))
+      val flow = TestFlowView.load(s, dir)
+      val cands = flow.select(col("l4_dst_port")).distinct()
+      Sketches.cmsEstimate(finalGrid, cands, "l4_dst_port", 4, 1024)
+        .filter(col("est") >= 50L)
+        .orderBy(col("est").desc, col("l4_dst_port").asc)
+    },
+    // the batch q94 oracle verbatim: streaming must reconstruct it
+    Some(s"""WITH $F,
+      cm AS (SELECT t.j,
+               CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' ||
+                 CAST(l4_dst_port AS VARCHAR)), 1, 15) AS BIGINT)
+                 % 1024 AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM flow CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT l4_dst_port FROM flow),
+      est AS (SELECT cand.l4_dst_port,
+                CAST(MIN(COALESCE(cm.cnt, 0)) AS BIGINT) AS est
+              FROM cand CROSS JOIN range(0, 4) t(j)
+              LEFT JOIN cm ON cm.j = t.j AND cm.c =
+                CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' ||
+                  CAST(cand.l4_dst_port AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 1024
+              GROUP BY 1)
+      SELECT l4_dst_port, est FROM est WHERE est >= 50
+      ORDER BY est DESC, l4_dst_port ASC"""))
+
+  /** q102: incremental corpus admission — dedup the DAILY INCREMENT
+    * against the archive without re-clustering the corpus
+    * (Dedup.incrementalAdmit: digest anti-join → cross-corpus LSH
+    * candidates → exact-Jaccard verify). Here src0 plays the arriving
+    * crawl against the other 19 sources; at sf0.01 two src0 docs are
+    * true near-dups of archive docs (j ≈ 0.97/0.99) and must be
+    * refused. The oracle replays admission semantically: text-equal OR
+    * a verified cross-corpus candidate pair ⇒ refused. */
+  private val q102 = Q(
+    "q102_incremental_admit",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalAdmit(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", minBp = 9500L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH ${OracleSql.minhashPairsCtes},
+      ${OracleSql.jaccardVerifyCtes(3, 9500L)},
+      refused AS (
+        SELECT doc_id FROM documents
+        WHERE source = 'src0' AND text IN
+          (SELECT text FROM documents WHERE source <> 'src0')
+        UNION
+        SELECT CASE WHEN da.source = 'src0' THEN v.a ELSE v.b END
+          AS doc_id
+        FROM verified v
+        JOIN documents da ON da.doc_id = v.a
+        JOIN documents db ON db.doc_id = v.b
+        WHERE (da.source = 'src0') <> (db.source = 'src0'))
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE source = 'src0'
+        AND doc_id NOT IN (SELECT doc_id FROM refused)
+      ORDER BY doc_id ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3518,7 +3636,8 @@ object Queries {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63,
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
-    q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
+    q102)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

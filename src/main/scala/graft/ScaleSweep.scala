@@ -45,7 +45,18 @@ object ScaleSweep {
     // (as-number keyspace is mod-16/mod-8 — replicas collide on keys
     // by design), so their interesting number is the time slope of the
     // scan+agg feeding the global cut
-    "q84_dedup_digest", "q85_topn_global", "q86_toppct_global")
+    "q84_dedup_digest", "q85_topn_global", "q86_toppct_global",
+    // r11 cont.: sketches + asof + sampling. Key-normalized outputs
+    // (flow keyspaces are modular → replicas collide on keys by
+    // design): q93/q94 sketch sizes are CONSTANT (that is the point),
+    // q96/q97 join 10x facts against the fixed dim (q96's 2-key window
+    // is the documented adversarial case for the window path),
+    // q100 emits a constant n per stratum. q98's bench set grows 10x
+    // against a FIXED m=65536 → the filter saturates; its slope
+    // measures the m-vs-bench-size law, adjudicated in SCALE.md.
+    "q93_hll_distinct", "q94_cms_heavy", "q95_quantile_domain",
+    "q96_asof_window", "q97_asof_broadcast", "q98_bloom_contam",
+    "q99_stream_hll", "q100_stratified_sample", "q101_stream_cms")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
@@ -175,13 +186,17 @@ object ScaleSweep {
       if (s.isEmpty) -1.0 else s(s.size / 2)
     }
 
+    // optional query-name args restrict the sweep (dev iteration)
+    val only = args.drop(2).filter(_.startsWith("q")).toSet
+    val sel = if (only.isEmpty) headline else headline.filter(only)
+
     // warmup both directories through the full stack
-    headline.take(1).foreach { q =>
+    sel.take(1).foreach { q =>
       timeOnce(q, srcDir); timeOnce(q, dstDir)
     }
 
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val rows = headline.map { q =>
+    val rows = sel.map { q =>
       val t01 = median(q, srcDir, 3)
       val t10 = median(q, dstDir, 3)
       // output-cardinality sanity: 10 disjoint universes must produce

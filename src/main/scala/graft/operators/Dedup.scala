@@ -358,6 +358,58 @@ object Dedup {
       .select("a", "b", "j_bp")
   }
 
+  /** Incremental corpus admission: keep only `increment` rows that are
+    * neither EXACT nor NEAR duplicates of `archive` — the daily-crawl
+    * pattern, where the cost must scale with the INCREMENT, not with
+    * re-clustering the whole corpus.
+    *
+    * Three candidate-bounded stages, all reusing the batch machinery:
+    *  1. exact: the archive collapses to its distinct (md5, xxhash64,
+    *     len) digest triple — a narrow frame, no document bytes — and
+    *     the increment anti-joins it;
+    *  2. near candidates: LSH band buckets of the archive equi-join the
+    *     buckets of the digest survivors — CROSS-corpus pairs only, the
+    *     archive side is reusable across days (persist its buckets with
+    *     [[graft.sources.Bucketing]] and the daily join is
+    *     exchange-free on the archive);
+    *  3. verify: exact n-gram Jaccard on the candidates
+    *     ([[jaccardVerify]]); survivors of BOTH filters are admitted.
+    *
+    * Intra-increment duplicates are deliberately NOT resolved here —
+    * run [[exactByDigest]] / the q47 pipeline over the increment first;
+    * admission answers only "is this new against the archive". Ids
+    * must be unique across both frames. */
+  def incrementalAdmit(archive: DataFrame, increment: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleK: Int = 3, numHashes: Int = 16,
+                       bands: Int = 4, verifyN: Int = 3,
+                       minBp: Long = 9500L): DataFrame = {
+    val archDig = archive.select(md5(col(textCol)).as("__d"),
+        xxhash64(col(textCol)).as("__x"),
+        length(col(textCol)).as("__l"))
+      .distinct()
+    val survivors = increment
+      .withColumn("__d", md5(col(textCol)))
+      .withColumn("__x", xxhash64(col(textCol)))
+      .withColumn("__l", length(col(textCol)))
+      .join(archDig, Seq("__d", "__x", "__l"), "left_anti")
+      .drop("__d", "__x", "__l")
+    val ab = lshBuckets(archive, idCol, textCol, shingleK, numHashes,
+        bands)
+      .select(col(idCol).as("a"), col("band"), col("bucket"))
+    val ib = lshBuckets(survivors, idCol, textCol, shingleK, numHashes,
+        bands)
+      .select(col(idCol).as("b"), col("band"), col("bucket"))
+    val cands = ab.join(ib, Seq("band", "bucket"))
+      .select("a", "b").distinct()
+    val corpus = archive.select(col(idCol), col(textCol))
+      .unionByName(survivors.select(col(idCol), col(textCol)))
+    val near = jaccardVerify(cands, corpus, idCol, textCol, verifyN,
+      minBp)
+    survivors.join(near.select(col("b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard restricted to given candidate pairs — the
     * verify half of the scale path (MinHash/LSH candidates →
     * [[jaccardVerify]]): the quadratic gram self-join disappears; cost
