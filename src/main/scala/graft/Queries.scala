@@ -2646,6 +2646,42 @@ object Queries {
     * them — can always be dropped, even on the failure paths (a long
     * Bench process reruns these queries many times; r10's leak was
     * exactly this teardown missing). */
+  /** Link (or copy) a source table's parquet part file(s) into `spool`
+    * `copies` times — the shared spool builder for the streaming replay
+    * oracles. Handles BOTH table shapes: the driver's single files and
+    * Spark-written directories-of-parts (ScaleSweep replicas). Links
+    * individual FILES only — a directory symlink once let the spool
+    * cleanup hook delete the target's contents, and the file stream
+    * source doesn't list through one anyway. @return parts per copy */
+  private def linkIntoSpool(spool: java.io.File, table: String,
+                            copies: Int): Int = {
+    val target = java.nio.file.Paths.get(table)
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(target)) {
+        val st = java.nio.file.Files.list(target)
+        try st.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        finally st.close()
+      } else Seq(target)
+    for (c <- 0 until copies; (p, i) <- parts.zipWithIndex) {
+      val link =
+        new java.io.File(spool, f"replay-$c-$i%04d.parquet").toPath
+      try java.nio.file.Files.createSymbolicLink(link, p)
+      catch { case _: Exception => java.nio.file.Files.copy(p, link) }
+    }
+    parts.size
+  }
+
+  /** transformWithState requires the RocksDB store; session-scoped, so
+    * bracket it (plain-streaming queries must not inherit it). */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try body
+    finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   private def runStreamToMemory(s: SparkSession, sinkName: String,
       ckptDir: java.io.File, outputMode: String = "append")(
       plan: DataFrame): DataFrame = {
@@ -3020,23 +3056,13 @@ object Queries {
       val pid = ProcessHandle.current().pid()
       val base = tmpWorkDir(s"graft_q88_stream_$pid")
       val sinkName = s"q88_sink_$run"
-      // the file stream source lists a DIRECTORY; the testdata table is
-      // a bare parquet file — expose it via a per-run symlinked spool
+      // the file stream source lists a DIRECTORY; expose the table via
+      // a per-run spool of linked part files
       val spool = new java.io.File(base, s"spool-$run")
       spool.mkdirs()
-      val link = new java.io.File(spool, "documents.parquet").toPath
-      val target = java.nio.file.Paths.get(s"$dir/documents.parquet")
-      try java.nio.file.Files.createSymbolicLink(link, target)
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(target, link)
-      }
+      linkIntoSpool(spool, s"$dir/documents.parquet", copies = 1)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      // transformWithState requires the RocksDB store; session-scoped,
-      // so bracket it (q81's HDFS-default streaming must not inherit it)
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-      try {
+      withRocksDb(s) {
         val docs = s.readStream.schema(schema)
           .parquet(spool.getAbsolutePath)
         runStreamToMemory(s, sinkName,
@@ -3047,8 +3073,6 @@ object Queries {
             greatest(col("a"), col("b")).as("b"))
           .distinct()
           .orderBy(col("a").asc, col("b").asc)
-      } finally {
-        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     },
     Some(s"""WITH ${OracleSql.minhashPairsCtes}
@@ -3435,31 +3459,16 @@ object Queries {
       val base = tmpWorkDir(s"graft_q99_stream_$pid")
       val spool = new java.io.File(base, s"spool-$run")
       spool.mkdirs()
-      // the driver's table is a single parquet FILE; a Spark-written
-      // one (ScaleSweep replicas) is a DIRECTORY of part files — link
-      // whichever shape into the spool, twice (the duplicate replay)
-      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val parts: Seq[java.nio.file.Path] =
-        if (java.nio.file.Files.isDirectory(target))
-          java.nio.file.Files.list(target).iterator().asScala.toSeq
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-        else Seq(target)
-      for (tag <- Seq("a", "b"); (p, i) <- parts.zipWithIndex) {
-        val link =
-          new java.io.File(spool, f"replay-$tag-$i%04d.parquet").toPath
-        try java.nio.file.Files.createSymbolicLink(link, p)
-        catch { case _: Exception => java.nio.file.Files.copy(p, link) }
-      }
+      // two copies of the table in the spool = the duplicate replay
+      val nParts = linkIntoSpool(spool, s"$dir/events.parquet",
+        copies = 2)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "RocksDBStateStoreProvider")
-      try {
+      withRocksDb(s) {
         // cap per-trigger files at one COPY of the input: at least two
         // micro-batches however the listing splits, without one-batch-
         // per-file overhead on many-part directories
         val events = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", parts.size.toString)
+          .option("maxFilesPerTrigger", nParts.toString)
           .parquet(spool.getAbsolutePath)
         val sunk = runStreamToMemory(s, s"q99_sink_$run",
           new java.io.File(base, s"ckpt-$run"))(
@@ -3470,8 +3479,6 @@ object Queries {
           .agg(max(col("rho")).as("rho"))
         Sketches.estimateFromRegisters(regs, Seq("dst_as"), 8)
           .orderBy(col("dst_as").asc)
-      } finally {
-        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     },
     Some(s"""WITH $F,

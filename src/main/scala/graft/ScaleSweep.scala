@@ -186,8 +186,14 @@ object ScaleSweep {
       if (s.isEmpty) -1.0 else s(s.size / 2)
     }
 
-    // optional query-name args restrict the sweep (dev iteration)
+    // optional query-name args restrict the sweep (dev iteration);
+    // unknown names fail fast — a typo'd filter would otherwise run
+    // the expensive replicate and print an EMPTY sweep line that reads
+    // as "nothing regressed"
     val only = args.drop(2).filter(_.startsWith("q")).toSet
+    val unknown = only -- headline.toSet
+    require(unknown.isEmpty,
+      s"not in ScaleSweep.headline: ${unknown.toSeq.sorted.mkString(", ")}")
     val sel = if (only.isEmpty) headline else headline.filter(only)
 
     // warmup both directories through the full stack

@@ -7,8 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: restrict to these query names (dev iteration
-    // with tools/selfcheck.py; the driver always passes exactly two)
+    // with tools/selfcheck.py; the driver always passes exactly two).
+    // Unknown names fail fast instead of dumping an empty result set.
     val only = args.drop(2).toSet
+    require((only -- SparkEntry.queries.keySet).isEmpty,
+      s"unknown queries: ${(only -- SparkEntry.queries.keySet).toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -118,11 +118,15 @@ object Curation {
           .join(broadcast(sizes), strataCol)
           .filter(col("__h") <= thr)
         // exactness guard: a stratum must keep min(n, s) rows through
-        // the prune or it re-ranks unpruned (never lossy, only slower)
-        val short = survivors.groupBy(col(strataCol))
-          .agg(count(lit(1)).as("__c"))
-          .join(broadcast(sizes), strataCol)
-          .filter(col("__c") < least(lit(n.toLong), col("__s")))
+        // the prune or it re-ranks unpruned (never lossy, only slower).
+        // Anchor on `sizes`, not on the survivors: a stratum whose
+        // EVERY row hashed above the threshold has no survivor group
+        // at all and must still be caught (coalesce its count to 0)
+        val short = broadcast(sizes)
+          .join(survivors.groupBy(col(strataCol))
+            .agg(count(lit(1)).as("__c")), Seq(strataCol), "left")
+          .filter(coalesce(col("__c"), lit(0L)) <
+            least(lit(n.toLong), col("__s")))
           .select(col(strataCol))
         rank(survivors.join(broadcast(short), Seq(strataCol),
             "left_anti").drop("__s"))

@@ -74,6 +74,17 @@ object StreamingSketch {
   def hllUpdates(df: DataFrame, keyCol: String, valueCol: String,
                  p: Int): Dataset[RegUpd] = {
     import df.sparkSession.implicits._
+    // the key is carried as a Long through the state encoder; only
+    // integral columns cast losslessly (a StringType key would cast
+    // "AS65001" to NULL and kill the stream at the non-nullable
+    // encoder, and "07"/"7" would MERGE where batch keeps two groups)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    val keyType = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(keyType),
+      s"hllUpdates key column '$keyCol' must be integral, got $keyType" +
+        " (hash or dictionary-encode other key types first)")
     val (reg, rho) = Sketches.hllRegRho(col(valueCol), p)
     // NULL keys/values cannot round-trip the non-nullable RegRow
     // encoder; the batch path would likewise md5(NULL) → no register.

@@ -94,6 +94,19 @@ class CurationSpec extends SparkTest {
     assert(small.toSet == full.filter(_._3 <= 5).toSet)
   }
 
+  test("stratifiedSample: a stratum with ZERO prune survivors still samples") {
+    // ids 0,3,5,10,34 all hash ABOVE the n=1, s=5 threshold
+    // ((2^60 div 5)*4) — with the guard anchored on survivor groups
+    // this stratum vanished entirely (the regression this test pins);
+    // anchored on sizes it re-ranks unpruned and keeps its 1 row
+    val df = flowDf(Seq("doc_id", "g"),
+      Seq(0L, 3L, 5L, 10L, 34L).map(Seq(_, 1L)) ++
+        (100L until 140L).map(Seq(_, 2L)))
+    val out = sampleIds(df, 1, prune = true)
+    assert(out.map(_._1).toSet == Set("1", "2"))
+    assert(out == sampleIds(df, 1, prune = false))
+  }
+
   test("stratifiedSample: small and NULL strata keep all rows") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
