@@ -3556,13 +3556,18 @@ object Queries {
       val spool = new java.io.File(base, s"spool-$run")
       spool.mkdirs()
       val ev = s.read.parquet(s"$dir/events.parquet")
+      // 4 part files per half: the spool write stays parallel at any
+      // sf (a coalesce(1) wrote sf1.0's half-corpus single-threaded
+      // and dominated the sweep time). Per-trigger cap of 4 files
+      // guarantees ≥ 2 micro-batches; whether a trigger mixes halves
+      // is irrelevant to the additive merge under test.
       for (par <- Seq(0, 1))
-        ev.filter(col("event_id") % 2 === par).coalesce(1)
+        ev.filter(col("event_id") % 2 === par).repartition(4)
           .write.mode("overwrite")
           .parquet(s"${spool.getAbsolutePath}/half-$par")
       val schema = ev.schema
       val events = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "4")
         .parquet(s"${spool.getAbsolutePath}/half-*")
       val grid = Sketches.cmsSketch(TestFlowView.fromEvents(events),
         "l4_dst_port", 4, 1024)

@@ -148,6 +148,18 @@ object ScaleSweep {
       timed("neardup_minsim05", dir)(
         Similarity.nearDupPairs(emb, "vec_id", "embedding", dim = 64,
           nBits = 4, minSim = 0.5))
+      // q98's contract fixes m=65536 for the oracle; a 10x bench set
+      // saturates that filter (fill -> 1, every gram "maybe") and the
+      // sweep slope then measures the saturation, not the engine.
+      // Scale-appropriate m (2^21 bits = 256 KB broadcast) must
+      // restore the design point: near-constant admitted-gram counts
+      // and ~linear time.
+      timed("bloom_m2p21_k3", dir) {
+        import graft.operators.Contamination
+        Contamination.bloomContamination(docs,
+          docs.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text", 3, k = 3, m = 1 << 21)
+      }
     }
   }
 
