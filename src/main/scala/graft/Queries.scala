@@ -3640,6 +3640,71 @@ object Queries {
         AND doc_id NOT IN (SELECT doc_id FROM refused)
       ORDER BY doc_id ASC"""))
 
+  /** q103: windowed distinct-source spike detection — the DDoS-shaped
+    * composition: per (day window, dst_as), the HLL distinct-source
+    * estimate next to the exact count and an overlimit flag at a fixed
+    * threshold. The reference reaches this with an exact per-window
+    * DISTINCT inside one collector (monit-objects-fwm.c) + mavg
+    * limits; at cluster scale the estimate column is the one that
+    * survives (bounded state per key·window), and carrying BOTH
+    * columns oracled means the sketch error is pinned at every window,
+    * not just globally (q93's stance, windowed). Flag thresholds use
+    * the EXACT count so the oracle row is decision-grade: the row
+    * shows precisely where the estimate would and would not have
+    * changed the decision. */
+  private val q103 = Q(
+    "q103_distinct_threshold",
+    (s, dir) => {
+      import graft.operators.Sketches
+      val flow = TestFlowView.load(s, dir)
+        .withColumn("win", col("ts_sec") - (col("ts_sec") % 86400L))
+      val est = Sketches.hllEstimate(flow, Seq("win", "dst_as"),
+        "ip4_src_addr", 8)
+      val exact = flow.groupBy(col("win"), col("dst_as"))
+        .agg(countDistinct(col("ip4_src_addr")).as("exact"))
+      est.join(exact, Seq("win", "dst_as"))
+        .select(col("win"), col("dst_as"), col("n_obs"), col("est"),
+          col("exact"),
+          (col("exact") >= 40L).cast("int").cast(LongType)
+            .as("overlimit"))
+        .orderBy(col("win").asc, col("dst_as").asc)
+    },
+    Some(s"""WITH $F,
+      fw AS (SELECT ts_sec - (ts_sec % 86400) AS win, dst_as,
+               ip4_src_addr
+             FROM flow),
+      hh AS (SELECT win, dst_as,
+               CAST('0x' || substr(md5(CAST(ip4_src_addr AS VARCHAR)),
+                 1, 15) AS BIGINT) AS h
+             FROM fw),
+      r AS (SELECT win, dst_as, h % 256 AS reg,
+              CASE WHEN (h >> 8) = 0 THEN 53
+                   ELSE 53 - length(bin(h >> 8)) END AS rho
+            FROM hh),
+      regs AS (SELECT win, dst_as, reg, MAX(rho) AS rho FROM r
+               GROUP BY 1, 2, 3),
+      l AS (SELECT win, dst_as,
+              list(struct_pack(reg := reg, rho := rho) ORDER BY reg)
+                AS arr
+            FROM regs GROUP BY 1, 2),
+      e AS (SELECT win, dst_as, CAST(len(arr) AS BIGINT) AS n_obs,
+              CAST('${graft.operators.Sketches.hllAlpha(8)}' AS DOUBLE)
+                * CAST(65536 AS DOUBLE) /
+                (list_reduce(list_transform(arr, x ->
+                   CAST(1 AS DOUBLE) /
+                   CAST((CAST(1 AS BIGINT) << x.rho) AS DOUBLE)),
+                 (acc, x) -> acc + x)
+                 + CAST(256 - len(arr) AS DOUBLE)) AS est
+            FROM l),
+      x AS (SELECT win, dst_as,
+              CAST(COUNT(DISTINCT ip4_src_addr) AS BIGINT) AS exact
+            FROM fw GROUP BY 1, 2)
+      SELECT e.win, e.dst_as, n_obs, est, exact,
+             CAST(CASE WHEN exact >= 40 THEN 1 ELSE 0 END AS BIGINT)
+               AS overlimit
+      FROM e JOIN x USING (win, dst_as)
+      ORDER BY e.win ASC, e.dst_as ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3649,7 +3714,7 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102)
+    q102, q103)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
