@@ -501,6 +501,40 @@ class PropertySpec extends SparkTest {
     }
   }
 
+  test("bloomContamination: n_contam equals ngramOverlap's exact count " +
+    "and n_maybe dominates it, for random corpora and filter sizes") {
+    import graft.operators.Contamination
+    import org.apache.spark.sql.functions.{col, element_at, typedLit}
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val genDoc = Gen.listOfN(6, Gen.oneOf(words)).map(_.mkString(" "))
+    val genCase = for {
+      corpus <- Gen.listOfN(8, genDoc)
+      bench <- Gen.listOfN(3, genDoc)
+      k <- Gen.chooseNum(1, 4)
+      mExp <- Gen.chooseNum(6, 12) // m = 64 .. 4096: spans saturation
+    } yield (corpus, bench, k, 1 << mExp)
+    samples(genCase, 6).foreach { case (corpus, bench, k, m) =>
+      val cdf = flowDf(Seq("doc_id"), corpus.indices.map(i => Seq(i.toLong)))
+        .withColumn("text",
+          element_at(typedLit(corpus), col("doc_id").cast("int") + 1))
+      val bdf = flowDf(Seq("doc_id"), bench.indices.map(i => Seq(100L + i)))
+        .withColumn("text",
+          element_at(typedLit(bench), (col("doc_id") - 100).cast("int") + 1))
+      val bloom = Contamination.bloomContamination(cdf, bdf, "doc_id",
+          "text", 2, k, m)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val exact = Contamination.ngramOverlap(cdf, bdf, "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      exact.foreach { case (id, nContam) =>
+        val (nMaybe, nConf) = bloom(id)
+        assert(nConf == nContam, s"id=$id k=$k m=$m")
+        assert(nMaybe >= nConf, s"id=$id k=$k m=$m")
+      }
+    }
+  }
+
   test("AsOfJoin: both paths equal the naive per-fact scan on random " +
     "facts/versions (ties, tolerance, unmatched keys)") {
     import graft.operators.AsOfJoin
