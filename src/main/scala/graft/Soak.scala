@@ -145,6 +145,11 @@ object Soak {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the hll branch is transformWithState → RocksDB required; the
+      // fwm/mavg branches run unchanged on it
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -202,6 +207,20 @@ object Soak {
         sink.handle(evs); () }
       .start()
 
+    // hll branch: live distinct sources per dst /16 — the bounded-state
+    // DISTINCT (q99's operator) under continuous load; transformWithState
+    // needs the RocksDB provider, set at session build below
+    val hllRows = new java.util.concurrent.atomic.AtomicLong
+    val q3 = graft.streaming.StreamingSketch.hllUpdates(
+        filtered.withColumn("dst16", expr("ip4_dst_addr DIV 65536"))
+          .select("dst16", "ip4_src_addr"),
+        "dst16", "ip4_src_addr", 8)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          graft.streaming.StreamingSketch.RegUpd], _: Long) =>
+        hllRows.addAndGet(b.count()); () }
+      .start()
+
     val t0 = System.nanoTime()
     Thread.sleep(secs * 1000L)
     val wall = (System.nanoTime() - t0) / 1e9
@@ -217,14 +236,18 @@ object Soak {
     }
     val (fwmRate, fwmState) = lastState(q1)
     val (mavgRate, mavgState) = lastState(q2)
-    q1.stop(); q2.stop()
+    val (hllRate, hllState) = lastState(q3)
+    q1.stop(); q2.stop(); q3.stop()
 
     println(s"""{"soak_secs":$wall,"packets_per_sec_target":$rps,""" +
       s""""fwm_avg_rows_per_sec":$fwmRate,""" +
       s""""fwm_state_rows":$fwmState,"fwm_out_rows":${fwmRows.get},""" +
       s""""mavg_avg_rows_per_sec":$mavgRate,""" +
       s""""mavg_state_keys":$mavgState,""" +
-      s""""alert_events":${alertCount.get}}""")
+      s""""alert_events":${alertCount.get},""" +
+      s""""hll_avg_rows_per_sec":$hllRate,""" +
+      s""""hll_state_keys":$hllState,""" +
+      s""""hll_register_updates":${hllRows.get}}""")
     spark.stop()
   }
 }
