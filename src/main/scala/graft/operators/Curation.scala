@@ -93,8 +93,7 @@ object Curation {
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        n: Int, prune: Boolean = true): DataFrame = {
     require(n >= 1, s"n=$n must be positive")
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = Sketches.hash60(col(idCol).cast("string"))
     def rank(in: DataFrame): DataFrame = {
       val w = Window.partitionBy(col(strataCol))
         .orderBy(col("__h").asc, col(idCol).asc)

@@ -228,7 +228,7 @@ object Dedup {
               bits: Int = 16): DataFrame = {
     val tokens = df.select(col(idCol),
       explode(filter(split(col(textCol), " "), w => w =!= "")).as("tok"))
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType)
+    val h = Sketches.hash60(col("tok"))
     val withBits = tokens.select(
       (col(idCol) +: (0 until bits).map(b =>
         (when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))

@@ -33,7 +33,11 @@ import org.apache.spark.sql.types.LongType
 object Sketches {
 
   /** 60-bit nonnegative hash: the md5 15-hex-digit prefix. Mirrors the
-    * DuckDB replay `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. */
+    * DuckDB replay `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    * THE shared load-bearing hash of the oracle contract — Dedup's
+    * SimHash tokens and Curation's stratified ranks use this same
+    * definition, so a change here must move the replay idiom in every
+    * oracle in lockstep. */
   private[graft] def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
@@ -77,8 +81,14 @@ object Sketches {
     * large the input is. */
   def hllRegisters(df: DataFrame, keyCols: Seq[String], valueCol: String,
                    p: Int): DataFrame = {
+    require(!keyCols.exists(Set("reg", "rho")),
+      s"keyCols collide with the output columns: $keyCols")
     val (reg, rho) = hllRegRho(col(valueCol), p)
-    df.select((keyCols.map(col) :+ reg.as("reg") :+ rho.as("rho")): _*)
+    // a NULL value must contribute no register (countDistinct ignores
+    // NULLs); unfiltered, md5(NULL)'s NULL rho would poison the whole
+    // key's estimate fold downstream
+    df.filter(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+ reg.as("reg") :+ rho.as("rho")): _*)
       .groupBy((keyCols.map(col) :+ col("reg")): _*)
       .agg(max(col("rho")).as("rho"))
   }
@@ -102,6 +112,8 @@ object Sketches {
     * out so the streaming path can estimate over merged state. */
   def estimateFromRegisters(regs: DataFrame, keyCols: Seq[String],
                             p: Int): DataFrame = {
+    require(!keyCols.exists(Set("arr", "n_obs", "est")),
+      s"keyCols collide with internal columns: $keyCols")
     val m = 1 << p
     val alpha = hllAlpha(p)
     val m2 = m.toDouble * m.toDouble
@@ -158,13 +170,17 @@ object Sketches {
     val cells = array((0 until depth).map(j =>
       struct(lit(j).as("j"), cmsCell(v, j, width).as("c"))): _*)
     val keyCols = candidates.columns.map(col).toSeq
+    // rename the sketch side before joining: a candidate column named
+    // j/c/cnt would otherwise make the post-join references ambiguous
+    val sk = sketch.select(col("j").as("__skj"), col("c").as("__skc"),
+      col("cnt").as("__skcnt"))
     candidates
       .select((keyCols :+ explode(cells).as("cell")): _*)
-      .join(broadcast(sketch),
-        col("cell.j") === sketch("j") && col("cell.c") === sketch("c"),
+      .join(broadcast(sk),
+        col("cell.j") === col("__skj") && col("cell.c") === col("__skc"),
         "left")
       .groupBy(keyCols: _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .agg(min(coalesce(col("__skcnt"), lit(0L))).as("est"))
   }
 
   /** Heavy hitters: candidates whose CMS estimate meets `threshold`.
@@ -198,19 +214,25 @@ object Sketches {
                        valueCol: String, bps: Seq[Int]): DataFrame = {
     require(bps.nonEmpty && bps.forall(b => b >= 0 && b <= 10000),
       s"bps must be in [0,10000]: $bps")
+    require(!keyCols.exists(Set("bp", "q_value")),
+      s"keyCols collide with the output columns: $keyCols")
+    // NULL values are not part of any quantile population (and Spark's
+    // NULLS-FIRST vs DuckDB's NULLS-LAST default would silently shift
+    // every cumulative count if they were let through)
     val counts = df
+      .filter(col(valueCol).isNotNull)
       .groupBy((keyCols :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("__cnt"))
     val wOrd = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(valueCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(keyCols.map(col): _*)
     val cum = counts
-      .withColumn("cum", sum(col("cnt")).over(wOrd))
-      .withColumn("total", sum(col("cnt")).over(wAll))
+      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
+      .withColumn("__total", sum(col("__cnt")).over(wAll))
       .withColumn("bp", explode(array(bps.map(b => lit(b.toLong)): _*)))
-      .withColumn("k", expr("((bp * (total - 1)) DIV 10000) + 1"))
-    cum.filter(col("cum") >= col("k"))
+      .withColumn("__k", expr("((bp * (__total - 1)) DIV 10000) + 1"))
+    cum.filter(col("__cum") >= col("__k"))
       .groupBy((keyCols.map(col) :+ col("bp")): _*)
       .agg(min(col(valueCol)).as("q_value"))
   }

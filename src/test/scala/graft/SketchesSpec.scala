@@ -142,4 +142,35 @@ class SketchesSpec extends SparkTest {
       .collect()
     assert(got.length == 1 && got(0).getLong(1) == 99L)
   }
+
+  test("NULL values contribute to neither the HLL estimate nor quantiles") {
+    // flowDf columns are nullable; null slots encode as NULL
+    val rows: Seq[Seq[Long]] =
+      (1L to 50L).map(v => Seq(0L, v)) :+ Seq(0L, -1L)
+    val df = flowDf(Seq("k", "v"), rows)
+      .withColumn("v", when(col("v") === -1L, lit(null)).otherwise(col("v")))
+    val clean = flowDf(Seq("k", "v"), (1L to 50L).map(v => Seq(0L, v)))
+    // HLL: the null row must change nothing (countDistinct semantics);
+    // unfiltered it poisoned the whole key's fold to NULL
+    val a = Sketches.hllEstimate(df, Seq("k"), "v", 6)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val b = Sketches.hllEstimate(clean, Seq("k"), "v", 6)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b && a.head._1 > 0)
+    // quantiles: the null row is not part of the population (and would
+    // otherwise shift every cumulative count under Spark's NULLS FIRST)
+    val qa = Sketches.quantilesByValue(df, Seq("k"), "v", Seq(0, 10000))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(qa == Map(0L -> 1L, 10000L -> 50L))
+  }
+
+  test("cmsEstimate tolerates candidate columns named j/c/cnt") {
+    val df = flowDf(Seq("v"), (1L to 30L).map(v => Seq(v % 3)))
+    val sk = Sketches.cmsSketch(df, "v", 2, 64)
+    val cands = df.distinct()
+      .withColumn("cnt", lit(7L)) // collides with the sketch schema
+    val est = Sketches.cmsEstimate(sk, cands, "v", 2, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(est == Map(0L -> 10L, 1L -> 10L, 2L -> 10L))
+  }
 }
