@@ -2966,7 +2966,7 @@ object Queries {
       val agg = TestFlowView.load(s, dir)
         .groupBy(col("dst_as"))
         .agg(sum(col("in_bytes") * col("sampling_rate")).as("octets"))
-      TopK.topNOthersGlobal(agg, Seq("dst_as"), Seq("octets"),
+      TopK.topNOthersGlobal(agg, Seq("octets"),
         Seq(col("octets").desc, col("dst_as").asc), 5)
         .orderBy(col("dst_as").isNull.cast("int").asc,
           col("octets").desc, col("dst_as").asc)

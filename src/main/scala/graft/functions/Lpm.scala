@@ -97,8 +97,11 @@ object Lpm {
     // a WRONG interval before r11 — a filter list that matches the
     // wrong /8 is far worse than a config error
     val parts = a.split('.')
+    // ASCII digits only: Char.isDigit also accepts Unicode numerals,
+    // which Integer.parseInt would happily parse into a wrong interval
     require(parts.length == 4 &&
-      parts.forall(p => p.nonEmpty && p.forall(_.isDigit) &&
+      parts.forall(p => p.nonEmpty &&
+        p.forall(c => c >= '0' && c <= '9') &&
         p.length <= 3 && p.toInt <= 255),
       s"malformed IPv4 address in CIDR '$cidr'")
     val addr = BigInt(parts.foldLeft(0L)((acc, p) => acc * 256 + p.toLong))

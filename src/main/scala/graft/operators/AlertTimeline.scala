@@ -67,6 +67,11 @@ object AlertTimeline {
     series
       .select(col(keyCol).cast(LongType), col(idxCol).cast(LongType),
         col(valueCol).cast(DoubleType), col(limitCol).cast(DoubleType))
+      // a NULL key/idx/value/limit row (all-NULL sum, missed limit
+      // join) is a poison pill for the non-nullable tuple encoder —
+      // same guard Pipeline puts before MavgStream.Input
+      .where(col(keyCol).isNotNull && col(idxCol).isNotNull &&
+        col(valueCol).isNotNull && col(limitCol).isNotNull)
       .as[(Long, Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>

@@ -53,7 +53,14 @@ object Dedup {
     * DISTINCT contents agreeing on all three is beyond birthday reach
     * at any corpus size (p < 2⁻⁶⁴ even at 2⁶⁰ docs); [[exact]] remains
     * the collision-proof form and DedupSpec asserts set-equality of the
-    * two paths on the driver corpus. */
+    * two paths on the driver corpus.
+    *
+    * PRECONDITION: `idCol` is unique. With a duplicated id the winner
+    * semi-join keeps EVERY row carrying the winner id while [[exact]]'s
+    * window keeps one row per distinct content — the asserted
+    * path-equality holds only for unique ids (true of any sane corpus
+    * id; a re-ingested shard should be exact-deduped on (id, content)
+    * first). */
   def exactByDigest(df: DataFrame, idCol: String,
                     contentCol: String): DataFrame = {
     val winners = df

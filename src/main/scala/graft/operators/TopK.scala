@@ -104,10 +104,13 @@ object TopK {
     * `agg` instead of one, but both are partial-agg narrow — at raw
     * cardinality that trade wins by orders of magnitude.
     *
-    * Output set ≡ `topNOthers(agg, Nil, keyCols, measCols, sortCols, n)`
-    * whenever `sortCols` is a total order (the same determinism caveat
-    * the window form carries); TopKSpec asserts the equivalence. */
-  def topNOthersGlobal(agg: DataFrame, keyCols: Seq[String],
+    * Output set ≡ `topNOthers(agg, Nil, agg.columns, measCols,
+    * sortCols, n)` whenever `sortCols` is a total order AND `agg` is
+    * deterministic over the call — both the head take and the totals
+    * aggregate are evaluated HERE, at call time, against what must be
+    * the same data (the window form reads once and has no such
+    * caveat); TopKSpec asserts the equivalence. */
+  def topNOthersGlobal(agg: DataFrame,
                        measCols: Seq[String], sortCols: Seq[Column],
                        n: Int): DataFrame = {
     val outCols = agg.schema.fieldNames.toSeq
@@ -123,10 +126,17 @@ object TopK {
     val totCnt = count(lit(1)).as("__cnt")
     // per-measure non-null counts: the others row's measure must be
     // NULL — not 0 — when every tail value is NULL (sum over an
-    // all-NULL set is NULL in the window form this mirrors)
-    val totals = agg.agg(totCnt,
+    // all-NULL set is NULL in the window form this mirrors).
+    // Collected NOW (1 row): deferring this scan to the consumer's
+    // action would let a changing/non-deterministic source desync the
+    // residual from the head snapshot above (double-count or negative
+    // others)
+    val totalsRow = agg.agg(totCnt,
       (measCols.map(m => sum(col(m)).as(m)) ++
         measCols.map(m => count(col(m)).as(s"__nn_$m"))): _*)
+    val totals = spark.createDataFrame(
+      java.util.Arrays.asList(totalsRow.collect(): _*),
+      totalsRow.schema)
     val headTotals = head.agg(totCnt,
       (measCols.map(m => sum(col(m)).as(m)) ++
         measCols.map(m => count(col(m)).as(s"__nn_$m"))): _*)

@@ -47,7 +47,7 @@ class TopKSpec extends SparkTest {
       val viaWindow = TopK.topNOthers(df, Seq.empty, Seq("key"),
         Seq("octets"), sort, n).collect()
         .map(r => (Option(r.get(0)), r.getLong(1))).toSet
-      val global = TopK.topNOthersGlobal(df, Seq("key"), Seq("octets"),
+      val global = TopK.topNOthersGlobal(df, Seq("octets"),
         sort, n)
       assert(global.collect()
         .map(r => (Option(r.get(0)), r.getLong(1))).toSet == viaWindow,
@@ -82,7 +82,7 @@ class TopKSpec extends SparkTest {
     val sort = Seq(col("v").desc, col("k").asc)
     val window = TopK.topNOthers(nullTail, Seq.empty, Seq("k"), Seq("v"),
       sort, 1).collect().map(r => (Option(r.get(0)), Option(r.get(1))))
-    val global = TopK.topNOthersGlobal(nullTail, Seq("k"), Seq("v"),
+    val global = TopK.topNOthersGlobal(nullTail, Seq("v"),
       sort, 1).collect().map(r => (Option(r.get(0)), Option(r.get(1))))
     assert(global.toSet == window.toSet)
     assert(global.toSet == Set((Some(1L), Some(5L)), (None, None)))
