@@ -3705,6 +3705,62 @@ object Queries {
       FROM e JOIN x USING (win, dst_as)
       ORDER BY e.win ASC, e.dst_as ASC"""))
 
+  /** q104: the bucketed-archive join, driver-oracled — write orders
+    * and lineitem co-bucketed on the order key (one file per bucket),
+    * join them WITHOUT any join-side exchange, and aggregate. The
+    * query itself REQUIRES the plan property (exactly one hash
+    * exchange: the aggregation's; broadcast disabled for the join so
+    * the co-located SortMergeJoin is what actually runs) — a
+    * regression in the bucketing contract fails the run loudly instead
+    * of silently re-shuffling. The oracle is the plain join in DuckDB:
+    * identical results from a plan that never shuffles the fact side
+    * is the point. */
+  private val q104 = Q(
+    "q104_bucketed_join",
+    (s, dir) => {
+      import graft.sources.Bucketing
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      // per-process scratch warehouse (tmpWorkDir cleans it at exit);
+      // per-run DATABASE so Bench reruns never collide mid-overwrite
+      val db = s"graft_bucket_${pid}_$run"
+      val loc = new java.io.File(tmpWorkDir(s"graft_q104_$pid"), db)
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db " +
+        s"LOCATION '${loc.toURI}'")
+      val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        Bucketing.writeBucketed(t(s, dir, "orders"),
+          s"$db.orders_b", Seq("o_orderkey"), 8)
+        Bucketing.writeBucketed(t(s, dir, "lineitem"),
+          s"$db.lineitem_b", Seq("l_orderkey"), 8)
+        val joined = s.table(s"$db.lineitem_b")
+          .join(s.table(s"$db.orders_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(LongType)).cast(LongType)
+              .as("qty"))
+          .orderBy(col("o_orderpriority").asc)
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin"),
+          s"bucketed join must merge co-located buckets:\n$plan")
+        require("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+          s"only the aggregation may shuffle:\n$plan")
+        // materialize before the conf/bracket unwinds and the next
+        // run's overwrite replaces the tables underneath the plan
+        joined.localCheckpoint()
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      }
+    },
+    Some("""SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3714,7 +3770,7 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103)
+    q102, q103, q104)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
