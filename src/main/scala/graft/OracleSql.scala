@@ -323,4 +323,55 @@ object OracleSql {
         JOIN cass a ON p.id = a.id
         WHERE a.cid IN (SELECT cid FROM cprobe))"""
   }
+
+  /** BPE merge-sequence replay (mirrors TextAnalysis.bpeMerges): the
+    * word-frequency table collapses once, then each merge k unrolls as
+    * its own CTE stage — adjacent-pair counts weighted by word
+    * frequency, the deterministic winner (max count, lexicographic
+    * (l, r)), and the leftmost-non-overlapping list fold applying it.
+    * list_reduce seeds from the first [s] element, so single-symbol
+    * words pass through untouched; an exhausted stage (no pairs) goes
+    * empty and every later stage follows — the same early stop the
+    * Spark loop takes. Exposes win1..winN; the caller unions them with
+    * step numbers. */
+  def bpeCtes(numMerges: Int): String = {
+    val base = s"""bwords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY 1),
+      bw0 AS (SELECT freq,
+          list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
+        FROM bwords)"""
+    val stages = (1 to numMerges).map { k =>
+      val prev = s"bw${k - 1}"
+      s"""bc$k AS (SELECT freq, unnest(
+            CASE WHEN len(syms) >= 2 THEN
+              list_transform(range(1, len(syms)), i ->
+                struct_pack(l := syms[i], r := syms[i + 1]))
+            ELSE CAST([] AS STRUCT(l VARCHAR, r VARCHAR)[]) END) AS p
+          FROM $prev),
+      bp$k AS (SELECT p.l AS l, p.r AS r,
+            CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM bc$k GROUP BY 1, 2),
+      win$k AS (SELECT l, r, cnt FROM bp$k
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+      bw$k AS (SELECT freq,
+          list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+            CASE WHEN list_extract(acc, -1) = win.l
+                  AND list_extract(x, 1) = win.r
+                 THEN list_append(list_slice(acc, 1, -2),
+                        list_extract(acc, -1) || list_extract(x, 1))
+                 ELSE list_append(acc, list_extract(x, 1)) END) AS syms
+          FROM $prev, win$k win)"""
+    }
+    (base +: stages).mkString(",\n      ")
+  }
+
+  /** The union tail over [[bpeCtes]]'s win1..winN. */
+  def bpeUnion(numMerges: Int): String =
+    (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS step, l AS "left",
+          r AS "right", cnt FROM win$k"""
+    }.mkString("\n      UNION ALL ")
 }

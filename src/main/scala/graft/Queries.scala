@@ -3761,6 +3761,26 @@ object Queries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY o_orderpriority ASC"""))
 
+  /** q105: BPE vocabulary training — the learned merge sequence over
+    * the documents corpus (6 merges), bit-for-bit engine-independent:
+    * the oracle unrolls every stage (pair counts → deterministic
+    * winner → leftmost-non-overlapping fold) as generated CTEs. The
+    * corpus collapses to distinct word frequencies ONCE; each merge is
+    * one aggregation over the word table plus a 1-row winner collect —
+    * the iterative-training workload shape (like q57's k-means) on the
+    * text side. */
+  private val q105 = Q(
+    "q105_bpe_vocab",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", 6)
+        .orderBy(col("step").asc)
+    },
+    Some(s"""WITH ${OracleSql.bpeCtes(6)}
+      SELECT * FROM (
+      ${OracleSql.bpeUnion(6)}
+      ) ORDER BY step ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3770,7 +3790,7 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103, q104)
+    q102, q103, q104, q105)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

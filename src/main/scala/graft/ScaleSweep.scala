@@ -56,7 +56,10 @@ object ScaleSweep {
     // measures the m-vs-bench-size law, adjudicated in SCALE.md.
     "q93_hll_distinct", "q94_cms_heavy", "q95_quantile_domain",
     "q96_asof_window", "q97_asof_broadcast", "q98_bloom_contam",
-    "q99_stream_hll", "q100_stratified_sample", "q101_stream_cms")
+    "q99_stream_hll", "q100_stratified_sample", "q101_stream_cms",
+    // archive admission: replica word-tags keep near-dup pairs
+    // intra-replica, so refused counts scale 10x with the corpus
+    "q102_incremental_admit")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -85,6 +85,89 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+"), lit(0)))
       .cast(LongType)
+
+  /** Distributed BPE vocabulary training: the learned merge sequence
+    * `(step, left, right, cnt)` for `numMerges` merges.
+    *
+    * The classic algorithm (Sennrich et al., ACL 2016), Spark-shaped:
+    *  - the corpus collapses ONCE to distinct words with frequencies —
+    *    every later iteration works on the word table, never the
+    *    corpus (the 100 TB saving: |vocab| rows, not |tokens|);
+    *  - each merge step is one pair-count aggregation (explode of
+    *    adjacent symbol pairs weighted by word frequency, map-side
+    *    combined) + a 1-row driver collect of the winner (max count,
+    *    then lexicographic (left, right) — fully deterministic) + a
+    *    codegen'd higher-order rewrite of the symbol lists;
+    *  - the rewrite is the standard leftmost non-overlapping pass,
+    *    expressed as a fold: append each symbol, merging with the list
+    *    tail when (tail, current) is the winning pair ("aaaa" under
+    *    (a,a) → [aa, aa], not [aa, aaa]);
+    *  - lineage grows per step, so the word table localCheckpoints
+    *    every few merges (bounded driver loop = bounded plan depth).
+    *
+    * No end-of-word marker (merges never cross word boundaries here —
+    * a modeling choice, orthogonal to the engine work). Early-stops
+    * when no pair remains. The q105 oracle replays every stage —
+    * pair counting, winner selection and the fold itself — in DuckDB
+    * via one generated CTE chain per merge (OracleSql.bpeCtes), so the
+    * learned vocabulary is bit-for-bit engine-independent. */
+  def bpeMerges(df: DataFrame, textCol: String,
+                numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64,
+      s"numMerges=$numMerges out of [1,64]")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", transform(
+        sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+    var cur = words.select(col("freq"), col("syms")).localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      // guard: sequence(1, 0) generates DESCENDING [1, 0], so a
+      // single-symbol word needs an explicit empty index list
+      val idx = when(size(col("syms")) >= 2,
+        sequence(lit(1), size(col("syms")) - 1))
+        .otherwise(array().cast("array<int>"))
+      val pairs = cur
+        .select(col("freq"), explode(transform(idx,
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val winner = pairs
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (winner.isEmpty) done = true
+      else {
+        val (l, r, cnt) =
+          (winner(0).getString(0), winner(0).getString(1),
+            winner(0).getLong(2))
+        out += ((step, l, r, cnt))
+        // leftmost non-overlapping merge fold (see scaladoc)
+        // try_element_at: plain element_at(-1) on the empty initial
+        // accumulator is an ANSI error, not a NULL
+        val merged = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(try_element_at(acc, lit(-1)), s))))
+            .otherwise(concat(acc, array(s))))
+        cur = cur.withColumn("syms", merged)
+        if (step % 4 == 0) cur = cur.localCheckpoint()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.result()
+      .toDF("step", "left", "right", "cnt")
+      .select(col("step").cast(LongType).as("step"), col("left"),
+        col("right"), col("cnt"))
+  }
 
   /** Count occurrences of a literal character via length-difference.
     * Uses a character-class pattern (`[.]`) — valid in both Java regex
