@@ -59,7 +59,11 @@ object ScaleSweep {
     "q99_stream_hll", "q100_stratified_sample", "q101_stream_cms",
     // archive admission: replica word-tags keep near-dup pairs
     // intra-replica, so refused counts scale 10x with the corpus
-    "q102_incremental_admit")
+    "q102_incremental_admit",
+    // BPE: the word-frequency table (not the corpus) carries every
+    // iteration; replica tags change WHICH merges win (rows stay 6) —
+    // the interesting number is the near-flat time slope
+    "q105_bpe_vocab")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
