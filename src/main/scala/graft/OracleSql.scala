@@ -374,4 +374,42 @@ object OracleSql {
       s"""SELECT CAST($k AS BIGINT) AS step, l AS "left",
           r AS "right", cnt FROM win$k"""
     }.mkString("\n      UNION ALL ")
+
+  /** HLL replay chain (mirrors Sketches.hllRegisters/estimateFromRegisters
+    * bit-for-bit): md5 60-bit hash → (reg, rho) split → register max →
+    * register-ordered 2^−rho fold with the alpha·m² bias formula.
+    * NULL values contribute no register, matching the operator (and
+    * COUNT(DISTINCT) semantics). One definition for every HLL oracle
+    * (q93/q99/q103) — the hash60 scaladoc's lockstep warning made
+    * three inline copies untenable. Exposes `hest(keyCols*, n_obs,
+    * est)` over CTE `src` with columns keyCols* + `hv`. */
+  def hllCtes(keyCols: Seq[String], p: Int, src: String): String = {
+    val m = 1 << p
+    val w = 60 - p
+    val keys = keyCols.mkString(", ")
+    val alpha = graft.operators.Sketches.hllAlpha(p)
+    s"""hh AS (SELECT $keys,
+               CAST('0x' || substr(md5(CAST(hv AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS h
+             FROM $src WHERE hv IS NOT NULL),
+      hr AS (SELECT $keys, h % $m AS reg,
+              CASE WHEN (h >> $p) = 0 THEN ${w + 1}
+                   ELSE ${w + 1} - length(bin(h >> $p)) END AS rho
+            FROM hh),
+      hregs AS (SELECT $keys, reg, MAX(rho) AS rho FROM hr
+                GROUP BY ALL),
+      hl AS (SELECT $keys,
+              list(struct_pack(reg := reg, rho := rho) ORDER BY reg)
+                AS arr
+            FROM hregs GROUP BY ALL),
+      hest AS (SELECT $keys, CAST(len(arr) AS BIGINT) AS n_obs,
+              CAST('$alpha' AS DOUBLE)
+                * CAST(${m.toLong * m} AS DOUBLE) /
+                (list_reduce(list_transform(arr, x ->
+                   CAST(1 AS DOUBLE) /
+                   CAST((CAST(1 AS BIGINT) << x.rho) AS DOUBLE)),
+                 (acc, x) -> acc + x)
+                 + CAST($m - len(arr) AS DOUBLE)) AS est
+            FROM hl)"""
+  }
 }

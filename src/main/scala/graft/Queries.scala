@@ -3215,32 +3215,13 @@ object Queries {
         .orderBy(col("dst_as").asc)
     },
     Some(s"""WITH $F,
-      hh AS (SELECT dst_as,
-               CAST('0x' || substr(md5(CAST(ip4_src_addr AS VARCHAR)),
-                 1, 15) AS BIGINT) AS h
-             FROM flow),
-      r AS (SELECT dst_as, h % 256 AS reg,
-              CASE WHEN (h >> 8) = 0 THEN 53
-                   ELSE 53 - length(bin(h >> 8)) END AS rho
-            FROM hh),
-      regs AS (SELECT dst_as, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
-      l AS (SELECT dst_as,
-              list(struct_pack(reg := reg, rho := rho) ORDER BY reg)
-                AS arr
-            FROM regs GROUP BY 1),
-      e AS (SELECT dst_as, CAST(len(arr) AS BIGINT) AS n_obs,
-              CAST('${graft.operators.Sketches.hllAlpha(8)}' AS DOUBLE)
-                * CAST(65536 AS DOUBLE) /
-                (list_reduce(list_transform(arr, x ->
-                   CAST(1 AS DOUBLE) /
-                   CAST((CAST(1 AS BIGINT) << x.rho) AS DOUBLE)),
-                 (acc, x) -> acc + x)
-                 + CAST(256 - len(arr) AS DOUBLE)) AS est
-            FROM l),
+      hsrc AS (SELECT dst_as, ip4_src_addr AS hv FROM flow),
+      ${OracleSql.hllCtes(Seq("dst_as"), 8, "hsrc")},
       x AS (SELECT dst_as,
               CAST(COUNT(DISTINCT ip4_src_addr) AS BIGINT) AS exact
             FROM flow GROUP BY 1)
-      SELECT e.dst_as, n_obs, est, exact FROM e JOIN x USING (dst_as)
+      SELECT e.dst_as, n_obs, est, exact
+      FROM hest e JOIN x USING (dst_as)
       ORDER BY e.dst_as ASC"""))
 
   /** q94: Count-Min heavy-hitter ports — bounded-memory frequency
@@ -3293,7 +3274,7 @@ object Queries {
     },
     Some("""WITH c AS (SELECT lang, n_chars,
                CAST(COUNT(*) AS BIGINT) AS cnt
-             FROM documents GROUP BY 1, 2),
+             FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
       w AS (SELECT lang, n_chars, cnt,
               CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3482,28 +3463,9 @@ object Queries {
       }
     },
     Some(s"""WITH $F,
-      hh AS (SELECT dst_as,
-               CAST('0x' || substr(md5(CAST(ip4_src_addr AS VARCHAR)),
-                 1, 15) AS BIGINT) AS h
-             FROM flow),
-      r AS (SELECT dst_as, h % 256 AS reg,
-              CASE WHEN (h >> 8) = 0 THEN 53
-                   ELSE 53 - length(bin(h >> 8)) END AS rho
-            FROM hh),
-      regs AS (SELECT dst_as, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
-      l AS (SELECT dst_as,
-              list(struct_pack(reg := reg, rho := rho) ORDER BY reg)
-                AS arr
-            FROM regs GROUP BY 1)
-      SELECT dst_as, CAST(len(arr) AS BIGINT) AS n_obs,
-             CAST('${graft.operators.Sketches.hllAlpha(8)}' AS DOUBLE)
-               * CAST(65536 AS DOUBLE) /
-               (list_reduce(list_transform(arr, x ->
-                  CAST(1 AS DOUBLE) /
-                  CAST((CAST(1 AS BIGINT) << x.rho) AS DOUBLE)),
-                (acc, x) -> acc + x)
-                + CAST(256 - len(arr) AS DOUBLE)) AS est
-      FROM l ORDER BY dst_as ASC"""))
+      hsrc AS (SELECT dst_as, ip4_src_addr AS hv FROM flow),
+      ${OracleSql.hllCtes(Seq("dst_as"), 8, "hsrc")}
+      SELECT dst_as, n_obs, est FROM hest ORDER BY dst_as ASC"""))
 
   /** q100: exactly-n-per-stratum deterministic sample (eval-set
     * construction: 20 docs per language, md5-ranked). The SPARK side
@@ -3673,36 +3635,15 @@ object Queries {
       fw AS (SELECT ts_sec - (ts_sec % 86400) AS win, dst_as,
                ip4_src_addr
              FROM flow),
-      hh AS (SELECT win, dst_as,
-               CAST('0x' || substr(md5(CAST(ip4_src_addr AS VARCHAR)),
-                 1, 15) AS BIGINT) AS h
-             FROM fw),
-      r AS (SELECT win, dst_as, h % 256 AS reg,
-              CASE WHEN (h >> 8) = 0 THEN 53
-                   ELSE 53 - length(bin(h >> 8)) END AS rho
-            FROM hh),
-      regs AS (SELECT win, dst_as, reg, MAX(rho) AS rho FROM r
-               GROUP BY 1, 2, 3),
-      l AS (SELECT win, dst_as,
-              list(struct_pack(reg := reg, rho := rho) ORDER BY reg)
-                AS arr
-            FROM regs GROUP BY 1, 2),
-      e AS (SELECT win, dst_as, CAST(len(arr) AS BIGINT) AS n_obs,
-              CAST('${graft.operators.Sketches.hllAlpha(8)}' AS DOUBLE)
-                * CAST(65536 AS DOUBLE) /
-                (list_reduce(list_transform(arr, x ->
-                   CAST(1 AS DOUBLE) /
-                   CAST((CAST(1 AS BIGINT) << x.rho) AS DOUBLE)),
-                 (acc, x) -> acc + x)
-                 + CAST(256 - len(arr) AS DOUBLE)) AS est
-            FROM l),
+      hsrc AS (SELECT win, dst_as, ip4_src_addr AS hv FROM fw),
+      ${OracleSql.hllCtes(Seq("win", "dst_as"), 8, "hsrc")},
       x AS (SELECT win, dst_as,
               CAST(COUNT(DISTINCT ip4_src_addr) AS BIGINT) AS exact
             FROM fw GROUP BY 1, 2)
       SELECT e.win, e.dst_as, n_obs, est, exact,
              CAST(CASE WHEN exact >= 40 THEN 1 ELSE 0 END AS BIGINT)
                AS overlimit
-      FROM e JOIN x USING (win, dst_as)
+      FROM hest e JOIN x USING (win, dst_as)
       ORDER BY e.win ASC, e.dst_as ASC"""))
 
   /** q104: the bucketed-archive join, driver-oracled — write orders

@@ -166,6 +166,9 @@ object Sketches {
     * the raw data. */
   def cmsEstimate(sketch: DataFrame, candidates: DataFrame,
                   valueCol: String, depth: Int, width: Int): DataFrame = {
+    require(!candidates.columns.exists(Set("cell", "est")),
+      "candidate columns collide with the internal/output names " +
+        s"cell/est: ${candidates.columns.toSeq}")
     val v = col(valueCol).cast("string")
     val cells = array((0 until depth).map(j =>
       struct(lit(j).as("j"), cmsCell(v, j, width).as("c"))): _*)
@@ -214,8 +217,9 @@ object Sketches {
                        valueCol: String, bps: Seq[Int]): DataFrame = {
     require(bps.nonEmpty && bps.forall(b => b >= 0 && b <= 10000),
       s"bps must be in [0,10000]: $bps")
-    require(!keyCols.exists(Set("bp", "q_value")),
-      s"keyCols collide with the output columns: $keyCols")
+    require(!(keyCols :+ valueCol).exists(Set("bp", "q_value")),
+      s"keyCols/valueCol collide with the output columns: " +
+        s"$keyCols/$valueCol")
     // NULL values are not part of any quantile population (and Spark's
     // NULLS-FIRST vs DuckDB's NULLS-LAST default would silently shift
     // every cumulative count if they were let through)
