@@ -535,6 +535,56 @@ class PropertySpec extends SparkTest {
     }
   }
 
+  test("bpeMerges equals a sequential in-memory BPE for random corpora") {
+    import graft.operators.TextAnalysis
+    val genWord = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genDoc = Gen.listOfN(6, genWord).map(_.mkString(" "))
+    samples(Gen.listOfN(5, genDoc), 5).foreach { corpus =>
+      // sequential reference: word freqs → iterate (count pairs, pick
+      // max-count lexicographic-min pair, leftmost non-overlap merge)
+      var words: Map[Vector[String], Long] = corpus
+        .flatMap(_.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .map { case (w, f) => w.map(_.toString).toVector -> f }
+      def mergeWord(w: Vector[String], l: String, r: String) =
+        w.foldLeft(Vector.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == l && s == r)
+            acc.init :+ (l + r)
+          else acc :+ s
+        }
+      val expect = Seq.newBuilder[(Long, String, String, Long)]
+      var step = 1
+      var stop = false
+      while (step <= 5 && !stop) {
+        val pairs = words.toSeq.flatMap { case (w, f) =>
+          w.zip(w.drop(1)).map(p => p -> f)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (pairs.isEmpty) stop = true
+        else {
+          val ((l, r), cnt) = pairs.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          expect += ((step.toLong, l, r, cnt))
+          words = words.toSeq
+            .map { case (w, f) => mergeWord(w, l, r) -> f }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          step += 1
+        }
+      }
+      val df = flowDf(Seq("doc_id"), corpus.indices.map(i => Seq(i.toLong)))
+        .withColumn("text", org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.typedLit(corpus),
+          org.apache.spark.sql.functions.col("doc_id").cast("int") + 1))
+      val got = TextAnalysis.bpeMerges(df, "text", 5)
+        .orderBy(org.apache.spark.sql.functions.col("step"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(got == expect.result(), s"corpus=$corpus")
+    }
+  }
+
   test("AsOfJoin: both paths equal the naive per-fact scan on random " +
     "facts/versions (ties, tolerance, unmatched keys)") {
     import graft.operators.AsOfJoin
