@@ -3722,6 +3722,24 @@ object Queries {
       ${OracleSql.bpeUnion(6)}
       ) ORDER BY step ASC"""))
 
+  /** q106: BPE ENCODING — the corpus token histogram after applying
+    * q105's learned merges (the vocabulary-usage view a tokenizer
+    * ships with). The oracle's final stage CTE (bw6, the fully-merged
+    * word table) already exists inside OracleSql.bpeCtes; the
+    * histogram is one unnest + weighted sum over it — training and
+    * encoding proven consistent from ONE generated SQL chain. */
+  private val q106 = Q(
+    "q106_bpe_encode",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.bpeVocab(t(s, dir, "documents"), "text", 6)
+        .orderBy(col("freq").desc, col("token").asc)
+    },
+    Some(s"""WITH ${OracleSql.bpeCtes(6)}
+      SELECT s AS token, CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT freq, unnest(syms) AS s FROM bw6)
+      GROUP BY 1 ORDER BY freq DESC, token ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3731,7 +3749,7 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103, q104, q105)
+    q102, q103, q104, q105, q106)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -112,7 +112,22 @@ object TextAnalysis {
     * via one generated CTE chain per merge (OracleSql.bpeCtes), so the
     * learned vocabulary is bit-for-bit engine-independent. */
   def bpeMerges(df: DataFrame, textCol: String,
-                numMerges: Int): DataFrame = {
+                numMerges: Int): DataFrame =
+    bpeCore(df, textCol, numMerges)._1
+
+  /** Corpus token histogram AFTER applying the learned merges: one row
+    * per final symbol, `(token, freq)` weighted by word frequency —
+    * the vocabulary-usage view a tokenizer ships with. Same training
+    * loop as [[bpeMerges]]; the histogram is one explode + sum over
+    * the final WORD table (still never the corpus). */
+  def bpeVocab(df: DataFrame, textCol: String,
+               numMerges: Int): DataFrame =
+    bpeCore(df, textCol, numMerges)._2
+      .select(explode(col("syms")).as("token"), col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("freq"))
+
+  private def bpeCore(df: DataFrame, textCol: String,
+                      numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1 && numMerges <= 64,
       s"numMerges=$numMerges out of [1,64]")
     val spark = df.sparkSession
@@ -163,10 +178,11 @@ object TextAnalysis {
       }
     }
     import spark.implicits._
-    out.result()
+    val merges = out.result()
       .toDF("step", "left", "right", "cnt")
       .select(col("step").cast(LongType).as("step"), col("left"),
         col("right"), col("cnt"))
+    (merges, cur)
   }
 
   /** Count occurrences of a literal character via length-difference.

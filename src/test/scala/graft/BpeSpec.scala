@@ -44,4 +44,15 @@ class BpeSpec extends SparkTest {
     assert(aa == Seq(("a", "a"), ("aa", "aa")))
   }
 
+
+  test("bpeVocab: the encoded-corpus histogram after the merges") {
+    // after the 3 learned merges, aaab and ab are single tokens
+    val v = TextAnalysis.bpeVocab(docs(1L -> "aaab aaab ab"), "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("aaab" -> 2L, "ab" -> 1L))
+    // with ONE merge only, words are partially encoded: [aa,a,b] x2 + [a,b]
+    val v1 = TextAnalysis.bpeVocab(docs(1L -> "aaab aaab ab"), "text", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v1 == Map("aa" -> 2L, "a" -> 3L, "b" -> 3L))
+  }
 }
