@@ -155,11 +155,22 @@ object Bench {
     }
     val scaledFps = if (scaled > 0) nEvents * rep / scaled else 0.0
 
+    // subtotal transparency: the streaming-replay oracles and the
+    // bucketed-write oracle pay fixed per-run HARNESS costs (RocksDB
+    // state init, spool authoring, table writes) that a deployment
+    // amortizes across a long-lived query — split them out so the
+    // batch-operator core is readable at a glance
+    val harness = Set("q81_stream_fwm", "q88_stream_neardup",
+      "q99_stream_hll", "q101_stream_cms", "q104_bucketed_join")
+    val harnessSec = r3(results.collect {
+      case (n, v) if harness(n) && v >= 0 => v }.sum)
     // scalars lead; the long queries map sits last with the headline
     // numbers REPEATED after it, so a capture window anchored at either
     // end of the line still sees the totals
     val json = s"""{"metric":"total_query_seconds","value":$total,""" +
       s""""unit":"sec","sf":"$sfDir",""" +
+      s""""harness_heavy_sec":$harnessSec,""" +
+      s""""batch_core_sec":${r3(total - harnessSec)},""" +
       s""""runs_per_query":$runs,""" +
       s""""flagship_flows_per_sec":${r3(fps)},""" +
       s""""flagship_scaled_rep":$rep,""" +
