@@ -61,9 +61,10 @@ object ScaleSweep {
     // intra-replica, so refused counts scale 10x with the corpus
     "q102_incremental_admit",
     // BPE: the word-frequency table (not the corpus) carries every
-    // iteration; replica tags change WHICH merges win (rows stay 6) —
-    // the interesting number is the near-flat time slope
-    "q105_bpe_vocab")
+    // iteration; replica tags change WHICH merges win (q105 rows stay
+    // 6; q106's vocab grows with the tagged word universe) — the
+    // interesting number is the near-flat time slope
+    "q105_bpe_vocab", "q106_bpe_encode")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
