@@ -3740,6 +3740,82 @@ object Queries {
       FROM (SELECT freq, unnest(syms) AS s FROM bw6)
       GROUP BY 1 ORDER BY freq DESC, token ASC"""))
 
+  /** q107: as-of enrichment INSIDE the streaming decode pipeline —
+    * decoded flows stream-static-join the broadcast version history
+    * (AsOfJoin.backwardBroadcast: zero fact shuffle works unchanged
+    * under micro-batch) and aggregate into watermark-closed windows.
+    * The sampling-rate version flips at ts 1700000030, MID-window, so
+    * the middle window emits one row per rate — proof the enrichment
+    * is per-FLOW at event time, not per-window. Same sentinel/flush
+    * mechanics as q81. */
+  private val q107 = Q(
+    "q107_stream_asof",
+    (s, dir) => {
+      import graft.operators.AsOfJoin
+      import graft.sources.{NetflowDecoder, PktDump}
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      val base = tmpWorkDir(s"graft_q107_stream_$pid")
+      val spool = new java.io.File(base, s"spool-$run")
+      spool.mkdirs()
+      v9Packets(65).zipWithIndex
+        .map { case (p, i) =>
+          (p, if (i < 64) 1700000000L + i else 1700000100L, 1L) }
+        .grouped(16).zipWithIndex.foreach { case (g, f) =>
+          PktDump.write(f"$spool/part-$f%03d.gpkd", g.toSeq)
+        }
+      val ns = s"q107-$pid-$run"
+      NetflowDecoder.clearStreamCache(ns)
+      val dim = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1L, 1700000000L, 2L),
+          org.apache.spark.sql.Row(1L, 1700000030L, 5L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("dev_ip",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("vt",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("rate",
+            org.apache.spark.sql.types.LongType, false))))
+      try {
+        val flows = NetflowDecoder.decodeStream(
+            s.readStream.format("pktdump").load(spool.getAbsolutePath),
+            ns)
+          .select("dev_ip", "ts_sec", "in_bytes")
+        val enriched = AsOfJoin.backwardBroadcast(flows, dim,
+          Seq("dev_ip"), "ts_sec", "vt")
+        val agged = enriched
+          .withColumn("ts", timestamp_seconds(col("ts_sec")))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "30 seconds").as("w"), col("rate"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("in_bytes") * col("rate")).as("octets"))
+          .select(unix_timestamp(col("w.start")).as("win"), col("rate"),
+            col("n"), col("octets").cast(LongType).as("octets"))
+        val sunk = runStreamToMemory(s, s"q107_sink_$run",
+          new java.io.File(base, s"ckpt-$run"))(agged)
+        val frozen = sunk.filter(col("win") < 1700000100L)
+        val cnt = frozen.count()
+        require(cnt == 4,
+          s"q107 sink has $cnt rows, expected 4 (the middle window " +
+            "splits by rate) — watermark flush or asof enrichment " +
+            "regressed")
+        frozen.orderBy(col("win").asc, col("rate").asc)
+      } finally NetflowDecoder.clearStreamCache(ns)
+    },
+    Some("""WITH flows AS (
+        SELECT 1700000000 + i AS ts_sec, 100 + i AS in_bytes
+        FROM range(64) t(i)),
+      e AS (SELECT ts_sec - (ts_sec % 30) AS win,
+              CASE WHEN ts_sec >= 1700000030 THEN 5 ELSE 2 END AS rate,
+              in_bytes
+            FROM flows)
+      SELECT CAST(win AS BIGINT) AS win, CAST(rate AS BIGINT) AS rate,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(in_bytes * rate) AS BIGINT) AS octets
+      FROM e GROUP BY 1, 2
+      ORDER BY win ASC, rate ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3749,7 +3825,7 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103, q104, q105, q106)
+    q102, q103, q104, q105, q106, q107)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
