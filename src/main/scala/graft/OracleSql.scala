@@ -330,10 +330,12 @@ object OracleSql {
     * frequency, the deterministic winner (max count, lexicographic
     * (l, r)), and the leftmost-non-overlapping list fold applying it.
     * list_reduce seeds from the first [s] element, so single-symbol
-    * words pass through untouched; an exhausted stage (no pairs) goes
-    * empty and every later stage follows — the same early stop the
-    * Spark loop takes. Exposes win1..winN; the caller unions them with
-    * step numbers. */
+    * words pass through untouched; an exhausted stage (no winner)
+    * passes the word table through UNCHANGED (LEFT JOIN ON TRUE, NULL
+    * winner → identity) so bwN always carries the last merged state —
+    * the same early stop the Spark loop takes, for both the merge list
+    * (empty win CTEs contribute no rows) and the q106 encoding (bwN
+    * non-empty regardless of how many merges exist). */
   def bpeCtes(numMerges: Int): String = {
     val base = s"""bwords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(list_filter(string_split(text, ' '),
@@ -357,13 +359,15 @@ object OracleSql {
       win$k AS (SELECT l, r, cnt FROM bp$k
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
       bw$k AS (SELECT freq,
+          CASE WHEN win.l IS NULL THEN syms ELSE
           list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
             CASE WHEN list_extract(acc, -1) = win.l
                   AND list_extract(x, 1) = win.r
                  THEN list_append(list_slice(acc, 1, -2),
                         list_extract(acc, -1) || list_extract(x, 1))
-                 ELSE list_append(acc, list_extract(x, 1)) END) AS syms
-          FROM $prev, win$k win)"""
+                 ELSE list_append(acc, list_extract(x, 1)) END)
+          END AS syms
+          FROM $prev LEFT JOIN win$k win ON TRUE)"""
     }
     (base +: stages).mkString(",\n      ")
   }

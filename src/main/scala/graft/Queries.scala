@@ -2646,6 +2646,24 @@ object Queries {
     * them — can always be dropped, even on the failure paths (a long
     * Bench process reruns these queries many times; r10's leak was
     * exactly this teardown missing). */
+  /** Author the 65-packet v9 replay spool shared by the streaming
+    * oracles (q81, q107): 64 data flows at ts 1700000000+i plus ONE
+    * sentinel packet a full window later (ts 1700000100) whose arrival
+    * advances the watermark past every data window — the load-bearing
+    * constants of the AvailableNow flush mechanics live HERE only. */
+  private def authorV9Spool(base: java.io.File, run: Int): java.io.File = {
+    import graft.sources.PktDump
+    val spool = new java.io.File(base, s"spool-$run")
+    spool.mkdirs()
+    v9Packets(65).zipWithIndex
+      .map { case (p, i) =>
+        (p, if (i < 64) 1700000000L + i else 1700000100L, 1L) }
+      .grouped(16).zipWithIndex.foreach { case (g, f) =>
+        PktDump.write(f"$spool/part-$f%03d.gpkd", g.toSeq)
+      }
+    spool
+  }
+
   /** Link (or copy) a source table's parquet part file(s) into `spool`
     * `copies` times — the shared spool builder for the streaming replay
     * oracles. Handles BOTH table shapes: the driver's single files and
@@ -2704,21 +2722,14 @@ object Queries {
   private val q81 = Q(
     "q81_stream_fwm",
     (s, dir) => {
-      import graft.sources.{NetflowDecoder, PktDump}
+      import graft.sources.NetflowDecoder
       val run = streamRunSeq.incrementAndGet()
       val pid = ProcessHandle.current().pid()
       // per-run spool/checkpoint/sink/namespace: reruns in one process
       // (Bench) must not see a committed checkpoint or a stale memory
       // table, and concurrent drivers must not share a spool
       val base = tmpWorkDir(s"graft_q81_stream_$pid")
-      val spool = new java.io.File(base, s"spool-$run")
-      spool.mkdirs()
-      v9Packets(65).zipWithIndex
-        .map { case (p, i) =>
-          (p, if (i < 64) 1700000000L + i else 1700000100L, 1L) }
-        .grouped(16).zipWithIndex.foreach { case (g, f) =>
-          PktDump.write(f"$spool/part-$f%03d.gpkd", g.toSeq)
-        }
+      val spool = authorV9Spool(base, run)
       val ns = s"q81-$pid-$run"
       NetflowDecoder.clearStreamCache(ns)
       val env = FilterEnv.flow(s)
@@ -3752,18 +3763,11 @@ object Queries {
     "q107_stream_asof",
     (s, dir) => {
       import graft.operators.AsOfJoin
-      import graft.sources.{NetflowDecoder, PktDump}
+      import graft.sources.NetflowDecoder
       val run = streamRunSeq.incrementAndGet()
       val pid = ProcessHandle.current().pid()
       val base = tmpWorkDir(s"graft_q107_stream_$pid")
-      val spool = new java.io.File(base, s"spool-$run")
-      spool.mkdirs()
-      v9Packets(65).zipWithIndex
-        .map { case (p, i) =>
-          (p, if (i < 64) 1700000000L + i else 1700000100L, 1L) }
-        .grouped(16).zipWithIndex.foreach { case (g, f) =>
-          PktDump.write(f"$spool/part-$f%03d.gpkd", g.toSeq)
-        }
+      val spool = authorV9Spool(base, run)
       val ns = s"q107-$pid-$run"
       NetflowDecoder.clearStreamCache(ns)
       val dim = s.createDataFrame(
