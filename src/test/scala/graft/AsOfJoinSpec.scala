@@ -97,6 +97,37 @@ class AsOfJoinSpec extends SparkTest {
     assert(win == 0, s"broadcast path must not use a window:\n$plan")
   }
 
+  test("backwardBroadcast joins stream-static: per-row event-time " +
+    "enrichment across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long)] // (k, ts)
+    val enriched = AsOfJoin.backwardBroadcast(
+      mem.toDF().toDF("k", "ts"), versions, Seq("k"), "ts", "vt")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Option[Long])]()
+    val q = enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("asofstream").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))); ()
+      }
+      .start()
+    try {
+      mem.addData((100L, 4L), (100L, 5L))   // batch 1: before/at v1
+      q.processAllAvailable()
+      mem.addData((100L, 25L), (101L, 3L))  // batch 2: v2 / unmatched
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == Set(
+      (100L, 4L, None), (100L, 5L, Some(10L)),
+      (100L, 25L, Some(20L)), (101L, 3L, None)))
+  }
+
   test("multi-column keys and payload/fact collision guard") {
     val f = flowDf(Seq("k1", "k2", "ts", "rate"), Seq(Seq(1L, 2L, 5L, 9L)))
     val d = flowDf(Seq("k1", "k2", "vt", "rate"), Seq(Seq(1L, 2L, 4L, 3L)))
