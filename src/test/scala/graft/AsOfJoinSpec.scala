@@ -128,6 +128,26 @@ class AsOfJoinSpec extends SparkTest {
       (100L, 25L, Some(20L)), (101L, 3L, None)))
   }
 
+  test("a NULL fact time enriches as NULL on both paths") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val f = spark.createDataFrame(
+      Seq(Row(100L, null, 1L), Row(100L, java.lang.Long.valueOf(6L), 2L))
+        .asJava,
+      StructType(Seq(StructField("k", LongType, false),
+        StructField("ts", LongType, true),
+        StructField("v", LongType, false))))
+    for (out <- Seq(
+        AsOfJoin.backward(f, versions, Seq("k"), "ts", "vt"),
+        AsOfJoin.backwardBroadcast(f, versions, Seq("k"), "ts", "vt"))) {
+      val byV = out.collect()
+        .map(r => r.getLong(out.columns.indexOf("v")) ->
+          (if (r.isNullAt(out.columns.indexOf("rate"))) None
+           else Some(r.getLong(out.columns.indexOf("rate"))))).toMap
+      assert(byV == Map(1L -> None, 2L -> Some(10L)))
+    }
+  }
+
   test("multi-column keys and payload/fact collision guard") {
     val f = flowDf(Seq("k1", "k2", "ts", "rate"), Seq(Seq(1L, 2L, 5L, 9L)))
     val d = flowDf(Seq("k1", "k2", "vt", "rate"), Seq(Seq(1L, 2L, 4L, 3L)))
