@@ -73,11 +73,16 @@ object AsOfJoin {
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"payload/fact column collision: ${payload.intersect(left.columns.toSeq)}")
 
+    // a NULL version time is not "since forever": the window fill
+    // would sort it before every fact (NULLS FIRST) and seed the
+    // whole key with it, while the broadcast path's <= comparison
+    // silently drops it — exclude it in BOTH paths, explicitly
+    val right0 = right.filter(col(rightTime).isNotNull)
     // one unioned relation: version rows carry the payload struct,
     // fact rows carry the fact columns; each side NULL-pads the other
     val pay = struct((col(rightTime).cast(LongType).as("__vt") +:
       payload.map(col)): _*)
-    val rSel = right.select(
+    val rSel = right0.select(
       (keys.map(col) :+
         col(rightTime).cast(LongType).as("__t") :+
         lit(0).as("__side") :+
@@ -122,8 +127,9 @@ object AsOfJoin {
       payload.map(col)): _*)
     // sort_array orders structs field-by-field: (__vt asc, payload asc)
     // → the last qualifying element is the latest version, greatest
-    // payload on duplicate times (same tie rule as [[backward]])
-    val versions = right
+    // payload on duplicate times (same tie rule as [[backward]]);
+    // NULL version times dropped explicitly (see [[backward]])
+    val versions = right.filter(col(rightTime).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(pay)).as("__versions"))
     val lt = col(leftTime).cast(LongType)

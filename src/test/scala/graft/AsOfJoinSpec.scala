@@ -148,6 +148,25 @@ class AsOfJoinSpec extends SparkTest {
     }
   }
 
+  test("a NULL version time is dropped, not 'since forever', on both paths") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vs = spark.createDataFrame(
+      Seq(Row(100L, null, 99L, "x"),
+        Row(100L, java.lang.Long.valueOf(5L), 10L, "a")).asJava,
+      StructType(Seq(StructField("k", LongType, false),
+        StructField("vt", LongType, true),
+        StructField("rate", LongType, true),
+        StructField("site", StringType, true))))
+    val f = flowDf(Seq("k", "ts", "v"), Seq(Seq(100L, 3L, 1L),
+      Seq(100L, 6L, 2L)))
+    // without the filter the window path would seed ts=3 with rate 99
+    for (out <- Seq(AsOfJoin.backward(f, vs, Seq("k"), "ts", "vt"),
+        AsOfJoin.backwardBroadcast(f, vs, Seq("k"), "ts", "vt")))
+      assert(collect(out) == Seq((100L, 3L, None, None),
+        (100L, 6L, Some(10L), Some("a"))))
+  }
+
   test("multi-column keys and payload/fact collision guard") {
     val f = flowDf(Seq("k1", "k2", "ts", "rate"), Seq(Seq(1L, 2L, 5L, 9L)))
     val d = flowDf(Seq("k1", "k2", "vt", "rate"), Seq(Seq(1L, 2L, 4L, 3L)))
