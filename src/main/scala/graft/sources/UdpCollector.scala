@@ -51,6 +51,27 @@ final class UdpCollector(
   private val spool = new File(dir)
   require(spool.isDirectory || spool.mkdirs(), s"cannot create $dir")
 
+  // writer exclusivity: two collectors on one spool would resume from
+  // the same max segment number and clobber each other's staging files
+  // — fail the SECOND one fast instead of corrupting silently. The OS
+  // releases the lock on any exit, clean or not.
+  private val lockChannel = java.nio.channels.FileChannel.open(
+    new File(spool, ".writer.lock").toPath,
+    java.nio.file.StandardOpenOption.CREATE,
+    java.nio.file.StandardOpenOption.WRITE)
+  private val writerLock =
+    try Option(lockChannel.tryLock()).getOrElse {
+      lockChannel.close()
+      throw new IllegalStateException(
+        s"another collector is already writing to $dir")
+    } catch {
+      // same-JVM overlap THROWS instead of returning null
+      case _: java.nio.channels.OverlappingFileLockException =>
+        lockChannel.close()
+        throw new IllegalStateException(
+          s"another collector is already writing to $dir")
+    }
+
   private val socket = new DatagramSocket(
     new InetSocketAddress(bindHost, port))
   socket.setReceiveBufferSize(receiveBufferBytes)
@@ -192,13 +213,18 @@ final class UdpCollector(
     running = false
     socket.close() // unblocks a receive parked inside the timeout
     thread.join(10_000)
-    if (thread.isAlive)
-      throw new java.io.IOException(
-        "udp collector writer did not finish within 10 s; " +
-          "the last segment may be incomplete")
-    if (writerError != null)
-      throw new java.io.IOException(
-        "udp collector writer failed; spool may be incomplete",
-        writerError)
+    try {
+      if (thread.isAlive)
+        throw new java.io.IOException(
+          "udp collector writer did not finish within 10 s; " +
+            "the last segment may be incomplete")
+      if (writerError != null)
+        throw new java.io.IOException(
+          "udp collector writer failed; spool may be incomplete",
+          writerError)
+    } finally {
+      writerLock.release()
+      lockChannel.close()
+    }
   }
 }

@@ -155,4 +155,18 @@ class UdpCollectorSpec extends SparkTest {
     assert(spark.read.format("pktdump")
       .load(dir.getAbsolutePath).count() == 1)
   }
+
+  test("a second collector on the same spool fails fast; the lock frees on close") {
+    val dir = Files.createTempDirectory("udpspool4").toFile
+    dir.deleteOnExit()
+    val c1 = new UdpCollector(dir.getAbsolutePath)
+    try {
+      val e = intercept[IllegalStateException](
+        new UdpCollector(dir.getAbsolutePath))
+      assert(e.getMessage.contains("already writing"))
+    } finally c1.close()
+    // after a clean close a successor takes the spool over normally
+    val c2 = new UdpCollector(dir.getAbsolutePath)
+    c2.close()
+  }
 }
