@@ -3380,8 +3380,9 @@ object Queries {
 
   /** q98: Bloom-prefiltered contamination — the scale escape for q52's
     * broadcast gram probe when the benchmark set outgrows a broadcast:
-    * k sorted position arrays (k·m longs) are broadcast instead of the
-    * gram strings, the corpus probes them map-side, and only admitted
+    * a dense k·m-BIT bitmap (k·m/64 longs) is broadcast instead of the
+    * gram strings, the corpus probes it with O(1) word fetches, and
+    * only admitted
     * grams enter the shuffled exact semi join. n_maybe ≥ n_contam on
     * every row (Bloom admits a superset); both counts are oracled, so
     * the false-positive behavior of the filter itself is pinned, not

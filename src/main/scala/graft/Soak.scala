@@ -209,7 +209,7 @@ object Soak {
 
     // hll branch: live distinct sources per dst /16 — the bounded-state
     // DISTINCT (q99's operator) under continuous load; transformWithState
-    // needs the RocksDB provider, set at session build below
+    // needs the RocksDB provider, set at session build in main above
     val hllRows = new java.util.concurrent.atomic.AtomicLong
     val q3 = graft.streaming.StreamingSketch.hllUpdates(
         filtered.withColumn("dst16", expr("ip4_dst_addr DIV 65536"))

@@ -50,6 +50,21 @@ object AsOfJoin {
                           rightTime: String): Seq[String] =
     right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
 
+  /** Names both strategies claim internally; an input frame already
+    * carrying one would produce duplicate/ambiguous columns instead of
+    * a clear error (same guard family as Sketches.hllRegisters /
+    * cmsEstimate). */
+  private val internalNames =
+    Set("__t", "__side", "__pay", "__eff", "__vt", "__versions")
+
+  private def requireNoInternalNames(left: DataFrame,
+                                     right: DataFrame): Unit = {
+    val clash =
+      (left.columns.toSeq ++ right.columns.toSeq).filter(internalNames)
+    require(clash.isEmpty,
+      s"input columns collide with as-of internal names: $clash")
+  }
+
   private def applyTolerance(enriched: DataFrame, leftTime: String,
                              payload: Seq[String],
                              tolerance: Option[Long]): DataFrame =
@@ -72,6 +87,7 @@ object AsOfJoin {
     val leftOthers = left.columns.toSeq.filterNot(keys.contains)
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"payload/fact column collision: ${payload.intersect(left.columns.toSeq)}")
+    requireNoInternalNames(left, right)
 
     // a NULL version time is not "since forever": the window fill
     // would sort it before every fact (NULLS FIRST) and seed the
@@ -104,7 +120,10 @@ object AsOfJoin {
     val filled = rSel.union(lSel)
       .withColumn("__eff", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select((keys.map(col) ++ leftOthers.map(col) :+
+      // output in left's column order (shared "left's columns plus
+      // payload" contract with backwardBroadcast — keys-first here
+      // used to silently reorder)
+      .select((left.columns.toSeq.map(col) :+
         col("__eff.__vt").as("__vt")) ++
         payload.map(c => col(s"__eff.$c").as(c)): _*)
     applyTolerance(filled, leftTime, payload, tolerance)
@@ -123,6 +142,7 @@ object AsOfJoin {
     val payload = payloadCols(right, keys, rightTime)
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"payload/fact column collision: ${payload.intersect(left.columns.toSeq)}")
+    requireNoInternalNames(left, right)
     val pay = struct((col(rightTime).cast(LongType).as("__vt") +:
       payload.map(col)): _*)
     // sort_array orders structs field-by-field: (__vt asc, payload asc)

@@ -72,10 +72,24 @@ final class UdpCollector(
           s"another collector is already writing to $dir")
     }
 
-  private val socket = new DatagramSocket(
-    new InetSocketAddress(bindHost, port))
-  socket.setReceiveBufferSize(receiveBufferBytes)
-  socket.setSoTimeout(50) // wake to check the rotation deadline
+  // any post-lock constructor failure (port in use, unwritable spool)
+  // must release the lock before rethrowing: the OS only frees it on
+  // process exit, so a leaked lock turns a same-JVM retry on the same
+  // spool into a misleading "another collector is already writing"
+  private def releasingLockOnFailure[A](body: => A): A =
+    try body
+    catch { case e: Throwable =>
+      try { writerLock.release(); lockChannel.close() }
+      catch { case _: Throwable => () } // the original failure wins
+      throw e
+    }
+
+  private val socket = releasingLockOnFailure {
+    val s = new DatagramSocket(new InetSocketAddress(bindHost, port))
+    s.setReceiveBufferSize(receiveBufferBytes)
+    s.setSoTimeout(50) // wake to check the rotation deadline
+    s
+  }
 
   /** Bound port (useful with port = 0 → ephemeral, tests). */
   def localPort: Int = socket.getLocalPort
@@ -91,7 +105,12 @@ final class UdpCollector(
   // orphans (header only) are deleted.
   private val SegName = raw"seg-(\d{12})\.gpkd".r
   private val StagingName = raw"\.seg-(\d{12})\.gpkd".r
-  private var seq: Long = {
+  private var seq: Long = releasingLockOnFailure {
+    try initialSeq()
+    catch { case e: Throwable => socket.close(); throw e }
+  }
+
+  private def initialSeq(): Long = {
     Option(spool.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
         case StagingName(n) =>

@@ -167,6 +167,26 @@ class AsOfJoinSpec extends SparkTest {
         (100L, 6L, Some(10L), Some("a"))))
   }
 
+  test("both paths emit left's columns in left's order, then payload") {
+    val f = facts.select("ts", "k", "v") // key deliberately NOT first
+    for (out <- Seq(AsOfJoin.backward(f, versions, Seq("k"), "ts", "vt"),
+        AsOfJoin.backwardBroadcast(f, versions, Seq("k"), "ts", "vt")))
+      assert(out.columns.toSeq == Seq("ts", "k", "v", "rate", "site"))
+  }
+
+  test("__-internal input names are rejected with a clear error") {
+    val f = flowDf(Seq("k", "ts", "__pay"), Seq(Seq(1L, 2L, 3L)))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(f, versions, Seq("k"), "ts", "vt")
+    }
+    assert(e.getMessage.contains("internal"))
+    val v = flowDf(Seq("k", "vt", "__versions"), Seq(Seq(1L, 2L, 3L)))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.backwardBroadcast(facts, v, Seq("k"), "ts", "vt")
+    }
+    assert(e2.getMessage.contains("internal"))
+  }
+
   test("multi-column keys and payload/fact collision guard") {
     val f = flowDf(Seq("k1", "k2", "ts", "rate"), Seq(Seq(1L, 2L, 5L, 9L)))
     val d = flowDf(Seq("k1", "k2", "vt", "rate"), Seq(Seq(1L, 2L, 4L, 3L)))

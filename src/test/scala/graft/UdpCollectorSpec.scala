@@ -169,4 +169,20 @@ class UdpCollectorSpec extends SparkTest {
     val c2 = new UdpCollector(dir.getAbsolutePath)
     c2.close()
   }
+
+  test("a failed bind releases the spool lock: same-JVM retry succeeds") {
+    val dir = Files.createTempDirectory("udpspool5").toFile
+    dir.deleteOnExit()
+    // occupy a port so the collector's bind (AFTER the lock) throws
+    val blocker = new java.net.DatagramSocket(
+      new java.net.InetSocketAddress("127.0.0.1", 0))
+    try {
+      intercept[java.net.BindException](new UdpCollector(
+        dir.getAbsolutePath, port = blocker.getLocalPort))
+      // before the fix this threw the misleading "already writing"
+      // (OverlappingFileLockException from the leaked lock)
+      val c = new UdpCollector(dir.getAbsolutePath)
+      c.close()
+    } finally blocker.close()
+  }
 }
