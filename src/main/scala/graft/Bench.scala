@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions.col
   * -1.0), full stack traces appended to `bench_errors.log`, and the
   * one-line JSON is BOTH printed last on stdout (flushed) and written
   * to `bench.json`, so the driver's tail capture can't be windowed onto
-  * an error flood (BENCH_r10 was lost exactly that way).
+  * an error flood (BENCH_r10 was lost exactly that way). bench.json
+  * additionally carries `query_runs` — every raw sample behind each
+  * median — so a one-off GC/page-cache spike is visible as dispersion
+  * instead of masquerading as a regression; [[TimeQueries]] is the
+  * matching ad-hoc control for re-timing a suspect query in driver
+  * order.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -82,11 +87,23 @@ object Bench {
 
     /** Median of `runs` timings; failures excluded; -1 if all failed.
       * Sub-2s queries are noise-dominated at median-of-3 (VERDICT r4
-      * flagged q06/q07 ±40% run-to-run) — widen those to 5 samples. */
+      * flagged q06/q07 ±40% run-to-run) — widen those to 5 samples.
+      * EVERY raw sample is retained (`rawRuns`) and recorded in
+      * bench.json, so a single GC/page-cache spike shows up as one
+      * outlier among its siblings instead of masquerading as a
+      * regression (r11's q47 was unadjudicatable for exactly this
+      * lack of dispersion evidence). */
+    val rawRuns =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def median(name: String): Double = {
-      var ok = (1 to runs).map(_ => timeOnce(name)).filter(_ >= 0)
-      if (ok.nonEmpty && runs < 5 && ok.sorted.apply(ok.size / 2) < 2.0)
-        ok ++= (1 to (5 - runs)).map(_ => timeOnce(name)).filter(_ >= 0)
+      var all = (1 to runs).map(_ => timeOnce(name))
+      var ok = all.filter(_ >= 0)
+      if (ok.nonEmpty && runs < 5 && ok.sorted.apply(ok.size / 2) < 2.0) {
+        val extra = (1 to (5 - runs)).map(_ => timeOnce(name))
+        all ++= extra
+        ok ++= extra.filter(_ >= 0)
+      }
+      rawRuns(name) = all
       val s = ok.sorted
       if (s.isEmpty) -1.0 else s(s.size / 2)
     }
@@ -181,10 +198,18 @@ object Bench {
       s""""queries":$qs,""" +
       s""""total_sec":$total,""" +
       s""""scaled_flows_per_sec_tail":${r3(scaledFps)}}"""
-    // durable copy first (tail capture must never be the only path)...
+    // durable copy first (tail capture must never be the only path) —
+    // and ONLY the durable copy carries the per-query raw samples
+    // (median + every run): the stdout contract line must stay short
+    // enough for the driver's tail-capture window (r7 lesson), while
+    // bench.json is read whole, so dispersion evidence lives there
+    val runsJson = rawRuns.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val jsonFull = json.dropRight(1) + s""","query_runs":$runsJson}"""
     try {
       val w = new java.io.PrintWriter("bench.json")
-      try w.println(json) finally w.close()
+      try w.println(jsonFull) finally w.close()
     } catch { case e: Exception =>
       System.err.println(s"BENCH: bench.json write failed: $e") }
     spark.stop()
