@@ -379,6 +379,33 @@ object OracleSql {
           r AS "right", cnt FROM win$k"""
     }.mkString("\n      UNION ALL ")
 
+  /** Count-Min replay chain (mirrors Sketches.cmsCell / cmsSketch /
+    * cmsEstimate bit-for-bit): ONE md5 per value, Kirsch–Mitzenmacher
+    * cells (h1 + j·h2) mod width from two 40-bit digest slices with h2
+    * forced odd — the same k-from-2 construction as the Bloom oracle,
+    * and the same single source of truth rule as [[hllCtes]] (q94 and
+    * q101 inlined two copies of the old per-j-salt idiom; a hash
+    * change must move every replay in lockstep). Caller defines
+    * `csrc(v)` (sketched values, one row per observation) and
+    * `ccand(v)` (candidate values); exposes `cest(v, est)`. */
+  def cmsCtes(depth: Int, width: Int): String = {
+    def h1(c: String) =
+      s"CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 10) AS BIGINT)"
+    def h2(c: String) =
+      s"(CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 11, 10) " +
+        "AS BIGINT) * 2 + 1)"
+    s"""cm AS (SELECT t.j,
+               (${h1("v")} + t.j * ${h2("v")}) % $width AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM csrc CROSS JOIN range(0, $depth) t(j) GROUP BY 1, 2),
+      cest AS (SELECT ccand.v,
+                CAST(MIN(COALESCE(cm.cnt, 0)) AS BIGINT) AS est
+              FROM ccand CROSS JOIN range(0, $depth) t(j)
+              LEFT JOIN cm ON cm.j = t.j AND cm.c =
+                (${h1("ccand.v")} + t.j * ${h2("ccand.v")}) % $width
+              GROUP BY 1)"""
+  }
+
   /** HLL replay chain (mirrors Sketches.hllRegisters/estimateFromRegisters
     * bit-for-bit): md5 60-bit hash → (reg, rho) split → register max →
     * register-ordered 2^−rho fold with the alpha·m² bias formula.

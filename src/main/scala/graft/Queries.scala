@@ -3252,22 +3252,10 @@ object Queries {
         .orderBy(col("est").desc, col("l4_dst_port").asc)
     },
     Some(s"""WITH $F,
-      cm AS (SELECT t.j,
-               CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' ||
-                 CAST(l4_dst_port AS VARCHAR)), 1, 15) AS BIGINT)
-                 % 1024 AS c,
-               CAST(COUNT(*) AS BIGINT) AS cnt
-             FROM flow CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
-      cand AS (SELECT DISTINCT l4_dst_port FROM flow),
-      est AS (SELECT cand.l4_dst_port,
-                CAST(MIN(COALESCE(cm.cnt, 0)) AS BIGINT) AS est
-              FROM cand CROSS JOIN range(0, 4) t(j)
-              LEFT JOIN cm ON cm.j = t.j AND cm.c =
-                CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' ||
-                  CAST(cand.l4_dst_port AS VARCHAR)), 1, 15) AS BIGINT)
-                  % 1024
-              GROUP BY 1)
-      SELECT l4_dst_port, est FROM est WHERE est >= 50
+      csrc AS (SELECT l4_dst_port AS v FROM flow),
+      ccand AS (SELECT DISTINCT l4_dst_port AS v FROM flow),
+      ${OracleSql.cmsCtes(4, 1024)}
+      SELECT v AS l4_dst_port, est FROM cest WHERE est >= 50
       ORDER BY est DESC, l4_dst_port ASC"""))
 
   /** q95: exact discrete quantiles of document length per language via
@@ -3558,22 +3546,10 @@ object Queries {
     },
     // the batch q94 oracle verbatim: streaming must reconstruct it
     Some(s"""WITH $F,
-      cm AS (SELECT t.j,
-               CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' ||
-                 CAST(l4_dst_port AS VARCHAR)), 1, 15) AS BIGINT)
-                 % 1024 AS c,
-               CAST(COUNT(*) AS BIGINT) AS cnt
-             FROM flow CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
-      cand AS (SELECT DISTINCT l4_dst_port FROM flow),
-      est AS (SELECT cand.l4_dst_port,
-                CAST(MIN(COALESCE(cm.cnt, 0)) AS BIGINT) AS est
-              FROM cand CROSS JOIN range(0, 4) t(j)
-              LEFT JOIN cm ON cm.j = t.j AND cm.c =
-                CAST('0x' || substr(md5(CAST(t.j AS VARCHAR) || '|' ||
-                  CAST(cand.l4_dst_port AS VARCHAR)), 1, 15) AS BIGINT)
-                  % 1024
-              GROUP BY 1)
-      SELECT l4_dst_port, est FROM est WHERE est >= 50
+      csrc AS (SELECT l4_dst_port AS v FROM flow),
+      ccand AS (SELECT DISTINCT l4_dst_port AS v FROM flow),
+      ${OracleSql.cmsCtes(4, 1024)}
+      SELECT v AS l4_dst_port, est FROM cest WHERE est >= 50
       ORDER BY est DESC, l4_dst_port ASC"""))
 
   /** q102: incremental corpus admission — dedup the DAILY INCREMENT

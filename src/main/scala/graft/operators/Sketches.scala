@@ -132,11 +132,49 @@ object Sketches {
                + CAST($m - size(arr) AS DOUBLE))""").as("est")): _*)
   }
 
+  /** Small-range (linear-counting) correction over a raw estimate —
+    * the published estimator's other branch: when the raw estimate
+    * falls below the 2.5·m crossover and empty registers remain,
+    * cardinality is better estimated by m·ln(m / V) with V = the
+    * count of EMPTY registers (Flajolet et al. §4; V = m − n_obs
+    * here). Packaged as a column over (n_obs, est) so production
+    * callers get the corrected estimator without re-deriving the
+    * branch, while [[hllEstimate]]'s raw value stays the bit-exact
+    * oracle contract (ln is transcendental — engine-dependent in its
+    * last bits, so the corrected column is deliberately NOT part of
+    * the DuckDB hash compare). */
+  def hllCorrect(nObs: Column, est: Column, p: Int): Column = {
+    val m = (1 << p).toDouble
+    when(est <= lit(2.5 * m) && nObs < (1 << p),
+        lit(m) * log(lit(m) / (lit(m) - nObs.cast("double"))))
+      .otherwise(est)
+  }
+
+  /** [[hllEstimate]] plus the corrected estimator:
+    * `keyCols* + (n_obs, est, est_corrected)`. */
+  def hllEstimateCorrected(df: DataFrame, keyCols: Seq[String],
+                           valueCol: String, p: Int): DataFrame =
+    hllEstimate(df, keyCols, valueCol, p)
+      .withColumn("est_corrected",
+        hllCorrect(col("n_obs"), col("est"), p))
+
   // ------------------------------------------------------------ Count-Min
 
-  /** Row-j cell index for a value: md5("j|value") reduced mod width. */
-  private[graft] def cmsCell(v: Column, j: Int, width: Int): Column =
-    hash60(concat(lit(s"$j|"), v)) % width
+  /** Row-j cell index for a value — Kirsch–Mitzenmacher: ONE md5 per
+    * value, rows derived as (h1 + j·h2) mod width from two 40-bit
+    * digest slices (h2 forced odd for a full-period stride), the same
+    * k-from-2 construction as the Bloom probe
+    * ([[Contamination.bloomContamination]]). All per-j cells of one
+    * value share the digest subexpression, so codegen CSE computes the
+    * md5 once per row however many rows deep the sketch is (the old
+    * md5("j|v") form paid one digest per (j, value)).
+    * h1 + 7·h2 < 2^44 — exact in BIGINT in both engines. */
+  private[graft] def cmsCell(v: Column, j: Int, width: Int): Column = {
+    val h1 = conv(substring(md5(v), 1, 10), 16, 10).cast(LongType)
+    val h2 = conv(substring(md5(v), 11, 10), 16, 10)
+      .cast(LongType) * 2 + 1
+    pmod(h1 + lit(j.toLong) * h2, lit(width.toLong))
+  }
 
   /** Count-Min sketch: `(j, c, cnt)`, at most depth·width rows.
     *

@@ -58,6 +58,41 @@ class SketchesSpec extends SparkTest {
     }
   }
 
+  test("hllEstimateCorrected: linear counting fixes the small range, " +
+    "leaves the large range raw") {
+    val p = 8 // m=256; raw HLL is known-biased below ~2.5m = 640
+    val m = 1 << p
+    // small range: n ≪ m — the corrected estimate must beat raw
+    for (distinct <- Seq(5, 40, 120)) {
+      val r = Sketches.hllEstimateCorrected(
+        values(distinct * 2, distinct), Seq.empty, "v", p).collect()(0)
+      val (nObs, est, corr) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      assert(nObs < m && est <= 2.5 * m) // the branch actually took
+      // ~1 ulp tolerance: Catalyst's ln and the JVM's may differ in
+      // the last bit — the very reason the corrected column is outside
+      // the bit-exact oracle contract
+      val model = m * math.log(m.toDouble / (m - nObs))
+      assert(math.abs(corr - model) <= math.abs(model) * 1e-12)
+      val errCorr = math.abs(corr - distinct) / distinct
+      assert(errCorr < 0.15, s"distinct=$distinct corr=$corr")
+      assert(errCorr <= math.abs(est - distinct) / distinct + 1e-9,
+        s"correction must not be worse than raw: $est vs $corr")
+    }
+    // large range: past the crossover the raw estimate passes through
+    val big = Sketches.hllEstimateCorrected(
+      values(20000, 10000), Seq.empty, "v", p).collect()(0)
+    assert(big.getDouble(2) == big.getDouble(1))
+  }
+
+  test("hllCorrect: saturated registers (n_obs = m) pass raw through") {
+    // est below crossover but zero empty registers → ln(m/0) undefined;
+    // the n_obs < m guard must keep the raw estimate
+    val df = flowDf(Seq("n_obs", "est"), Seq(Seq(16L, 10L)))
+    val out = df.select(Sketches.hllCorrect(
+      col("n_obs"), col("est").cast("double"), 4).as("c")).collect()(0)
+    assert(out.getDouble(0) == 10.0)
+  }
+
   // ------------------------------------------------------------ Count-Min
 
   test("cmsSketch: bounded size; total mass = input weight per row j") {
