@@ -335,14 +335,20 @@ object OracleSql {
     * winner → identity) so bwN always carries the last merged state —
     * the same early stop the Spark loop takes, for both the merge list
     * (empty win CTEs contribute no rows) and the q106 encoding (bwN
-    * non-empty regardless of how many merges exist). */
+    * non-empty regardless of how many merges exist). Every bw$k is
+    * `AS MATERIALIZED`: each stage references its predecessor TWICE
+    * (pair counts + the rewrite's FROM), and DuckDB inlines
+    * un-materialized CTEs per reference — at 6 stages that is a 2^6
+    * expansion it absorbs, at q108's 120-stage unroll it is 2^120
+    * (observed as "Too many open files" from the exploding parquet
+    * scans long before the planner finishes). */
   def bpeCtes(numMerges: Int): String = {
     val base = s"""bwords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(list_filter(string_split(text, ' '),
                 x -> x <> '')) AS w
               FROM documents)
         GROUP BY 1),
-      bw0 AS (SELECT freq,
+      bw0 AS MATERIALIZED (SELECT freq,
           list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
         FROM bwords)"""
     val stages = (1 to numMerges).map { k =>
@@ -358,7 +364,7 @@ object OracleSql {
           FROM bc$k GROUP BY 1, 2),
       win$k AS (SELECT l, r, cnt FROM bp$k
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-      bw$k AS (SELECT freq,
+      bw$k AS MATERIALIZED (SELECT freq,
           CASE WHEN win.l IS NULL THEN syms ELSE
           list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
             CASE WHEN list_extract(acc, -1) = win.l

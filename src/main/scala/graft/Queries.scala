@@ -3797,6 +3797,32 @@ object Queries {
       FROM e GROUP BY 1, 2
       ORDER BY win ASC, rate ASC"""))
 
+  /** q108: DEEP BPE training — the batched trainer at a tokenizer-real
+    * request size (numMerges = 256, far past r11's 64-merge
+    * demonstrator cap), oracled end to end. The corpus's 31-word
+    * vocabulary exhausts all mergeable pairs at 89 merges (every
+    * distinct word collapses to one symbol), so the oracle unrolls 120
+    * stages — strictly past exhaustion, where each further stage is the
+    * identity pass-through bpeCtes pins — and replays the COMPLETE
+    * learned sequence; if a corpus mutation ever pushed exhaustion past
+    * 120, the row-count compare fails loudly instead of silently
+    * truncating. The Spark side trains in batched rounds
+    * (symbol-disjoint greedy-safe batches, sequence-identical to the
+    * strict per-merge algorithm — BpeSpec's differential proof), so
+    * jobs-per-merge is sub-linear while the per-merge CTE replay stays
+    * the bit-exact oracle. */
+  private val q108 = Q(
+    "q108_bpe_deep",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", 256)
+        .orderBy(col("step").asc)
+    },
+    Some(s"""WITH ${OracleSql.bpeCtes(120)}
+      SELECT * FROM (
+      ${OracleSql.bpeUnion(120)}
+      ) ORDER BY step ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3806,7 +3832,7 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103, q104, q105, q106, q107)
+    q102, q103, q104, q105, q106, q107, q108)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -93,17 +93,49 @@ object TextAnalysis {
     *  - the corpus collapses ONCE to distinct words with frequencies —
     *    every later iteration works on the word table, never the
     *    corpus (the 100 TB saving: |vocab| rows, not |tokens|);
-    *  - each merge step is one pair-count aggregation (explode of
-    *    adjacent symbol pairs weighted by word frequency, map-side
-    *    combined) + a 1-row driver collect of the winner (max count,
-    *    then lexicographic (left, right) — fully deterministic) + a
-    *    codegen'd higher-order rewrite of the symbol lists;
+    *  - each ROUND is one pair-count aggregation (explode of adjacent
+    *    symbol pairs weighted by word frequency, map-side combined) +
+    *    one bounded driver collect of the top pairs + ONE codegen'd
+    *    higher-order rewrite applying a whole BATCH of merges;
     *  - the rewrite is the standard leftmost non-overlapping pass,
     *    expressed as a fold: append each symbol, merging with the list
-    *    tail when (tail, current) is the winning pair ("aaaa" under
+    *    tail when (tail, current) is a winning pair ("aaaa" under
     *    (a,a) → [aa, aa], not [aa, aaa]);
-    *  - lineage grows per step, so the word table localCheckpoints
-    *    every few merges (bounded driver loop = bounded plan depth).
+    *  - lineage grows per round, so the word table localCheckpoints
+    *    every few rounds (bounded driver loop = bounded plan depth).
+    *
+    * BATCHED MERGES — the sub-linear-jobs-per-merge scale path. A real
+    * tokenizer needs 30K+ merges; one Spark job per merge is days of
+    * scheduler overhead at that count (the r11 demonstrator's cap).
+    * Each round therefore selects the longest GREEDY-SAFE batch of
+    * merges from one pair-count snapshot — a set provably identical to
+    * what the strict sequential algorithm would pick, so the learned
+    * sequence (and every oracle built on it) is unchanged:
+    *  - walk the top pairs in winner order (cnt desc, l asc, r asc);
+    *    the first pair is the sequential winner — always accepted;
+    *  - a later pair p (count c) is accepted only if (a) its symbols
+    *    {l, r, l+r} are disjoint from every accepted pair's symbol set
+    *    S (merges then neither consume nor produce each other's
+    *    symbols: applying the batch in one fold pass equals applying
+    *    them as successive sequential passes, since a merge can only
+    *    create/destroy adjacencies INVOLVING its own symbols), and
+    *    (b) c strictly exceeds every blocked pair's count seen so far
+    *    plus the truncation ceiling, and no equal-count pair ahead in
+    *    the snapshot interacts with S — because applying the accepted
+    *    merges can only change counts of pairs TOUCHING S (existing
+    *    pairs only decrease; new pairs (x, l·r) are bounded by the
+    *    pre-merge count of the touching pair (x, l) they arise from),
+    *    a strict-majority count over all S-touching pairs proves no
+    *    re-count could promote anything above p — including a
+    *    lexicographic tie-break steal at equal count;
+    *  - the first rejected live candidate ends the batch (it would be
+    *    sequential's next pick, so nothing after it may jump the
+    *    queue); batches are also capped (64) to bound the rewrite
+    *    expression's codegen size.
+    * Worst case every round degrades to one merge (the sequential
+    * algorithm); in practice high-count pairs are symbol-disjoint and
+    * rounds carry many merges (BpeSpec pins both the sequence equality
+    * against an in-memory reference and the rounds < merges shape).
     *
     * No end-of-word marker (merges never cross word boundaries here —
     * a modeling choice, orthogonal to the engine work). Early-stops
@@ -128,8 +160,26 @@ object TextAnalysis {
 
   private def bpeCore(df: DataFrame, textCol: String,
                       numMerges: Int): (DataFrame, DataFrame) = {
-    require(numMerges >= 1 && numMerges <= 64,
-      s"numMerges=$numMerges out of [1,64]")
+    val (m, w, _) = bpeCoreRounds(df, textCol, numMerges)
+    (m, w)
+  }
+
+  /** Per-round batch cap: bounds the rewrite fold's when-chain depth
+    * (codegen size), not the total merge count. */
+  private val BpeMaxBatch = 64
+
+  /** Snapshot width collected per round. Counts at or below the
+    * truncated snapshot's last count are never accepted (an unseen
+    * equal-count competitor could exist), so a wider snapshot only
+    * buys longer batches, never different answers. */
+  private val BpeTopK = 1024
+
+  /** The batched trainer (scaladoc on [[bpeMerges]]); also returns the
+    * ROUND count — the jobs-per-merge evidence BpeSpec pins. */
+  private[graft] def bpeCoreRounds(df: DataFrame, textCol: String,
+      numMerges: Int): (DataFrame, DataFrame, Int) = {
+    require(numMerges >= 1 && numMerges <= 100000,
+      s"numMerges=$numMerges out of [1,100000]")
     val spark = df.sparkSession
     val words = df
       .select(explode(tokens(col(textCol))).as("w"))
@@ -140,6 +190,7 @@ object TextAnalysis {
     var cur = words.select(col("freq"), col("syms")).localCheckpoint()
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
+    var rounds = 0
     var done = false
     while (step <= numMerges && !done) {
       // guard: sequence(1, 0) generates DESCENDING [1, 0], so a
@@ -153,28 +204,41 @@ object TextAnalysis {
             element_at(col("syms"), i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-      val winner = pairs
+      // bounded collect: the snapshot is ≤ BpeTopK rows of (l, r, cnt)
+      // however large the corpus — the ONLY driver-sized state here
+      val top = pairs
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (winner.isEmpty) done = true
+        .limit(BpeTopK).collect()
+        .map(w0 => (w0.getString(0), w0.getString(1), w0.getLong(2)))
+      if (top.isEmpty) done = true
       else {
-        val (l, r, cnt) =
-          (winner(0).getString(0), winner(0).getString(1),
-            winner(0).getLong(2))
-        out += ((step, l, r, cnt))
-        // leftmost non-overlapping merge fold (see scaladoc)
+        rounds += 1
+        val batch = selectSafeBatch(top,
+          truncated = top.length >= BpeTopK,
+          maxBatch = math.min(BpeMaxBatch, numMerges - step + 1))
+        batch.foreach { case (l, r, cnt) =>
+          out += ((step, l, r, cnt)); step += 1
+        }
+        // leftmost non-overlapping merge fold (see scaladoc): one
+        // when-chain over the batch — rules are symbol-disjoint, so at
+        // most one can match at a position and one combined pass
+        // equals the batch applied as successive sequential passes.
         // try_element_at: plain element_at(-1) on the empty initial
         // accumulator is an ANSI error, not a NULL
         val merged = aggregate(col("syms"),
           array().cast("array<string>"),
-          (acc, s) => when(
-            try_element_at(acc, lit(-1)) === lit(l) && s === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(try_element_at(acc, lit(-1)), s))))
-            .otherwise(concat(acc, array(s))))
+          (acc, s) => {
+            val tail = try_element_at(acc, lit(-1))
+            val mergeTail = concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(tail, s)))
+            batch.foldRight(concat(acc, array(s)): Column) {
+              case ((l, r, _), els) =>
+                when(tail === lit(l) && s === lit(r), mergeTail)
+                  .otherwise(els)
+            }
+          })
         cur = cur.withColumn("syms", merged)
-        if (step % 4 == 0) cur = cur.localCheckpoint()
-        step += 1
+        if (rounds % 4 == 0) cur = cur.localCheckpoint()
       }
     }
     import spark.implicits._
@@ -182,7 +246,49 @@ object TextAnalysis {
       .toDF("step", "left", "right", "cnt")
       .select(col("step").cast(LongType).as("step"), col("left"),
         col("right"), col("cnt"))
-    (merges, cur)
+    (merges, cur, rounds)
+  }
+
+  /** Greedy-safe batch selection over one pair-count snapshot (already
+    * in winner order): the longest prefix-greedy set of merges provably
+    * equal to the strict sequential picks — see [[bpeMerges]]'s scaladoc
+    * for the argument. Pure driver logic over ≤ [[BpeTopK]] rows. */
+  private[graft] def selectSafeBatch(
+      top: Seq[(String, String, Long)], truncated: Boolean,
+      maxBatch: Int): Seq[(String, String, Long)] = {
+    val accepted = Seq.newBuilder[(String, String, Long)]
+    var nAccepted = 0
+    var symbols = Set.empty[String]
+    // unseen pairs below a truncated snapshot can hold up to its last
+    // count — counts at or below it are unprovable, never accepted
+    var ceiling = if (truncated) top.last._3 else Long.MinValue
+    def interacts(p: (String, String, Long), s: Set[String]): Boolean =
+      s(p._1) || s(p._2) || s(p._1 + p._2)
+    var i = 0
+    var stop = false
+    while (i < top.length && !stop && nAccepted < maxBatch) {
+      val p = top(i)
+      if (nAccepted == 0) {
+        // the sequential winner, unconditionally
+        accepted += p; nAccepted = 1
+        symbols ++= Set(p._1, p._2, p._1 + p._2)
+      } else if (interacts(p, symbols)) {
+        // its count may change / spawn new pairs bounded by it — raise
+        // the bar for everything after
+        ceiling = math.max(ceiling, p._3)
+      } else if (p._3 > ceiling &&
+          !(i + 1 until top.length).exists(j =>
+            top(j)._3 == p._3 && interacts(top(j), symbols))) {
+        accepted += p; nAccepted += 1
+        symbols ++= Set(p._1, p._2, p._1 + p._2)
+      } else {
+        // a live candidate we cannot prove safe: it IS sequential's
+        // next pick, so nothing later may jump the queue
+        stop = true
+      }
+      i += 1
+    }
+    accepted.result()
   }
 
   /** Count occurrences of a literal character via length-difference.

@@ -45,6 +45,135 @@ class BpeSpec extends SparkTest {
   }
 
 
+  // ---------------------------------------------------------------
+  // batched-merge exactness: the distributed trainer batches symbol-
+  // disjoint merges per round (sub-linear jobs-per-merge); the learned
+  // SEQUENCE must be bit-identical to the strict one-merge-at-a-time
+  // algorithm. This in-memory reference IS that algorithm, naively.
+  private def refBpe(words0: Seq[(String, Long)],
+                     numMerges: Int): Seq[(String, String, Long)] = {
+    var words: Seq[(Vector[String], Long)] =
+      words0.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l0, r0), c) =>
+          (-c, l0, r0) }
+        out += ((l, r, cnt))
+        words = words.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2 // leftmost non-overlapping
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  private def corpusText(words: Seq[(String, Long)]): String =
+    words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }.mkString(" ")
+
+  private def sparkMerges(text: String, n: Int) =
+    TextAnalysis.bpeMerges(docs(1L -> text), "text", n)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("batched merges == strict sequential reference on random corpora") {
+    val rnd = new scala.util.Random(42)
+    // alphabet 3 forces heavy merge interaction (batches collapse to
+    // 1); alphabet 12 lets long safe batches form; both must agree
+    // with the sequential reference exactly, ties and all
+    for (alpha <- Seq(3, 6, 12); trial <- 0 until 2) {
+      val letters = "abcdefghijkl".take(alpha)
+      val words = (0 until 25).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (0 until len).map(_ => letters(rnd.nextInt(alpha))).mkString
+      }.distinct.map(w => w -> (1L + rnd.nextInt(20)))
+      val exp = refBpe(words, 30)
+      val got = sparkMerges(corpusText(words), 30)
+      assert(got == exp, s"alpha=$alpha trial=$trial")
+    }
+  }
+
+  test("deep training: 300 requested merges match the reference") {
+    val rnd = new scala.util.Random(7)
+    val letters = "abcdefgh"
+    val words = (0 until 60).map { _ =>
+      (0 until (2 + rnd.nextInt(7)))
+        .map(_ => letters(rnd.nextInt(letters.length))).mkString
+    }.distinct.map(w => w -> (1L + rnd.nextInt(30)))
+    val exp = refBpe(words, 300)
+    val got = sparkMerges(corpusText(words), 300)
+    assert(got == exp)
+    assert(got.length > 64, // genuinely past the old demonstrator cap
+      s"corpus exhausted at ${got.length} merges; widen the test corpus")
+  }
+
+  test("symbol-disjoint merges land in one round: sub-linear jobs") {
+    // ten disjoint letter pairs with distinct counts: the safe batch
+    // takes all ten from a single pair-count snapshot
+    val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
+      "qr", "st").zipWithIndex.map { case (w, i) => w -> (20L - i) }
+    val (merges, _, rounds) = TextAnalysis.bpeCoreRounds(
+      docs(1L -> corpusText(words)), "text", 10)
+    val got = merges.orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == words.map { case (w, f) =>
+      (w(0).toString, w(1).toString, f) })
+    assert(rounds == 1, s"expected one batched round, got $rounds")
+  }
+
+  test("selectSafeBatch: equal-count interacting pair ahead blocks; " +
+    "truncation ceiling blocks") {
+    import graft.operators.TextAnalysis.selectSafeBatch
+    // (c,d) is disjoint from the winner but an equal-count pair (b,x)
+    // ahead touches the winner's symbols — after merging (a,b) the new
+    // pair (a·b, x) could inherit up to 5 and tie-steal, so (c,d) must
+    // NOT join the batch
+    val top = Seq(("a", "b", 9L), ("c", "d", 5L), ("b", "x", 5L))
+    assert(selectSafeBatch(top, truncated = false, maxBatch = 64)
+      .map(p => (p._1, p._2)) == Seq(("a", "b")))
+    // truncated snapshot: counts at the last-seen count are unprovable
+    val top2 = Seq(("a", "b", 9L), ("c", "d", 5L), ("e", "f", 5L))
+    assert(selectSafeBatch(top2, truncated = true, maxBatch = 64)
+      .map(p => (p._1, p._2)) == Seq(("a", "b")))
+    // same shape untruncated: both 5-count pairs are disjoint → all in
+    assert(selectSafeBatch(top2, truncated = false, maxBatch = 64)
+      .length == 3)
+  }
+
+  test("deep run on the test corpus: sub-linear rounds per merge") {
+    // the q108 shape on real testdata: 256 requested merges exhaust
+    // the 31-word vocabulary; the batched trainer must do it in
+    // substantially fewer pair-count rounds than merges (the whole
+    // point of batching — one snapshot job covers many merges)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (merges, _, rounds) =
+      TextAnalysis.bpeCoreRounds(docs, "text", 256)
+    val n = merges.count()
+    info(s"merges=$n rounds=$rounds")
+    assert(n > 64) // past the old demonstrator cap
+    // ≥1.5 merges/round: this corpus bounds batch width hard (31
+    // words whose merges chain WITHIN each word are inherently
+    // sequential — measured 55 rounds / 89 merges); rich-vocabulary
+    // corpora batch far wider (the disjoint-pairs test: 10 in 1)
+    assert(rounds * 3 <= n * 2,
+      s"batching regressed: $rounds rounds for $n merges")
+  }
+
   test("bpeVocab: the encoded-corpus histogram after the merges") {
     // after the 3 learned merges, aaab and ab are single tokens
     val v = TextAnalysis.bpeVocab(docs(1L -> "aaab aaab ab"), "text", 10)
