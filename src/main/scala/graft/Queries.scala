@@ -2801,29 +2801,12 @@ object Queries {
     * All event values are exact multiples of 1/8 of integer sums
     * (decay factors k/8, window 8 ticks), so Double comparison is
     * bit-exact in both engines. */
-  private val q82 = Q(
-    "q82_alert_timeline",
-    (s, dir) => {
-      val flow = TestFlowView.load(s, dir)
-        .select(col("ts_sec"), col("src_as"), col("in_bytes"))
-      // grid + limit constants: one bounded 1-row aggregate (two scans
-      // total at any scale; cache flow upstream if that matters)
-      val b = flow.agg(min("ts_sec"), max("ts_sec"),
-        sum("in_bytes")).head()
-      val (mn, mx, tot) = (b.getLong(0), b.getLong(1), b.getLong(2))
-      val w = (mx - mn + 240L) / 240L // ceil((span)/240), span=mx-mn+1
-      val lim = (tot * 3L) / 3840L    // 1.5x mean over 240 ticks x 8 keys
-      val series = flow
-        .groupBy(col("src_as"),
-          expr(s"(ts_sec - ${mn}L) DIV ${w}L").as("idx"))
-        .agg(sum("in_bytes").as("v"))
-        .withColumn("lim", lit(lim))
-      AlertTimeline.replay(series, "src_as", "idx", "v", "lim",
-          nTicks = 240, windowTicks = 8, back2normTicks = 2)
-        .select(col("key").as("src_as"), col("t"), col("ev"), col("val"))
-        .orderBy(col("src_as").asc, col("t").asc)
-    },
-    Some(s"""WITH RECURSIVE $F,
+  /** The q82 timeline oracle — an INDEPENDENT recursive-CTE
+    * re-derivation of the whole lifecycle (see q82's scaladoc). Shared
+    * verbatim by q109: the STREAMING replay must reproduce the exact
+    * same timeline, so the two queries pin batch and live against ONE
+    * oracle text. */
+  private lazy val alertTimelineOracle: String = s"""WITH RECURSIVE $F,
       b AS (SELECT MIN(ts_sec) AS mn, MAX(ts_sec) AS mx,
                    SUM(in_bytes) AS tot FROM flow),
       p AS (SELECT mn, (mx - mn + 240) // 240 AS w,
@@ -2914,7 +2897,31 @@ object Queries {
       )
       SELECT k AS src_as, i AS t, ev, ev_val AS val
       FROM mach WHERE ev IS NOT NULL
-      ORDER BY src_as ASC, t ASC"""))
+      ORDER BY src_as ASC, t ASC"""
+
+  private val q82 = Q(
+    "q82_alert_timeline",
+    (s, dir) => {
+      val flow = TestFlowView.load(s, dir)
+        .select(col("ts_sec"), col("src_as"), col("in_bytes"))
+      // grid + limit constants: one bounded 1-row aggregate (two scans
+      // total at any scale; cache flow upstream if that matters)
+      val b = flow.agg(min("ts_sec"), max("ts_sec"),
+        sum("in_bytes")).head()
+      val (mn, mx, tot) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      val w = (mx - mn + 240L) / 240L // ceil((span)/240), span=mx-mn+1
+      val lim = (tot * 3L) / 3840L    // 1.5x mean over 240 ticks x 8 keys
+      val series = flow
+        .groupBy(col("src_as"),
+          expr(s"(ts_sec - ${mn}L) DIV ${w}L").as("idx"))
+        .agg(sum("in_bytes").as("v"))
+        .withColumn("lim", lit(lim))
+      AlertTimeline.replay(series, "src_as", "idx", "v", "lim",
+          nTicks = 240, windowTicks = 8, back2normTicks = 2)
+        .select(col("key").as("src_as"), col("t"), col("ev"), col("val"))
+        .orderBy(col("src_as").asc, col("t").asc)
+    },
+    Some(alertTimelineOracle))
 
   // --------------------------------------- named IP-list LPM membership
   /** q83 oracle-checks `src net <listname>` — the reference's named
@@ -3823,6 +3830,129 @@ object Queries {
       ${OracleSql.bpeUnion(120)}
       ) ORDER BY step ASC"""))
 
+  /** q109: the STREAMING alert lifecycle end-to-end, driver-oracled —
+    * q82's exact series driven through [[AlertTimelineStream]] (the
+    * event-time-timer replay of the reference's act/underlimit-scanner
+    * threads: per-key timer chains tick the grid, the WATERMARK decides
+    * when a tick is complete, so the live path is deterministic) with
+    * a REAL stop/restart from the checkpoint mid-trace: the first
+    * query run sees only the grid's first half (4 chunk files), stops,
+    * the rest of the trace arrives, and a second run resumes from the
+    * RocksDB checkpoint — started/updated/ended events from BOTH runs
+    * must splice into the identical timeline the batch replay (q82)
+    * derives, asserted against the SAME recursive-CTE oracle text.
+    * This closes the one lifecycle gap q82 left: q82 proves the
+    * machine's semantics offline; q109 proves the STREAMING estate —
+    * state encoding, timer recovery, watermark resumption — preserves
+    * them across a restart. */
+  private val q109 = Q(
+    "q109_stream_alerts",
+    (s, dir) => {
+      import graft.streaming.AlertTimelineStream
+      import graft.streaming.AlertTimelineStream.Tick
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      val base = tmpWorkDir(s"graft_q109_stream_$pid")
+      val spool = new java.io.File(base, s"spool-$run")
+      spool.mkdirs()
+      // q82's series + grid constants, verbatim (see q82)
+      val flow = TestFlowView.load(s, dir)
+        .select(col("ts_sec"), col("src_as"), col("in_bytes"))
+      val b = flow.agg(min("ts_sec"), max("ts_sec"),
+        sum("in_bytes")).head()
+      val (mn, mx, tot) = (b.getLong(0), b.getLong(1), b.getLong(2))
+      val w = (mx - mn + 240L) / 240L
+      val lim = (tot * 3L) / 3840L
+      val epoch0 = 1700000000L
+      val series = flow
+        .groupBy(col("src_as"),
+          expr(s"(ts_sec - ${mn}L) DIV ${w}L").as("idx"))
+        .agg(sum("in_bytes").as("v"))
+        .select(timestamp_seconds(lit(epoch0) + col("idx")).as("ts"),
+          col("src_as").as("key"), col("idx").cast(LongType).as("idx"),
+          col("v").cast("double").as("v"), lit(lim.toDouble).as("lim"))
+        .localCheckpoint() // authored chunk-by-chunk below; compute once
+      // tick-ordered chunk files (30 ticks each, monotone mtimes →
+      // FileStreamSource reads them in grid order; one per micro-batch)
+      def author(chunk: Int, df: DataFrame): Unit = {
+        val tmp = new java.io.File(base, s"stage-$run-$chunk")
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(spool, f"chunk-$chunk%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1_700_000_000_000L + chunk * 60_000L)
+      }
+      def chunkDf(c: Int): DataFrame =
+        series.filter(col("idx") >= c * 30L && col("idx") < (c + 1) * 30L)
+      (0 until 4).foreach(c => author(c, chunkDf(c)))
+      val schema = s.read.parquet(spool.getAbsolutePath).schema
+      // the memory sink cannot RECOVER from a checkpoint (phase 2 is
+      // exactly that), so events land in a driver buffer via
+      // foreachBatch — bounded: the buffer holds timeline EVENTS (the
+      // q82 output, hundreds of rows), never series data
+      def phase(): Seq[org.apache.spark.sql.Row] = withRocksDb(s) {
+        import s.implicits._
+        val input = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(spool.getAbsolutePath)
+          .withWatermark("ts", "0 seconds")
+          // the sentinel only drives the watermark past the grid end;
+          // it must not become a key (filter sits AFTER the watermark
+          // node, so its event time still counts)
+          .filter(col("key") >= 0L)
+          .select("key", "idx", "v", "lim").as[Tick]
+        val events = AlertTimelineStream(input, nTicks = 240,
+          epoch0 = epoch0, windowTicks = 8, back2normTicks = 2).toDF()
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.Row]()
+        val q = events.writeStream
+          .outputMode("append")
+          .option("checkpointLocation",
+            new java.io.File(base, s"ckpt-$run").getAbsolutePath)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(got.add); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(q.recentProgress.exists(_.numInputRows > 0),
+          "q109 phase must execute through the micro-batch engine")
+        scala.jdk.CollectionConverters.CollectionHasAsScala(got)
+          .asScala.toSeq
+      }
+      val p1 = phase()
+      require(p1.nonEmpty,
+        "q109 phase 1 emitted no events — the event-time timer chain " +
+          "did not fire while only half the trace existed (watermark " +
+          "or timer regression?)")
+      // mid-trace restart: the grid's second half + the sentinel exist
+      // only AFTER the first query stopped
+      (4 until 8).foreach(c => author(c, chunkDf(c)))
+      author(8, s.range(1).select(
+        timestamp_seconds(lit(epoch0 + 241L)).as("ts"),
+        lit(-1L).as("key"), lit(241L).as("idx"),
+        lit(0.0).as("v"), lit(lim.toDouble).as("lim")))
+      val p2 = phase()
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src_as", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("t", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("ev",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("val",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      s.createDataFrame(
+          java.util.Arrays.asList((p1 ++ p2).map(r =>
+            org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+              r.getString(2), r.getDouble(3))): _*),
+          outSchema)
+        .orderBy(col("src_as").asc, col("t").asc)
+    },
+    Some(alertTimelineOracle))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3832,7 +3962,7 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103, q104, q105, q106, q107, q108)
+    q102, q103, q104, q105, q106, q107, q108, q109)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.AlertTimeline
+import graft.streaming.AlertTimelineStream
+import graft.streaming.AlertTimelineStream.{Event, Tick}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/** The streaming timeline (event-time timers) must equal the batch
+  * replay bit-for-bit — same machine, same grid, any micro-batching,
+  * including a stop/restart from the checkpoint mid-trace. */
+class AlertTimelineStreamSpec extends SparkTest {
+
+  private val Epoch0 = 1700000000L
+  private val NTicks = 20
+
+  /** series rows: (key, idx, v); limit constant 100. Two keys:
+    *  - key 1 breaches at ticks 2..5 (started, 3-tick-cadence updates)
+    *    then goes quiet → decay → ended after hysteresis;
+    *  - key 2 breaches once at tick 10, re-breaches at 13 inside the
+    *    hysteresis window (no second started), then ends;
+    *  - key 3 never breaches (no events at all). */
+  private val series: Seq[(Long, Long, Double)] = Seq(
+    (1L, 0L, 40.0), (1L, 2L, 300.0), (1L, 3L, 250.0), (1L, 4L, 260.0),
+    (1L, 5L, 270.0), (1L, 9L, 10.0),
+    (2L, 10L, 500.0), (2L, 13L, 400.0),
+    (3L, 1L, 50.0), (3L, 15L, 60.0))
+
+  private def batchTimeline(): Seq[(Long, Long, String, Double)] = {
+    val df = flowDf(Seq("k", "idx", "vv"),
+        series.map { case (k, i, v) => Seq(k, i, v.toLong) })
+      .select(col("k"), col("idx"), col("vv").cast("double").as("v"),
+        lit(100.0).as("lim"))
+    AlertTimeline.replay(df, "k", "idx", "v", "lim", nTicks = NTicks,
+        windowTicks = 8, back2normTicks = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  private def withRocks[A](body: => A): A = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
+
+  /** (ts seconds, key, idx, v, lim): ts carries the watermark. */
+  private type Row5 = (java.sql.Timestamp, Long, Long, Double, Double)
+  private def rows(ticks: Seq[(Long, Long, Double)]): Seq[Row5] =
+    ticks.map { case (k, i, v) =>
+      (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(Epoch0 + i)), k, i, v, 100.0)
+    }
+  /** Sentinel: pushes the watermark past the last tick so the final
+    * timers fire; its own tick is outside the grid. */
+  private def sentinel: Row5 =
+    (java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(Epoch0 + NTicks + 1)),
+      99L, NTicks.toLong + 1, 0.0, 100.0)
+
+  private def wire(mem: org.apache.spark.sql.execution.streaming
+      .runtime.MemoryStream[Row5]): Dataset[Event] = {
+    import spark.implicits._
+    val input = mem.toDF()
+      .toDF("ts", "key", "idx", "v", "lim")
+      .withWatermark("ts", "0 seconds")
+      .select(col("key"), col("idx"), col("v"), col("lim"))
+      .as[Tick]
+    AlertTimelineStream(input, NTicks, Epoch0, windowTicks = 8,
+      back2normTicks = 2)
+  }
+
+  test("streaming == batch replay, any chunking, restart mid-trace") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val expected = batchTimeline()
+    assert(expected.nonEmpty) // the scenario must actually alert
+    assert(expected.exists(_._3 == "ended"))
+    assert(!expected.exists(_._1 == 3L)) // never-breaching key silent
+
+    for (chunkTicks <- Seq(4, 7, NTicks + 2)) withRocks {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Row5]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"atl_stream_$chunkTicks")
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Event]()
+      def run(body: => Unit): Unit = {
+        val q = wire(mem).writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: Dataset[Event], _: Long) =>
+            b.collect().foreach(got.add); ()
+          }
+          .start()
+        try body finally q.stop()
+      }
+      val chunks = series.groupBy(_._2 / chunkTicks).toSeq
+        .sortBy(_._1).map(_._2)
+      // restart boundary mid-trace: first half of the chunks in run 1
+      val (c1, c2) = chunks.splitAt(math.max(1, chunks.length / 2))
+      run {
+        c1.foreach { c =>
+          mem.addData(rows(c): _*)
+          spark.streams.active.foreach(_.processAllAvailable())
+        }
+      }
+      run {
+        c2.foreach { c =>
+          mem.addData(rows(c): _*)
+          spark.streams.active.foreach(_.processAllAvailable())
+        }
+        mem.addData(sentinel)
+        spark.streams.active.foreach(_.processAllAvailable())
+      }
+      val gotSeq = got.toArray(Array.empty[Event])
+        .map(e => (e.key, e.t, e.ev, e.value))
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(gotSeq == expected,
+        s"chunkTicks=$chunkTicks:\n got=$gotSeq\n exp=$expected")
+    }
+  }
+}
