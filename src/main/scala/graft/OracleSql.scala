@@ -242,27 +242,28 @@ object OracleSql {
     * final-codebook assignment (`pcode`) and the query's ADC distance
     * table (`ptab`); exposes `padc(id, adist)`. The query is the row
     * with id = `queryId`. */
-  def pqCtes(m: Int, k: Int, iters: Int, dim: Int, scale: Long,
-             queryId: Long): String = {
-    val s = dim / m
-    val s1 = s + 1
-    val base = s"""pvq AS (SELECT vec_id AS id, t.sub,
-        list_transform(list_slice(embedding, t.sub * $s + 1,
-            t.sub * $s + $s),
-          x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS v
-      FROM embeddings CROSS JOIN range(0, $m) t(sub)),
-      pseed AS (SELECT vec_id AS id, row_number() OVER (
-          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
-            AS cid
-        FROM embeddings),
+  /** The PQ training + encode chain over a source CTE `src(id, sub,
+    * v)` of already-quantized BIGINT subspace slices — shared verbatim
+    * by the raw-vector replay ([[pqCtes]], src = the quantized
+    * embedding slices) and the residual replay
+    * ([[ivfPqResidualCtes]], src = the coarse-residual slices): one
+    * recurrence text, two vector spaces. Emits pseed, pc0..pc$iters
+    * (the per-subspace codebooks), pde and pcode(id, sub, cid) (every
+    * source vector's code). */
+  def pqTrainCtes(m: Int, k: Int, iters: Int, subDim: Int,
+                  src: String): String = {
+    val s1 = subDim + 1
+    val base = s"""pseed AS (SELECT id, row_number() OVER (
+          ORDER BY md5(CAST(id AS VARCHAR)) ASC, id ASC) - 1 AS cid
+        FROM (SELECT DISTINCT id FROM $src)),
       pc0 AS (SELECT v.sub, e.cid, i AS pos, v.v[i] AS cx
-        FROM pseed e JOIN pvq v USING (id)
+        FROM pseed e JOIN $src v USING (id)
         CROSS JOIN range(1, $s1) t(i) WHERE e.cid < $k)"""
     val steps = (1 to iters).map { it =>
       val p = it - 1
       s"""pd$it AS (SELECT q.id, q.sub, c.cid,
           SUM((q.v[c.pos] - c.cx) * (q.v[c.pos] - c.cx)) AS dist
-        FROM pvq q JOIN pc$p c ON q.sub = c.sub
+        FROM $src q JOIN pc$p c ON q.sub = c.sub
         GROUP BY q.id, q.sub, c.cid),
       pa$it AS (SELECT id, sub, cid FROM (SELECT id, sub, cid,
             row_number() OVER (PARTITION BY id, sub
@@ -271,22 +272,33 @@ object OracleSql {
       pm$it AS (SELECT a.sub, a.cid, t.i AS pos,
           CAST(floor(CAST(SUM(q.v[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
             AS cx
-        FROM pa$it a JOIN pvq q ON a.id = q.id AND a.sub = q.sub
+        FROM pa$it a JOIN $src q ON a.id = q.id AND a.sub = q.sub
         CROSS JOIN range(1, $s1) t(i)
         GROUP BY a.sub, a.cid, t.i),
       pc$it AS (SELECT c.sub, c.cid, c.pos, COALESCE(m.cx, c.cx) AS cx
         FROM pc$p c LEFT JOIN pm$it m
           ON c.sub = m.sub AND c.cid = m.cid AND c.pos = m.pos)"""
     }
-    val search = s"""pde AS (SELECT q.id, q.sub, c.cid,
+    val encode = s"""pde AS (SELECT q.id, q.sub, c.cid,
           SUM((q.v[c.pos] - c.cx) * (q.v[c.pos] - c.cx)) AS dist
-        FROM pvq q JOIN pc$iters c ON q.sub = c.sub
+        FROM $src q JOIN pc$iters c ON q.sub = c.sub
         GROUP BY q.id, q.sub, c.cid),
       pcode AS (SELECT id, sub, cid FROM (SELECT id, sub, cid,
             row_number() OVER (PARTITION BY id, sub
               ORDER BY dist ASC, cid ASC) AS rn FROM pde)
-        WHERE rn = 1),
-      ptab AS (SELECT c.sub, c.cid,
+        WHERE rn = 1)"""
+    (base +: steps :+ encode).mkString(",\n      ")
+  }
+
+  def pqCtes(m: Int, k: Int, iters: Int, dim: Int, scale: Long,
+             queryId: Long): String = {
+    val s = dim / m
+    val base = s"""pvq AS (SELECT vec_id AS id, t.sub,
+        list_transform(list_slice(embedding, t.sub * $s + 1,
+            t.sub * $s + $s),
+          x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS v
+      FROM embeddings CROSS JOIN range(0, $m) t(sub))"""
+    val search = s"""ptab AS (SELECT c.sub, c.cid,
           SUM((q.v[c.pos] - c.cx) * (q.v[c.pos] - c.cx)) AS d
         FROM pc$iters c
         JOIN (SELECT sub, v FROM pvq WHERE id = $queryId) q
@@ -295,7 +307,57 @@ object OracleSql {
       padc AS (SELECT e.id, CAST(SUM(t.d) AS BIGINT) AS adist
         FROM pcode e JOIN ptab t ON e.sub = t.sub AND e.cid = t.cid
         GROUP BY e.id)"""
-    (base +: steps :+ search).mkString(",\n      ")
+    Seq(base, pqTrainCtes(m, k, iters, s, "pvq"), search)
+      .mkString(",\n      ")
+  }
+
+  /** Residual IVF-PQ replay (mirrors Similarity.ivfPqSearchResidual):
+    * the coarse quantizer is [[kmeansCtes]]; every vector's RESIDUAL
+    * against its assigned coarse centroid feeds the shared
+    * [[pqTrainCtes]] chain (identity quantization — residuals of
+    * quantized vectors are already exact BIGINTs); search builds one
+    * ADC distance table PER PROBED LIST from the query's per-list
+    * residual and scores each candidate against its own list's table.
+    * Exposes `radc(id, adist)` over the probed lists' vectors. */
+  def ivfPqResidualCtes(coarseK: Int, coarseIters: Int, m: Int,
+                        pqK: Int, pqIters: Int, dim: Int, scale: Long,
+                        queryId: Long, nprobe: Int): String = {
+    val cFin = s"c$coarseIters"
+    val s = dim / m
+    s"""${kmeansCtes(coarseK, coarseIters, dim, scale)},
+      cfl AS (SELECT cid, list(cx ORDER BY pos) AS cv
+        FROM $cFin GROUP BY cid),
+      cdist AS (SELECT q.id, c.cid,
+          SUM((q.v[c.pos] - c.cx) * (q.v[c.pos] - c.cx)) AS dist
+        FROM kvq q CROSS JOIN $cFin c GROUP BY q.id, c.cid),
+      cass AS (SELECT id, cid FROM (SELECT id, cid,
+            row_number() OVER (PARTITION BY id
+              ORDER BY dist ASC, cid ASC) AS rn FROM cdist)
+        WHERE rn = 1),
+      rsub AS (SELECT q.id, a.cid AS ccid, t.sub,
+          list_transform(range(1, ${s + 1}),
+            i -> q.v[t.sub * $s + i] - f.cv[t.sub * $s + i]) AS v
+        FROM kvq q JOIN cass a USING (id) JOIN cfl f ON f.cid = a.cid
+        CROSS JOIN range(0, $m) t(sub)),
+      ${pqTrainCtes(m, pqK, pqIters, s, "rsub")},
+      cprobe AS (SELECT cid FROM cdist WHERE id = $queryId
+        ORDER BY dist ASC, cid ASC LIMIT $nprobe),
+      qres AS (SELECT p.cid AS pcid, t.sub,
+          list_transform(range(1, ${s + 1}),
+            i -> q.v[t.sub * $s + i] - f.cv[t.sub * $s + i]) AS qv
+        FROM cprobe p JOIN cfl f ON f.cid = p.cid
+        CROSS JOIN range(0, $m) t(sub)
+        CROSS JOIN (SELECT v FROM kvq WHERE id = $queryId) q),
+      rtab AS (SELECT qr.pcid, c.sub, c.cid,
+          SUM((qr.qv[c.pos] - c.cx) * (qr.qv[c.pos] - c.cx)) AS d
+        FROM pc$pqIters c JOIN qres qr ON c.sub = qr.sub
+        GROUP BY 1, 2, 3),
+      radc AS (SELECT e.id, CAST(SUM(t.d) AS BIGINT) AS adist
+        FROM pcode e
+        JOIN cass a ON e.id = a.id
+        JOIN rtab t ON t.pcid = a.cid AND t.sub = e.sub
+          AND t.cid = e.cid
+        GROUP BY e.id)"""
   }
 
   /** IVF-PQ replay (mirrors Similarity.ivfPqSearch): the coarse

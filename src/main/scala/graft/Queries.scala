@@ -3953,6 +3953,29 @@ object Queries {
     },
     Some(alertTimelineOracle))
 
+  /** q110: residual IVF-PQ (q90's composition with residual codes —
+    * PQ quantizes v − c(v), the 100 TB-recall-target standard). Every
+    * stage is integer-exact: the residual of two quantized vectors is
+    * an exact BIGINT array, and the shared-codebook training runs the
+    * same Lloyd recurrence on it (identity quantization), so DuckDB
+    * replays coarse training, residual computation, codebook training,
+    * encoding and the PER-PROBED-LIST ADC tables bit-for-bit. The
+    * recall differential vs raw codes (0.5 vs 0.3 @10 on the test
+    * embeddings) is pinned by ResidualPqSpec. */
+  private val q110 = Q(
+    "q110_ivfpq_residual",
+    (s, dir) => {
+      import graft.operators.Similarity
+      Similarity.ivfPqSearchResidual(t(s, dir, "embeddings"), "vec_id",
+          "embedding", coarseK = 4, coarseIters = 2, m = 4, pqK = 4,
+          pqIters = 2, nprobe = 2, queryId = 0L, dim = 64, topK = 10)
+        .select(col("id").as("vec_id"), col("adist"))
+    },
+    Some(s"""WITH ${OracleSql.ivfPqResidualCtes(4, 2, 4, 4, 2, 64,
+        1000000L, 0L, 2)}
+      SELECT id AS vec_id, adist FROM radc
+      ORDER BY adist ASC, vec_id ASC LIMIT 10"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3962,7 +3985,7 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103, q104, q105, q106, q107, q108, q109)
+    q102, q103, q104, q105, q106, q107, q108, q109, q110)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -687,6 +687,98 @@ object Similarity {
       .limit(topK)
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the opt-in alternative to
+    * [[ivfPqSearch]]'s raw-vector codes, and the standard form at
+    * 100 TB recall targets: PQ codes quantize `v − c(v)` (the vector
+    * minus its coarse centroid) instead of `v`, so the codebook spends
+    * its resolution on the WITHIN-list geometry rather than re-encoding
+    * the coarse structure the IVF already captured. One SHARED residual
+    * codebook across lists (the per-list-codebook variant multiplies
+    * codebook memory by coarseK for marginal gain).
+    *
+    * Everything stays integer-exact and oracle-replayable (q110): the
+    * residual of two quantized vectors is an exact long array, and the
+    * PQ half runs on it with scale = 1 (floor(x·1) on integer-valued
+    * doubles is the identity — no second quantization error).
+    *
+    * Search differs from the raw form in ONE structural way: the ADC
+    * distance table is PER PROBED LIST (the query's residual is
+    * relative to each probe's centroid), so the broadcast is
+    * nprobe·m·pqK entries instead of m·pqK — still tiny — and each
+    * candidate joins the table of ITS OWN list via its coarse id.
+    * Scale shape otherwise identical to [[ivfPqSearch]]: assignment =
+    * broadcast argmin over |vectors|, residual training runs the same
+    * bounded Lloyd loop, candidates restricted to the probed lists. */
+  def ivfPqSearchResidual(df: DataFrame, idCol: String, vecCol: String,
+                          coarseK: Int, coarseIters: Int, m: Int,
+                          pqK: Int, pqIters: Int, nprobe: Int,
+                          queryId: Long, dim: Int, topK: Int,
+                          scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val coarse = kmeansArrays(df, idCol, vecCol, coarseK, coarseIters,
+      scale) // (cid, cv: array<long>)
+    val vq = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => floor(x * lit(scale.toDouble))
+        .cast(LongType)).as("v"))
+    def sq(a: Column, b: Column) = GraftBridge.toColumn(
+      graft.functions.VecSqDistLongExpr(
+        GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+    // coarse assignment, keeping the vector for the residual
+    val assigned = vq.join(broadcast(coarse))
+      .withColumn("dist", sq(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cid"), col("v"))).as("a"))
+      .select(col("id"), col("a.cid").as("ccid"), col("a.v").as("v"))
+    val resid = assigned.join(broadcast(coarse),
+        col("ccid") === col("cid"))
+      .select(col("id"), col("ccid"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    // shared residual codebook: the SAME exact Lloyd as the raw path,
+    // identity-quantized (scale 1) over the integer residuals
+    val residF = resid.select(col("id"), col("ccid"),
+      transform(col("rv"), x => x.cast("double")).as("rvd"))
+    val book = pqTrainQuantized(residF, "id", "rvd", dim, m, pqK,
+      pqIters, scale = 1L)
+    // query probes + per-list query residuals
+    val qv = vq.filter(col("id") === queryId).select(col("v").as("qv"))
+    val probes = broadcast(
+      coarse.join(broadcast(qv))
+        .withColumn("dist", sq(col("qv"), col("cv")))
+        .orderBy(col("dist").asc, col("cid").asc)
+        .limit(nprobe)
+        .select(col("cid").as("pcid"), col("cv").as("pcv")))
+    val sub = dim / m
+    val qres = probes.join(broadcast(qv))
+      .select(col("pcid"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).cast(LongType).as("sub"),
+            slice(zip_with(col("qv"), col("pcv"), (x, c) => x - c),
+              j * sub + 1, sub).as("qr"))): _*)).as("s"))
+      .select(col("pcid"), col("s.sub").as("sub"), col("s.qr").as("qr"))
+    // per-list ADC tables: nprobe·m·pqK entries, broadcast
+    val table = book.join(broadcast(qres), Seq("sub"))
+      .withColumn("d", sq(col("qr"), col("cv")))
+      .select(col("pcid"), col("sub"), col("cid"), col("d"))
+    // candidates: the probed lists' residuals, PQ-encoded
+    val cand = resid.join(probes.select(col("pcid")),
+      col("ccid") === col("pcid"), "left_semi")
+    val candF = cand.select(col("id"), col("ccid"),
+      transform(col("rv"), x => x.cast("double")).as("rvd"))
+    val codes = pqEncode(candF, "id", "rvd", book, dim, m, scale = 1L)
+    codes
+      .join(candF.select(col("id"), col("ccid")), Seq("id"))
+      .select(col("id"), col("ccid"),
+        posexplode(col("codes")).as(Seq("pos", "code")))
+      .join(broadcast(table),
+        col("ccid") === col("pcid") &&
+          col("pos").cast(LongType) === col("sub") &&
+          col("code") === col("cid"))
+      .groupBy(col("id"))
+      .agg(sum(col("d")).as("adist"))
+      .orderBy(col("adist").asc, col("id").asc)
+      .limit(topK)
+  }
+
   /** Int8 scalar quantization of unit-normalized embeddings — the
     * storage form an index holds at corpus scale (4× smaller than f32,
     * dot products stay within ~1% for cosine ranking). Emitted as
