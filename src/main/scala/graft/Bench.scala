@@ -179,7 +179,7 @@ object Bench {
     // batch-operator core is readable at a glance
     val harness = Set("q81_stream_fwm", "q88_stream_neardup",
       "q99_stream_hll", "q101_stream_cms", "q104_bucketed_join",
-      "q107_stream_asof")
+      "q107_stream_asof", "q109_stream_alerts")
     val harnessSec = r3(results.collect {
       case (n, v) if harness(n) && v >= 0 => v }.sum)
     // scalars lead; the long queries map sits last with the headline
