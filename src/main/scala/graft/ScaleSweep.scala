@@ -64,7 +64,15 @@ object ScaleSweep {
     // iteration; replica tags change WHICH merges win (q105 rows stay
     // 6; q106's vocab grows with the tagged word universe) — the
     // interesting number is the near-flat time slope
-    "q105_bpe_vocab", "q106_bpe_encode")
+    "q105_bpe_vocab", "q106_bpe_encode",
+    // r12: q108 trains on the tagged 310-word table (batched rounds
+    // are driver-paced — time follows round count and the one corpus
+    // collapse, not corpus size); q109 is grid-normalized like q82
+    // (240 ticks whatever the span — slope measures the series
+    // scan+agg and the fixed streaming harness); q110's training +
+    // assignment scale with vectors, the per-list ADC tables stay
+    // nprobe·m·pqK
+    "q108_bpe_deep", "q109_stream_alerts", "q110_ivfpq_residual")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
