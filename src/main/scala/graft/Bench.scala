@@ -86,20 +86,29 @@ object Bench {
     }
 
     /** Median of `runs` timings; failures excluded; -1 if all failed.
-      * Sub-2s queries are noise-dominated at median-of-3 (VERDICT r4
-      * flagged q06/q07 ±40% run-to-run) — widen those to 5 samples.
-      * EVERY raw sample is retained (`rawRuns`) and recorded in
-      * bench.json, so a single GC/page-cache spike shows up as one
-      * outlier among its siblings instead of masquerading as a
-      * regression (r11's q47 was unadjudicatable for exactly this
-      * lack of dispersion evidence). */
+      * Widening to 5 samples is SPREAD-triggered, not just
+      * threshold-triggered: sub-2s queries are noise-dominated at
+      * median-of-3 (VERDICT r4 flagged q06/q07 ±40% run-to-run), and
+      * r12's raw samples showed the harness-heavy queries swinging up
+      * to 4.6× run-to-run at ANY magnitude (q102 3.0–13.8 s) — so any
+      * query whose samples spread past [[SpreadLimit]] also gets
+      * median-of-5. EVERY raw sample is retained (`rawRuns`) and
+      * recorded in bench.json, and queries whose FINAL sample set
+      * still spreads past the limit carry a dispersion flag
+      * (`dispersion_flagged`), so a cross-round delta on a flagged
+      * query is mechanically separable from a plan regression (r11
+      * burned a round adjudicating q47 for lack of exactly this). */
+    val SpreadLimit = 1.5
+    def spreadExceeds(s: Seq[Double]): Boolean =
+      s.size >= 2 && s.min > 0 && s.max / s.min > SpreadLimit
     val rawRuns =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def median(name: String): Double = {
       var all = (1 to runs).map(_ => timeOnce(name))
       var ok = all.filter(_ >= 0)
-      if (ok.nonEmpty && runs < 5 && ok.sorted.apply(ok.size / 2) < 2.0) {
-        val extra = (1 to (5 - runs)).map(_ => timeOnce(name))
+      if (ok.nonEmpty && all.size < 5 &&
+          (ok.sorted.apply(ok.size / 2) < 2.0 || spreadExceeds(ok))) {
+        val extra = (1 to (5 - all.size)).map(_ => timeOnce(name))
         all ++= extra
         ok ++= extra.filter(_ >= 0)
       }
@@ -182,6 +191,12 @@ object Bench {
       "q107_stream_asof", "q109_stream_alerts")
     val harnessSec = r3(results.collect {
       case (n, v) if harness(n) && v >= 0 => v }.sum)
+    // dispersion flags: queries whose final sample set STILL spreads
+    // past SpreadLimit after widening — their medians are unstable in
+    // this harness, so a cross-round delta on them is noise until a
+    // driver-order control (TimeQueries) reproduces it
+    val dispersionFlagged = rawRuns.collect {
+      case (n, vs) if spreadExceeds(vs.filter(_ >= 0)) => n }.toSeq
     // scalars lead; the long queries map sits last with the headline
     // numbers REPEATED after it, so a capture window anchored at either
     // end of the line still sees the totals
@@ -195,6 +210,7 @@ object Bench {
       s""""flagship_scaled_sec":${r3(scaled)},""" +
       s""""flagship_scaled_flows_per_sec":${r3(scaledFps)},""" +
       s""""n_queries":${results.size},""" +
+      s""""dispersion_flagged_n":${dispersionFlagged.size},""" +
       s""""queries":$qs,""" +
       s""""total_sec":$total,""" +
       s""""scaled_flows_per_sec_tail":${r3(scaledFps)}}"""
@@ -206,7 +222,11 @@ object Bench {
     val runsJson = rawRuns.map { case (k, vs) =>
       "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val jsonFull = json.dropRight(1) + s""","query_runs":$runsJson}"""
+    val flaggedJson = dispersionFlagged.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val jsonFull = json.dropRight(1) +
+      s""","dispersion_flagged":$flaggedJson""" +
+      s""","query_runs":$runsJson}"""
     try {
       val w = new java.io.PrintWriter("bench.json")
       try w.println(jsonFull) finally w.close()

@@ -3898,11 +3898,24 @@ object Queries {
           .option("maxFilesPerTrigger", "1")
           .parquet(spool.getAbsolutePath)
           .withWatermark("ts", "0 seconds")
-          // the sentinel only drives the watermark past the grid end;
-          // it must not become a key (filter sits AFTER the watermark
-          // node, so its event time still counts)
-          .filter(col("key") >= 0L)
+          // the sentinel (key=-1, idx=241) flows THROUGH to the
+          // processor: its only job is to drive the watermark past the
+          // grid end, and a DataFrame-level key filter here would be
+          // pushed below EventTimeWatermark by
+          // PushPredicateThroughNonJoin (the predicate doesn't touch
+          // ts), dropping the row before its event time is sampled —
+          // ticks after the last data tick would then never fire. The
+          // processor's idx∈[0,nTicks) guard ignores it statelessly.
           .select("key", "idx", "v", "lim").as[Tick]
+        // regression guard: no row filter may appear anywhere in this
+        // chain — Catalyst would push a key predicate below
+        // EventTimeWatermark (it doesn't reference ts) and the
+        // sentinel would be dropped before its event time is sampled
+        require(!input.queryExecution.analyzed.exists(
+            _.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Filter]),
+          "q109: row filter found in the pre-watermark chain; the " +
+            "sentinel must reach EventTimeWatermarkExec unfiltered")
         val events = AlertTimelineStream(input, nTicks = 240,
           epoch0 = epoch0, windowTicks = 8, back2normTicks = 2).toDF()
         val got = new java.util.concurrent.ConcurrentLinkedQueue[

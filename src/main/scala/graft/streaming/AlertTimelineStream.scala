@@ -41,6 +41,18 @@ import org.apache.spark.sql.streaming._
   * contract itself (no rows for tick t after the watermark passes t),
   * which the caller's `withWatermark` declares.
   *
+  * '''Limit semantics caveat (live deployments).''' The per-key limit
+  * is folded as `max` over every observation seen so far — the same
+  * rule as the batch replay, chosen because micro-batch arrival order
+  * within a tick is not stable and the replay must be deterministic.
+  * Consequence: if limits hot-reload mid-trace (the
+  * [[graft.config.Reloadable]] path), a RAISED limit applies to all
+  * ticks processed after it arrives, but a LOWERED one is ignored —
+  * the old max wins retroactively. A live pipeline that needs
+  * hot-reloaded limits to take effect downward should use
+  * [[MavgTws]], which reads the limit per wall-clock evaluation from
+  * the reloadable config rather than folding it into keyed state.
+  *
   * @param nTicks         grid length; ticks are 1-second grid slots
   *                       with tick t at event-time second `epoch0 + t`
   * @param epoch0         event-time second of tick 0
@@ -79,6 +91,12 @@ class AlertTimelineStreamProcessor(nTicks: Int, epoch0: Long,
         first = math.min(first, r.idx)
       }
     }
+    // a key whose rows all fell outside [0, nTicks) — e.g. a
+    // watermark-sentinel key — must not mint state: nothing was
+    // buffered, no timer will ever fire for it, and state is only
+    // cleared in the timer path, so an update here would be permanent
+    if (first == Long.MaxValue && state.get() == null)
+      return Iterator.empty
     val nextTick =
       if (st0.nextTick >= 0) st0.nextTick
       else if (first == Long.MaxValue) -1L

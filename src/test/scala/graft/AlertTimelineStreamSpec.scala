@@ -63,11 +63,12 @@ class AlertTimelineStreamSpec extends SparkTest {
       99L, NTicks.toLong + 1, 0.0, 100.0)
 
   private def wire(mem: org.apache.spark.sql.execution.streaming
-      .runtime.MemoryStream[Row5]): Dataset[Event] = {
+      .runtime.MemoryStream[Row5],
+      delay: String = "0 seconds"): Dataset[Event] = {
     import spark.implicits._
     val input = mem.toDF()
       .toDF("ts", "key", "idx", "v", "lim")
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", delay)
       .select(col("key"), col("idx"), col("v"), col("lim"))
       .as[Tick]
     AlertTimelineStream(input, NTicks, Epoch0, windowTicks = 8,
@@ -121,6 +122,82 @@ class AlertTimelineStreamSpec extends SparkTest {
         .toSeq.sortBy(t => (t._1, t._2))
       assert(gotSeq == expected,
         s"chunkTicks=$chunkTicks:\n got=$gotSeq\n exp=$expected")
+    }
+  }
+
+  /** The watermark-completeness argument, PROVEN rather than
+    * exercised: rows arrive out of tick order (bounded disorder) under
+    * a NONZERO watermark lag, and the timeline must still equal the
+    * batch replay bit-for-bit. Disorder bound: each row's delivery
+    * rank is `idx + jitter` with jitter ∈ [0, lag-1], so when the
+    * batch carrying tick t's row runs, every earlier batch held only
+    * rows with idx ≤ t + lag − 1, hence the watermark (maxSeen − lag)
+    * is still < t — the contract "no rows for tick t after the
+    * watermark passes t" holds by construction, and the timers must
+    * not fire tick t before its data is complete. Also asserts the
+    * bounded-state claim via the state-store reader: a key whose rows
+    * all fall outside the grid never mints a state entry, and the
+    * store is EMPTY once the grid completes. */
+  test("out-of-order input under a nonzero watermark lag == batch " +
+      "replay; state follows live keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val expected = batchTimeline()
+    val lagTicks = 5
+    val rng = new scala.util.Random(13)
+    val disordered = series
+      .map(r => (r, r._2 + rng.nextInt(lagTicks)))
+      .sortBy { case ((k, i, _), rank) => (rank, k, i) }
+      .map(_._1)
+    assert(disordered != series.sortBy(t => (t._2, t._1)),
+      "the permutation must actually disorder the trace")
+    withRocks {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Row5]
+      val ckpt = java.nio.file.Files.createTempDirectory("atl_ooo")
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Event]()
+      val q = wire(mem, delay = s"$lagTicks seconds").writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: Dataset[Event], _: Long) =>
+          b.collect().foreach(got.add); ()
+        }
+        .start()
+      def stateKeys(): Set[Long] =
+        spark.read.format("statestore")
+          .option("stateVarName", "timeline")
+          .load(ckpt.toString)
+          .select("key.value").as[Long].collect().toSet
+      try {
+        // an out-of-grid observation for key 99 EARLY in the trace:
+        // nothing buffers, no timer is ever armed, so no state entry
+        // may be minted for it (the state-leak guard)
+        mem.addData((java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(Epoch0)),
+          99L, -1L, 0.0, 100.0))
+        spark.streams.active.foreach(_.processAllAvailable())
+        disordered.grouped(3).foreach { chunk =>
+          mem.addData(rows(chunk): _*)
+          spark.streams.active.foreach(_.processAllAvailable())
+        }
+        val mid = stateKeys()
+        assert(!mid.contains(99L),
+          s"out-of-grid key minted state: $mid")
+        assert(mid.nonEmpty, "live keys must hold state mid-trace")
+        // sentinel far enough past the grid to clear the lag
+        mem.addData((java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(
+            Epoch0 + NTicks + lagTicks + 1)),
+          99L, NTicks.toLong + 1, 0.0, 100.0))
+        spark.streams.active.foreach(_.processAllAvailable())
+      } finally q.stop()
+      val gotSeq = got.toArray(Array.empty[Event])
+        .map(e => (e.key, e.t, e.ev, e.value))
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(gotSeq == expected,
+        s"disordered:\n got=$gotSeq\n exp=$expected")
+      assert(stateKeys().isEmpty,
+        "grid complete: every key's state must be cleared")
     }
   }
 }
