@@ -3989,6 +3989,78 @@ object Queries {
       SELECT id AS vec_id, adist FROM radc
       ORDER BY adist ASC, vec_id ASC LIMIT 10"""))
 
+  // ------------------------------------- multi-fwm shared scan (one pass)
+  private val q111 = Q(
+    "q111_fwm_shared_scan",
+    (s, dir) => {
+      import graft.config.MoConfig
+      import graft.operators.SharedFwm
+      val env = FilterEnv.flow(s)
+      // an MO tree with three fwm sections — two on the root, one on a
+      // filtered child (parent-conjoined predicate) — evaluated in ONE
+      // pass: one parquet scan, one shuffle (reference netflow.c:
+      // 214-244 dispatches every flow to every MO in a single pass;
+      // Fwm.batch alone would plan three scans)
+      val tree = MoConfig.MonitoringObject(
+        name = "all", filter = "",
+        fwm = Seq(
+          MoConfig.FwmSection("hourly", Seq("octets desc", "proto"),
+            timeSec = 3600, limit = None, extended = false),
+          MoConfig.FwmSection("pkts2h", Seq("packets desc", "dst as"),
+            timeSec = 7200, limit = None, extended = false)),
+        mavg = Nil, classification = Nil,
+        children = Seq(MoConfig.MonitoringObject(
+          name = "tcp", filter = "proto 6",
+          fwm = Seq(MoConfig.FwmSection("tcp_hourly",
+            Seq("octets desc", "src port"), timeSec = 3600,
+            limit = None, extended = false)),
+          mavg = Nil, classification = Nil, children = Nil)))
+      val secs = SharedFwm.sections(tree, env)
+      val combined = SharedFwm.batchAll(TestFlowView.load(s, dir), env,
+        secs, samplingRate = Some(col("sampling_rate")))
+      // the shared-scan invariant IS the operator: exactly one file
+      // scan in the physical plan for all three sections
+      require(SharedFwm.countScans(combined) == 1,
+        "shared fwm pass must plan exactly one scan")
+      combined.orderBy(col("mo").asc, col("section").asc,
+        col("time").asc, col("proto").asc_nulls_first,
+        col("dst_as").asc_nulls_first, col("src_port").asc_nulls_first)
+    },
+    Some(s"""WITH $F,
+      u AS (
+        SELECT 'all' AS mo, 'hourly' AS section,
+               ts_sec - (ts_sec % 3600) AS time,
+               protocol AS proto, CAST(NULL AS BIGINT) AS dst_as,
+               CAST(NULL AS BIGINT) AS src_port,
+               CAST(SUM(in_bytes * 1 * sampling_rate) AS BIGINT)
+                 AS octets,
+               CAST(NULL AS BIGINT) AS packets
+        FROM flow GROUP BY 1, 2, 3, 4
+        UNION ALL
+        SELECT 'all' AS mo, 'pkts2h' AS section,
+               ts_sec - (ts_sec % 7200) AS time,
+               CAST(NULL AS BIGINT) AS proto, dst_as,
+               CAST(NULL AS BIGINT) AS src_port,
+               CAST(NULL AS BIGINT) AS octets,
+               CAST(SUM(in_pkts * 1 * sampling_rate) AS BIGINT)
+                 AS packets
+        FROM flow GROUP BY 1, 2, 3, 5
+        UNION ALL
+        SELECT 'tcp' AS mo, 'tcp_hourly' AS section,
+               ts_sec - (ts_sec % 3600) AS time,
+               CAST(NULL AS BIGINT) AS proto,
+               CAST(NULL AS BIGINT) AS dst_as,
+               l4_src_port AS src_port,
+               CAST(SUM(in_bytes * 1 * sampling_rate) AS BIGINT)
+                 AS octets,
+               CAST(NULL AS BIGINT) AS packets
+        FROM flow WHERE protocol = 6 GROUP BY 1, 2, 3, 6)
+      SELECT mo, section, time, proto, dst_as, src_port, octets, packets
+      FROM u
+      ORDER BY mo ASC, section ASC, time ASC,
+               proto ASC NULLS FIRST, dst_as ASC NULLS FIRST,
+               src_port ASC NULLS FIRST"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3998,7 +4070,7 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103, q104, q105, q106, q107, q108, q109, q110)
+    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -72,7 +72,12 @@ object ScaleSweep {
     // scan+agg and the fixed streaming harness); q110's training +
     // assignment scale with vectors, the per-list ADC tables stay
     // nprobe·m·pqK
-    "q108_bpe_deep", "q109_stream_alerts", "q110_ivfpq_residual")
+    "q108_bpe_deep", "q109_stream_alerts", "q110_ivfpq_residual",
+    // r13: shared-scan fwm — one scan + one shuffle for 3 sections;
+    // output is key-normalized on (proto, dst_as, src_port) but time
+    // buckets are disjoint per replica, so rows scale ~10x and the
+    // slope measures the scan+explode+agg pipeline
+    "q111_fwm_shared_scan")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,

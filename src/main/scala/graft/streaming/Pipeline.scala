@@ -152,6 +152,57 @@ object Pipeline {
     }
   }
 
+  /** One shared-scan streaming group: every fwm section of the MO tree
+    * with this window length, computed by ONE streaming query
+    * ([[graft.operators.SharedFwm.streamGroup]]). */
+  final case class SharedFwmGroup(timeSec: Long, combined: DataFrame,
+      sections: Seq[graft.operators.SharedFwm.Section])
+
+  /** Shared-scan variant of [[build]]'s fwm side: instead of one
+    * streaming query per section (each re-reading the stream), the MO
+    * tree's sections are grouped by window length and each group runs
+    * as ONE watermarked windowed aggregation over one pass of the
+    * source — the reference's single-pass dispatch
+    * (netflow.c:214-244), factored by window length because one
+    * streaming window operator has one length. An MO config whose
+    * sections share their `time` (the common case — reference
+    * CONFIG.md's examples use one window per MO tree level) collapses
+    * to a single query for the whole tree.
+    *
+    * Mavg/classification branches are untouched — wire them with
+    * [[build]] as before. */
+  def buildSharedFwm(mo: MonitoringObject, flows: DataFrame,
+      env: FilterEnv, samplingRate: Option[Column] = None,
+      delay: String = "0 seconds"): Seq[SharedFwmGroup] = {
+    import graft.operators.SharedFwm
+    val secs = SharedFwm.sections(mo, env)
+    secs.groupBy(_.conf.timeSec).toSeq.sortBy(_._1).map {
+      case (t, group) => SharedFwmGroup(t,
+        SharedFwm.streamGroup(flows, env, group,
+          samplingRate = samplingRate, delay = delay), group)
+    }
+  }
+
+  /** foreachBatch body for a shared group: slice each section out of
+    * the micro-batch (finish = sort + top-N+others, identical to the
+    * per-branch [[fwmBatchWriter]]) and hand it to that section's
+    * sink; gated-off extended sections skip their sink work. The
+    * micro-batch is persisted across the slices — it is
+    * aggregate-sized (closed windows only), and without the persist
+    * each slice would recompute the batch's lineage. */
+  def sharedFwmBatchWriter(group: SharedFwmGroup, gate: ExtStatsGate,
+      extended: Map[(String, String), Boolean] = Map.empty)(
+      sink: (graft.operators.SharedFwm.Section, DataFrame) => Unit)
+      : (DataFrame, Long) => Unit =
+    (batch, _) => {
+      batch.persist()
+      try group.sections.foreach { s =>
+        val isExt = extended.getOrElse((s.mo, s.conf.name), false)
+        if (!isExt || gate.isActive(s.conf.name))
+          sink(s, graft.operators.SharedFwm.slice(batch, s))
+      } finally { batch.unpersist(); () }
+    }
+
   /** foreachBatch body for an fwm branch: finish (sort + top-N+others)
     * and hand rows to the sink; gated-off extended sections produce no
     * output but still drain the batch — Spark requires every partition
