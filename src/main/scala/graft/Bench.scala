@@ -97,17 +97,28 @@ object Bench {
       * still spreads past the limit carry a dispersion flag
       * (`dispersion_flagged`), so a cross-round delta on a flagged
       * query is mechanically separable from a plan regression (r11
-      * burned a round adjudicating q47 for lack of exactly this). */
+      * burned a round adjudicating q47 for lack of exactly this).
+      *
+      * Spread is computed over the STEADY samples (2..n): the first
+      * sample of any query pays its JIT/plan warm-up, and in r13 that
+      * cold sample alone flagged 69 of 82 queries — drowning the
+      * "unflagged delta = real plan change" discriminator the flag
+      * exists to provide. The cold sample is still RECORDED (rawRuns
+      * keeps every run); it just doesn't count toward dispersion. */
     val SpreadLimit = 1.5
     def spreadExceeds(s: Seq[Double]): Boolean =
       s.size >= 2 && s.min > 0 && s.max / s.min > SpreadLimit
+    /** Samples 2..n — the dispersion population (cold run excluded). */
+    def steady(s: Seq[Double]): Seq[Double] =
+      if (s.size >= 3) s.tail else s
     val rawRuns =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def median(name: String): Double = {
       var all = (1 to runs).map(_ => timeOnce(name))
       var ok = all.filter(_ >= 0)
       if (ok.nonEmpty && all.size < 5 &&
-          (ok.sorted.apply(ok.size / 2) < 2.0 || spreadExceeds(ok))) {
+          (ok.sorted.apply(ok.size / 2) < 2.0 ||
+            spreadExceeds(steady(ok)))) {
         val extra = (1 to (5 - all.size)).map(_ => timeOnce(name))
         all ++= extra
         ok ++= extra.filter(_ >= 0)
@@ -188,15 +199,17 @@ object Bench {
     // batch-operator core is readable at a glance
     val harness = Set("q81_stream_fwm", "q88_stream_neardup",
       "q99_stream_hll", "q101_stream_cms", "q104_bucketed_join",
-      "q107_stream_asof", "q109_stream_alerts")
+      "q107_stream_asof", "q109_stream_alerts",
+      "q112_stream_shared_fwm", "q113_mavg_underlimit")
     val harnessSec = r3(results.collect {
       case (n, v) if harness(n) && v >= 0 => v }.sum)
-    // dispersion flags: queries whose final sample set STILL spreads
-    // past SpreadLimit after widening — their medians are unstable in
-    // this harness, so a cross-round delta on them is noise until a
+    // dispersion flags: queries whose STEADY samples (2..n — the cold
+    // first run is warm-up, not dispersion) still spread past
+    // SpreadLimit after widening — their medians are unstable in this
+    // harness, so a cross-round delta on them is noise until a
     // driver-order control (TimeQueries) reproduces it
     val dispersionFlagged = rawRuns.collect {
-      case (n, vs) if spreadExceeds(vs.filter(_ >= 0)) => n }.toSeq
+      case (n, vs) if spreadExceeds(steady(vs.filter(_ >= 0))) => n }.toSeq
     // scalars lead; the long queries map sits last with the headline
     // numbers REPEATED after it, so a capture window anchored at either
     // end of the line still sees the totals

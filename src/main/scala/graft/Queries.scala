@@ -4061,6 +4061,213 @@ object Queries {
                proto ASC NULLS FIRST, dst_as ASC NULLS FIRST,
                src_port ASC NULLS FIRST"""))
 
+  // --------------------------------------- streaming shared scan (q112)
+  /** q112 orales the STREAMING half of the shared-scan fwm: q81's exact
+    * spool harness (v9 decode stream → watermarked windows → AvailableNow
+    * flush) but through [[graft.streaming.Pipeline.buildSharedFwm]] — an
+    * MO tree with THREE fwm sections sharing one 30 s window runs as ONE
+    * streaming query (one state store, one pass of the source) instead of
+    * three queries each re-reading the stream. The DuckDB oracle
+    * recomputes all three sections independently.
+    *
+    * The udp child is the timelier-close witness: its own traffic is the
+    * ODD-i flows (last at ts 1700000063), so the per-section query this
+    * replaces — which filters udp before its own watermark — would hold
+    * udp's [1700000040, 1700000070) window open forever (its private
+    * watermark never passes 1700000070). The shared group's watermark is
+    * the STREAM's clock, advanced by the proto-6 sentinel at 1700000100,
+    * so that window closes and IS in the oracle's expectation — the
+    * reference's bank swap flushes every MO's windows on the shared
+    * clock (monit-objects-fwm.c:665-682), which makes the shared group
+    * the faithful shape, not an approximation. */
+  private val q112 = Q(
+    "q112_stream_shared_fwm",
+    (s, dir) => {
+      import graft.config.MoConfig
+      import graft.sources.NetflowDecoder
+      import graft.streaming.Pipeline
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      val base = tmpWorkDir(s"graft_q112_stream_$pid")
+      val spool = authorV9Spool(base, run)
+      val ns = s"q112-$pid-$run"
+      NetflowDecoder.clearStreamCache(ns)
+      val env = FilterEnv.flow(s)
+      val tree = MoConfig.MonitoringObject(
+        name = "all", filter = "",
+        fwm = Seq(
+          MoConfig.FwmSection("by_src", Seq("octets desc", "src host"),
+            timeSec = 30, limit = None, extended = false),
+          MoConfig.FwmSection("by_proto", Seq("octets desc", "proto"),
+            timeSec = 30, limit = None, extended = false)),
+        mavg = Nil, classification = Nil,
+        children = Seq(MoConfig.MonitoringObject(
+          name = "udp", filter = "proto 17",
+          fwm = Seq(MoConfig.FwmSection("udp_src",
+            Seq("octets desc", "src host"), timeSec = 30,
+            limit = None, extended = false)),
+          mavg = Nil, classification = Nil, children = Nil)))
+      val flows = NetflowDecoder.decodeStream(
+          s.readStream.format("pktdump").load(spool.getAbsolutePath), ns)
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+      try {
+        val groups = Pipeline.buildSharedFwm(tree, flows, env)
+        // the shared-scan invariant, streaming form: ONE query (one
+        // window length group) covers the whole 3-section tree
+        require(groups.size == 1 && groups.head.sections.size == 3,
+          s"q112: expected one 3-section group, got " +
+            groups.map(g => g.timeSec -> g.sections.size).toString)
+        val sunk = runStreamToMemory(s, s"q112_sink_$run",
+          new java.io.File(base, s"ckpt-$run"))(groups.head.combined)
+        // sentinel window defensively excluded (never emitted anyway)
+        val frozen = sunk.filter(col("time") < 1700000100L)
+        val cnt = frozen.count()
+        // by_src 10+16+16 + by_proto 2+2+2 + udp_src 5+8+8 = 69; udp's
+        // LAST window (8 rows) is the shared-clock close — a per-section
+        // query would still hold it open
+        require(cnt == 69,
+          s"q112 sink has $cnt rows, expected 69 closed-window rows " +
+            "across the three sections")
+        require(frozen.filter(col("section") === "udp_src" &&
+            col("time") === 1700000040L).count() == 8,
+          "q112: udp's last window must close on the SHARED stream " +
+            "clock (timelier-close semantic)")
+        frozen.orderBy(col("mo").asc, col("section").asc,
+          col("time").asc, col("src_host").asc_nulls_first,
+          col("proto").asc_nulls_first)
+      } finally {
+        NetflowDecoder.clearStreamCache(ns)
+      }
+    },
+    Some("""WITH flows AS (
+        SELECT 1700000000 + i AS ts_sec,
+               CASE WHEN i % 2 = 0 THEN 6 ELSE 17 END AS protocol,
+               100 + i AS in_bytes,
+               167772160 + (i % 16) AS src_host
+        FROM range(64) t(i)),
+      u AS (
+        SELECT 'all' AS mo, 'by_src' AS section,
+               ts_sec - (ts_sec % 30) AS time, src_host,
+               CAST(NULL AS BIGINT) AS proto,
+               CAST(SUM(in_bytes) AS BIGINT) AS octets
+        FROM flows GROUP BY 1, 2, 3, 4
+        UNION ALL
+        SELECT 'all' AS mo, 'by_proto' AS section,
+               ts_sec - (ts_sec % 30) AS time,
+               CAST(NULL AS BIGINT) AS src_host, protocol AS proto,
+               CAST(SUM(in_bytes) AS BIGINT) AS octets
+        FROM flows GROUP BY 1, 2, 3, 5
+        UNION ALL
+        SELECT 'udp' AS mo, 'udp_src' AS section,
+               ts_sec - (ts_sec % 30) AS time, src_host,
+               CAST(NULL AS BIGINT) AS proto,
+               CAST(SUM(in_bytes) AS BIGINT) AS octets
+        FROM flows WHERE protocol = 17 GROUP BY 1, 2, 3, 4)
+      SELECT mo, section, CAST(time AS BIGINT) AS time,
+             CAST(src_host AS BIGINT) AS src_host, proto, octets
+      FROM u
+      ORDER BY mo ASC, section ASC, time ASC,
+               src_host ASC NULLS FIRST, proto ASC NULLS FIRST"""))
+
+  // --------------------------------------------- underlimit oracle (q113)
+  /** q113 drives the REAL silent-key underlimit path end to end: the
+    * reference's dedicated underlimit scanner thread walks every watched
+    * key each second and raises an alert when its decayed rate sits at or
+    * below the limit (monit-objects-mavg-under.c:34-343 — silence IS the
+    * alert condition, which is why it needs ticks without traffic). The
+    * Spark shape is [[graft.streaming.MavgTwsProcessor]]'s per-key
+    * processing-time timers over RocksDB state.
+    *
+    * Two keys stream live wall-clock traffic: `quiet` sends a healthy
+    * burst then goes silent — only its per-key TIMER can notice (no
+    * arrivals ever again) — while `healthy` keeps sending above the
+    * limit for the whole run. The deterministic content is WHICH keys
+    * alert: exactly one underlimit `start` for `quiet`, nothing for
+    * `healthy`. Tick VALUES ride the wall clock (the reference's
+    * scanner does too), so the oracle checks the event set, not decayed
+    * magnitudes — those are pinned deterministically by MavgStreamSpec /
+    * MavgTwsSpec on the step core both operators share. */
+  private val q113 = Q(
+    "q113_mavg_underlimit",
+    (s, dir) => {
+      import graft.streaming.{MavgStream, MavgTwsProcessor}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      val base = tmpWorkDir(s"graft_q113_under_$pid")
+      withRocksDb(s) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        // two keys need two state shards, not the session's 32: state
+        // partition count is fixed from this conf at query start, and
+        // every micro-batch pays one RocksDB instance per shard (~5 s
+        // of init per batch at 32). Live deployments size this to key
+        // cardinality; scoped + restored here.
+        val oldSp = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+        val mem = MemoryStream[MavgStream.Input]
+        // windowSec 2: `quiet` fully decays ~2 s after its last row (the
+        // timer then seeds the underlimit entry; the next 200 ms tick
+        // fires Started), while a false positive for `healthy` — fed
+        // every ~100 ms at 250x the limit — would need a ~2 s feeder
+        // stall
+        val conf = MavgStream.Conf(windowSec = 2L,
+          defaultLimits = Seq(10.0), back2normSec = 3600L,
+          isOver = false, tickIntervalMs = 200L)
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.sql.Row]()
+        val q = MavgTwsProcessor(mem.toDS(), conf).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation",
+            new java.io.File(base, s"ckpt-$run").getAbsolutePath)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(got.add); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("100 milliseconds"))
+          .start()
+        def started(key: String): Boolean = got.asScala.exists(r =>
+          r.getString(0) == key && r.getString(2) == "start")
+        // the snapshot is taken the moment quiet's start is observed,
+        // BEFORE stopping: once the feeder loop ends, `healthy` stops
+        // receiving traffic too and would — correctly! — start its own
+        // underlimit alert a couple of windows later; the query's
+        // assertion window is "while healthy traffic flowed". No
+        // processAllAvailable here: live processing-time timers emit
+        // on every trigger, so the stream never reports caught-up.
+        var snap: Seq[org.apache.spark.sql.Row] = Seq.empty
+        try {
+          val deadline = System.nanoTime() + 60L * 1_000_000_000L
+          var i = 0
+          while (!started("quiet") && System.nanoTime() < deadline) {
+            val nowNs = System.currentTimeMillis() * 1_000_000L
+            val rows = MavgStream.Input("healthy", nowNs, 500.0) +:
+              (if (i < 6) Seq(MavgStream.Input("quiet", nowNs, 500.0))
+               else Nil)
+            mem.addData(rows: _*)
+            Thread.sleep(100)
+            i += 1
+          }
+          snap = got.asScala.toSeq
+        } finally q.stop()
+        require(snap.exists(r =>
+            r.getString(0) == "quiet" && r.getString(2) == "start"),
+          "q113: the silent key's underlimit alert never started — " +
+            "the per-key timer chain (underlimit scanner analog) did " +
+            "not tick it")
+        val events = snap
+          .filter(_.getString(2) == "start")
+          .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        s.createDataset(events).toDF("key", "limit_idx", "ev")
+          .withColumn("limit_idx", col("limit_idx").cast(LongType))
+          .orderBy(col("key").asc)
+        } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
+      }
+    },
+    Some("""SELECT 'quiet' AS key, CAST(0 AS BIGINT) AS limit_idx,
+             'start' AS ev"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4070,7 +4277,8 @@ object Queries {
     q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
-    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
+    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
+    q112, q113)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

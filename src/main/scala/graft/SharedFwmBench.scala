@@ -8,11 +8,22 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Adjudication control for the shared-scan fwm pass (SCALE.md): times
-  * q111's 3-section MO tree two ways on SPARK_GRAFT_SF_DIR —
-  * [[SharedFwm.batchAll]] (one scan, one shuffle) vs the three
-  * [[Fwm.batch]] jobs it replaces — and prints one JSON line with the
-  * medians and the speedup. The separate path is run through one union
-  * so both sides pay a single action's fixed cost.
+  * an N-section MO tree two ways on SPARK_GRAFT_SF_DIR —
+  * [[SharedFwm.batchAll]] (one scan, one shuffle) vs the N
+  * [[Fwm.aggregate]] jobs it replaces — and prints one JSON line with
+  * the medians and the speedup. SYMMETRIC by construction: both sides
+  * time scan + aggregate only (no per-section orderBy/top-N finishing
+  * on either — the finish is aggregate-sized work that `slice` applies
+  * identically on top of either path), and the separate path runs
+  * through one union so both sides pay a single action's fixed cost.
+  *
+  * `args(0)` = section count (default 3 — the q111 tree, for
+  * continuity with the r13 table). Widths beyond 3 cycle a pool of
+  * key fields × {octets, packets} across the root and a proto-filtered
+  * child, exercising the superset-struct dispatch at realistic MO-tree
+  * width (reference deployments run many MOs; the superset widens with
+  * key diversity, so codegen behavior at 8–16 sections is the claim to
+  * verify, not assume).
   */
 object SharedFwmBench {
   def main(args: Array[String]): Unit = {
@@ -20,6 +31,8 @@ object SharedFwmBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.get("SPARK_GRAFT_RUNS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(5)
+    val width = args.headOption.flatMap(_.toIntOption).getOrElse(3)
+    require(width >= 1, s"width must be >= 1, got $width")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,21 +45,45 @@ object SharedFwmBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val env = FilterEnv.flow(spark)
-    val tree = MoConfig.MonitoringObject(
-      name = "all", filter = "",
-      fwm = Seq(
-        MoConfig.FwmSection("hourly", Seq("octets desc", "proto"),
-          timeSec = 3600, limit = None, extended = false),
-        MoConfig.FwmSection("pkts2h", Seq("packets desc", "dst as"),
-          timeSec = 7200, limit = None, extended = false)),
-      mavg = Nil, classification = Nil,
-      children = Seq(MoConfig.MonitoringObject(
-        name = "tcp", filter = "proto 6",
-        fwm = Seq(MoConfig.FwmSection("tcp_hourly",
-          Seq("octets desc", "src port"), timeSec = 3600,
-          limit = None, extended = false)),
-        mavg = Nil, classification = Nil, children = Nil)))
+    val tree =
+      if (width == 3)
+        // the q111 tree, verbatim — keeps the table comparable
+        MoConfig.MonitoringObject(
+          name = "all", filter = "",
+          fwm = Seq(
+            MoConfig.FwmSection("hourly", Seq("octets desc", "proto"),
+              timeSec = 3600, limit = None, extended = false),
+            MoConfig.FwmSection("pkts2h", Seq("packets desc", "dst as"),
+              timeSec = 7200, limit = None, extended = false)),
+          mavg = Nil, classification = Nil,
+          children = Seq(MoConfig.MonitoringObject(
+            name = "tcp", filter = "proto 6",
+            fwm = Seq(MoConfig.FwmSection("tcp_hourly",
+              Seq("octets desc", "src port"), timeSec = 3600,
+              limit = None, extended = false)),
+            mavg = Nil, classification = Nil, children = Nil)))
+      else {
+        // wide tree: cycle distinct (key, measure, window) combos —
+        // every key field widens the superset struct
+        val keys = Seq("src host", "dst host", "src port", "dst port",
+          "proto", "src as", "dst as", "ifidx")
+        def sec(i: Int) = MoConfig.FwmSection(s"s$i",
+          Seq(s"${if (i % 2 == 0) "octets" else "packets"} desc",
+            keys(i % keys.size)),
+          timeSec = if (i % 3 == 2) 7200 else 3600,
+          limit = None, extended = false)
+        val onRoot = (width + 1) / 2
+        MoConfig.MonitoringObject(
+          name = "all", filter = "",
+          fwm = (0 until onRoot).map(sec),
+          mavg = Nil, classification = Nil,
+          children = Seq(MoConfig.MonitoringObject(
+            name = "tcp", filter = "proto 6",
+            fwm = (onRoot until width).map(sec),
+            mavg = Nil, classification = Nil, children = Nil)))
+      }
     val secs = SharedFwm.sections(tree, env)
+    require(secs.size == width, s"built ${secs.size} sections, want $width")
 
     def flows = TestFlowView.load(spark, sfDir)
     def shared(): Unit =
@@ -54,7 +91,7 @@ object SharedFwmBench {
           samplingRate = Some(col("sampling_rate")))
         .write.format("noop").mode("overwrite").save()
     def separate(): Unit =
-      secs.map(s => Fwm.batch(flows.filter(s.pred), env, s.conf,
+      secs.map(s => Fwm.aggregate(flows.filter(s.pred), env, s.conf,
           samplingRate = Some(col("sampling_rate")))
           .select(lit(s.conf.name).as("section"), col("time")))
         .reduce(_ unionByName _)

@@ -44,6 +44,29 @@ object Fwm {
   /** Epoch-seconds of a TimestampType column (streaming/real ingest). */
   def toEpochSec(ts: Column): Column = unix_timestamp(ts).cast(LongType)
 
+  /** The scan + aggregate half of [[batch]] — epoch-bucketed groupBy +
+    * summed measures, no finishing sort/top-N. This is the part whose
+    * cost scales with the data; the finish is aggregate-sized. Exposed
+    * so scan-vs-scan comparisons (SharedFwmBench) time symmetric work.
+    *
+    * @param tsCol epoch-seconds column (use [[toEpochSec]] for timestamps)
+    */
+  def aggregate(flows: DataFrame, env: FilterEnv, conf: Conf,
+                tsCol: Column = col("ts_sec"),
+                samplingRate: Option[Column] = None): DataFrame = {
+    val compiled = compile(conf).fold(e => sys.error(e), identity)
+    require(compiled.aggrs.nonEmpty,
+      s"fwm '${conf.name}' needs at least one aggregable field")
+    val rate = samplingRate.getOrElse(lit(1L))
+    val keyCols = compiled.keys.map(k => k.column(env).as(k.sqlName))
+    val aggCols = compiled.aggrs.map { a =>
+      sum(a.column(env) * lit(a.scale) * rate).as(a.sqlName)
+    }
+    flows
+      .groupBy((bucket(tsCol, conf.timeSec).as("time") +: keyCols): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Build the full batch pipeline over a flow DataFrame.
     *
     * Output columns: `time` (epoch secs) + one column per declared field
@@ -54,40 +77,8 @@ object Fwm {
     */
   def batch(flows: DataFrame, env: FilterEnv, conf: Conf,
             tsCol: Column = col("ts_sec"),
-            samplingRate: Option[Column] = None): DataFrame = {
-    val compiled = compile(conf).fold(e => sys.error(e), identity)
-    val keys = compiled.keys
-    val aggrs = compiled.aggrs
-    val sortOrder = compiled.sortOrder
-    require(aggrs.nonEmpty,
-      s"fwm '${conf.name}' needs at least one aggregable field")
-
-    val rate = samplingRate.getOrElse(lit(1L))
-    val keyCols = keys.map(k => k.column(env).as(k.sqlName))
-    val aggCols = aggrs.map { a =>
-      val src = a.column(env)
-      sum(src * lit(a.scale) * rate).as(a.sqlName)
-    }
-
-    val grouped = flows
-      .groupBy((bucket(tsCol, conf.timeSec).as("time") +: keyCols): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-
-    val sortCols = sortOrder.map(f =>
-      if (f.descending) col(f.sqlName).desc else col(f.sqlName).asc)
-
-    val limited = conf.limit match {
-      case Some(n) =>
-        TopK.topNOthers(grouped, Seq("time"),
-          keys.map(_.sqlName), aggrs.map(_.sqlName), sortCols, n)
-      case None => grouped
-    }
-
-    // others row (NULL keys) sorts last inside its window
-    val othersLast = keys.headOption
-      .map(k => col(k.sqlName).isNull.cast("int").asc).toSeq
-    limited.orderBy((col("time").asc +: othersLast) ++ sortCols: _*)
-  }
+            samplingRate: Option[Column] = None): DataFrame =
+    finishWindows(aggregate(flows, env, conf, tsCol, samplingRate), conf)
 
   /** Streaming mode: tumbling event-time windows with a watermark. The
     * same fieldset compiles to `groupBy(window(ts, T), keys).agg(sums)`;

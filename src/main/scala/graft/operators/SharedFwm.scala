@@ -47,8 +47,14 @@ import org.apache.spark.sql.types.DataType
   */
 object SharedFwm {
 
-  /** One fwm section with its effective (parent-conjoined) filter. */
-  final case class Section(mo: String, pred: Column, conf: Fwm.Conf)
+  /** One fwm section with its effective (parent-conjoined) filter.
+    * `extended` carries the config's gate flag (reference "extended"
+    * windows aggregate only while an alert holds them open) so sink
+    * wiring — [[graft.streaming.Pipeline.sharedFwmBatchWriter]] — can
+    * gate without the caller rebuilding a lookup the config already
+    * states. */
+  final case class Section(mo: String, pred: Column, conf: Fwm.Conf,
+                           extended: Boolean = false)
 
   /** Flatten an MO tree to sections, conjoining filters along the path
     * (reference: recursive dispatch applies the child's filter on top
@@ -59,7 +65,7 @@ object SharedFwm {
       .fold(e => sys.error(s"MO '${mo.name}' filter: $e"), identity)
     val pred = parentPred && ownPred
     mo.fwm.map(f => Section(mo.name, pred,
-      Fwm.Conf(f.name, f.fields, f.timeSec, f.limit))) ++
+      Fwm.Conf(f.name, f.fields, f.timeSec, f.limit), f.extended)) ++
       mo.children.flatMap(sections(_, env, pred))
   }
 
@@ -81,10 +87,16 @@ object SharedFwm {
       s"fwm '${s.conf.name}' needs at least one aggregable field") }
 
     val rate = samplingRate.getOrElse(lit(1L))
+    // dedup key is the LOWERCASED sqlName: field-name resolution is
+    // case-insensitive but sqlName preserves the declared text's case,
+    // so 'Octets desc' in one section and 'octets desc' in another are
+    // the same expression — two superset columns differing only in
+    // case would make slice's col() ambiguous under Spark's default
+    // case-insensitive resolution
     def dedup(specs: Seq[FieldSpec]): Seq[FieldSpec] = {
       val seen = scala.collection.mutable.LinkedHashMap.empty[
         String, FieldSpec]
-      specs.foreach(f => seen.getOrElseUpdate(f.sqlName, f))
+      specs.foreach(f => seen.getOrElseUpdate(f.sqlName.toLowerCase, f))
       seen.values.toSeq
     }
     val keySpecs = dedup(compiled.flatMap(_._2.keys))
@@ -103,16 +115,16 @@ object SharedFwm {
     // rejects the flow (explode keeps NULL elements as NULL rows; the
     // isNotNull filter drops them)
     val structs = compiled.map { case (s, c) =>
-      val usedK = c.keys.map(_.sqlName).toSet
-      val usedA = c.aggrs.map(_.sqlName).toSet
+      val usedK = c.keys.map(_.sqlName.toLowerCase).toSet
+      val usedA = c.aggrs.map(_.sqlName.toLowerCase).toSet
       val fields =
         Seq(lit(s.mo).as("mo"), lit(s.conf.name).as("section")) ++
         timeOf.map(f => f(s).as("time")).toSeq ++
         keySpecs.map(k =>
-          (if (usedK(k.sqlName)) k.column(env)
+          (if (usedK(k.sqlName.toLowerCase)) k.column(env)
            else lit(null).cast(types(k.sqlName))).as(k.sqlName)) ++
         aggSpecs.map(a =>
-          (if (usedA(a.sqlName)) measureCol(a)
+          (if (usedA(a.sqlName.toLowerCase)) measureCol(a)
            else lit(null).cast(types(a.sqlName))).as(a.sqlName))
       when(s.pred, struct(fields: _*))
     }
@@ -180,12 +192,13 @@ object SharedFwm {
       s"streamGroup needs one shared window length, got $times")
     val d = compileDispatch(flows, env, secs, samplingRate, None)
     val aggCols = d.aggSpecs.map(a => sum(col(a.sqlName)).as(a.sqlName))
-    flows
+    val out = flows
       .withWatermark(tsColName, delay)
       // same per-section-filter semantics as Pipeline's per-branch
       // flows.filter(pred): Catalyst pushes this non-ts disjunction
       // below the watermark node, so dropped flows don't advance the
       // watermark — identical to the per-section queries it replaces
+      // (assertFilterBelowWatermark below proves the placement)
       .where(secs.map(_.pred).reduce(_ || _))
       .select(col(tsColName), explode(array(d.structs: _*)).as("s"))
       .where(col("s").isNotNull)
@@ -197,6 +210,45 @@ object SharedFwm {
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("time", unix_timestamp(col("window.start")))
       .drop("window")
+    assertFilterBelowWatermark(out)
+    out
+  }
+
+  /** Plan guard for [[streamGroup]]'s watermark claim: the root
+    * disjunction must sit BELOW the EventTimeWatermark node (so a flow
+    * no section wants is dropped before its event time is sampled and
+    * never advances the watermark — the per-section-query semantics
+    * this pass replaces). This rests on Catalyst's
+    * PushPredicateThroughNonJoin — the EXACT placement whose opposite
+    * direction silently broke q109's sentinel — so it is asserted, not
+    * assumed: an optimizer change or a ts-referencing predicate fails
+    * loudly here instead of silently shifting window-close timing.
+    * Filters above the explode are post-dispatch (the struct isNotNull)
+    * and cannot touch watermark sampling. */
+  private def assertFilterBelowWatermark(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      EventTimeWatermark, Filter, Generate}
+    // the bridge: queryExecution.optimizedPlan on a streaming frame
+    // throws the batch-execution check; optimize the analyzed plan
+    // directly (same rule set the micro-batch planner runs)
+    val plan = org.apache.spark.sql.GraftBridge.optimizeLogical(df)
+    val wm = plan.collectFirst { case w: EventTimeWatermark => w }
+    require(wm.isDefined,
+      "streamGroup plan lost its EventTimeWatermark node")
+    val below = wm.get.collect { case f: Filter => f }.toSet
+    // the optimizer infers `isnotnull(ts)` ABOVE the watermark — a
+    // NULL event time is never sampled, so a filter touching only the
+    // event-time attribute itself cannot change watermark advancement
+    val etId = wm.get.eventTime.exprId
+    val offenders = plan.collect {
+      case f: Filter if !below(f) &&
+          f.collectFirst { case g: Generate => g }.isEmpty &&
+          !f.condition.references.forall(_.exprId == etId) => f
+    }
+    require(offenders.isEmpty,
+      "streamGroup: a source-row filter sits ABOVE the " +
+        "EventTimeWatermark node — dropped flows would advance the " +
+        s"watermark, changing window-close timing: $offenders")
   }
 
   /** One section's frame out of [[batchAll]]'s combined result:

@@ -173,16 +173,51 @@ object AlertTimelineStream {
 
   /** Wire over a keyed tick stream. `input` must carry a watermark on
     * its event-time column (tick t ↔ second `epoch0 + t`) — the
-    * watermark IS the tick-completeness signal the timers fire on. */
+    * watermark IS the tick-completeness signal the timers fire on.
+    *
+    * CONTRACT (enforced): no row filter may sit between the watermark
+    * and this operator. Catalyst's PushPredicateThroughNonJoin pushes
+    * any non-ts predicate BELOW EventTimeWatermark, so a
+    * `.filter(key =!= sentinel)` written after `withWatermark` drops
+    * the row before its event time is sampled — the watermark then
+    * never passes the grid end and the tail ticks never fire (the
+    * exact silent q109 bug). Rows a key doesn't want are ignored
+    * statelessly by the processor's idx∈[0,nTicks) guard instead;
+    * filters applied BEFORE the watermark are the caller's explicit
+    * pre-watermark semantics and remain allowed. */
   def apply(input: Dataset[Tick], nTicks: Int, epoch0: Long,
             windowTicks: Int = 8,
             back2normTicks: Int = 2): Dataset[Event] = {
     import input.sparkSession.implicits._
+    assertNoFilterAboveWatermark(input)
     input
       .groupByKey(_.key)
       .transformWithState(
         new AlertTimelineStreamProcessor(nTicks, epoch0, windowTicks,
           back2normTicks),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The q109 sentinel guard, promoted onto the operator so the
+    * contract travels with it: reject any Filter that is an ancestor
+    * of the EventTimeWatermark node in the ANALYZED plan (that is
+    * precisely the shape the optimizer reorders below the watermark).
+    * Checked pre-optimization so the guard sees the filter where the
+    * caller wrote it, before pushdown hides it inside the subtree. */
+  private def assertNoFilterAboveWatermark(input: Dataset[_]): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      EventTimeWatermark, Filter}
+    val plan = input.queryExecution.analyzed
+    plan.collectFirst { case w: EventTimeWatermark => w }.foreach { wm =>
+      val below = wm.collect { case f: Filter => f }.toSet
+      val offenders = plan.collect {
+        case f: Filter if !below(f) => f }
+      require(offenders.isEmpty,
+        "AlertTimelineStream: a row filter sits between the watermark " +
+          "and the processor — Catalyst pushes it below " +
+          "EventTimeWatermark, dropping rows (e.g. the grid-end " +
+          "sentinel) before their event time is sampled. Filter " +
+          s"before withWatermark instead: $offenders")
+    }
   }
 }

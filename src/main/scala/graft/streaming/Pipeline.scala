@@ -186,19 +186,21 @@ object Pipeline {
   /** foreachBatch body for a shared group: slice each section out of
     * the micro-batch (finish = sort + top-N+others, identical to the
     * per-branch [[fwmBatchWriter]]) and hand it to that section's
-    * sink; gated-off extended sections skip their sink work. The
-    * micro-batch is persisted across the slices — it is
-    * aggregate-sized (closed windows only), and without the persist
-    * each slice would recompute the batch's lineage. */
-  def sharedFwmBatchWriter(group: SharedFwmGroup, gate: ExtStatsGate,
-      extended: Map[(String, String), Boolean] = Map.empty)(
+    * sink; gated-off extended sections skip their sink work — the
+    * extended flag travels ON the Section (sections() reads it from
+    * the config), so migrating from [[build]] to [[buildSharedFwm]]
+    * keeps ExtStatsGate gating without the caller rebuilding a lookup
+    * the config already states. The micro-batch is persisted across
+    * the slices — it is aggregate-sized (closed windows only), and
+    * without the persist each slice would recompute the batch's
+    * lineage. */
+  def sharedFwmBatchWriter(group: SharedFwmGroup, gate: ExtStatsGate)(
       sink: (graft.operators.SharedFwm.Section, DataFrame) => Unit)
       : (DataFrame, Long) => Unit =
     (batch, _) => {
       batch.persist()
       try group.sections.foreach { s =>
-        val isExt = extended.getOrElse((s.mo, s.conf.name), false)
-        if (!isExt || gate.isActive(s.conf.name))
+        if (!s.extended || gate.isActive(s.conf.name))
           sink(s, graft.operators.SharedFwm.slice(batch, s))
       } finally { batch.unpersist(); () }
     }

@@ -26,4 +26,17 @@ object GraftBridge {
     * codegen unresolved. */
   def lower(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Optimize a frame's ANALYZED plan with the session optimizer,
+    * without QueryExecution's batch-execution gate — the only way to
+    * inspect optimizer placement (e.g. a Filter vs EventTimeWatermark)
+    * on a STREAMING frame before start(): touching
+    * `queryExecution.optimizedPlan` on one throws
+    * UnsupportedOperationChecker's "must be executed with
+    * writeStream.start()". The returned plan is advisory (micro-batch
+    * execution re-optimizes per batch with the same rule set). */
+  def optimizeLogical(df: Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.sparkSession.sessionState.optimizer.execute(
+      df.queryExecution.analyzed)
 }

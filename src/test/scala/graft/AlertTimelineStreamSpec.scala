@@ -200,4 +200,33 @@ class AlertTimelineStreamSpec extends SparkTest {
         "grid complete: every key's state must be cleared")
     }
   }
+
+  /** The sentinel contract travels WITH the operator (not just q109's
+    * in-query require): a row filter written between the watermark and
+    * the processor is rejected at construction — Catalyst would push
+    * it below EventTimeWatermark and drop rows before their event time
+    * is sampled. Filtering BEFORE the watermark stays allowed. */
+  test("a row filter between watermark and processor is rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Row5]
+    def base = mem.toDF().toDF("ts", "key", "idx", "v", "lim")
+    val postWmFilter = base
+      .withWatermark("ts", "0 seconds")
+      .filter(col("key") =!= 99L)
+      .select(col("key"), col("idx"), col("v"), col("lim"))
+      .as[Tick]
+    val e = intercept[IllegalArgumentException] {
+      AlertTimelineStream(postWmFilter, NTicks, Epoch0)
+    }
+    assert(e.getMessage.contains("EventTimeWatermark"), e.getMessage)
+    // pre-watermark filtering is the caller's explicit semantics
+    val preWmFilter = base
+      .filter(col("key") =!= 99L)
+      .withWatermark("ts", "0 seconds")
+      .select(col("key"), col("idx"), col("v"), col("lim"))
+      .as[Tick]
+    AlertTimelineStream(preWmFilter, NTicks, Epoch0) // must construct
+  }
 }

@@ -223,4 +223,114 @@ class SharedFwmSpec extends SparkTest {
     assert(extra == Seq(Seq(1L, 10L, 20L)), // octets, src_host, time
       s"timelier close expected exactly tcp's [20,30) window: $extra")
   }
+
+  /** The watermark-semantics claim streamGroup documents (and now
+    * asserts in-plan): a flow NO section wants is dropped BELOW the
+    * EventTimeWatermark node, so it never advances the watermark — a
+    * root-filtered MO tree behaves exactly like the per-section
+    * queries it replaces. A no-section flow with a far-future event
+    * time must close nothing; a matching flow at the same event time
+    * then closes everything before it. */
+  test("a flow matching no section does not advance the watermark") {
+    import graft.streaming.{ExtStatsGate, Pipeline}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val rootFiltered = MoConfig.MonitoringObject(
+      name = "ip", filter = "proto 6 or proto 17",
+      fwm = Seq(MoConfig.FwmSection("by_proto",
+        Seq("octets desc", "proto"), timeSec = 10, limit = None,
+        extended = false)),
+      mavg = Nil, classification = Nil, children = Nil)
+
+    val mem = MemoryStream[(Timestamp, Long, Long, Long)]
+    val flowsS = mem.toDS().toDF("ts", "protocol", "ip4_src_addr",
+      "in_bytes")
+    val groups = Pipeline.buildSharedFwm(rootFiltered, flowsS, env)
+    assert(groups.size == 1)
+    val got = scala.collection.mutable.Buffer.empty[Seq[Any]]
+    val q = groups.head.combined.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(Pipeline.sharedFwmBatchWriter(groups.head,
+        new ExtStatsGate) { (_, finished) =>
+        got.synchronized { got ++= finished.collect().map(_.toSeq) }
+      }).start()
+    try {
+      mem.addData((new Timestamp(1000), 6L, 10L, 500L))
+      q.processAllAvailable()
+      // a proto no section wants, far in the future: were the root
+      // disjunction evaluated ABOVE the watermark, this would advance
+      // the watermark to t=100s and close the [0,10) window
+      mem.addData((new Timestamp(100000), 50L, 10L, 1L))
+      q.processAllAvailable()
+      assert(got.isEmpty,
+        s"no-section flow advanced the watermark: closed $got")
+      // the same event time on a MATCHING flow does close it
+      mem.addData((new Timestamp(100000), 17L, 10L, 2L))
+      q.processAllAvailable()
+      assert(got.nonEmpty, "matching flow must close the old window")
+    } finally q.stop()
+  }
+
+  /** Same declared field in different case must collapse to ONE
+    * superset column (field resolution is case-insensitive; two
+    * columns differing only in case would make slice's col()
+    * ambiguous) — and slices stay bit-compatible with Fwm.batch. */
+  test("case-variant field names share one superset column") {
+    val caseTree = MoConfig.MonitoringObject(
+      name = "all", filter = "",
+      fwm = Seq(
+        MoConfig.FwmSection("a", Seq("Octets desc", "proto"),
+          timeSec = 60, limit = None, extended = false),
+        MoConfig.FwmSection("b", Seq("octets desc", "src host"),
+          timeSec = 60, limit = None, extended = false)),
+      mavg = Nil, classification = Nil, children = Nil)
+    val secs = SharedFwm.sections(caseTree, env)
+    val combined = SharedFwm.batchAll(flows, env, secs,
+      samplingRate = Some(col("sampling_rate")))
+    assert(combined.columns.count(_.equalsIgnoreCase("octets")) == 1,
+      combined.columns.mkString(","))
+    secs.foreach { s =>
+      val got = SharedFwm.slice(combined, s).collect().toSeq
+      val want = Fwm.batch(flows.filter(s.pred), env, s.conf,
+        samplingRate = Some(col("sampling_rate"))).collect().toSeq
+      assert(got.nonEmpty && got == want, s"section ${s.conf.name}")
+    }
+  }
+
+  /** Extended gating travels ON the Section: sharedFwmBatchWriter
+    * skips a gated-off extended section's sink and includes it once
+    * the gate opens — no caller-built lookup involved. */
+  test("sharedFwmBatchWriter gates extended sections from the config") {
+    import graft.streaming.{ExtStatsGate, Pipeline}
+    val gatedTree = MoConfig.MonitoringObject(
+      name = "all", filter = "",
+      fwm = Seq(
+        MoConfig.FwmSection("base", Seq("octets desc", "proto"),
+          timeSec = 60, limit = None, extended = false),
+        MoConfig.FwmSection("ext", Seq("octets desc", "src host"),
+          timeSec = 60, limit = None, extended = true)),
+      mavg = Nil, classification = Nil, children = Nil)
+    val secs = SharedFwm.sections(gatedTree, env)
+    assert(secs.map(s => (s.conf.name, s.extended)) ==
+      Seq(("base", false), ("ext", true)))
+    val combined = SharedFwm.batchAll(flows, env, secs,
+      samplingRate = Some(col("sampling_rate")))
+    val gate = new ExtStatsGate
+    def sunkWith(g: ExtStatsGate): Set[String] = {
+      val sunk = scala.collection.mutable.Set.empty[String]
+      Pipeline.sharedFwmBatchWriter(
+        Pipeline.SharedFwmGroup(60L, combined, secs), g) {
+        (s, _) => sunk += s.conf.name; ()
+      }.apply(combined, 0L)
+      sunk.toSet
+    }
+    assert(sunkWith(gate) == Set("base"),
+      "gated-off extended section must not reach its sink")
+    gate.activate("ext")
+    assert(sunkWith(gate) == Set("base", "ext"))
+  }
 }
