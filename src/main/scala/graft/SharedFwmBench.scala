@@ -66,7 +66,7 @@ object SharedFwmBench {
         // wide tree: cycle distinct (key, measure, window) combos —
         // every key field widens the superset struct
         val keys = Seq("src host", "dst host", "src port", "dst port",
-          "proto", "src as", "dst as", "ifidx")
+          "proto", "src as", "dst as", "src ifidx")
         def sec(i: Int) = MoConfig.FwmSection(s"s$i",
           Seq(s"${if (i % 2 == 0) "octets" else "packets"} desc",
             keys(i % keys.size)),
