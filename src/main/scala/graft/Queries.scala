@@ -4207,12 +4207,16 @@ object Queries {
         s.conf.set("spark.sql.shuffle.partitions", "8")
         try {
         val mem = MemoryStream[MavgStream.Input]
-        // windowSec 2: `quiet` fully decays ~2 s after its last row (the
+        // windowSec 5: `quiet` fully decays ~5 s after its last row (the
         // timer then seeds the underlimit entry; the next 200 ms tick
         // fires Started), while a false positive for `healthy` — fed
-        // every ~100 ms at 250x the limit — would need a ~2 s feeder
-        // stall
-        val conf = MavgStream.Conf(windowSec = 2L,
+        // every ~100 ms at far above the limit — would need a FIVE
+        // second gap between folded arrivals and a tick. Sized for the
+        // shared driver JVM: bench sessions have shown multi-second
+        // stalls (SCALE.md q102 control), and a stall here would turn
+        // a correct negative (healthy never alerts while fed) into a
+        // red row
+        val conf = MavgStream.Conf(windowSec = 5L,
           defaultLimits = Seq(10.0), back2normSec = 3600L,
           isOver = false, tickIntervalMs = 200L)
         val got = new java.util.concurrent.ConcurrentLinkedQueue[
