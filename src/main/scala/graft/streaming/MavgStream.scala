@@ -188,21 +188,36 @@ object MavgStream {
     }
 
     if (nowNs > 0L) {
-      // underlimit seeding at ANY lifecycle instant (arrival or silent
-      // tick): an absent entry whose decayed value sits at/below the
-      // limit inserts — this is the whole point of silent-key ticks
-      // (reference's dedicated scanner thread); before r11 this was
-      // skipped on the timeout path, so a key that went silent while
-      // healthy could never start its underlimit alert
+      // underlimit scan at ANY lifecycle instant (arrival or silent
+      // tick) — the reference's dedicated scanner thread
+      // (monit-objects-mavg-under.c:35-98), BOTH of its branches:
+      //  - absent entry at/below the limit → insert (before r11 this
+      //    was skipped on the timeout path, so a key that went silent
+      //    while healthy could never start its underlimit alert);
+      //  - EXISTING entry → REFRESH value/time/limit to the key's
+      //    CURRENT decayed rate unconditionally (file:57-66). The
+      //    refresh is what lets the lifecycle END on recovery: the
+      //    act tick then sees the rate back above the limit, starts
+      //    the hysteresis clock, and fires Ended — without it the
+      //    stale under-limit snapshot keeps "breaching" forever and a
+      //    recovered key's alert never closes. (The reference's
+      //    Gone→New revival at file:68-71 is covered by pruning Gone
+      //    entries below: the next scan re-inserts them as New —
+      //    behaviorally identical.)
       if (!conf.isOver) {
         val decayedN =
           if (tLast == Long.MinValue || nowNs > tLast + windowNs) 0.0
           else n - (nowNs - tLast).toDouble / windowNs * n
         limitVals.zipWithIndex.foreach { case (limit, i) =>
-          if (!lims.contains(i)) {
-            val perSec = decayedN / conf.windowSec
-            if (perSec <= limit)
-              lims += i -> onBreach(None, nowNs, perSec, limit, b2nNs(conf, i))
+          val perSec = decayedN / conf.windowSec
+          lims.get(i) match {
+            case Some(s) =>
+              lims += i -> s.copy(timeLastNs = nowNs, value = perSec,
+                limit = limit, back2normNs = b2nNs(conf, i))
+            case None =>
+              if (perSec <= limit)
+                lims += i ->
+                  onBreach(None, nowNs, perSec, limit, b2nNs(conf, i))
           }
         }
       }

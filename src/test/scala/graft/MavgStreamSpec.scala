@@ -173,6 +173,37 @@ class MavgStreamSpec extends SparkTest {
     assert(out2.exists(r => r.event == "start" || r.event == "update"),
       s"expected lifecycle events on timeout tick, got $out2")
   }
+
+  test("underlimit alert ENDS after the rate recovers (the scanner's " +
+    "per-scan value refresh, monit-objects-mavg-under.c:57-66)") {
+    val conf = Conf(windowSec = 5, defaultLimits = Seq(100.0),
+      back2normSec = 2, isOver = false, tickIntervalMs = 1000)
+    val S = 1_000_000_000L
+    val state = new TestGroupState[MavgStream.KeyState]
+    def feed(ts: Long, v: Double) = MavgStream.process(conf)("a",
+      Iterator(Input("a", ts * S, v)), state).toSeq
+    // rate 50/5 = 10/s ≤ 100 → entry inserts, Started fires on the tick
+    val out1 = feed(10, 50.0)
+    assert(out1.count(_.event == "start") == 1, out1.toString)
+    // RECOVERY: rate jumps to ~1000/s > 100. The scanner refresh must
+    // overwrite the stale under-limit snapshot with the current rate,
+    // so the act tick sees not-breaching and starts the hysteresis
+    // clock (t=12) — no end yet
+    val out2 = feed(12, 5000.0)
+    assert(!out2.exists(_.event == "end"), out2.toString)
+    // hysteresis (2 s) elapsed at t=15 while still recovered → Ended
+    // exactly once; without the refresh the entry's value stays ~10/s
+    // (< limit = "breaching" for underlimit) and the alert never ends
+    val out3 = feed(15, 5000.0)
+    assert(out3.count(_.event == "end") == 1, out3.toString)
+    // the episode is closed: the entry is pruned, and a LATER silence
+    // re-seeds a fresh alert (the reference's Gone→New revival)
+    state.timedOut = true
+    state.processingTimeMs = 60_000L
+    val out4 = MavgStream.process(conf)("a", Iterator.empty, state).toSeq
+    assert(out4.count(_.event == "start") == 1,
+      s"re-silenced key must start a fresh underlimit alert: $out4")
+  }
 }
 
 /** Minimal GroupState stub for direct processor tests. */
