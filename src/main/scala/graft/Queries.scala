@@ -4178,15 +4178,19 @@ object Queries {
     * Spark shape is [[graft.streaming.MavgTwsProcessor]]'s per-key
     * processing-time timers over RocksDB state.
     *
-    * Two keys stream live wall-clock traffic: `quiet` sends a healthy
-    * burst then goes silent — only its per-key TIMER can notice (no
-    * arrivals ever again) — while `healthy` keeps sending above the
-    * limit for the whole run. The deterministic content is WHICH keys
-    * alert: exactly one underlimit `start` for `quiet`, nothing for
-    * `healthy`. Tick VALUES ride the wall clock (the reference's
-    * scanner does too), so the oracle checks the event set, not decayed
-    * magnitudes — those are pinned deterministically by MavgStreamSpec /
-    * MavgTwsSpec on the step core both operators share. */
+    * Two keys stream live wall-clock traffic, and the oracle covers the
+    * FULL lifecycle: `quiet` sends a healthy burst, goes silent — only
+    * its per-key TIMER can notice (no arrivals while silent) — fires
+    * its underlimit `start`, then its traffic RESUMES above the limit
+    * and the scanner's per-scan value refresh lets hysteresis close
+    * the episode with `end` (monit-objects-mavg-under.c:57-66 + the
+    * act thread's back2norm script path). `healthy` keeps sending
+    * above the limit the whole run and must emit nothing. The
+    * deterministic content is the EVENT SET — exactly one start and
+    * one end for `quiet`, nothing for `healthy`; tick VALUES ride the
+    * wall clock (the reference's scanner does too), so magnitudes are
+    * pinned instead by MavgStreamSpec / MavgTwsSpec on the step core
+    * both operators share. */
   private val q113 = Q(
     "q113_mavg_underlimit",
     (s, dir) => {
@@ -4216,8 +4220,12 @@ object Queries {
         // stalls (SCALE.md q102 control), and a stall here would turn
         // a correct negative (healthy never alerts while fed) into a
         // red row
+        // back2norm 1 s: the end fires about a second after quiet's
+        // recovered rate is first scanned (short enough to keep the
+        // run ~8 s, long enough that several 200 ms ticks see the
+        // recovery before the clock expires)
         val conf = MavgStream.Conf(windowSec = 5L,
-          defaultLimits = Seq(10.0), back2normSec = 3600L,
+          defaultLimits = Seq(10.0), back2normSec = 1L,
           isOver = false, tickIntervalMs = 200L)
         val got = new java.util.concurrent.ConcurrentLinkedQueue[
           org.apache.spark.sql.Row]()
@@ -4231,23 +4239,28 @@ object Queries {
           .trigger(org.apache.spark.sql.streaming.Trigger
             .ProcessingTime("100 milliseconds"))
           .start()
-        def started(key: String): Boolean = got.asScala.exists(r =>
-          r.getString(0) == key && r.getString(2) == "start")
-        // the snapshot is taken the moment quiet's start is observed,
+        def has(key: String, ev: String): Boolean = got.asScala.exists(
+          r => r.getString(0) == key && r.getString(2) == ev)
+        // the snapshot is taken the moment quiet's END is observed,
         // BEFORE stopping: once the feeder loop ends, `healthy` stops
         // receiving traffic too and would — correctly! — start its own
-        // underlimit alert a couple of windows later; the query's
-        // assertion window is "while healthy traffic flowed". No
+        // underlimit alert a few windows later; the query's assertion
+        // window is "while healthy traffic flowed". No
         // processAllAvailable here: live processing-time timers emit
         // on every trigger, so the stream never reports caught-up.
         var snap: Seq[org.apache.spark.sql.Row] = Seq.empty
         try {
-          val deadline = System.nanoTime() + 60L * 1_000_000_000L
+          val deadline = System.nanoTime() + 90L * 1_000_000_000L
           var i = 0
-          while (!started("quiet") && System.nanoTime() < deadline) {
+          while (!has("quiet", "end") && System.nanoTime() < deadline) {
             val nowNs = System.currentTimeMillis() * 1_000_000L
+            // quiet's three phases: burst (i < 6) → SILENCE until the
+            // timer chain fires its start → traffic resumed until the
+            // hysteresis closes the episode
+            val feedQuiet = i < 6 || has("quiet", "start")
             val rows = MavgStream.Input("healthy", nowNs, 500.0) +:
-              (if (i < 6) Seq(MavgStream.Input("quiet", nowNs, 500.0))
+              (if (feedQuiet)
+                 Seq(MavgStream.Input("quiet", nowNs, 500.0))
                else Nil)
             mem.addData(rows: _*)
             Thread.sleep(100)
@@ -4260,17 +4273,27 @@ object Queries {
           "q113: the silent key's underlimit alert never started — " +
             "the per-key timer chain (underlimit scanner analog) did " +
             "not tick it")
+        require(snap.exists(r =>
+            r.getString(0) == "quiet" && r.getString(2) == "end"),
+          "q113: the recovered key's underlimit alert never ended — " +
+            "the scanner's per-scan value refresh did not surface the " +
+            "recovered rate to the hysteresis clock")
         val events = snap
-          .filter(_.getString(2) == "start")
+          .filter(r => Set("start", "end")(r.getString(2)))
           .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
         s.createDataset(events).toDF("key", "limit_idx", "ev")
           .withColumn("limit_idx", col("limit_idx").cast(LongType))
-          .orderBy(col("key").asc)
+          .orderBy(col("key").asc, col("ev").asc)
         } finally s.conf.set("spark.sql.shuffle.partitions", oldSp)
       }
     },
-    Some("""SELECT 'quiet' AS key, CAST(0 AS BIGINT) AS limit_idx,
-             'start' AS ev"""))
+    Some("""SELECT * FROM (
+             SELECT 'quiet' AS key, CAST(0 AS BIGINT) AS limit_idx,
+                    'end' AS ev
+             UNION ALL
+             SELECT 'quiet' AS key, CAST(0 AS BIGINT) AS limit_idx,
+                    'start' AS ev)
+           ORDER BY key ASC, ev ASC"""))
 
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
