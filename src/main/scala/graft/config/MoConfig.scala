@@ -59,7 +59,11 @@ object MoConfig {
         FwmSection(
           name = opt(n, "name").map(_.asText).getOrElse("fwm"),
           fields = arr(n, "fields").map(_.asText),
-          timeSec = opt(n, "time").map(_.asLong)
+          // absent OR explicit 0 → default: the reference substitutes
+          // FWM_DEFAULT_TIMEOUT for time==0 with a warning
+          // (monit-objects.c:343-349); 0 passed through would be a
+          // divide-by-zero window
+          timeSec = opt(n, "time").map(_.asLong).filter(_ != 0L)
             .getOrElse(30L), // reference monit-objects.h:10
           limit = opt(n, "limit").map(_.asInt),
           extended = opt(n, "extended").exists(_.asBoolean))
@@ -68,8 +72,9 @@ object MoConfig {
         MavgSection(
           name = opt(n, "name").map(_.asText).getOrElse("mavg"),
           fields = arr(n, "fields").map(_.asText),
-          timeSec = opt(n, "time").map(_.asLong)
-            .getOrElse(5L), // reference monit-objects.h:12
+          timeSec = opt(n, "time").map(_.asLong).filter(_ != 0L)
+            .getOrElse(5L), // reference monit-objects.h:12 (0 → default
+                            // like fwm: monit-objects.c:399-405)
           dumpSec = opt(n, "dump").map(_.asLong).getOrElse(0L),
           overlimit = arr(n, "overlimit").map { o =>
             OverlimitSection(
@@ -87,7 +92,8 @@ object MoConfig {
         ClsSection(
           fields = arr(n, "fields").map(_.asText),
           topPct = opt(n, "top-percents").map(_.asDouble).getOrElse(90.0),
-          timeSec = opt(n, "time").map(_.asLong).getOrElse(30L),
+          timeSec = opt(n, "time").map(_.asLong).filter(_ != 0L)
+            .getOrElse(30L), // 0 → default (monit-objects.c:418-427)
           valField = opt(n, "val").map(_.asText).getOrElse("octets desc"))
       },
       children = children)

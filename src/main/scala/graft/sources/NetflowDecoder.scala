@@ -8,6 +8,8 @@ import org.apache.spark.sql.types._
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 /** NetFlow v5/v9 and IPFIX (RFC 7011) decoders.
   *
   * Wire formats are public standards; the decode strategy mirrors the
@@ -144,7 +146,79 @@ object NetflowDecoder {
       if (h == null) None
       else Option(h.floorEntry(tsSec)).map(_.getValue.longValue)
     }
+
+    /** Flattened, order-independent view of every template/sampling
+      * revision — the unit of disk persistence (the reference stores
+      * templates on disk and reloads them at start so flows decode
+      * before any re-announcement: CONFIG.md "templates" section,
+      * netflow-templates.c:33-139 templates_load). Caller holds the
+      * cache's monitor when a decode may be concurrent. */
+    def snapshot(): NetflowDecoder.TemplateSnapshot = {
+      val ts = m.entrySet().asScala.toSeq.flatMap { e =>
+        val (src, sid, ver, tid) = e.getKey
+        e.getValue.entrySet().asScala.toSeq.map(h =>
+          NetflowDecoder.TemplateSnapshotEntry(src, sid, ver, tid,
+            h.getKey.longValue, h.getValue.isOptions, h.getValue.fields))
+      }
+      val ss = samp.entrySet().asScala.toSeq.flatMap { e =>
+        val (src, sid) = e.getKey
+        e.getValue.entrySet().asScala.toSeq.map(h =>
+          NetflowDecoder.SamplingSnapshotEntry(src, sid,
+            h.getKey.longValue, h.getValue.longValue))
+      }
+      NetflowDecoder.TemplateSnapshot(ts, ss)
+    }
+
+    /** Merge a snapshot in through the same putAt path as live
+      * announcements — same-epoch conflicts resolve canonically, so
+      * restore is idempotent and order-independent vs live traffic. */
+    def restore(s: NetflowDecoder.TemplateSnapshot): Unit = {
+      s.templates.foreach(t => put(t.src, t.sourceId, t.ver, t.tid,
+        t.epoch, Template(t.fields, t.isOptions)))
+      s.sampling.foreach(r =>
+        putSampling(r.src, r.sourceId, r.epoch, r.rate))
+    }
   }
+
+  /** One persisted template revision (epoch history entry). */
+  final case class TemplateSnapshotEntry(src: Long, sourceId: Long,
+      ver: Int, tid: Int, epoch: Long, isOptions: Boolean,
+      fields: Seq[(Int, Int, Long)]) extends Serializable
+  /** One persisted options-learned sampling-rate revision. */
+  final case class SamplingSnapshotEntry(src: Long, sourceId: Long,
+      epoch: Long, rate: Long) extends Serializable
+  /** Everything a restarted decoder needs to resume mid-stream. */
+  final case class TemplateSnapshot(
+      templates: Seq[TemplateSnapshotEntry],
+      sampling: Seq[SamplingSnapshotEntry]) extends Serializable
+
+  /** Atomic snapshot write: tmp file + rename, so a reader never sees
+    * a torn file (the reference's tkvdb file write is likewise
+    * all-or-nothing per transaction). */
+  def saveTemplates(cache: TemplateCache, file: java.io.File): Unit = {
+    val snap = cache.synchronized(cache.snapshot())
+    val tmp = new java.io.File(file.getParentFile,
+      file.getName + ".tmp" + ProcessHandle.current().pid())
+    val out = new java.io.ObjectOutputStream(
+      new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(tmp)))
+    try out.writeObject(snap) finally out.close()
+    java.nio.file.Files.move(tmp.toPath, file.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Load a snapshot; a missing or corrupt file is a cold start, not
+    * an error (the reference logs and continues the same way). */
+  def loadTemplates(file: java.io.File): Option[TemplateSnapshot] =
+    if (!file.isFile) None
+    else try {
+      val in = new java.io.ObjectInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.FileInputStream(file)))
+      try Some(in.readObject().asInstanceOf[TemplateSnapshot])
+      finally in.close()
+    } catch { case _: Exception => None }
 
   /** Output schema: ts_sec + the full physical flow schema. */
   val outSchema: StructType = StructType(
@@ -652,6 +726,26 @@ object NetflowDecoder {
   def clearStreamCache(namespace: String): Unit = {
     val it = streamCaches.keySet().iterator()
     while (it.hasNext) if (it.next()._1 == namespace) it.remove()
+    val rt = restoredOnce.iterator()
+    while (rt.hasNext) if (rt.next()._1 == namespace) rt.remove()
+  }
+
+  /** (namespace, partition) pairs that already merged their on-disk
+    * snapshot this JVM lifetime — restore is idempotent, this just
+    * avoids re-reading the file every micro-batch. clearStreamCache
+    * resets it (the JVM-restart simulation tests rely on that). */
+  private val restoredOnce =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
+
+  /** Snapshot file for one (namespace, input partition). */
+  private def templateFile(dir: String, namespace: String,
+                           pid: Int): java.io.File = {
+    val safe = namespace.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '.' || c == '_') c
+      else '_')
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    new java.io.File(d, f"$safe-p$pid%05d.tmpl")
   }
 
   /** Streaming decode: constant-memory single-pass per micro-batch,
@@ -663,11 +757,22 @@ object NetflowDecoder {
     * (e.g. repartition by exporter ip — but note a SHUFFLE's partition
     * ids are only stable while the partition count is; for sources like
     * Kafka, partition-by-exporter at the topic level instead). */
+  /** @param templatesDir when set, each (namespace, partition)'s
+    *   template/sampling store is additionally persisted to
+    *   `<dir>/<ns>-p<pid>.tmpl` (atomic rename per micro-batch task)
+    *   and merged back on the first touch after a JVM restart — the
+    *   reference's on-disk template db (CONFIG.md "templates",
+    *   netflow-templates.c:33-139): a restarted collector decodes
+    *   immediately instead of dropping flows until the exporter's next
+    *   template announcement. On a cluster, point it at storage the
+    *   executor can reach again after restart (shared fs, or a local
+    *   volume when executors are host-pinned). */
   def decodeStream(df: DataFrame, namespace: String,
                    payloadCol: String = "payload",
                    tsCol: String = "ts_sec",
                    srcIpCol: String = "src_ip",
-                   entMap: Map[(Long, Int), Int] = defaultEnterpriseMap)
+                   entMap: Map[(Long, Int), Int] = defaultEnterpriseMap,
+                   templatesDir: Option[String] = None)
       : DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val proj = df.select(col(payloadCol), col(tsCol).cast(LongType),
@@ -675,6 +780,20 @@ object NetflowDecoder {
     proj.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val cache = streamCache(namespace, pid)
+      templatesDir.foreach { dir =>
+        val f = templateFile(dir, namespace, pid)
+        if (restoredOnce.add((namespace, pid)))
+          loadTemplates(f).foreach(s =>
+            cache.synchronized(cache.restore(s)))
+        // persist at task end — the cache then contains everything this
+        // micro-batch learned; an empty batch re-writes the restored
+        // content (never less: the cache is merge-only within a JVM)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try saveTemplates(cache, f)
+            catch { case _: Exception => () } // never fail the task
+          })
+      }
       it.flatMap { r =>
         cache.synchronized {
           decodePacket(r.getAs[Array[Byte]](0), r.getLong(1),

@@ -448,6 +448,63 @@ class DecoderSpec extends SparkTest {
     assert(drive(Seq(data)) == 0) // store gone → record skipped
   }
 
+  test("templatesDir: templates survive a simulated JVM restart " +
+    "(the reference's on-disk template db, netflow-templates.c:33-139)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.NetflowDecoder
+    val ns = s"tmpl-persist-${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("tmpl_persist").toString
+    val tmpl = bytes(9, 2, 1000L, 1700000000L, 1L, 7L) ++
+      bytes(0, 12, 256, 1, 1, 4)
+    val data = bytes(9, 2, 1000L, 1700000000L, 2L, 7L) ++
+      bytes(256, 8, 777L)
+    def drive(payloads: Seq[Array[Byte]]): Long = {
+      val mem = MemoryStream[(Array[Byte], Long, Long)]
+      val out = NetflowDecoder.decodeStream(
+        mem.toDF().toDF("payload", "ts_sec", "src_ip").repartition(1),
+        ns, templatesDir = Some(dir))
+      val q = out.writeStream.format("memory")
+        .queryName(s"tp${System.nanoTime()}")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      try {
+        mem.addData(payloads.map(p => (p, 100L, 9L)): _*)
+        q.processAllAvailable()
+        spark.table(q.name).count()
+      } finally q.stop()
+    }
+    assert(drive(Seq(tmpl)) == 0) // learn + persist to disk
+    // simulated JVM restart: in-memory store AND restore bookkeeping
+    // dropped; only the snapshot file remains
+    NetflowDecoder.clearStreamCache(ns)
+    assert(drive(Seq(data)) == 1,
+      "a record with no template announcement after 'restart' must " +
+        "decode from the restored on-disk store")
+
+    // the snapshot round-trips the FULL epoch history + sampling rates
+    val c = new NetflowDecoder.TemplateCache()
+    c.put(9, 7, 9, 256, 100L,
+      NetflowDecoder.Template(Seq((1, 4, 0L))))
+    c.put(9, 7, 9, 256, 200L,
+      NetflowDecoder.Template(Seq((2, 4, 0L))))
+    c.putSampling(9, 7, 150L, 64L)
+    val f = new java.io.File(dir, "roundtrip.tmpl")
+    NetflowDecoder.saveTemplates(c, f)
+    val c2 = new NetflowDecoder.TemplateCache()
+    c2.restore(NetflowDecoder.loadTemplates(f).get)
+    assert(c2.get(9, 7, 9, 256, 150L).map(_.fields)
+      == Some(Seq((1, 4, 0L))), "epoch-100 revision must floor-match")
+    assert(c2.get(9, 7, 9, 256, 250L).map(_.fields)
+      == Some(Seq((2, 4, 0L))), "epoch-200 revision must floor-match")
+    assert(c2.getSampling(9, 7, 160L) == Some(64L))
+    // corrupt file = cold start, not an error
+    java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    assert(NetflowDecoder.loadTemplates(f).isEmpty)
+  }
+
   test("TemplateCache evicts least-recently-used beyond its cap") {
     val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
     val t = NetflowDecoder.Template(Seq((1, 4, 0L)))

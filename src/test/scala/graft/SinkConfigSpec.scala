@@ -147,6 +147,19 @@ class SinkConfigSpec extends SparkTest {
       s"string contents must not be comment-stripped: '${tricky.filter}'")
   }
 
+  test("mo.conf: an explicit time 0 falls back to the section default " +
+    "(reference warns + substitutes, monit-objects.c:343/399/418)") {
+    val mo = MoConfig.parse("mo0", """{
+      "fwm":  [ { "name": "w", "fields": ["octets"], "time": 0 } ],
+      "mavg": [ { "name": "m", "fields": ["octets"], "time": 0 } ],
+      "classification": [ { "fields": ["src host"], "time": 0 } ]
+    }""")
+    assert(mo.fwm.head.timeSec == 30, "fwm 0 -> FWM_DEFAULT_TIMEOUT")
+    assert(mo.mavg.head.timeSec == 5, "mavg 0 -> MAVG_DEFAULT_SIZE")
+    assert(mo.classification.head.timeSec == 30,
+      "classification 0 -> CLSF_DEFAULT_TIMEOUT")
+  }
+
   test("compileTree gates extended sections: excluded from a batch " +
     "replay unless explicitly requested (CONFIG.md:411 semantics)") {
     val mo = MoConfig.parse("mo1",
