@@ -47,4 +47,35 @@ object MavgDump {
       .map { case (k, ls) =>
         (k ++ ls.map(d3)).mkString(",")
       }.mkString("\n")
+
+  /** `.d` dump of a LIVE (or stopped) [[graft.streaming.MavgTwsProcessor]]
+    * query, rendered straight from its checkpoint state store — the
+    * engine's wiring for the mavg section's `"dump": N` knob
+    * (reference monit-objects-mavg-dump.c:34-315 writes the file every
+    * N seconds from the shared value tables; here the state-store
+    * READER is the shared table, so the dump runs out-of-band on any
+    * cadence without touching the query). Each key's stored `n` is
+    * decay-corrected to `atNs` with the processor's own law, so the
+    * rendered per-second rates are what the reference would print at
+    * that instant. Requires the session's state-store provider conf to
+    * match the checkpoint (RocksDB for transformWithState). */
+  def dumpDFromCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                          ckptDir: String, windowSec: Long,
+                          atNs: Long): String = {
+    import org.apache.spark.sql.functions.col
+    val windowNs = windowSec * 1_000_000_000L
+    val rows = spark.read.format("statestore")
+      .option("stateVarName", "mavg").load(ckptDir)
+      .select(col("key.value").cast("string"),
+        col("value.n").cast("double"), col("value.tLast").cast("long"))
+      .collect()
+    rows.map { r =>
+      val (key, n, tLast) = (r.getString(0), r.getDouble(1), r.getLong(2))
+      val decayed =
+        if (tLast == Long.MinValue || atNs > tLast + windowNs) 0.0
+        else if (atNs <= tLast) n // dump instant at/before last event
+        else n - (atNs - tLast).toDouble / windowNs * n
+      s"$key,${d3(decayed / windowSec)}"
+    }.sorted.mkString("\n")
+  }
 }

@@ -262,4 +262,43 @@ class MavgDumpSpec extends SparkTest {
     assert(MavgDump.dumpD(df, Seq("src_host"), windowSec = 600) ==
       "10,5.000")
   }
+
+  test("dumpDFromCheckpoint renders the live MavgTws store — the " +
+    "mavg 'dump' knob end to end (monit-objects-mavg-dump.c)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sinks.MavgDump
+    import graft.streaming.MavgTwsProcessor
+    import graft.streaming.MavgStream.{Conf, Input}
+    val S = 1_000_000_000L
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("mavg_dump")
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Input]
+      // no alerts in play (huge limit), event-time deterministic ticks
+      val q = MavgTwsProcessor(mem.toDS(),
+          Conf(windowSec = 5, defaultLimits = Seq(1e18),
+            back2normSec = 30, isOver = true, tickIntervalMs = 0))
+        .writeStream.format("memory").queryName("mavg_dump_sink")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        mem.addData(Input("a", 10 * S, 600.0), Input("b", 10 * S, 1200.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // decay-corrected to t=12s: a = 600·(1−2/5)/5 = 72/s,
+      // b = 1200·0.6/5 = 144/s — what the reference's .d file would
+      // print at that instant
+      assert(MavgDump.dumpDFromCheckpoint(spark, ckpt.toString,
+        windowSec = 5, atNs = 12 * S) == "a,72.000\nb,144.000")
+      // past the window the rates have fully decayed
+      assert(MavgDump.dumpDFromCheckpoint(spark, ckpt.toString,
+        windowSec = 5, atNs = 30 * S) == "a,0.000\nb,0.000")
+    } finally spark.conf.unset(
+      "spark.sql.streaming.stateStore.providerClass")
+  }
 }
