@@ -36,6 +36,20 @@ import org.apache.spark.sql.functions.col
   * order.
   */
 object Bench {
+  /** Dispersion-flag spread limit: max/min over the steady samples. */
+  val SpreadLimit = 1.5
+  def spreadExceeds(s: Seq[Double]): Boolean =
+    s.size >= 2 && s.min > 0 && s.max / s.min > SpreadLimit
+  /** The dispersion population: samples 2..n. Takes the RAW run
+    * sequence and drops the cold run BY INDEX (always `raw(0)`)
+    * BEFORE filtering out errored (-1) runs — filtering first would,
+    * when run 1 errored, drop a warm sample and keep the cold one
+    * (ADVICE r14). With exactly 2 raw samples the cold run still
+    * counts (dropping it would leave nothing to compare). */
+  def steady(raw: Seq[Double]): Seq[Double] =
+    if (raw.size >= 3) raw.tail.filter(_ >= 0)
+    else raw.filter(_ >= 0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -104,13 +118,9 @@ object Bench {
       * cold sample alone flagged 69 of 82 queries — drowning the
       * "unflagged delta = real plan change" discriminator the flag
       * exists to provide. The cold sample is still RECORDED (rawRuns
-      * keeps every run); it just doesn't count toward dispersion. */
-    val SpreadLimit = 1.5
-    def spreadExceeds(s: Seq[Double]): Boolean =
-      s.size >= 2 && s.min > 0 && s.max / s.min > SpreadLimit
-    /** Samples 2..n — the dispersion population (cold run excluded). */
-    def steady(s: Seq[Double]): Seq[Double] =
-      if (s.size >= 3) s.tail else s
+      * keeps every run); it just doesn't count toward dispersion.
+      * (`steady`/`spreadExceeds` live on the companion so
+      * BenchSamplingSpec can pin the cold-drop-by-index contract.) */
     val rawRuns =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def median(name: String): Double = {
@@ -118,7 +128,7 @@ object Bench {
       var ok = all.filter(_ >= 0)
       if (ok.nonEmpty && all.size < 5 &&
           (ok.sorted.apply(ok.size / 2) < 2.0 ||
-            spreadExceeds(steady(ok)))) {
+            spreadExceeds(steady(all)))) {
         val extra = (1 to (5 - all.size)).map(_ => timeOnce(name))
         all ++= extra
         ok ++= extra.filter(_ >= 0)
@@ -209,7 +219,7 @@ object Bench {
     // harness, so a cross-round delta on them is noise until a
     // driver-order control (TimeQueries) reproduces it
     val dispersionFlagged = rawRuns.collect {
-      case (n, vs) if spreadExceeds(steady(vs.filter(_ >= 0))) => n }.toSeq
+      case (n, vs) if spreadExceeds(steady(vs)) => n }.toSeq
     // scalars lead; the long queries map sits last with the headline
     // numbers REPEATED after it, so a capture window anchored at either
     // end of the line still sees the totals

@@ -90,11 +90,22 @@ object SharedFwmBench {
       SharedFwm.batchAll(flows, env, secs,
           samplingRate = Some(col("sampling_rate")))
         .write.format("noop").mode("overwrite").save()
+    // the per-section select RETAINS the first aggregate column ("m"):
+    // projecting (section, time) alone lets Catalyst column-prune the
+    // sum expressions out of the baseline's HashAggregate, making the
+    // separate side compute LESS than real per-section work and
+    // biasing the reported speedup low (ADVICE r14). Every bench
+    // section's measures are LongType (octets/packets), so the union
+    // stays schema-consistent.
     def separate(): Unit =
-      secs.map(s => Fwm.aggregate(flows.filter(s.pred), env, s.conf,
-          samplingRate = Some(col("sampling_rate")))
-          .select(lit(s.conf.name).as("section"), col("time")))
-        .reduce(_ unionByName _)
+      secs.map { s =>
+        val m = Fwm.compile(s.conf).fold(e => sys.error(e), identity)
+          .aggrs.head.sqlName
+        Fwm.aggregate(flows.filter(s.pred), env, s.conf,
+            samplingRate = Some(col("sampling_rate")))
+          .select(lit(s.conf.name).as("section"), col("time"),
+            col(m).as("m"))
+      }.reduce(_ unionByName _)
         .write.format("noop").mode("overwrite").save()
 
     // warmup both paths (JIT, codegen, parquet footers)

@@ -183,14 +183,38 @@ object NetflowDecoder {
   /** One persisted template revision (epoch history entry). */
   final case class TemplateSnapshotEntry(src: Long, sourceId: Long,
       ver: Int, tid: Int, epoch: Long, isOptions: Boolean,
-      fields: Seq[(Int, Int, Long)]) extends Serializable
+      fields: Seq[(Int, Int, Long)])
   /** One persisted options-learned sampling-rate revision. */
   final case class SamplingSnapshotEntry(src: Long, sourceId: Long,
-      epoch: Long, rate: Long) extends Serializable
+      epoch: Long, rate: Long)
   /** Everything a restarted decoder needs to resume mid-stream. */
   final case class TemplateSnapshot(
       templates: Seq[TemplateSnapshotEntry],
-      sampling: Seq[SamplingSnapshotEntry]) extends Serializable
+      sampling: Seq[SamplingSnapshotEntry])
+
+  /** Snapshot wire format: explicit, versioned, fixed-width records —
+    * the reference persists templates as explicit tkvdb records the
+    * same way (netflow-templates.c:33-139). Java serialization was
+    * REMOVED here deliberately (ADVICE r14): ObjectInputStream over a
+    * spool directory an operator may not fully control is a
+    * deserialization gadget vector, and its stream format couples the
+    * snapshot to Scala/JDK collection internals, so a runtime upgrade
+    * would silently read as a cold start. Layout (DataOutput,
+    * big-endian):
+    *
+    *   magic i32 "GFTS" | version i32 = 1
+    *   | nTemplates i32 | each: src i64, sourceId i64, ver i32,
+    *     tid i32, epoch i64, isOptions bool, nFields i32,
+    *     each field: fieldId i32, length i32, enterprise i64
+    *   | nSampling i32 | each: src i64, sourceId i64, epoch i64,
+    *     rate i64
+    *
+    * Bad magic, unknown version, a count outside sane bounds, or a
+    * short read ⇒ cold start (None), matching the reference's
+    * log-and-continue on an unreadable template db. */
+  private val SnapMagic = 0x47465453 // "GFTS"
+  private val SnapVersion = 1
+  private val SnapMaxEntries = 1 << 24 // sanity bound, not a limit hit
 
   /** Atomic snapshot write: tmp file + rename, so a reader never sees
     * a torn file (the reference's tkvdb file write is likewise
@@ -199,25 +223,69 @@ object NetflowDecoder {
     val snap = cache.synchronized(cache.snapshot())
     val tmp = new java.io.File(file.getParentFile,
       file.getName + ".tmp" + ProcessHandle.current().pid())
-    val out = new java.io.ObjectOutputStream(
+    val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(tmp)))
-    try out.writeObject(snap) finally out.close()
+    try {
+      out.writeInt(SnapMagic)
+      out.writeInt(SnapVersion)
+      out.writeInt(snap.templates.size)
+      snap.templates.foreach { t =>
+        out.writeLong(t.src); out.writeLong(t.sourceId)
+        out.writeInt(t.ver); out.writeInt(t.tid)
+        out.writeLong(t.epoch); out.writeBoolean(t.isOptions)
+        out.writeInt(t.fields.size)
+        t.fields.foreach { case (fid, len, ent) =>
+          out.writeInt(fid); out.writeInt(len); out.writeLong(ent)
+        }
+      }
+      out.writeInt(snap.sampling.size)
+      snap.sampling.foreach { s =>
+        out.writeLong(s.src); out.writeLong(s.sourceId)
+        out.writeLong(s.epoch); out.writeLong(s.rate)
+      }
+    } finally out.close()
     java.nio.file.Files.move(tmp.toPath, file.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Load a snapshot; a missing or corrupt file is a cold start, not
-    * an error (the reference logs and continues the same way). */
+  /** Load a snapshot; a missing, corrupt, truncated, or
+    * wrong-version file is a cold start, not an error (the reference
+    * logs and continues the same way). Parsing never allocates more
+    * than the file can justify: counts are bounds-checked and every
+    * record read is fixed-width, so a hostile file costs at most one
+    * bounded pass. */
   def loadTemplates(file: java.io.File): Option[TemplateSnapshot] =
     if (!file.isFile) None
     else try {
-      val in = new java.io.ObjectInputStream(
+      val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(
           new java.io.FileInputStream(file)))
-      try Some(in.readObject().asInstanceOf[TemplateSnapshot])
-      finally in.close()
+      try {
+        if (in.readInt() != SnapMagic) None
+        else if (in.readInt() != SnapVersion) None
+        else {
+          def count(): Int = {
+            val n = in.readInt()
+            if (n < 0 || n > SnapMaxEntries)
+              throw new java.io.IOException(s"bad count $n")
+            n
+          }
+          val ts = Seq.fill(count()) {
+            val src = in.readLong(); val sid = in.readLong()
+            val ver = in.readInt(); val tid = in.readInt()
+            val epoch = in.readLong(); val isOpt = in.readBoolean()
+            val fields = Seq.fill(count())(
+              (in.readInt(), in.readInt(), in.readLong()))
+            TemplateSnapshotEntry(src, sid, ver, tid, epoch, isOpt,
+              fields)
+          }
+          val ss = Seq.fill(count())(SamplingSnapshotEntry(
+            in.readLong(), in.readLong(), in.readLong(), in.readLong()))
+          Some(TemplateSnapshot(ts, ss))
+        }
+      } finally in.close()
     } catch { case _: Exception => None }
 
   /** Output schema: ts_sec + the full physical flow schema. */
@@ -737,15 +805,38 @@ object NetflowDecoder {
   private val restoredOnce =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
+  private def safeNs(namespace: String): String =
+    namespace.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '.' || c == '_') c
+      else '_')
+
   /** Snapshot file for one (namespace, input partition). */
   private def templateFile(dir: String, namespace: String,
                            pid: Int): java.io.File = {
-    val safe = namespace.map(c =>
-      if (c.isLetterOrDigit || c == '-' || c == '.' || c == '_') c
-      else '_')
     val d = new java.io.File(dir)
     d.mkdirs()
-    new java.io.File(d, f"$safe-p$pid%05d.tmpl")
+    new java.io.File(d, f"${safeNs(namespace)}-p$pid%05d.tmpl")
+  }
+
+  /** Every persisted snapshot file for a namespace, ANY partition.
+    * Restore merges all of them, not just the current partition's:
+    * snapshot files are keyed by the WRITING task's input-partition
+    * id, and partition routing is not stable across a restart — a
+    * shuffle's partition ids change with partition count, and a Kafka
+    * assignment can move an exporter to another partition. Restoring
+    * only the pid-matching file would drop that exporter's flows
+    * until its next template re-announcement (ADVICE r14). Restore is
+    * merge-only and epoch-keyed (idempotent, order-independent), so
+    * over-merging is safe; WRITES stay per-partition, so there is no
+    * cross-task file contention. */
+  private[sources] def namespaceTemplateFiles(
+      dir: String, namespace: String): Seq[java.io.File] = {
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(safeNs(namespace)) +
+        "-p\\d{5,}\\.tmpl")
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => pat.matcher(f.getName).matches())
+      .sortBy(_.getName)
   }
 
   /** Streaming decode: constant-memory single-pass per micro-batch,
@@ -759,14 +850,18 @@ object NetflowDecoder {
     * Kafka, partition-by-exporter at the topic level instead). */
   /** @param templatesDir when set, each (namespace, partition)'s
     *   template/sampling store is additionally persisted to
-    *   `<dir>/<ns>-p<pid>.tmpl` (atomic rename per micro-batch task)
-    *   and merged back on the first touch after a JVM restart — the
-    *   reference's on-disk template db (CONFIG.md "templates",
+    *   `<dir>/<ns>-p<pid>.tmpl` (atomic rename per micro-batch task);
+    *   on the first touch after a JVM restart a partition merges back
+    *   ALL of the namespace's files, so restore survives a partition
+    *   routing change across restarts — the reference's on-disk
+    *   template db (CONFIG.md "templates",
     *   netflow-templates.c:33-139): a restarted collector decodes
     *   immediately instead of dropping flows until the exporter's next
     *   template announcement. On a cluster, point it at storage the
     *   executor can reach again after restart (shared fs, or a local
-    *   volume when executors are host-pinned). */
+    *   volume when executors are host-pinned). The file format is an
+    *   explicit versioned binary record layout (see [[saveTemplates]])
+    *   — never Java serialization. */
   def decodeStream(df: DataFrame, namespace: String,
                    payloadCol: String = "payload",
                    tsCol: String = "ts_sec",
@@ -782,9 +877,13 @@ object NetflowDecoder {
       val cache = streamCache(namespace, pid)
       templatesDir.foreach { dir =>
         val f = templateFile(dir, namespace, pid)
+        // first touch after a (re)start merges EVERY partition's file
+        // for the namespace — routing may have changed since the files
+        // were written, see namespaceTemplateFiles
         if (restoredOnce.add((namespace, pid)))
-          loadTemplates(f).foreach(s =>
-            cache.synchronized(cache.restore(s)))
+          namespaceTemplateFiles(dir, namespace).foreach(nf =>
+            loadTemplates(nf).foreach(s =>
+              cache.synchronized(cache.restore(s))))
         // persist at task end — the cache then contains everything this
         // micro-batch learned; an empty batch re-writes the restored
         // content (never less: the cache is merge-only within a JVM)

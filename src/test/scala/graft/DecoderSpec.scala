@@ -505,6 +505,88 @@ class DecoderSpec extends SparkTest {
     assert(NetflowDecoder.loadTemplates(f).isEmpty)
   }
 
+  test("template snapshot format is explicit binary: hostile or " +
+    "stale files are a cold start, never a deserialization (ADVICE r14)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("tmpl_fmt")
+    val c = new NetflowDecoder.TemplateCache()
+    c.put(1, 2, 9, 256, 100L, NetflowDecoder.Template(Seq((1, 4, 0L))))
+    val f = new java.io.File(dir.toFile, "fmt.tmpl")
+    NetflowDecoder.saveTemplates(c, f)
+    val good = Files.readAllBytes(f.toPath)
+    // the writer must emit the documented magic+version header —
+    // proof no ObjectOutputStream header (0xACED) is ever on disk
+    assert(good.take(8).toSeq ==
+      Seq[Byte](0x47, 0x46, 0x54, 0x53, 0, 0, 0, 1), "GFTS v1 header")
+    assert(NetflowDecoder.loadTemplates(f).isDefined)
+    // a Java-serialization payload (the pre-r15 format, and the gadget
+    // vector) must be REJECTED as a cold start, not fed to readObject
+    val oos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.ObjectOutputStream(oos)
+    o.writeObject("not a snapshot"); o.close()
+    Files.write(f.toPath, oos.toByteArray)
+    assert(NetflowDecoder.loadTemplates(f).isEmpty, "0xACED stream")
+    // unknown version = cold start (format evolution is explicit)
+    val badVer = good.clone(); badVer(7) = 99
+    Files.write(f.toPath, badVer)
+    assert(NetflowDecoder.loadTemplates(f).isEmpty, "version 99")
+    // truncated mid-record = cold start
+    Files.write(f.toPath, good.dropRight(3))
+    assert(NetflowDecoder.loadTemplates(f).isEmpty, "truncated")
+    // a hostile count field must not drive allocation: flip the
+    // template count to Int.MaxValue — bounded parse, cold start
+    val badCount = good.clone()
+    badCount(8) = 0x7f.toByte; badCount(9) = 0xff.toByte
+    badCount(10) = 0xff.toByte; badCount(11) = 0xff.toByte
+    Files.write(f.toPath, badCount)
+    assert(NetflowDecoder.loadTemplates(f).isEmpty, "hostile count")
+  }
+
+  test("templatesDir restore merges ALL partition files: a routing " +
+    "change across restarts must not drop flows (ADVICE r14)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.NetflowDecoder
+    val ns = s"tmpl-remap-${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("tmpl_remap").toString
+    val tmpl = bytes(9, 2, 1000L, 1700000000L, 1L, 7L) ++
+      bytes(0, 12, 256, 1, 1, 4)
+    val data = bytes(9, 2, 1000L, 1700000000L, 2L, 7L) ++
+      bytes(256, 8, 777L)
+    def drive(payloads: Seq[Array[Byte]]): Long = {
+      val mem = MemoryStream[(Array[Byte], Long, Long)]
+      val out = NetflowDecoder.decodeStream(
+        mem.toDF().toDF("payload", "ts_sec", "src_ip").repartition(1),
+        ns, templatesDir = Some(dir))
+      val q = out.writeStream.format("memory")
+        .queryName(s"tr${System.nanoTime()}")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      try {
+        mem.addData(payloads.map(p => (p, 100L, 9L)): _*)
+        q.processAllAvailable()
+        spark.table(q.name).count()
+      } finally q.stop()
+    }
+    assert(drive(Seq(tmpl)) == 0) // learn + persist (partition 0)
+    // simulated restart WITH a routing change: the snapshot now sits
+    // under a partition id this run will never be assigned
+    NetflowDecoder.clearStreamCache(ns)
+    val d = new java.io.File(dir)
+    val written = d.listFiles().filter(_.getName.endsWith(".tmpl"))
+    assert(written.nonEmpty)
+    written.foreach { old =>
+      val moved = new java.io.File(d,
+        old.getName.replaceAll("-p\\d+\\.tmpl$", "-p00099.tmpl"))
+      assert(old.renameTo(moved))
+    }
+    assert(drive(Seq(data)) == 1,
+      "restore must merge the namespace's OTHER partition files — " +
+        "pid-equality-only restore drops flows after a routing change")
+  }
+
   test("TemplateCache evicts least-recently-used beyond its cap") {
     val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
     val t = NetflowDecoder.Template(Seq((1, 4, 0L)))
