@@ -79,9 +79,10 @@ object KafkaIngest {
     * ([[NetflowDecoder.decodeStream]]). */
   def decodeStream(kafka: DataFrame, namespace: String,
                    entMap: Map[(Long, Int), Int] =
-                     NetflowDecoder.defaultEnterpriseMap): DataFrame =
+                     NetflowDecoder.defaultEnterpriseMap,
+                   templatesDir: Option[String] = None): DataFrame =
     NetflowDecoder.decodeStream(packets(kafka), namespace,
-      entMap = entMap)
+      entMap = entMap, templatesDir = templatesDir)
 
   /** Batch decode for archived-topic replay
     * (`spark.read.format("kafka")` with start/end offsets): same

@@ -216,6 +216,59 @@ object NetflowDecoder {
   private val SnapVersion = 1
   private val SnapMaxEntries = 1 << 24 // sanity bound, not a limit hit
 
+  private def writeSnapshot(snap: TemplateSnapshot,
+                            out: java.io.DataOutputStream): Unit = {
+    out.writeInt(SnapMagic)
+    out.writeInt(SnapVersion)
+    out.writeInt(snap.templates.size)
+    snap.templates.foreach { t =>
+      out.writeLong(t.src); out.writeLong(t.sourceId)
+      out.writeInt(t.ver); out.writeInt(t.tid)
+      out.writeLong(t.epoch); out.writeBoolean(t.isOptions)
+      out.writeInt(t.fields.size)
+      t.fields.foreach { case (fid, len, ent) =>
+        out.writeInt(fid); out.writeInt(len); out.writeLong(ent)
+      }
+    }
+    out.writeInt(snap.sampling.size)
+    snap.sampling.foreach { s =>
+      out.writeLong(s.src); out.writeLong(s.sourceId)
+      out.writeLong(s.epoch); out.writeLong(s.rate)
+    }
+  }
+
+  /** Parse one snapshot stream; None on any malformed input (the
+    * caller turns that into a cold start). Parsing never allocates
+    * more than the stream can justify: counts are bounds-checked and
+    * every record read is fixed-width, so a hostile file costs at
+    * most one bounded pass. */
+  private def readSnapshot(
+      in: java.io.DataInputStream): Option[TemplateSnapshot] =
+    try {
+      if (in.readInt() != SnapMagic) None
+      else if (in.readInt() != SnapVersion) None
+      else {
+        def count(): Int = {
+          val n = in.readInt()
+          if (n < 0 || n > SnapMaxEntries)
+            throw new java.io.IOException(s"bad count $n")
+          n
+        }
+        val ts = Seq.fill(count()) {
+          val src = in.readLong(); val sid = in.readLong()
+          val ver = in.readInt(); val tid = in.readInt()
+          val epoch = in.readLong(); val isOpt = in.readBoolean()
+          val fields = Seq.fill(count())(
+            (in.readInt(), in.readInt(), in.readLong()))
+          TemplateSnapshotEntry(src, sid, ver, tid, epoch, isOpt,
+            fields)
+        }
+        val ss = Seq.fill(count())(SamplingSnapshotEntry(
+          in.readLong(), in.readLong(), in.readLong(), in.readLong()))
+        Some(TemplateSnapshot(ts, ss))
+      }
+    } catch { case _: Exception => None }
+
   /** Atomic snapshot write: tmp file + rename, so a reader never sees
     * a torn file (the reference's tkvdb file write is likewise
     * all-or-nothing per transaction). */
@@ -226,25 +279,7 @@ object NetflowDecoder {
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(tmp)))
-    try {
-      out.writeInt(SnapMagic)
-      out.writeInt(SnapVersion)
-      out.writeInt(snap.templates.size)
-      snap.templates.foreach { t =>
-        out.writeLong(t.src); out.writeLong(t.sourceId)
-        out.writeInt(t.ver); out.writeInt(t.tid)
-        out.writeLong(t.epoch); out.writeBoolean(t.isOptions)
-        out.writeInt(t.fields.size)
-        t.fields.foreach { case (fid, len, ent) =>
-          out.writeInt(fid); out.writeInt(len); out.writeLong(ent)
-        }
-      }
-      out.writeInt(snap.sampling.size)
-      snap.sampling.foreach { s =>
-        out.writeLong(s.src); out.writeLong(s.sourceId)
-        out.writeLong(s.epoch); out.writeLong(s.rate)
-      }
-    } finally out.close()
+    try writeSnapshot(snap, out) finally out.close()
     java.nio.file.Files.move(tmp.toPath, file.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -252,41 +287,64 @@ object NetflowDecoder {
 
   /** Load a snapshot; a missing, corrupt, truncated, or
     * wrong-version file is a cold start, not an error (the reference
-    * logs and continues the same way). Parsing never allocates more
-    * than the file can justify: counts are bounds-checked and every
-    * record read is fixed-width, so a hostile file costs at most one
-    * bounded pass. */
+    * logs and continues the same way). */
   def loadTemplates(file: java.io.File): Option[TemplateSnapshot] =
     if (!file.isFile) None
     else try {
       val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(
           new java.io.FileInputStream(file)))
-      try {
-        if (in.readInt() != SnapMagic) None
-        else if (in.readInt() != SnapVersion) None
-        else {
-          def count(): Int = {
-            val n = in.readInt()
-            if (n < 0 || n > SnapMaxEntries)
-              throw new java.io.IOException(s"bad count $n")
-            n
-          }
-          val ts = Seq.fill(count()) {
-            val src = in.readLong(); val sid = in.readLong()
-            val ver = in.readInt(); val tid = in.readInt()
-            val epoch = in.readLong(); val isOpt = in.readBoolean()
-            val fields = Seq.fill(count())(
-              (in.readInt(), in.readInt(), in.readLong()))
-            TemplateSnapshotEntry(src, sid, ver, tid, epoch, isOpt,
-              fields)
-          }
-          val ss = Seq.fill(count())(SamplingSnapshotEntry(
-            in.readLong(), in.readLong(), in.readLong(), in.readLong()))
-          Some(TemplateSnapshot(ts, ss))
-        }
-      } finally in.close()
+      try readSnapshot(in) finally in.close()
     } catch { case _: Exception => None }
+
+  // ------------- Hadoop-FileSystem snapshot persistence (cluster mode)
+  // On a real cluster the template store must outlive any one
+  // executor AND be reachable from whichever host a restarted task
+  // lands on — that means HDFS-class shared storage, not executor-
+  // local disk. These mirrors of save/loadTemplates speak the same
+  // GFTS v1 records through org.apache.hadoop.fs, selected by
+  // decodeStream whenever templatesDir carries a URI scheme.
+
+  /** Write one snapshot to a Hadoop path: tmp file + rename. On HDFS
+    * the FileContext OVERWRITE rename is atomic (a reader sees the old
+    * or the new file, never a torn one); on copy-rename stores (S3A)
+    * the window is non-atomic, which degrades safely — a torn read
+    * parses to None = cold start until the next micro-batch rewrite. */
+  def saveTemplatesFs(cache: TemplateCache,
+                      conf: org.apache.hadoop.conf.Configuration,
+                      file: org.apache.hadoop.fs.Path): Unit = {
+    val snap = cache.synchronized(cache.snapshot())
+    val fs = rawFs(file, conf)
+    val tmp = new org.apache.hadoop.fs.Path(file.getParent,
+      file.getName + ".tmp" + ProcessHandle.current().pid())
+    val out = new java.io.DataOutputStream(fs.create(tmp, true))
+    try writeSnapshot(snap, out) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      file.toUri, conf)
+    fc.rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Load one snapshot from a Hadoop path; missing/corrupt = None. */
+  def loadTemplatesFs(conf: org.apache.hadoop.conf.Configuration,
+                      file: org.apache.hadoop.fs.Path)
+      : Option[TemplateSnapshot] =
+    try {
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(rawFs(file, conf).open(file)))
+      try readSnapshot(in) finally in.close()
+    } catch { case _: Exception => None }
+
+  /** The checksum-less filesystem for a path: LocalFileSystem writes
+    * .crc side files that a FileContext rename (raw AbstractFileSystem)
+    * would strand; HDFS/S3A pass through unchanged. */
+  private def rawFs(p: org.apache.hadoop.fs.Path,
+                    conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.getRawFileSystem
+      case f => f
+    }
 
   /** Output schema: ts_sec + the full physical flow schema. */
   val outSchema: StructType = StructType(
@@ -810,13 +868,21 @@ object NetflowDecoder {
       if (c.isLetterOrDigit || c == '-' || c == '.' || c == '_') c
       else '_')
 
+  private def templateFileName(namespace: String, pid: Int): String =
+    f"${safeNs(namespace)}-p$pid%05d.tmpl"
+
   /** Snapshot file for one (namespace, input partition). */
   private def templateFile(dir: String, namespace: String,
                            pid: Int): java.io.File = {
     val d = new java.io.File(dir)
     d.mkdirs()
-    new java.io.File(d, f"${safeNs(namespace)}-p$pid%05d.tmpl")
+    new java.io.File(d, templateFileName(namespace, pid))
   }
+
+  private def nsFilePattern(namespace: String): java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(safeNs(namespace)) +
+        "-p\\d{5,}\\.tmpl")
 
   /** Every persisted snapshot file for a namespace, ANY partition.
     * Restore merges all of them, not just the current partition's:
@@ -831,12 +897,23 @@ object NetflowDecoder {
     * cross-task file contention. */
   private[sources] def namespaceTemplateFiles(
       dir: String, namespace: String): Seq[java.io.File] = {
-    val pat = java.util.regex.Pattern.compile(
-      java.util.regex.Pattern.quote(safeNs(namespace)) +
-        "-p\\d{5,}\\.tmpl")
+    val pat = nsFilePattern(namespace)
     Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .filter(f => pat.matcher(f.getName).matches())
       .sortBy(_.getName)
+  }
+
+  /** Hadoop-FS twin of [[namespaceTemplateFiles]]. */
+  private def namespaceTemplateFilesFs(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: org.apache.hadoop.fs.Path, namespace: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val pat = nsFilePattern(namespace)
+    try rawFs(dir, conf).listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(p => pat.matcher(p.getName).matches())
+      .sortBy(_.getName)
+    catch { case _: java.io.FileNotFoundException => Nil }
   }
 
   /** Streaming decode: constant-memory single-pass per micro-batch,
@@ -859,9 +936,14 @@ object NetflowDecoder {
     *   immediately instead of dropping flows until the exporter's next
     *   template announcement. On a cluster, point it at storage the
     *   executor can reach again after restart (shared fs, or a local
-    *   volume when executors are host-pinned). The file format is an
-    *   explicit versioned binary record layout (see [[saveTemplates]])
-    *   — never Java serialization. */
+    *   volume when executors are host-pinned). A dir WITH a URI
+    *   scheme (`hdfs://nn/...`, `file:///...`, `s3a://...`) goes
+    *   through the Hadoop FileSystem API — the cluster deployment
+    *   shape, where the store must be reachable from whichever host a
+    *   restarted task lands on; a bare path stays on fast local
+    *   java.io. The file format is an explicit versioned binary
+    *   record layout either way (see [[saveTemplates]]) — never Java
+    *   serialization. */
   def decodeStream(df: DataFrame, namespace: String,
                    payloadCol: String = "payload",
                    tsCol: String = "ts_sec",
@@ -872,24 +954,49 @@ object NetflowDecoder {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val proj = df.select(col(payloadCol), col(tsCol).cast(LongType),
       col(srcIpCol).cast(LongType))
+    // URI-scheme dirs route through Hadoop FS; the executor-side
+    // closure needs the driver's Hadoop conf (S3 credentials, NN
+    // address), shipped via the broadcast-safe wrapper
+    val hadoopConf: Option[
+        org.apache.spark.util.SerializableConfiguration] =
+      templatesDir.filter(_.contains("://")).map(_ =>
+        new org.apache.spark.util.SerializableConfiguration(
+          df.sparkSession.sparkContext.hadoopConfiguration))
     proj.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val cache = streamCache(namespace, pid)
       templatesDir.foreach { dir =>
-        val f = templateFile(dir, namespace, pid)
         // first touch after a (re)start merges EVERY partition's file
         // for the namespace — routing may have changed since the files
         // were written, see namespaceTemplateFiles
-        if (restoredOnce.add((namespace, pid)))
-          namespaceTemplateFiles(dir, namespace).foreach(nf =>
-            loadTemplates(nf).foreach(s =>
-              cache.synchronized(cache.restore(s))))
+        val firstTouch = restoredOnce.add((namespace, pid))
+        val persist: () => Unit = hadoopConf match {
+          case Some(sc) =>
+            val conf = sc.value
+            val base = new org.apache.hadoop.fs.Path(dir)
+            val f = new org.apache.hadoop.fs.Path(base,
+              templateFileName(namespace, pid))
+            if (firstTouch) {
+              rawFs(base, conf).mkdirs(base)
+              namespaceTemplateFilesFs(conf, base, namespace).foreach(
+                nf => loadTemplatesFs(conf, nf).foreach(s =>
+                  cache.synchronized(cache.restore(s))))
+            }
+            () => saveTemplatesFs(cache, conf, f)
+          case None =>
+            val f = templateFile(dir, namespace, pid)
+            if (firstTouch)
+              namespaceTemplateFiles(dir, namespace).foreach(nf =>
+                loadTemplates(nf).foreach(s =>
+                  cache.synchronized(cache.restore(s))))
+            () => saveTemplates(cache, f)
+        }
         // persist at task end — the cache then contains everything this
         // micro-batch learned; an empty batch re-writes the restored
         // content (never less: the cache is merge-only within a JVM)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit] { _ =>
-            try saveTemplates(cache, f)
+            try persist()
             catch { case _: Exception => () } // never fail the task
           })
       }

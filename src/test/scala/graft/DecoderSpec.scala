@@ -587,6 +587,64 @@ class DecoderSpec extends SparkTest {
         "pid-equality-only restore drops flows after a routing change")
   }
 
+  test("templatesDir with a URI scheme persists through the Hadoop " +
+    "FileSystem API (cluster shared-storage path)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.NetflowDecoder
+    val ns = s"tmpl-hfs-${System.nanoTime()}"
+    val local = java.nio.file.Files
+      .createTempDirectory("tmpl_hfs").toString
+    val dir = "file://" + local // routes through org.apache.hadoop.fs
+    val tmpl = bytes(9, 2, 1000L, 1700000000L, 1L, 7L) ++
+      bytes(0, 12, 256, 1, 1, 4)
+    val data = bytes(9, 2, 1000L, 1700000000L, 2L, 7L) ++
+      bytes(256, 8, 777L)
+    def drive(payloads: Seq[Array[Byte]]): Long = {
+      val mem = MemoryStream[(Array[Byte], Long, Long)]
+      val out = NetflowDecoder.decodeStream(
+        mem.toDF().toDF("payload", "ts_sec", "src_ip").repartition(1),
+        ns, templatesDir = Some(dir))
+      val q = out.writeStream.format("memory")
+        .queryName(s"th${System.nanoTime()}")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      try {
+        mem.addData(payloads.map(p => (p, 100L, 9L)): _*)
+        q.processAllAvailable()
+        spark.table(q.name).count()
+      } finally q.stop()
+    }
+    assert(drive(Seq(tmpl)) == 0) // learn + persist via Hadoop FS
+    val files = new java.io.File(local).listFiles()
+      .filter(_.getName.endsWith(".tmpl"))
+    assert(files.nonEmpty, "snapshot file must exist on the FS store")
+    // the FS store speaks the same GFTS v1 records as the local path
+    assert(java.nio.file.Files.readAllBytes(files.head.toPath)
+      .take(8).toSeq == Seq[Byte](0x47, 0x46, 0x54, 0x53, 0, 0, 0, 1))
+    // no stranded tmp or checksum side files after the atomic rename
+    assert(new java.io.File(local).listFiles()
+      .forall(f => f.getName.endsWith(".tmpl")),
+      "rename must not strand .tmp/.crc files")
+    NetflowDecoder.clearStreamCache(ns) // simulated JVM restart
+    assert(drive(Seq(data)) == 1,
+      "restart restore must work through the Hadoop FS path")
+
+    // direct FS round-trip: overwrite rename + load
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, "direct.tmpl")
+    val c = new NetflowDecoder.TemplateCache()
+    c.put(3, 4, 9, 300, 50L, NetflowDecoder.Template(Seq((1, 4, 0L))))
+    NetflowDecoder.saveTemplatesFs(c, conf, p) // create
+    c.put(3, 4, 9, 301, 60L, NetflowDecoder.Template(Seq((2, 4, 0L))))
+    NetflowDecoder.saveTemplatesFs(c, conf, p) // overwrite-rename
+    val back = NetflowDecoder.loadTemplatesFs(conf, p)
+    assert(back.map(_.templates.size) == Some(2))
+    assert(NetflowDecoder.loadTemplatesFs(conf,
+      new org.apache.hadoop.fs.Path(dir, "absent.tmpl")).isEmpty)
+  }
+
   test("TemplateCache evicts least-recently-used beyond its cap") {
     val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
     val t = NetflowDecoder.Template(Seq((1, 4, 0L)))

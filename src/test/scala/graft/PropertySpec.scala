@@ -624,4 +624,62 @@ class PropertySpec extends SparkTest {
         }
       }
   }
+
+  test("GFTS template-snapshot codec round-trips arbitrary snapshots " +
+    "bit-exactly, and random byte files never parse") {
+    import graft.sources.NetflowDecoder
+    import graft.sources.NetflowDecoder.{SamplingSnapshotEntry,
+      TemplateSnapshotEntry}
+    val genField = Gen.zip(Gen.chooseNum(0, 65535),
+      Gen.chooseNum(0, 1500), Gen.chooseNum(0L, Long.MaxValue))
+    val genTmpl = for {
+      src <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      sid <- Gen.chooseNum(0L, 1L << 32)
+      ver <- Gen.oneOf(5, 9, 10)
+      tid <- Gen.chooseNum(0, 65535)
+      epoch <- Gen.chooseNum(0L, 4102444800L)
+      isOpt <- Gen.oneOf(true, false)
+      nf <- Gen.chooseNum(0, 12)
+      fs <- Gen.listOfN(nf, genField)
+    } yield TemplateSnapshotEntry(src, sid, ver, tid, epoch, isOpt, fs)
+    val genSamp = Gen.zip(Gen.chooseNum(0L, 1L << 32),
+      Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 4102444800L),
+      Gen.chooseNum(1L, 1L << 20)).map { case (a, b, c, d) =>
+      SamplingSnapshotEntry(a, b, c, d) }
+    val dir = java.nio.file.Files.createTempDirectory("gfts_prop")
+    samples(Gen.zip(Gen.listOfN(6, genTmpl), Gen.listOfN(4, genSamp)),
+        20).zipWithIndex.foreach { case ((ts, ss), i) =>
+      // round-trip through a REAL cache: save serializes whatever the
+      // cache's snapshot() yields, load must restore it identically
+      val c = new NetflowDecoder.TemplateCache()
+      c.restore(NetflowDecoder.TemplateSnapshot(ts, ss))
+      val f = new java.io.File(dir.toFile, s"prop$i.tmpl")
+      NetflowDecoder.saveTemplates(c, f)
+      val back = NetflowDecoder.loadTemplates(f)
+      assert(back.isDefined, s"case $i failed to load")
+      val c2 = new NetflowDecoder.TemplateCache()
+      c2.restore(back.get)
+      // canonical comparison: both caches' snapshots, sorted
+      def canon(s2: NetflowDecoder.TemplateSnapshot) =
+        (s2.templates.sortBy(t => (t.src, t.sourceId, t.ver, t.tid,
+          t.epoch, t.isOptions, t.fields.mkString)),
+          s2.sampling.sortBy(x => (x.src, x.sourceId, x.epoch, x.rate)))
+      assert(canon(c2.snapshot()) == canon(c.snapshot()), s"case $i")
+    }
+    // fuzz: random bytes (any length, any content) must never parse to
+    // Some(...) by accident of the magic check, and never throw
+    samples(Gen.zip(Gen.chooseNum(0, 64),
+        Gen.chooseNum(Long.MinValue, Long.MaxValue)), 30)
+      .foreach { case (len, seed0) =>
+        val rnd = new scala.util.Random(seed0)
+        val bytes = Array.fill(len)(rnd.nextInt().toByte)
+        val f = new java.io.File(dir.toFile, "fuzz.tmpl")
+        java.nio.file.Files.write(f.toPath, bytes)
+        // only a byte-perfect GFTS v1 header could even begin parsing;
+        // random bytes hit the magic/version/count guards -> None
+        assert(NetflowDecoder.loadTemplates(f).isEmpty
+          || bytes.length >= 12 && bytes.take(8).toSeq ==
+            Seq[Byte](0x47, 0x46, 0x54, 0x53, 0, 0, 0, 1))
+      }
+  }
 }
