@@ -97,14 +97,17 @@ object SharedFwmBench {
     // biasing the reported speedup low (ADVICE r14). Every bench
     // section's measures are LongType (octets/packets), so the union
     // stays schema-consistent.
+    // measure names are per-section constants — resolved ONCE here so
+    // the timed body contains only plan construction and execution
+    val measureOf: Map[String, String] = secs.map(s => s.conf.name ->
+      Fwm.compile(s.conf).fold(e => sys.error(e), identity)
+        .aggrs.head.sqlName).toMap
     def separate(): Unit =
       secs.map { s =>
-        val m = Fwm.compile(s.conf).fold(e => sys.error(e), identity)
-          .aggrs.head.sqlName
         Fwm.aggregate(flows.filter(s.pred), env, s.conf,
             samplingRate = Some(col("sampling_rate")))
           .select(lit(s.conf.name).as("section"), col("time"),
-            col(m).as("m"))
+            col(measureOf(s.conf.name)).as("m"))
       }.reduce(_ unionByName _)
         .write.format("noop").mode("overwrite").save()
 

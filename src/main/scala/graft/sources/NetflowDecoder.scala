@@ -276,13 +276,15 @@ object NetflowDecoder {
     val snap = cache.synchronized(cache.snapshot())
     val tmp = new java.io.File(file.getParentFile,
       file.getName + ".tmp" + ProcessHandle.current().pid())
-    val out = new java.io.DataOutputStream(
-      new java.io.BufferedOutputStream(
-        new java.io.FileOutputStream(tmp)))
-    try writeSnapshot(snap, out) finally out.close()
-    java.nio.file.Files.move(tmp.toPath, file.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(tmp)))
+      try writeSnapshot(snap, out) finally out.close()
+      java.nio.file.Files.move(tmp.toPath, file.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Exception => tmp.delete(); throw e }
   }
 
   /** Load a snapshot; a missing, corrupt, truncated, or
@@ -317,11 +319,18 @@ object NetflowDecoder {
     val fs = rawFs(file, conf)
     val tmp = new org.apache.hadoop.fs.Path(file.getParent,
       file.getName + ".tmp" + ProcessHandle.current().pid())
-    val out = new java.io.DataOutputStream(fs.create(tmp, true))
-    try writeSnapshot(snap, out) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      file.toUri, conf)
-    fc.rename(tmp, file, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val out = new java.io.DataOutputStream(fs.create(tmp, true))
+      try writeSnapshot(snap, out) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        file.toUri, conf)
+      fc.rename(tmp, file,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Exception =>
+        try fs.delete(tmp, false) catch { case _: Exception => () }
+        throw e
+    }
   }
 
   /** Load one snapshot from a Hadoop path; missing/corrupt = None. */
@@ -819,6 +828,34 @@ object NetflowDecoder {
   private val streamCaches =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Stamped]
 
+  /** Evict stream caches idle past the 6-hour window. An evicted key
+    * must also forget its RESTORE mark: a later task for it gets a
+    * fresh empty cache, and with the mark still set it would skip the
+    * disk merge and then persist that empty cache OVER the durable
+    * snapshot file — clobbering exactly the state the file protects. */
+  private def sweepIdleStreamCaches(): Unit = {
+    val cutoff = System.nanoTime() - streamCacheIdleEvictNanos
+    val it = streamCaches.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.lastUsedNanos < cutoff) {
+        it.remove()
+        restoredOnce.remove(e.getKey)
+      }
+    }
+  }
+
+  /** Test hooks: age a cache past the idle window, then run the REAL
+    * sweep — lets a spec prove the evict-forgets-restore-mark contract
+    * without minting 256 caches and waiting 6 hours. */
+  private[graft] def backdateStreamCacheForTest(namespace: String,
+                                                pid: Int): Unit =
+    Option(streamCaches.get((namespace, pid))).foreach(
+      _.lastUsedNanos = System.nanoTime() - streamCacheIdleEvictNanos
+        - 1)
+  private[graft] def runIdleSweepForTest(): Unit =
+    sweepIdleStreamCaches()
+
   private def streamCache(namespace: String, pid: Int): TemplateCache = {
     val key = (namespace, pid)
     val existing = streamCaches.get(key)
@@ -827,12 +864,7 @@ object NetflowDecoder {
         existing.lastUsedNanos = System.nanoTime()
         existing
       } else {
-        if (streamCaches.size() > 256) {
-          val cutoff = System.nanoTime() - streamCacheIdleEvictNanos
-          val it = streamCaches.entrySet().iterator()
-          while (it.hasNext)
-            if (it.next().getValue.lastUsedNanos < cutoff) it.remove()
-        }
+        if (streamCaches.size() > 256) sweepIdleStreamCaches()
         streamCaches.compute(key, (_, cur) => {
           val v = if (cur == null) Stamped(new TemplateCache) else cur
           v.lastUsedNanos = System.nanoTime()
@@ -903,6 +935,48 @@ object NetflowDecoder {
       .sortBy(_.getName)
   }
 
+  /** Tmp files a crashed writer left behind (`.tmpl.tmp<pid>`): the
+    * restore listing excludes them and no rename ever consumes them,
+    * so on a long-lived shared store they would otherwise accumulate
+    * without bound (every crash mints a fresh pid-suffixed name).
+    * Swept at first-restore time, with an age guard so another
+    * executor's IN-FLIGHT tmp is never touched — and even a mis-swept
+    * live tmp only fails that writer's rename, which the completion
+    * listener swallows and the next micro-batch rewrites. */
+  private val staleTmpAgeMs = 3600L * 1000
+
+  private def tmpFilePattern(namespace: String): java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(safeNs(namespace)) +
+        "-p\\d{5,}\\.tmpl\\.tmp\\d+")
+
+  private def sweepStaleTmp(dir: String, namespace: String): Unit = {
+    val pat = tmpFilePattern(namespace)
+    val cutoff = System.currentTimeMillis() - staleTmpAgeMs
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten.foreach {
+      f =>
+        if (pat.matcher(f.getName).matches() &&
+            f.lastModified() < cutoff) f.delete()
+    }
+  }
+
+  /** Hadoop-FS twin of [[sweepStaleTmp]]. */
+  private def sweepStaleTmpFs(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: org.apache.hadoop.fs.Path, namespace: String): Unit = {
+    val pat = tmpFilePattern(namespace)
+    val cutoff = System.currentTimeMillis() - staleTmpAgeMs
+    try {
+      val fs = rawFs(dir, conf)
+      fs.listStatus(dir).foreach { st =>
+        if (pat.matcher(st.getPath.getName).matches() &&
+            st.getModificationTime < cutoff)
+          try fs.delete(st.getPath, false)
+          catch { case _: Exception => () } // another sweeper won
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+
   /** Hadoop-FS twin of [[namespaceTemplateFiles]]. */
   private def namespaceTemplateFilesFs(
       conf: org.apache.hadoop.conf.Configuration,
@@ -956,11 +1030,16 @@ object NetflowDecoder {
       col(srcIpCol).cast(LongType))
     // URI-scheme dirs route through Hadoop FS; the executor-side
     // closure needs the driver's Hadoop conf (S3 credentials, NN
-    // address), shipped via the broadcast-safe wrapper
+    // address), shipped via the broadcast-safe wrapper. Scheme
+    // detection parses the path — substring tests on "://" would
+    // misroute legal single-slash URIs ("file:/x", Path.toString's
+    // own rendering) onto java.io, which treats "file:/x" as a
+    // RELATIVE local path and silently writes under the task cwd.
     val hadoopConf: Option[
         org.apache.spark.util.SerializableConfiguration] =
-      templatesDir.filter(_.contains("://")).map(_ =>
-        new org.apache.spark.util.SerializableConfiguration(
+      templatesDir.filter(d =>
+          new org.apache.hadoop.fs.Path(d).toUri.getScheme != null)
+        .map(_ => new org.apache.spark.util.SerializableConfiguration(
           df.sparkSession.sparkContext.hadoopConfiguration))
     proj.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -968,8 +1047,13 @@ object NetflowDecoder {
       templatesDir.foreach { dir =>
         // first touch after a (re)start merges EVERY partition's file
         // for the namespace — routing may have changed since the files
-        // were written, see namespaceTemplateFiles
-        val firstTouch = restoredOnce.add((namespace, pid))
+        // were written, see namespaceTemplateFiles. The restore mark
+        // is set only AFTER the merge completes: the FS branch can
+        // throw (transient NN/store outage), and marking first would
+        // make the retried task skip the restore forever — a permanent
+        // cold start with valid snapshots sitting on disk.
+        val key = (namespace, pid)
+        val firstTouch = !restoredOnce.contains(key)
         val persist: () => Unit = hadoopConf match {
           case Some(sc) =>
             val conf = sc.value
@@ -978,17 +1062,22 @@ object NetflowDecoder {
               templateFileName(namespace, pid))
             if (firstTouch) {
               rawFs(base, conf).mkdirs(base)
+              sweepStaleTmpFs(conf, base, namespace)
               namespaceTemplateFilesFs(conf, base, namespace).foreach(
                 nf => loadTemplatesFs(conf, nf).foreach(s =>
                   cache.synchronized(cache.restore(s))))
+              restoredOnce.add(key)
             }
             () => saveTemplatesFs(cache, conf, f)
           case None =>
             val f = templateFile(dir, namespace, pid)
-            if (firstTouch)
+            if (firstTouch) {
+              sweepStaleTmp(dir, namespace)
               namespaceTemplateFiles(dir, namespace).foreach(nf =>
                 loadTemplates(nf).foreach(s =>
                   cache.synchronized(cache.restore(s))))
+              restoredOnce.add(key)
+            }
             () => saveTemplates(cache, f)
         }
         // persist at task end — the cache then contains everything this

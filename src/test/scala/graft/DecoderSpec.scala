@@ -645,6 +645,125 @@ class DecoderSpec extends SparkTest {
       new org.apache.hadoop.fs.Path(dir, "absent.tmpl")).isEmpty)
   }
 
+  test("idle-sweep eviction forgets the restore mark: a resumed " +
+    "namespace re-merges from disk instead of clobbering the " +
+    "snapshot with an empty cache") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.NetflowDecoder
+    val ns = s"tmpl-sweep-${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("tmpl_sweep").toString
+    val tmpl = bytes(9, 2, 1000L, 1700000000L, 1L, 7L) ++
+      bytes(0, 12, 256, 1, 1, 4)
+    val data = bytes(9, 2, 1000L, 1700000000L, 2L, 7L) ++
+      bytes(256, 8, 777L)
+    def drive(payloads: Seq[Array[Byte]]): Long = {
+      val mem = MemoryStream[(Array[Byte], Long, Long)]
+      val out = NetflowDecoder.decodeStream(
+        mem.toDF().toDF("payload", "ts_sec", "src_ip").repartition(1),
+        ns, templatesDir = Some(dir))
+      val q = out.writeStream.format("memory")
+        .queryName(s"ts${System.nanoTime()}")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      try {
+        mem.addData(payloads.map(p => (p, 100L, 9L)): _*)
+        q.processAllAvailable()
+        spark.table(q.name).count()
+      } finally q.stop()
+    }
+    assert(drive(Seq(tmpl)) == 0) // learn + persist
+    // age the cache past the idle window and run the REAL sweep — the
+    // pre-fix behavior kept the restore mark, so the next task built
+    // an empty cache, skipped the disk merge, decoded nothing, and
+    // its completion listener overwrote the snapshot with emptiness
+    NetflowDecoder.backdateStreamCacheForTest(ns, 0)
+    NetflowDecoder.runIdleSweepForTest()
+    assert(drive(Seq(data)) == 1,
+      "an evicted-then-resumed namespace must restore from disk")
+    // and the durable file still holds the template (never clobbered)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tmpl"))
+    assert(files.exists(f =>
+      NetflowDecoder.loadTemplates(f).exists(_.templates.nonEmpty)),
+      "the snapshot file must keep its templates across the sweep")
+    NetflowDecoder.clearStreamCache(ns)
+  }
+
+  test("single-slash URIs (Path.toString form) route through Hadoop " +
+    "FS, not java.io relative-path misparse") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.NetflowDecoder
+    val ns = s"tmpl-slash-${System.nanoTime()}"
+    val local = java.nio.file.Files
+      .createTempDirectory("tmpl_slash").toString
+    // "file:/x" — what new Path("file:///x").toString renders; a
+    // substring "://" test misroutes it to java.io, which treats it
+    // as a RELATIVE path and silently writes under the task cwd
+    val dir = "file:" + local
+    assert(!dir.contains("://"))
+    val tmpl = bytes(9, 2, 1000L, 1700000000L, 1L, 7L) ++
+      bytes(0, 12, 256, 1, 1, 4)
+    val mem = MemoryStream[(Array[Byte], Long, Long)]
+    val out = NetflowDecoder.decodeStream(
+      mem.toDF().toDF("payload", "ts_sec", "src_ip").repartition(1),
+      ns, templatesDir = Some(dir))
+    val q = out.writeStream.format("memory")
+      .queryName(s"tsl${System.nanoTime()}")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      mem.addData((tmpl, 100L, 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(new java.io.File(local).listFiles()
+      .exists(_.getName.endsWith(".tmpl")),
+      "snapshot must land in the URI's directory, not under cwd")
+    assert(!new java.io.File(new java.io.File("."), "file:").exists(),
+      "no 'file:' relative directory may appear under the cwd")
+    NetflowDecoder.clearStreamCache(ns)
+  }
+
+  test("stale tmp files from crashed writers are swept at restore; " +
+    "fresh in-flight tmps are preserved") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.NetflowDecoder
+    val ns = s"tmpl-tsweep-${System.nanoTime()}"
+    val dir = java.nio.file.Files
+      .createTempDirectory("tmpl_tsweep").toString
+    // a crashed writer's leftover: matches <ns>-pNNNNN.tmpl.tmp<pid>,
+    // older than the 1 h age guard
+    val stale = new java.io.File(dir, s"$ns-p00000.tmpl.tmp12345")
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    stale.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000)
+    // a live writer's in-flight tmp: same shape, fresh mtime
+    val fresh = new java.io.File(dir, s"$ns-p00001.tmpl.tmp99999")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](4, 5, 6))
+    val tmpl = bytes(9, 2, 1000L, 1700000000L, 1L, 7L) ++
+      bytes(0, 12, 256, 1, 1, 4)
+    val mem = MemoryStream[(Array[Byte], Long, Long)]
+    val out = NetflowDecoder.decodeStream(
+      mem.toDF().toDF("payload", "ts_sec", "src_ip").repartition(1),
+      ns, templatesDir = Some(dir))
+    val q = out.writeStream.format("memory")
+      .queryName(s"tt${System.nanoTime()}")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .start()
+    try {
+      mem.addData((tmpl, 100L, 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!stale.exists(), "2h-old tmp must be swept at restore")
+    assert(fresh.exists(), "fresh tmp (possible live writer) stays")
+    NetflowDecoder.clearStreamCache(ns)
+  }
+
   test("TemplateCache evicts least-recently-used beyond its cap") {
     val cache = new NetflowDecoder.TemplateCache(maxEntries = 4)
     val t = NetflowDecoder.Template(Seq((1, 4, 0L)))
