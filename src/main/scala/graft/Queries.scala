@@ -4295,6 +4295,47 @@ object Queries {
                     'start' AS ev)
            ORDER BY key ASC, ev ASC"""))
 
+  // --------------- semantic dedup (SemDeDup: cluster → ε-prune inside)
+  /** q114 is the embedding-side dedup a lexical pass can't do: the
+    * integer-exact k-means (q57's trainer, q58's assignment rule)
+    * partitions the corpus, and within each cluster any item with a
+    * smaller-id ε-neighbor is pruned. The oracle replays training,
+    * assignment and the intra-cluster prune in DuckDB — cosine sums
+    * run in array-index order on both engines, so the ≥ threshold
+    * decides identically (q44 pins the same property). */
+  private val q114 = Q(
+    "q114_semantic_dedup",
+    (s, dir) => {
+      import graft.operators.Similarity
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 4, iters = 2, minSim = 0.3)
+        .orderBy(col("vec_id").asc)
+    },
+    Some(semanticDedupOracle))
+
+  private lazy val semanticDedupOracle: String = {
+    def cos(a: String, b: String) =
+      s"${OracleSql.dotSql(a, b, 64)} / " +
+        s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
+        s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
+    s"""WITH ${OracleSql.kmeansCtes(4, 2, 64, 1000000L)},
+      cent AS (SELECT cid,
+          list(CAST(cx AS DOUBLE) / 1000000 ORDER BY pos) AS cv
+        FROM c2 GROUP BY cid),
+      asg AS (SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cv")} DESC NULLS LAST,
+                          c.cid ASC) AS rn
+        FROM embeddings e, cent c) WHERE rn = 1),
+      dropped AS (SELECT DISTINCT r.vec_id FROM asg l JOIN asg r
+          ON l.cid = r.cid AND l.vec_id < r.vec_id
+        WHERE ${cos("l.embedding", "r.embedding")} >= 0.3)
+      SELECT a.vec_id, a.cid FROM asg a
+      WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY a.vec_id ASC"""
+  }
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4305,7 +4346,7 @@ object Queries {
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-    q112, q113)
+    q112, q113, q114)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -809,4 +809,48 @@ object Similarity {
         cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 — prune
+    * semantic duplicates a lexical dedup can't see): cluster the
+    * embeddings with the integer-exact k-means, compare pairs ONLY
+    * within a cluster, and drop every item whose cosine similarity to
+    * a smaller-id item of the same cluster reaches `minSim`. Returns
+    * the KEPT rows (idCol, cid).
+    *
+    * Representative rule: keep-the-smallest-id. Deterministic and
+    * engine-portable (the paper keeps the member farthest from its
+    * centroid; any single-representative rule prunes the same
+    * ε-neighborhoods — documented deviation). An item is dropped when
+    * ANY smaller-id cluster-mate is within ε, whether or not that mate
+    * is itself kept — one relational pass, no sequential greedy chain.
+    *
+    * Scale shape — the whole point of SemDeDup: the quadratic pair
+    * comparison is confined to single clusters, so k is chosen to hold
+    * avg cluster size n/k at a pairwise-affordable bound (the paper
+    * runs k≈10⁵ on web corpora). Training is the bounded Lloyd loop
+    * (broadcast centroids, no n×k shuffle); assignment shuffles
+    * |vectors| once; the intra-cluster self-join shuffles on cid and
+    * its output collapses into a semi-join-shaped distinct before the
+    * anti-join. Nothing is ever all-pairs across clusters. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, minSim: Double,
+                    scale: Long = 1000000L): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters, scale)
+    // same assignment semantic as ivfTopK: nearest centroid by cosine,
+    // ties to the smaller cid — one integer-exact trainer, one
+    // assignment rule everywhere (and one oracle replay for both)
+    val asg = assignToCentroids(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, prepCent(cents, "cid", "cv"))
+    val l = asg.select(col(idCol).as("a"), col(vecCol).as("va"),
+      col("__n").as("na"), col("__cid"))
+    val r = asg.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      col("__n").as("nb"), col("__cid").as("__cid2"))
+    val dropped = l
+      .join(r, col("__cid") === col("__cid2") && col("a") < col("b"))
+      .filter(cosinePre(col("va"), col("vb"), col("na"), col("nb"))
+        >= minSim)
+      .select(col("b").as(idCol)).distinct()
+    asg.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("__cid").as("cid"))
+  }
 }

@@ -913,6 +913,40 @@ class ExtensionOpsSpec extends SparkTest {
     assert(labeled(Some("web-tls")) == 1L)
   }
 
+  test("semanticDedup: intra-cluster eps-prune keeps smallest id; " +
+    "cross-cluster twins survive (SemDeDup confinement)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // two well-separated directions in R^4; ids chosen so the k-means
+    // md5 seeding puts both directions among the k=2 seeds. Within
+    // direction +x: ids 1,2,3 are near-identical (cos ~ 1) → keep 1.
+    // Direction +y: ids 10, 11 identical → keep 10. Cross-cluster
+    // pairs have cos 0 < eps → never compared for pruning anyway.
+    val rows = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.99f, 0.01f, 0f, 0f),
+      3L -> Array(0.98f, 0.02f, 0f, 0f),
+      10L -> Array(0f, 1f, 0f, 0f),
+      11L -> Array(0f, 1f, 0f, 0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 2, minSim = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(kept.map(_._1).sorted.toSeq == Seq(1L, 10L),
+      s"kept ${kept.toSeq}")
+    // the two survivors sit in DIFFERENT clusters
+    assert(kept.map(_._2).distinct.length == 2)
+    // dropping the threshold below the cross-direction cosine (0)
+    // still cannot merge across clusters: with eps = -1 every
+    // intra-cluster pair prunes, leaving exactly one id per cluster
+    val perCluster = Similarity.semanticDedup(df, "vec_id",
+        "embedding", k = 2, iters = 2, minSim = -1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(perCluster.length == 2 &&
+      perCluster.map(_._2).distinct.length == 2,
+      s"got ${perCluster.toSeq}")
+  }
+
   test("int8 quantization: known values, cosine ranking preserved") {
     import graft.operators.Similarity
     import spark.implicits._
