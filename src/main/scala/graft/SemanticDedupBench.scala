@@ -2,7 +2,6 @@ package graft
 
 import graft.operators.Similarity
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 /** Adjudication control for [[Similarity.semanticDedup]] (SCALE.md):
   * the operator's scale claim is that the quadratic pair comparison is
@@ -24,8 +23,12 @@ object SemanticDedupBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.get("SPARK_GRAFT_RUNS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
-    val ks = if (args.nonEmpty) args.toSeq.flatMap(_.toIntOption)
-             else Seq(4, 16, 64)
+    val ks =
+      if (args.isEmpty) Seq(4, 16, 64)
+      else args.toSeq.map(a => a.toIntOption.getOrElse(
+        sys.error(s"k values must be integers, got '$a' " +
+          "(space-separated, e.g.: 4 16 64)")))
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad k sweep: $ks")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

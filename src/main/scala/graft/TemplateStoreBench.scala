@@ -16,11 +16,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *               FS API itself, not network)
   *
   * Each mode replays B micro-batches of K self-contained v9 packets
-  * (template + record per packet, 8 exporters) through one streaming
-  * query into the noop sink; the store grows with template revisions
-  * and is re-persisted at every micro-batch task end — the worst-case
-  * write cadence. Reports per-mode medians and the per-batch overhead
-  * vs `none`.
+  * (template + record per packet; 512 template ids × K/512 exporters,
+  * so K distinct store keys) through one streaming query into the
+  * noop sink; the store grows with template revisions and is
+  * re-persisted at every micro-batch task end — the worst-case write
+  * cadence. Reports per-mode medians and the per-batch overhead vs
+  * `none`.
   */
 object TemplateStoreBench {
   def main(args: Array[String]): Unit = {
@@ -97,7 +98,12 @@ object TemplateStoreBench {
     def freshDir(): String = java.nio.file.Files
       .createTempDirectory("tsb_store").toString
 
-    run(None) // warmup: JIT + codegen + stream machinery
+    // warmup EVERY mode's code path: the persistence branches carry
+    // their own one-time costs (FileSystem/FileContext class load,
+    // persistence-path JIT) that must not land in a measured run
+    run(None)
+    run(Some(freshDir()))
+    run(Some("file:" + freshDir()))
     val tNone = med(() => None)
     val localDir = freshDir()
     val tLocal = med(() => Some(freshDir()))
