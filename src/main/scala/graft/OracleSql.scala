@@ -404,11 +404,11 @@ object OracleSql {
     * expansion it absorbs, at q108's 120-stage unroll it is 2^120
     * (observed as "Too many open files" from the exploding parquet
     * scans long before the planner finishes). */
-  def bpeCtes(numMerges: Int): String = {
+  def bpeCtes(numMerges: Int, src: String = "documents"): String = {
     val base = s"""bwords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(list_filter(string_split(text, ' '),
                 x -> x <> '')) AS w
-              FROM documents)
+              FROM $src)
         GROUP BY 1),
       bw0 AS MATERIALIZED (SELECT freq,
           list_transform(range(1, len(w) + 1), i -> w[i]) AS syms
@@ -446,6 +446,60 @@ object OracleSql {
       s"""SELECT CAST($k AS BIGINT) AS step, l AS "left",
           r AS "right", cnt FROM win$k"""
     }.mkString("\n      UNION ALL ")
+
+  /** BPE APPLY replay (mirrors TextAnalysis.bpeApply /
+    * functions.BpeEncoder bit-for-bit): encode `encSrc` text with the
+    * merges trained by a preceding [[bpeCtes]] chain (win1..winN).
+    * Canonical greedy-rank semantics as ONE recursive CTE: each
+    * recursion step joins every still-mergeable word state to its
+    * LOWEST-rank applicable pair (the NOT EXISTS is the argmin — no
+    * window/aggregate, which recursive terms disallow) and applies
+    * bpeCtes' own leftmost-non-overlapping list fold; a word leaves
+    * the recursion when no listed pair remains, so `eafinal` (the
+    * max-iteration row per word) is the fixpoint. Termination is
+    * structural — every step shrinks `syms` by ≥1. The overall query
+    * must open with WITH RECURSIVE. Exposes `eafinal(w, freq, syms)`.
+    */
+  def bpeApplyCtes(numMerges: Int, encSrc: String): String = {
+    val pairsOf = (syms: String) =>
+      s"""list_transform(range(1, len($syms)),
+            i -> struct_pack(a := $syms[i], b := $syms[i + 1]))"""
+    s"""bamerge AS (SELECT step, "left" AS l, "right" AS r FROM (
+        ${bpeUnion(numMerges)})),
+      eawords AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                x -> x <> '')) AS w
+              FROM $encSrc)
+        GROUP BY 1),
+      eapply AS (
+        SELECT w, freq,
+          list_transform(range(1, len(w) + 1), i -> w[i]) AS syms,
+          0 AS it
+        FROM eawords
+        UNION ALL
+        SELECT w, freq,
+          list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+            CASE WHEN list_extract(acc, -1) = l
+                  AND list_extract(x, 1) = r
+                 THEN list_append(list_slice(acc, 1, -2),
+                        list_extract(acc, -1) || list_extract(x, 1))
+                 ELSE list_append(acc, list_extract(x, 1)) END),
+          it + 1
+        FROM (
+          SELECT e.w, e.freq, e.syms, e.it, m.l, m.r, m.step
+          FROM eapply e JOIN bamerge m
+            ON list_contains(${pairsOf("e.syms")},
+                 struct_pack(a := m.l, b := m.r))
+        ) x
+        WHERE NOT EXISTS (SELECT 1 FROM bamerge m2
+          WHERE m2.step < x.step AND list_contains(${pairsOf("x.syms")},
+            struct_pack(a := m2.l, b := m2.r)))
+      ),
+      eafinal AS (SELECT w, freq, syms FROM (
+        SELECT w, freq, syms,
+               ROW_NUMBER() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+        FROM eapply) WHERE rn = 1)"""
+  }
 
   /** Count-Min replay chain (mirrors Sketches.cmsCell / cmsSketch /
     * cmsEstimate bit-for-bit): ONE md5 per value, Kirsch–Mitzenmacher

@@ -4336,6 +4336,41 @@ object Queries {
       ORDER BY a.vec_id ASC"""
   }
 
+  // ------------------- BPE tokenizer APPLICATION (the inference path)
+  /** q115 closes the tokenizer loop: train merges on HALF the corpus
+    * (even doc_ids — q105's trainer unchanged), freeze them, encode
+    * the HELD-OUT half with the canonical greedy-rank apply
+    * (TextAnalysis.bpeApply — at 100 TB this is the shape that
+    * matters: train once on a sample, then a pure per-row map over
+    * the full corpus, no shuffle, merge-count-independent cost). The
+    * collect is the tokenizer artifact itself — driver-sized by
+    * definition. The oracle replays training via bpeCtes on the even
+    * half and the greedy-rank fixpoint via ONE recursive CTE
+    * (OracleSql.bpeApplyCtes), so train → freeze → encode is
+    * bit-for-bit engine-independent end to end. */
+  private val q115 = Q(
+    "q115_bpe_apply",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis
+        .bpeMerges(docs.filter(col("doc_id") % 2 === 0), "text", 6)
+        .orderBy(col("step").asc).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(explode(TextAnalysis.bpeApply(col("text"), merges))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+    },
+    Some(s"""WITH RECURSIVE ${OracleSql.bpeCtes(6,
+        "(SELECT text FROM documents WHERE doc_id % 2 = 0) tdocs")},
+      ${OracleSql.bpeApplyCtes(6,
+        "(SELECT text FROM documents WHERE doc_id % 2 = 1) edocs")}
+      SELECT s AS token, CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT freq, unnest(syms) AS s FROM eafinal)
+      GROUP BY 1 ORDER BY freq DESC, token ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4346,7 +4381,7 @@ object Queries {
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-    q112, q113, q114)
+    q112, q113, q114, q115)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -158,6 +158,18 @@ object TextAnalysis {
       .select(explode(col("syms")).as("token"), col("freq"))
       .groupBy(col("token")).agg(sum(col("freq")).as("freq"))
 
+  /** Tokenize with an already-TRAINED merge list — the inference path
+    * ([[graft.functions.BpeEncoder]] holds the algorithm + scale
+    * argument): per whitespace word, canonical greedy-rank BPE apply.
+    * The merge list is the tokenizer artifact (driver-sized by
+    * definition); it ships to executors once per task inside the
+    * expression. Pure per-row map — no shuffle, no state, merge-count
+    * independent throughput. */
+  def bpeApply(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.functions.BpeApplyExpr(
+        org.apache.spark.sql.GraftBridge.toExpression(text), merges))
+
   private def bpeCore(df: DataFrame, textCol: String,
                       numMerges: Int): (DataFrame, DataFrame) = {
     val (m, w, _) = bpeCoreRounds(df, textCol, numMerges)
