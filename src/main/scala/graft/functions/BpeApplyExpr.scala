@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -24,15 +26,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * pair an earlier rank wants — the canonical algorithm goes back for
   * it; BpeApplySpec pins the divergence case).
   *
-  * Scale shape: the merge table is the tokenizer artifact — driver /
-  * task-broadcast sized by definition (≤100K rows for real vocabs),
-  * shipped once per task via the codegen reference array. Encoding is
-  * a pure per-row map: no shuffle, no state, embarrassingly parallel,
-  * and per-word cost is O(len²) scans with a per-THREAD word cache
-  * (Zipf reuse makes the cache hit rate the dominant term — the same
-  * trick HuggingFace's tokenizer uses). Work is independent of merge
-  * count M: pair lookups are hash probes, so an 8K-vocab and a
-  * 100K-vocab tokenizer encode at the same rate (SCALE.md r15).
+  * Scale shape: the merge table is the tokenizer artifact — bounded
+  * by vocabulary size (≤100K rows for production vocabs), never by
+  * data. When a SparkSession is active at construction it ships as a
+  * real `SparkContext.broadcast` — once per executor, cached by the
+  * BlockManager — so the per-task serialized payload is a handle, not
+  * 2×100K strings (the naive task-binary route measured ~0.1 s of
+  * deserialization PER TASK at 100K merges — per-stage wall noise
+  * locally, a real tax across a million tasks; SCALE.md r15).
+  * Executor-side derived state — the two-level rank map and the
+  * per-thread word cache — is additionally MEMOIZED process-wide by
+  * content digest ([[BpeEncoder.built]]), so it builds once per JVM
+  * and survives across stages and queries using the same tokenizer.
+  * Encoding itself is a pure per-row map: no shuffle, no state,
+  * embarrassingly parallel, per-word O(len²) scans with the cache
+  * riding Zipf reuse (the same trick HuggingFace's tokenizer uses),
+  * and throughput independent of merge count M — pair lookups are
+  * hash probes.
   *
   * Why a native Expression and not composed functions: rank-priority
   * needs a loop-until-fixpoint per word with a data-dependent trip
@@ -43,40 +53,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * does not grant). One virtual call per row into a tight JVM loop
   * keeps the projection inside whole-stage codegen.
   */
-final class BpeEncoder(val merges: Seq[(String, String)])
+final class BpeEncoder private (
+    /** Inline payload — only when no session was active at
+      * construction (driver-local use); null when broadcast. */
+    private val inline: (Array[String], Array[String]),
+    private val bc: Broadcast[(Array[String], Array[String])],
+    /** Content digest — memo key for executor-side derived state and
+      * this encoder's identity (expression equality rides on it).
+      * Computed ONCE driver-side. */
+    val digest: String)
     extends Serializable {
 
-  /** (l → (r → rank)); two-level so the hot adjacent-pair probe
-    * allocates nothing. */
-  @transient private lazy val rank
-      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
-    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
-    var i = 0
-    while (i < merges.length) {
-      val (l, r) = merges(i)
-      var inner = m.get(l)
-      if (inner == null) {
-        inner = new java.util.HashMap[String, Integer]()
-        m.put(l, inner)
-      }
-      // first (lowest) rank wins if a pair is listed twice
-      if (!inner.containsKey(r)) inner.put(r, Integer.valueOf(i))
-      i += 1
-    }
-    m
+  override def equals(o: Any): Boolean = o match {
+    case e: BpeEncoder => e.digest == digest
+    case _             => false
   }
+  override def hashCode(): Int = digest.hashCode
 
-  /** Per-thread bounded word→tokens cache. Thread-local because one
-    * deserialized expression instance may serve several tasks on an
-    * executor; bounded so an adversarial unique-word corpus cannot
-    * grow it past [[BpeEncoder.CacheCap]] entries per thread. */
-  @transient private lazy val cache
-      : ThreadLocal[java.util.HashMap[String, Array[UTF8String]]] =
-    ThreadLocal.withInitial(() =>
-      new java.util.HashMap[String, Array[UTF8String]]())
+  @transient private lazy val state: BpeEncoder.State =
+    BpeEncoder.built.computeIfAbsent(digest, _ => {
+      val (l, r) = if (bc != null) bc.value else inline
+      BpeEncoder.buildState(l, r)
+    })
 
   private def rankOf(l: String, r: String): Int = {
-    val inner = rank.get(l)
+    val inner = state.rank.get(l)
     if (inner == null) Int.MaxValue
     else {
       val v = inner.get(r)
@@ -106,7 +107,8 @@ final class BpeEncoder(val merges: Seq[(String, String)])
       }
       if (bestRank == Int.MaxValue) done = true
       else {
-        val (l, r) = merges(bestRank)
+        val l = state.lefts(bestRank)
+        val r = state.rights(bestRank)
         val out = new java.util.ArrayList[String](toks.size)
         var k = 0
         while (k < toks.size) {
@@ -133,7 +135,7 @@ final class BpeEncoder(val merges: Seq[(String, String)])
   }
 
   private def cachedEncode(w: String): Array[UTF8String] = {
-    val c = cache.get()
+    val c = state.cache.get()
     var r = c.get(w)
     if (r == null) {
       r = encodeWord(w)
@@ -174,12 +176,87 @@ final class BpeEncoder(val merges: Seq[(String, String)])
 object BpeEncoder {
   /** Per-thread word-cache entry bound. */
   val CacheCap = 1 << 15
+
+  /** Process-wide derived-state memos retained (distinct tokenizers
+    * per JVM are few; overflow clears — correctness is unaffected,
+    * state just rebuilds). */
+  private val MemoCap = 16
+
+  private[functions] final class State(
+      val lefts: Array[String],
+      val rights: Array[String],
+      val rank: java.util.HashMap[String, java.util.HashMap[String, Integer]],
+      val cache: ThreadLocal[java.util.HashMap[String, Array[UTF8String]]])
+
+  /** digest → derived state, shared across stages / queries / encoder
+    * instances for the same merge list. */
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, State]()
+
+  private def buildState(lefts: Array[String],
+                         rights: Array[String]): State = {
+    if (built.size() >= MemoCap) built.clear()
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    var i = 0
+    while (i < lefts.length) {
+      var inner = m.get(lefts(i))
+      if (inner == null) {
+        inner = new java.util.HashMap[String, Integer]()
+        m.put(lefts(i), inner)
+      }
+      // first (lowest) rank wins if a pair is listed twice
+      if (!inner.containsKey(rights(i))) inner.put(rights(i), i)
+      i += 1
+    }
+    new State(lefts, rights, m, ThreadLocal.withInitial(() =>
+      new java.util.HashMap[String, Array[UTF8String]]()))
+  }
+
+  private def digestOf(lefts: Array[String],
+                       rights: Array[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    def put(s: String): Unit = {
+      md.update(buf.clear().putInt(s.length).array())
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    put(lefts.length.toString)
+    lefts.foreach(put)
+    rights.foreach(put)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** digest → broadcast handle, driver-side: the same tokenizer used
+    * across many queries broadcasts ONCE (and re-broadcasting per
+    * query would also leak executor block-store entries). Guarded by
+    * the same cap/clear policy as [[built]]. */
+  private val bcMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Broadcast[(Array[String], Array[String])]]()
+
+  def apply(merges: Seq[(String, String)]): BpeEncoder = {
+    val arrays = (merges.map(_._1).toArray, merges.map(_._2).toArray)
+    val digest = digestOf(arrays._1, arrays._2)
+    SparkSession.getActiveSession match {
+      case Some(s) =>
+        // key includes the application id: a memoized broadcast must
+        // not outlive its SparkContext (tests stop/recreate sessions)
+        val key = s.sparkContext.applicationId + ":" + digest
+        if (bcMemo.size() >= MemoCap) { // outside computeIfAbsent —
+          bcMemo.values().forEach(_.unpersist(blocking = false)) // its
+          bcMemo.clear() // mapper must not modify the map
+        }
+        val bc = bcMemo.computeIfAbsent(key,
+          _ => s.sparkContext.broadcast(arrays))
+        new BpeEncoder(null, bc, digest)
+      case None => new BpeEncoder(arrays, null, digest)
+    }
+  }
 }
 
 /** `bpe_apply(text)` → array&lt;string&gt; of BPE tokens (see
   * [[BpeEncoder]] for semantics and the scale argument). NULL text →
   * NULL; empty / all-space text → empty array. */
-case class BpeApplyExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeApplyExpr(child: Expression, encoder: BpeEncoder)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -190,8 +267,6 @@ case class BpeApplyExpr(child: Expression, merges: Seq[(String, String)])
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a string input, got " +
         child.dataType.catalogString)
-
-  @transient private lazy val encoder = new BpeEncoder(merges)
 
   override def nullSafeEval(t: Any): Any =
     encoder.encodeText(t.asInstanceOf[UTF8String])
@@ -205,4 +280,10 @@ case class BpeApplyExpr(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object BpeApplyExpr {
+  def apply(child: Expression,
+            merges: Seq[(String, String)]): BpeApplyExpr =
+    BpeApplyExpr(child, BpeEncoder(merges))
 }

@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class BpeApplySpec extends SparkTest {
 
   private def enc(merges: (String, String)*)(w: String): Seq[String] =
-    new BpeEncoder(merges).encodeWord(w).toSeq.map(_.toString)
+    BpeEncoder(merges).encodeWord(w).toSeq.map(_.toString)
 
   private def applyCol(text: String,
                        merges: Seq[(String, String)]): Seq[String] = {
