@@ -4371,6 +4371,148 @@ object Queries {
       FROM (SELECT freq, unnest(syms) AS s FROM eafinal)
       GROUP BY 1 ORDER BY freq DESC, token ASC"""))
 
+  // ------------- exact duplicate-SPAN removal (ExactSubstr, Lee et al.)
+  /** Shared oracle CTE chain for q116/q117 (mirrors SpanDedup
+    * bit-for-bit): every L-token window of every document, duplicated
+    * grams mark their non-first occurrences (ROW_NUMBER by (doc, pos)
+    * ≡ the operator's min-struct — same set, no implementation
+    * leakage), marked windows merge into maximal spans per document
+    * via the prev-running-max islands idiom. */
+  private def spanCtes(l: Int): String =
+    s"""stoks AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents),
+      sgram AS (SELECT doc_id,
+          unnest(range(1, len(tk) - $l + 2)) AS pos, tk
+        FROM stoks WHERE len(tk) >= $l),
+      sg2 AS (SELECT doc_id, pos,
+          array_to_string(list_slice(tk, pos, pos + $l - 1), ' ') AS gram
+        FROM sgram),
+      sdup AS (SELECT doc_id, pos,
+          COUNT(*) OVER (PARTITION BY gram) AS c,
+          ROW_NUMBER() OVER (PARTITION BY gram
+            ORDER BY doc_id, pos) AS rn
+        FROM sg2),
+      smarked AS (SELECT doc_id, pos FROM sdup WHERE c > 1 AND rn > 1),
+      sord AS (SELECT doc_id, pos,
+          MAX(pos + $l - 1) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM smarked),
+      sisl AS (SELECT doc_id, pos,
+          SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        FROM sord),
+      sspans AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+          CAST(MAX(pos) + $l - 1 AS BIGINT) AS end_tok
+        FROM sisl GROUP BY doc_id, gid)"""
+
+  /** q116: duplicated-span DETECTION — the substring-level dedup a
+    * document-level pass cannot do (Lee et al.'s ExactSubstr,
+    * arXiv:2107.06499, over word tokens). Every 8-token window is an
+    * occurrence; grams seen more than once mark all but their
+    * globally-first copy; marked windows merge into maximal 1-based
+    * inclusive spans. The operator marks via
+    * groupBy(gram).agg(count, min(struct)) + join-back — map-side
+    * partials collapse the hottest gram to one row before the
+    * exchange (no per-gram sort task, unlike a row_number window), so
+    * boilerplate repeated millions of times cannot skew a task. */
+  private val q116 = Q(
+    "q116_dup_spans",
+    (s, dir) => {
+      import graft.operators.SpanDedup
+      SpanDedup.duplicateSpans(t(s, dir, "documents"), "doc_id",
+          "text", minTokens = 8)
+        .orderBy(col("doc_id").asc, col("start_tok").asc)
+    },
+    Some(s"""WITH ${spanCtes(8)}
+      SELECT doc_id, start_tok, end_tok FROM sspans
+      ORDER BY doc_id ASC, start_tok ASC"""))
+
+  /** q117: duplicated-span REMOVAL — q116's spans cut back out of the
+    * text; one row per document (empty string when the whole document
+    * was duplicated — the first copy survives under keepFirst, so a
+    * corpus of identical documents keeps exactly one). The cut is a
+    * higher-order filter inside the projection — the only shuffles
+    * are q116's plus one doc-keyed join of the far-smaller span
+    * table. */
+  private val q117 = Q(
+    "q117_span_clean",
+    (s, dir) => {
+      import graft.operators.SpanDedup
+      SpanDedup.removeSpans(t(s, dir, "documents"), "doc_id",
+          "text", minTokens = 8)
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH ${spanCtes(8)},
+      stp AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, tk
+        FROM stoks),
+      stok1 AS (SELECT doc_id, pos, tk[pos] AS tok FROM stp),
+      skept AS (SELECT t.doc_id, t.pos, t.tok FROM stok1 t
+        WHERE NOT EXISTS (SELECT 1 FROM sspans s
+          WHERE s.doc_id = t.doc_id
+            AND t.pos BETWEEN s.start_tok AND s.end_tok)),
+      sclean AS (SELECT doc_id,
+          string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        FROM skept GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(c.cleaned, '') AS cleaned
+      FROM documents d LEFT JOIN sclean c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id ASC"""))
+
+  /** q118: SPAN decontamination — GPT-3 appendix-C style: instead of
+    * dropping every document that collides with the benchmark (q52's
+    * doc-level verdicts), cut only the collision windows, widened by
+    * pad=2 tokens each side and clamped to the document. Every
+    * collision is marked (no keep-first exemption — benchmark text
+    * must not survive anywhere); padded windows coalesce BEFORE
+    * clamping. The benchmark gram set rides a left_semi join — small
+    * sets broadcast; at scale only the distinct-gram stream shuffles,
+    * never document bytes. */
+  private val q118 = Q(
+    "q118_contam_spans",
+    (s, dir) => {
+      import graft.operators.SpanDedup
+      val docs = t(s, dir, "documents")
+      SpanDedup.contaminationSpans(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          minTokens = 4, pad = 2)
+        .orderBy(col("doc_id").asc, col("start_tok").asc)
+    },
+    Some("""WITH ctoks AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents WHERE source <> 'src0'),
+      cgram AS (SELECT doc_id, unnest(range(1, len(tk) - 4 + 2)) AS pos,
+          tk FROM ctoks WHERE len(tk) >= 4),
+      cg2 AS (SELECT doc_id, pos,
+          array_to_string(list_slice(tk, pos, pos + 4 - 1), ' ') AS gram
+        FROM cgram),
+      btoks AS (SELECT list_filter(string_split(text, ' '),
+            x -> x <> '') AS tk
+        FROM documents WHERE source = 'src0'),
+      bgram AS (SELECT DISTINCT
+          array_to_string(list_slice(tk, pos, pos + 4 - 1), ' ') AS gram
+        FROM (SELECT unnest(range(1, len(tk) - 4 + 2)) AS pos, tk
+              FROM btoks WHERE len(tk) >= 4)),
+      cmark AS (SELECT doc_id, pos - 2 AS s, pos + 4 - 1 + 2 AS e
+        FROM cg2 WHERE gram IN (SELECT gram FROM bgram)),
+      cord AS (SELECT doc_id, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM cmark),
+      cisl AS (SELECT doc_id, s, e,
+          SUM(CASE WHEN prev_end IS NULL OR s > prev_end + 1
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s) AS gid
+        FROM cord),
+      cspans AS (SELECT doc_id, MIN(s) AS s0, MAX(e) AS e0
+        FROM cisl GROUP BY doc_id, gid)
+      SELECT c.doc_id,
+        CAST(GREATEST(c.s0, 1) AS BIGINT) AS start_tok,
+        CAST(LEAST(c.e0, len(t.tk)) AS BIGINT) AS end_tok
+      FROM cspans c JOIN ctoks t ON c.doc_id = t.doc_id
+      ORDER BY c.doc_id ASC, start_tok ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4381,7 +4523,7 @@ object Queries {
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-    q112, q113, q114, q115)
+    q112, q113, q114, q115, q116, q117, q118)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -77,7 +77,14 @@ object ScaleSweep {
     // output is key-normalized on (proto, dst_as, src_port) but time
     // buckets are disjoint per replica, so rows scale ~10x and the
     // slope measures the scan+explode+agg pipeline
-    "q111_fwm_shared_scan")
+    "q111_fwm_shared_scan",
+    // r15: q115 trains on the tagged even-half (winner merges change,
+    // time follows the two corpus passes: training collapse + encode —
+    // near-linear); q116/q117 grams stay intra-replica (tags make
+    // cross-replica windows distinct), so spans and cleaned rows
+    // scale 10x and the slope measures the explode + gram agg/join +
+    // doc-windowed island pipeline
+    "q115_bpe_apply", "q116_dup_spans", "q117_span_clean")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
