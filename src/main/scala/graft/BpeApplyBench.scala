@@ -52,12 +52,17 @@ object BpeApplyBench {
     val real = TextAnalysis.bpeMerges(docs, "text", 100000)
       .orderBy(col("step").asc).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    // padding pairs over CJK-range chars the corpus never contains:
-    // they can never match, so per-word work is identical across M
+    // padding pairs prefixed with a CJK sentinel char the corpus
+    // never contains: they can never match any corpus-derived token
+    // (those are built from corpus characters only), so per-word work
+    // is identical across M. The index keeps every pair distinct —
+    // NOT chars from an incrementing codepoint, which overflows Char
+    // past 0xFFFF and wraps into ASCII (caught in review: wrapped
+    // pads at M=100K could match real adjacent letters and invalidate
+    // the controlled experiment).
     def padded(m: Int): Seq[(String, String)] =
       real ++ (0 until (m - real.size)).map { i =>
-        (new String(Array((0x4E00 + 2 * i).toChar)),
-          new String(Array((0x4E00 + 2 * i + 1).toChar)))
+        ("一" + i, "丁" + i)
       }
 
     // same token volume, every word unique: the cache-miss bound

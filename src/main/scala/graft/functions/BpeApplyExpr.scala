@@ -70,11 +70,15 @@ final class BpeEncoder private (
   }
   override def hashCode(): Int = digest.hashCode
 
-  @transient private lazy val state: BpeEncoder.State =
+  @transient private lazy val state: BpeEncoder.State = {
+    // cap check OUTSIDE computeIfAbsent — its mapper must not modify
+    // the map (same CHM rule the bcMemo eviction follows)
+    BpeEncoder.evictBuiltIfFull()
     BpeEncoder.built.computeIfAbsent(digest, _ => {
       val (l, r) = if (bc != null) bc.value else inline
       BpeEncoder.buildState(l, r)
     })
+  }
 
   private def rankOf(l: String, r: String): Int = {
     val inner = state.rank.get(l)
@@ -150,22 +154,28 @@ final class BpeEncoder private (
     * generated code. */
   def encodeText(text: UTF8String): ArrayData = {
     val s = text.toString
-    // pass 1: count output tokens (avoids growable-buffer churn)
     val parts = s.split(' ')
+    // encode each word ONCE (a full cache would otherwise re-run the
+    // O(len²) encode on a second counting pass), keep the per-word
+    // arrays, then flatten into the exactly-sized output
+    val enc = new Array[Array[UTF8String]](parts.length)
     var total = 0
     var i = 0
     while (i < parts.length) {
-      if (parts(i).nonEmpty) total += cachedEncode(parts(i)).length
+      if (parts(i).nonEmpty) {
+        enc(i) = cachedEncode(parts(i))
+        total += enc(i).length
+      }
       i += 1
     }
     val out = new Array[AnyRef](total)
     var o = 0
     i = 0
     while (i < parts.length) {
-      if (parts(i).nonEmpty) {
-        val enc = cachedEncode(parts(i))
+      val e = enc(i)
+      if (e != null) {
         var j = 0
-        while (j < enc.length) { out(o) = enc(j); o += 1; j += 1 }
+        while (j < e.length) { out(o) = e(j); o += 1; j += 1 }
       }
       i += 1
     }
@@ -193,9 +203,11 @@ object BpeEncoder {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, State]()
 
+  private[functions] def evictBuiltIfFull(): Unit =
+    if (built.size() >= MemoCap) built.clear()
+
   private def buildState(lefts: Array[String],
                          rights: Array[String]): State = {
-    if (built.size() >= MemoCap) built.clear()
     val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
     var i = 0
     while (i < lefts.length) {
@@ -240,10 +252,20 @@ object BpeEncoder {
       case Some(s) =>
         // key includes the application id: a memoized broadcast must
         // not outlive its SparkContext (tests stop/recreate sessions)
-        val key = s.sparkContext.applicationId + ":" + digest
+        val appId = s.sparkContext.applicationId
+        val key = appId + ":" + digest
         if (bcMemo.size() >= MemoCap) { // outside computeIfAbsent —
-          bcMemo.values().forEach(_.unpersist(blocking = false)) // its
-          bcMemo.clear() // mapper must not modify the map
+          // its mapper must not modify the map. Dead-context entries
+          // (tests stop/recreate sessions) just drop — unpersist on a
+          // stopped SparkContext throws; live-app entries unpersist
+          // (executors re-fetch on next use, correctness unaffected)
+          val it = bcMemo.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey.startsWith(appId + ":"))
+              e.getValue.unpersist(blocking = false)
+            it.remove()
+          }
         }
         val bc = bcMemo.computeIfAbsent(key,
           _ => s.sparkContext.broadcast(arrays))

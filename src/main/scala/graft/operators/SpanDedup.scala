@@ -38,8 +38,11 @@ import org.apache.spark.sql.functions._
   * bits on both sides of the same plan. */
 object SpanDedup {
 
+  /** THE tokenization contract — one definition, shared with every
+    * text operator (drift between two copies would silently desync
+    * span positions from token counts). */
   private def toks(textCol: String): Column =
-    filter(split(col(textCol), " "), w => w =!= "")
+    TextAnalysis.tokens(col(textCol))
 
   /** (id, pos, gram) for every length-L window; pos is 1-based. */
   private def gramOccurrences(df: DataFrame, idCol: String,
