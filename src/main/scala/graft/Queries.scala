@@ -4513,6 +4513,83 @@ object Queries {
       FROM cspans c JOIN ctoks t ON c.doc_id = t.doc_id
       ORDER BY c.doc_id ASC, start_tok ASC"""))
 
+  /** q119: Gopher-style quality rule gate (Rae et al. arXiv:2112.11446
+    * Appendix A) — integer-exact metrics (basis points via
+    * FLOOR(10000·x)), per-doc verdict, ONE projection (no shuffle,
+    * whole-stage codegen): the rule family real curation pipelines
+    * run before anything expensive. */
+  private val q119 = Q(
+    "q119_gopher_rules",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val cols = TextAnalysis.gopherRules(col("text"))
+        .map { case (n, c) => c.as(n) }
+      t(s, dir, "documents")
+        .select((col("doc_id") +: cols): _*)
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""WITH g AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS lt,
+        text FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(CASE WHEN len(tk) > 0 THEN FLOOR(10000 *
+            list_sum(list_transform(tk, w -> len(w))) / len(tk))
+          ELSE 0 END AS BIGINT) AS mean_word_len_bp,
+        CAST(CASE WHEN len(tk) > 0 THEN FLOOR(10000 *
+            ((len(text) - len(replace(text, '#', ''))) +
+             (len(text) - len(replace(text, '...', ''))) / 3)
+            / len(tk))
+          ELSE 0 END AS BIGINT) AS symbol_ratio_bp,
+        CAST(CASE WHEN len(tk) > 0 THEN FLOOR(10000 *
+            len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+            / len(tk))
+          ELSE 0 END AS BIGINT) AS alpha_word_bp,
+        CAST((CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END +
+          CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END)
+          AS BIGINT) AS stop_hits
+        FROM g)
+      SELECT doc_id, n_words, mean_word_len_bp, symbol_ratio_bp,
+        alpha_word_bp, stop_hits,
+        (n_words >= 50 AND n_words <= 100000 AND
+         mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000 AND
+         symbol_ratio_bp <= 1000 AND alpha_word_bp >= 8000 AND
+         stop_hits >= 2) AS keep
+      FROM m ORDER BY doc_id ASC"""))
+
+  /** q120: deterministic corpus shuffle + reshard — the global
+    * shuffle every training run needs (loader order uncorrelated with
+    * collection order, reproducible across clusters and engines: the
+    * permutation key is md5(seed:id)). ONE shuffle on shard +
+    * per-shard sort: shards bound the sort width, so nothing global
+    * is ever sorted at 100 TB. */
+  private val q120 = Q(
+    "q120_shuffle_shards",
+    (s, dir) => {
+      import graft.operators.Curation
+      Curation.shuffleShards(t(s, dir, "documents"), "doc_id",
+          seed = 42L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("seq"))
+        .orderBy(col("shard").asc, col("seq").asc)
+    },
+    Some("""WITH k AS (SELECT doc_id,
+        md5(concat('42', ':', CAST(doc_id AS VARCHAR))) AS key
+        FROM documents),
+      sh AS (SELECT doc_id, key,
+        CAST(CAST('0x' || substr(key, 1, 4) AS BIGINT) % 8 AS BIGINT)
+          AS shard FROM k)
+      SELECT doc_id, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+          ORDER BY key ASC, doc_id ASC) AS BIGINT) AS seq
+      FROM sh ORDER BY shard ASC, seq ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4523,7 +4600,7 @@ object Queries {
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-    q112, q113, q114, q115, q116, q117, q118)
+    q112, q113, q114, q115, q116, q117, q118, q119, q120)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

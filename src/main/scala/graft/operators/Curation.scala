@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Training-data curation operators: deterministic split assignment and
   * sequence packing — the bookkeeping a corpus pipeline runs after
@@ -135,6 +136,31 @@ object Curation {
       }
     // using-joins in the pruned path reorder columns; pin the contract
     out.select((df.columns.map(col) :+ col("sample_rank")): _*)
+  }
+
+  /** Deterministic corpus shuffle + reshard — the "global shuffle"
+    * every training run needs (examples must reach the data loader in
+    * an order uncorrelated with collection order, reproducibly). The
+    * permutation key is md5(seed:id): engine- and partitioning-
+    * independent, so the same (corpus, seed) yields the same order on
+    * any cluster — and changing the seed is a fresh epoch permutation.
+    * Output: `shard` (md5-bucketed, balanced in expectation) and
+    * `seq` (1-based position within the shard by key order). ONE
+    * shuffle on shard + per-shard sort; shards bound the sort width,
+    * so pick shards ≈ cluster write parallelism at 100 TB (each shard
+    * sorts corpus/shards rows — never a global sort). */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Long,
+                    shards: Int): DataFrame = {
+    require(shards >= 1, s"shards=$shards must be positive")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val shard = conv(substring(key, 1, 4), 16, 10)
+      .cast(LongType) % shards
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    df.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .withColumn("seq", row_number().over(w).cast(LongType))
+      .drop("__key")
   }
 
   /** Greedy sequence packing: within each group (e.g. a (lang, shard)

@@ -329,6 +329,51 @@ object TextAnalysis {
           .otherwise(lit(0L)).cast(LongType))
   }
 
+  /** Gopher-style quality rule gate (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", arXiv:2112.11446 Appendix A —
+    * the rule family most curation pipelines start from), as
+    * integer-exact metric columns + per-rule verdicts + the composite
+    * keep flag. All pure column arithmetic: one projection, no
+    * shuffle, whole-stage codegen. Ratios are basis points via
+    * FLOOR(10000·x) — engine-independent like every oracle here.
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10] chars; symbol-to-word ratio (# and … as '...') ≤ 10%;
+    * ≥ 80% of words contain an alphabetic char; ≥ 2 distinct hits
+    * from the required-stopword list (the/be/to/of/and/that/have/
+    * with). */
+  def gopherRules(text: Column, minWords: Long = 50,
+                  maxWords: Long = 100000): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks).cast(LongType)
+    val charSum = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val meanBp = when(n > 0, floor((lit(10000L) * charSum) / n))
+      .otherwise(lit(0L)).cast(LongType)
+    val nSym = charCount(text, "#") +
+      (length(text) - length(regexp_replace(text, lit("\\.\\.\\."),
+        lit("")))) / 3
+    val symBp = when(n > 0, floor((lit(10000L) * nSym) / n))
+      .otherwise(lit(0L)).cast(LongType)
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast(LongType)
+    val alphaBp = when(n > 0, floor((lit(10000L) * nAlpha) / n))
+      .otherwise(lit(0L)).cast(LongType)
+    val required = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    val stopHits = required.map(w =>
+      when(array_contains(tokens(lower(text)), w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val keep = n >= minWords && n <= maxWords &&
+      meanBp >= 30000L && meanBp <= 100000L &&
+      symBp <= 1000L && alphaBp >= 8000L && stopHits >= 2L
+    Seq(
+      "n_words" -> n,
+      "mean_word_len_bp" -> meanBp,
+      "symbol_ratio_bp" -> symBp,
+      "alpha_word_bp" -> alphaBp,
+      "stop_hits" -> stopHits,
+      "keep" -> keep)
+  }
+
   /** Whole-document fingerprint: md5 of lowercased, space-normalized
     * text. */
   def fingerprint(text: Column): Column =

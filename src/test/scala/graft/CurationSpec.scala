@@ -27,6 +27,61 @@ class CurationSpec extends SparkTest {
     assert(again == ref)
   }
 
+  test("shuffleShards: deterministic permutation, contiguous seqs, seed changes order") {
+    val df = flowDf(Seq("doc_id"), (0L until 500L).map(Seq(_)))
+    def run(seed: Long) = Curation.shuffleShards(df, "doc_id", seed, 8)
+      .select("doc_id", "shard", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run(42L)
+    // every row present exactly once; same seed → identical assignment
+    assert(a.map(_._1).sorted == (0L until 500L))
+    assert(run(42L).toSet == a.toSet)
+    // per-shard seqs are contiguous 1..n
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size)) }
+    // shards are used and roughly balanced (md5 buckets)
+    val sizes = a.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.size == 8 && sizes.values.min > 20)
+    // a different seed is a different permutation (id → (shard, seq))
+    val b = run(43L)
+    assert(a.toSet != b.toSet)
+  }
+
+  test("gopherRules: each rule gates independently") {
+    import graft.operators.TextAnalysis
+    def metrics(text: String): Map[String, Any] = {
+      val cols = TextAnalysis.gopherRules(col("text"), minWords = 5)
+        .map { case (n, c) => c.as(n) }
+      import spark.implicits._
+      val row = Seq(text).toDF("text")
+        .select(cols: _*).collect().head
+      row.schema.fieldNames.zip(row.toSeq).toMap
+    }
+    // passes every rule: 6 words ≥ 5, alpha, stopword hits (the, of)
+    val good = metrics("the cat sat out of doors")
+    assert(good("keep") == true && good("n_words") == 6L &&
+      good("stop_hits") == 2L)
+    // too short
+    assert(metrics("the of x")("keep") == false)
+    // no required stopwords (only 1 hit needed to fail: 0 < 2)
+    val noStop = metrics("cats sit outside green doors quietly")
+    assert(noStop("stop_hits") == 0L && noStop("keep") == false)
+    // numeric words fail the alpha rule: 2 alpha of 6 → 3333 bp < 8000
+    val nums = metrics("the of 11 22 33 44")
+    assert(nums("alpha_word_bp") == 3333L && nums("keep") == false)
+    // symbol-heavy: '#' per word → 10000 bp > 1000
+    val sym = metrics("the# of# a# b# c#")
+    assert(sym("keep") == false &&
+      sym("symbol_ratio_bp").asInstanceOf[Long] >= 10000L)
+    // mean word length out of [3,10]: single-char words → 10000 bp
+    val tiny = metrics("a b c d e 1 2 the of")
+    assert(tiny("mean_word_len_bp").asInstanceOf[Long] < 30000L &&
+      tiny("keep") == false)
+    // ellipsis counts 1 symbol per '...' occurrence
+    val ell = metrics("the of alpha beta gamma ...")
+    assert(ell("symbol_ratio_bp").asInstanceOf[Long] >= 1666L)
+  }
+
   test("mixSample: rate 0 drops all, 10000 keeps all, samples nest") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
