@@ -4416,7 +4416,11 @@ object Queries {
     * groupBy(gram).agg(count, min(struct)) + join-back — map-side
     * partials collapse the hottest gram to one row before the
     * exchange (no per-gram sort task, unlike a row_number window), so
-    * boilerplate repeated millions of times cannot skew a task. */
+    * boilerplate repeated millions of times cannot skew a task. Gram
+    * identity is the default 128-bit hash pair (16 bytes/window on
+    * the exchange, vs ~L× corpus token bytes for the raw string);
+    * the DuckDB oracle groups on raw strings, so a green row here is
+    * also the collision-freeness proof for the hashed path. */
   private val q116 = Q(
     "q116_dup_spans",
     (s, dir) => {

@@ -32,10 +32,21 @@ import org.apache.spark.sql.functions._
   * task (a row_number window over gram — the obvious alternative —
   * does exactly that). The join back re-shuffles on the same key, so
   * the exchange is reusable. Island-merge windows partition by
-  * DOCUMENT — bounded by document length, no skew. Gram identity is
-  * the joined token string itself: exact (no collision rate to
-  * adjudicate), and the 100 TB swap-in is hashing the gram to 128
-  * bits on both sides of the same plan. */
+  * DOCUMENT — bounded by document length, no skew.
+  *
+  * Gram identity (the 100 TB knob): by DEFAULT the gram is hashed to
+  * 128 bits — an (xxhash64, salted-xxhash64) pair over the L-token
+  * slice — on BOTH sides of the mark/join plan, so the gram exchange
+  * carries 16 bytes per window instead of the ~L× corpus token bytes
+  * the raw string would (at L=8 that string is ~8× the corpus, paid
+  * twice: into the group-by and into the join back). Collision odds:
+  * for G distinct grams the expected number of colliding pairs is
+  * G²/2^129 — at G = 10^14 (a 100 TB corpus) that is ~10^-11, i.e.
+  * no collision ever; a collision's worst case is one spurious
+  * marked window, not corruption. `exactGrams = true` keeps the raw
+  * token string as the key (zero collision probability) for
+  * oracle-parity / adjudication runs — same plan shape, heavier
+  * exchange. */
 object SpanDedup {
 
   /** THE tokenization contract — one definition, shared with every
@@ -44,62 +55,103 @@ object SpanDedup {
   private def toks(textCol: String): Column =
     TextAnalysis.tokens(col(textCol))
 
-  /** (id, pos, gram) for every length-L window; pos is 1-based. */
+  /** Salt for the second 64-bit hash stream: xxhash64 has no seed
+    * parameter in the Column API, so the second stream prepends a
+    * constant — xxhash64(salt, gram) and xxhash64(gram) are
+    * independent for collision purposes. */
+  private val HashSalt = 0x9e3779b97f4a7c15L
+
+  /** Names of the gram-identity columns for the chosen mode. */
+  private def gramKeyCols(exactGrams: Boolean): Seq[String] =
+    if (exactGrams) Seq("gram") else Seq("gh1", "gh2")
+
+  /** One (id, pos, <gram key>) row per length-L window; pos is
+    * 1-based. Hashed mode emits the 128-bit pair (gh1, gh2) straight
+    * off the token slice — the raw gram string is never materialized,
+    * so column pruning keeps the exchange at 16 bytes per window. */
   private def gramOccurrences(df: DataFrame, idCol: String,
-                              textCol: String, minTokens: Int): DataFrame =
+                              textCol: String, minTokens: Int,
+                              exactGrams: Boolean): DataFrame = {
+    def keyed(i: Column): Seq[Column] =
+      if (exactGrams)
+        Seq(concat_ws(" ", slice(col("__tk"), i, lit(minTokens)))
+          .as("gram"))
+      else {
+        val sl = slice(col("__tk"), i, lit(minTokens))
+        Seq(xxhash64(sl).as("gh1"),
+          xxhash64(lit(HashSalt), sl).as("gh2"))
+      }
     df.select(col(idCol), toks(textCol).as("__tk"))
       .where(size(col("__tk")) >= minTokens)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__tk")) - minTokens + 1),
-        i => struct(i.as("pos"),
-          concat_ws(" ", slice(col("__tk"), i, lit(minTokens)))
-            .as("gram"))))
+        i => struct((i.as("pos") +: keyed(i)): _*)))
         .as("__g"))
-      .select(col(idCol), col("__g.pos").as("pos"),
-        col("__g.gram").as("gram"))
+      .select((col(idCol) +: col("__g.pos").as("pos") +:
+        gramKeyCols(exactGrams).map(n => col(s"__g.$n").as(n))): _*)
+  }
 
   /** Token-position width of the packed (id, pos) key: positions fit
     * in 21 bits (a 2M-token document is far past any training-data
-    * example; enforced per document with raise_error, one check per
-    * doc). Ids then get the remaining 42 bits. */
+    * example; enforced per window with raise_error). Ids then get the
+    * remaining 42 bits. */
   private val PosBits = 21
 
   /** Marked (id, pos) window starts (see object doc, step 2). The
     * global-first occurrence is min over the (id, pos) order. With an
-    * integral id the pair PACKS into one BIGINT — min() then runs as
-    * a primitive-buffer HashAggregate with map-side partials; a
-    * struct/string min buffer is not UnsafeRow-mutable and Spark
-    * silently degrades the whole aggregation to per-partition-sorting
-    * SortAggregate (observed on the q116 plan before this fast path).
-    * Non-integral ids keep the generic struct-min (documented
-    * SortAggregate cost). */
+    * integral id whose RANGE fits 42 bits the pair PACKS into one
+    * BIGINT — min() then runs as a primitive-buffer HashAggregate
+    * with map-side partials; a struct/string min buffer is not
+    * UnsafeRow-mutable and Spark silently degrades the whole
+    * aggregation to per-partition-sorting SortAggregate (observed on
+    * the q116 plan before this fast path).
+    *
+    * Path choice is a per-dataset PRECHECK: one column-pruned
+    * min/max pass over the id (a 1-row action at plan-build time).
+    * Packing uses (id − minId) so the 42 bits bound the range, not
+    * the absolute value — `monotonically_increasing_id` output
+    * (partition id in the high bits, ≥ 2^42 from partition 512 on)
+    * packs fine whenever the occupied range fits; anything wider
+    * (or a non-integral id) falls back to the generic struct-min
+    * (documented SortAggregate cost), never an error. raise_error is
+    * reserved for the one genuine data-contract violation: a
+    * ≥ 2M-token document. */
   private def markedStarts(df: DataFrame, idCol: String, textCol: String,
-                           minTokens: Int, keepFirst: Boolean): DataFrame = {
+                           minTokens: Int, keepFirst: Boolean,
+                           exactGrams: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val integralId = df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _                                             => false
     }
-    val g = gramOccurrences(df, idCol, textCol, minTokens)
-    val occKey =
-      if (integralId) {
-        val id = col(idCol).cast("long")
-        val guarded = when(
-          id < 0 || id >= (1L << (63 - PosBits)) ||
-            col("pos") >= (1L << PosBits),
+    val packOffset: Option[Long] =
+      if (!integralId) None
+      else {
+        val r = df.agg(min(col(idCol).cast("long")),
+          max(col(idCol).cast("long"))).head()
+        if (r.isNullAt(0)) Some(0L) // empty input: packed, vacuously
+        else if (BigInt(r.getLong(1)) - BigInt(r.getLong(0)) <
+          (BigInt(1) << (63 - PosBits))) Some(r.getLong(0))
+        else None
+      }
+    val g = gramOccurrences(df, idCol, textCol, minTokens, exactGrams)
+    val occKey = packOffset match {
+      case Some(off) =>
+        val id = col(idCol).cast("long") - off
+        when(col("pos") >= (1L << PosBits),
           // data-dependent contract violation, not a code bug: fail
           // loudly instead of silently mis-ordering the packed key
-          raise_error(concat(lit("SpanDedup: id/pos out of packed " +
-            s"range (id 0..2^${63 - PosBits}, pos < 2^$PosBits): "),
-            id, lit("/"), col("pos"))).cast("long"))
+          raise_error(concat(lit("SpanDedup: document longer than " +
+            s"2^$PosBits tokens at id "), col(idCol))).cast("long"))
           .otherwise(shiftleft(id, PosBits) + col("pos"))
-        guarded
-      } else struct(col(idCol), col("pos"))
+      case None => struct(col(idCol), col("pos"))
+    }
+    val key = gramKeyCols(exactGrams)
     val occ = g.withColumn("__k", occKey)
-    val firsts = occ.groupBy(col("gram")).agg(
+    val firsts = occ.groupBy(key.map(col): _*).agg(
       count(lit(1)).as("__c"),
       min(col("__k")).as("__first"))
-    val dup = occ.join(firsts, Seq("gram")).where(col("__c") > 1)
+    val dup = occ.join(firsts, key).where(col("__c") > 1)
     val m = if (keepFirst)
       dup.where(!(col("__k") === col("__first")))
     else dup
@@ -128,13 +180,14 @@ object SpanDedup {
   }
 
   /** Maximal duplicated spans per document: (id, start_tok, end_tok),
-    * 1-based inclusive. */
+    * 1-based inclusive. `exactGrams` trades the 16-byte hashed gram
+    * key for the raw token string (see object doc). */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     minTokens: Int,
-                     keepFirst: Boolean = true): DataFrame = {
+                     minTokens: Int, keepFirst: Boolean = true,
+                     exactGrams: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens=$minTokens out of [2,∞)")
     mergeIslands(
-      markedStarts(df, idCol, textCol, minTokens, keepFirst)
+      markedStarts(df, idCol, textCol, minTokens, keepFirst, exactGrams)
         .select(col(idCol), col("pos").as("__s"),
           (col("pos") + minTokens - 1).as("__e")),
       idCol)
@@ -151,15 +204,18 @@ object SpanDedup {
     * distinct-gram stream, never document bytes. */
   def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchTextCol: String,
-                         minTokens: Int, pad: Int = 0): DataFrame = {
+                         minTokens: Int, pad: Int = 0,
+                         exactGrams: Boolean = false): DataFrame = {
     require(minTokens >= 2, s"minTokens=$minTokens out of [2,∞)")
     require(pad >= 0, s"pad=$pad out of [0,∞)")
+    val key = gramKeyCols(exactGrams)
     val benchGrams = gramOccurrences(
       bench.select(lit(0L).as("__bid"), col(benchTextCol)),
-      "__bid", benchTextCol, minTokens)
-      .select(col("gram")).distinct()
-    val marked = gramOccurrences(df, idCol, textCol, minTokens)
-      .join(benchGrams, Seq("gram"), "left_semi")
+      "__bid", benchTextCol, minTokens, exactGrams)
+      .select(key.map(col): _*).distinct()
+    val marked = gramOccurrences(df, idCol, textCol, minTokens,
+        exactGrams)
+      .join(benchGrams, key, "left_semi")
       .select(col(idCol), (col("pos") - pad).as("__s"),
         (col("pos") + minTokens - 1 + pad).as("__e"))
     val lens = df.select(col(idCol),
@@ -181,19 +237,21 @@ object SpanDedup {
     * AQE-plans; the cut itself is a higher-order filter inside the
     * projection (spans per doc are few), no extra shuffle. */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
-                  minTokens: Int,
-                  keepFirst: Boolean = true): DataFrame =
+                  minTokens: Int, keepFirst: Boolean = true,
+                  exactGrams: Boolean = false): DataFrame =
     cutSpans(df, idCol, textCol,
-      duplicateSpans(df, idCol, textCol, minTokens, keepFirst))
+      duplicateSpans(df, idCol, textCol, minTokens, keepFirst,
+        exactGrams))
 
   /** [[contaminationSpans]] cut back out of the corpus (see
     * [[removeSpans]] for the cut's shape). */
   def removeContaminated(df: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchTextCol: String,
-                         minTokens: Int, pad: Int = 0): DataFrame =
+                         minTokens: Int, pad: Int = 0,
+                         exactGrams: Boolean = false): DataFrame =
     cutSpans(df, idCol, textCol,
       contaminationSpans(df, idCol, textCol, bench, benchTextCol,
-        minTokens, pad))
+        minTokens, pad, exactGrams))
 
   private def cutSpans(df: DataFrame, idCol: String, textCol: String,
                        spanDf: DataFrame): DataFrame = {

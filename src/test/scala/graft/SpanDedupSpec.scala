@@ -130,4 +130,53 @@ class SpanDedupSpec extends SparkTest {
     // cleaned text is RE-JOINED tokens (normalized whitespace)
     assert(cleaned(df, 4) == Seq(1L -> "a b c d", 2L -> ""))
   }
+
+  test("ids beyond 2^42 (monotonically_increasing_id range) work: range precheck packs by offset") {
+    // high-partition monotonically_increasing_id shape: pid 512 << 33
+    val base = 512L << 33 // = 2^42, past the old absolute-value guard
+    val df = docs(base + 1L -> "a b c d e f",
+      base + 2L -> "a b c d e f")
+    assert(spans(df, 3) == Seq((base + 2L, 1L, 6L)))
+    assert(cleaned(df, 3) ==
+      Seq(base + 1L -> "a b c d e f", base + 2L -> ""))
+  }
+
+  test("negative ids and a >2^42-wide range fall back to struct-min, same result") {
+    // range (max-min) spans > 2^42: the packed path is impossible;
+    // the precheck must pick struct-min and the answer must not change
+    val df = docs(-5L -> "m n o p q", (1L << 50) -> "m n o p q")
+    assert(spans(df, 4) == Seq(((1L << 50), 1L, 5L)))
+  }
+
+  test("exactGrams=true (string key) and hashed default agree") {
+    val df = docs(
+      1L -> "x1 x2 p q r s t u v w y1",
+      2L -> "z1 p q r s t u v w z2",
+      3L -> "a b c a b c x",
+      4L -> "unique tokens only here nothing repeats at all")
+    val hashed = spans(df, 3)
+    val exact = SpanDedup.duplicateSpans(df, "doc_id", "text", 3,
+        keepFirst = true, exactGrams = true)
+      .orderBy(col("doc_id"), col("start_tok")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hashed == exact)
+    val bench = docs(100L -> "p q r s")
+    val ch = contamSpans(df, bench, 4, 1)
+    val ce = SpanDedup.contaminationSpans(df, "doc_id", "text", bench,
+        "text", 4, 1, exactGrams = true)
+      .orderBy(col("doc_id"), col("start_tok")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ch == ce)
+  }
+
+  test("gram aggregation stays HashAggregate (no SortAggregate) on the packed path") {
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f")
+    val plan = SpanDedup.duplicateSpans(df, "doc_id", "text", 3)
+      .queryExecution.executedPlan
+    val sortAggs = plan.collectWithSubqueries {
+      case s: SortAggregateExec => s }
+    assert(sortAggs.isEmpty,
+      s"packed-path plan degraded to SortAggregate:\n$plan")
+  }
 }
