@@ -4587,7 +4587,7 @@ object Queries {
         md5(concat('42', ':', CAST(doc_id AS VARCHAR))) AS key
         FROM documents),
       sh AS (SELECT doc_id, key,
-        CAST(CAST('0x' || substr(key, 1, 4) AS BIGINT) % 8 AS BIGINT)
+        CAST(CAST('0x' || substr(key, 1, 12) AS BIGINT) % 8 AS BIGINT)
           AS shard FROM k)
       SELECT doc_id, shard,
         CAST(ROW_NUMBER() OVER (PARTITION BY shard

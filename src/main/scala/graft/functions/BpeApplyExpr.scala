@@ -70,15 +70,9 @@ final class BpeEncoder private (
   }
   override def hashCode(): Int = digest.hashCode
 
-  @transient private lazy val state: BpeEncoder.State = {
-    // cap check OUTSIDE computeIfAbsent — its mapper must not modify
-    // the map (same CHM rule the bcMemo eviction follows)
-    BpeEncoder.evictBuiltIfFull()
-    BpeEncoder.built.computeIfAbsent(digest, _ => {
-      val (l, r) = if (bc != null) bc.value else inline
-      BpeEncoder.buildState(l, r)
-    })
-  }
+  @transient private lazy val state: BpeEncoder.State =
+    BpeEncoder.stateFor(digest,
+      () => if (bc != null) bc.value else inline)
 
   private def rankOf(l: String, r: String): Int = {
     val inner = state.rank.get(l)
@@ -188,9 +182,16 @@ object BpeEncoder {
   val CacheCap = 1 << 15
 
   /** Process-wide derived-state memos retained (distinct tokenizers
-    * per JVM are few; overflow clears — correctness is unaffected,
-    * state just rebuilds). */
+    * per JVM are few). Past the cap the LEAST-RECENTLY-USED entry
+    * evicts — never a full clear, which would degrade the cache to
+    * useless exactly when most loaded. Correctness is unaffected
+    * either way: an evicted state just rebuilds on next use. */
   private val MemoCap = 16
+
+  /** Total derived-state builds this JVM — observability hook the
+    * LRU spec pins eviction behavior with. */
+  private[graft] val buildCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[functions] final class State(
       val lefts: Array[String],
@@ -199,15 +200,35 @@ object BpeEncoder {
       val cache: ThreadLocal[java.util.HashMap[String, Array[UTF8String]]])
 
   /** digest → derived state, shared across stages / queries / encoder
-    * instances for the same merge list. */
+    * instances for the same merge list. Access-ordered LinkedHashMap:
+    * get() refreshes recency, insert past MemoCap drops the eldest.
+    * Guarded by its own monitor — builds are rare (once per tokenizer
+    * per JVM) and holding the lock through a build also collapses
+    * concurrent duplicate builds of the same digest. */
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, State]()
+    new java.util.LinkedHashMap[String, State](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, State]): Boolean =
+        size() > MemoCap
+    }
 
-  private[functions] def evictBuiltIfFull(): Unit =
-    if (built.size() >= MemoCap) built.clear()
+  private[functions] def stateFor(
+      digest: String,
+      payload: () => (Array[String], Array[String])): State =
+    built.synchronized {
+      val cur = built.get(digest)
+      if (cur != null) cur
+      else {
+        val (l, r) = payload()
+        val s = buildState(l, r)
+        built.put(digest, s)
+        s
+      }
+    }
 
   private def buildState(lefts: Array[String],
                          rights: Array[String]): State = {
+    buildCount.incrementAndGet()
     val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
     var i = 0
     while (i < lefts.length) {
@@ -240,10 +261,23 @@ object BpeEncoder {
 
   /** digest → broadcast handle, driver-side: the same tokenizer used
     * across many queries broadcasts ONCE (and re-broadcasting per
-    * query would also leak executor block-store entries). Guarded by
-    * the same cap/clear policy as [[built]]. */
-  private val bcMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Broadcast[(Array[String], Array[String])]]()
+    * query would also leak executor block-store entries). Same LRU
+    * policy as [[built]]; an evicted live-app broadcast unpersists
+    * (executors re-fetch on next use, correctness unaffected) and a
+    * dead-context entry (tests stop/recreate sessions) just drops —
+    * unpersist on a stopped SparkContext throws, so it's swallowed. */
+  private val bcMemo = new java.util.LinkedHashMap[
+    String, Broadcast[(Array[String], Array[String])]](32, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String,
+          Broadcast[(Array[String], Array[String])]]): Boolean = {
+      val evict = size() > MemoCap
+      if (evict)
+        try e.getValue.unpersist(blocking = false)
+        catch { case _: Exception => () }
+      evict
+    }
+  }
 
   def apply(merges: Seq[(String, String)]): BpeEncoder = {
     val arrays = (merges.map(_._1).toArray, merges.map(_._2).toArray)
@@ -252,23 +286,16 @@ object BpeEncoder {
       case Some(s) =>
         // key includes the application id: a memoized broadcast must
         // not outlive its SparkContext (tests stop/recreate sessions)
-        val appId = s.sparkContext.applicationId
-        val key = appId + ":" + digest
-        if (bcMemo.size() >= MemoCap) { // outside computeIfAbsent —
-          // its mapper must not modify the map. Dead-context entries
-          // (tests stop/recreate sessions) just drop — unpersist on a
-          // stopped SparkContext throws; live-app entries unpersist
-          // (executors re-fetch on next use, correctness unaffected)
-          val it = bcMemo.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.getKey.startsWith(appId + ":"))
-              e.getValue.unpersist(blocking = false)
-            it.remove()
+        val key = s.sparkContext.applicationId + ":" + digest
+        val bc = bcMemo.synchronized {
+          val cur = bcMemo.get(key)
+          if (cur != null) cur
+          else {
+            val b = s.sparkContext.broadcast(arrays)
+            bcMemo.put(key, b)
+            b
           }
         }
-        val bc = bcMemo.computeIfAbsent(key,
-          _ => s.sparkContext.broadcast(arrays))
         new BpeEncoder(null, bc, digest)
       case None => new BpeEncoder(arrays, null, digest)
     }

@@ -148,12 +148,25 @@ object Curation {
     * `seq` (1-based position within the shard by key order). ONE
     * shuffle on shard + per-shard sort; shards bound the sort width,
     * so pick shards ≈ cluster write parallelism at 100 TB (each shard
-    * sorts corpus/shards rows — never a global sort). */
+    * sorts corpus/shards rows — never a global sort).
+    *
+    * The bucket draws 48 key bits (12 hex digits) before the mod: a
+    * 16-bit draw had up to ~1.6% systematic imbalance for
+    * non-power-of-two shard counts (2^16 mod s leftover buckets);
+    * 48 bits cap that bias at s/2^48 — unmeasurable at any s. Output
+    * names must be FREE in the input — silently overwriting a
+    * pre-existing `shard`/`seq` column would corrupt the caller's
+    * data, so that's a require. */
   def shuffleShards(df: DataFrame, idCol: String, seed: Long,
                     shards: Int): DataFrame = {
     require(shards >= 1, s"shards=$shards must be positive")
+    val taken = df.columns.toSet
+      .intersect(Set("shard", "seq", "__key"))
+    require(taken.isEmpty,
+      s"shuffleShards output columns already exist in the input: " +
+        s"${taken.toSeq.sorted.mkString(", ")} — rename them first")
     val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val shard = conv(substring(key, 1, 4), 16, 10)
+    val shard = conv(substring(key, 1, 12), 16, 10)
       .cast(LongType) % shards
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__key").asc, col(idCol).asc)

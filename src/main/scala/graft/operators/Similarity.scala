@@ -831,18 +831,48 @@ object Similarity {
     * (broadcast centroids, no n×k shuffle); assignment shuffles
     * |vectors| once; the intra-cluster self-join shuffles on cid and
     * its output collapses into a semi-join-shaped distinct before the
-    * anti-join. Nothing is ever all-pairs across clusters. */
+    * anti-join. Nothing is ever all-pairs across clusters.
+    *
+    * Skew guard (`maxCompare`): k bounds the AVERAGE cluster size, not
+    * the largest — one pathological cluster (a boilerplate blob the
+    * embeddings collapse together) re-quadratizes its self-join
+    * regardless of k. With `maxCompare = c` the LEFT side of the pair
+    * join is restricted to each cluster's c smallest-id members
+    * (deterministic representatives, one doc-bounded window sort), so
+    * per-cluster pair work is ≤ c·size — linear, never quadratic.
+    * This is the sampled-representative fallback: results are
+    * IDENTICAL to the exact pass whenever every cluster holds ≤ c
+    * distinct ε-neighborhoods — in particular the pathological
+    * one-blob cluster is exact at any c ≥ 1 (every member is within ε
+    * of the smallest id, which is always a representative). The
+    * default (Int.MaxValue) keeps the exact pass and skips the window
+    * entirely.
+    *
+    * Zero-norm embeddings: cosine is undefined there, and [[cosinePre]]
+    * yields NULL — a NULL similarity never reaches `minSim`, so a
+    * zero vector is never dropped and never drops a cluster-mate; it
+    * always survives, assigned to the smallest centroid id (the
+    * assignment argmin coalesces NULL to +Inf and ties break to the
+    * smaller cid). Pinned by spec (ExtensionOpsSpec). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, minSim: Double,
-                    scale: Long = 1000000L): DataFrame = {
+                    scale: Long = 1000000L,
+                    maxCompare: Int = Int.MaxValue): DataFrame = {
+    require(maxCompare >= 1, s"maxCompare=$maxCompare out of [1,∞)")
     val cents = kmeansCentroids(df, idCol, vecCol, k, iters, scale)
     // same assignment semantic as ivfTopK: nearest centroid by cosine,
     // ties to the smaller cid — one integer-exact trainer, one
     // assignment rule everywhere (and one oracle replay for both)
     val asg = assignToCentroids(df.select(col(idCol), col(vecCol)),
       idCol, vecCol, prepCent(cents, "cid", "cv"))
-    val l = asg.select(col(idCol).as("a"), col(vecCol).as("va"),
+    val lBase = asg.select(col(idCol).as("a"), col(vecCol).as("va"),
       col("__n").as("na"), col("__cid"))
+    val l =
+      if (maxCompare == Int.MaxValue) lBase
+      else lBase.withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__cid")).orderBy(col("a").asc)))
+        .where(col("__rk") <= maxCompare).drop("__rk")
     val r = asg.select(col(idCol).as("b"), col(vecCol).as("vb"),
       col("__n").as("nb"), col("__cid").as("__cid2"))
     val dropped = l

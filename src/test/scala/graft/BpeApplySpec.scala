@@ -145,4 +145,28 @@ class BpeApplySpec extends SparkTest {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(viaApply == viaTrain)
   }
+
+  test("derived-state memo is LRU: cycling past the cap evicts eldest, " +
+    "not everything (recent tokenizers never rebuild)") {
+    // 17 distinct tokenizers (cap is 16): unique merge pairs per i so
+    // every digest is fresh in this JVM
+    def merges(i: Int) = Seq((s"lru$i", s"x$i"), (s"y$i", s"z$i"))
+    def touch(i: Int): Unit = {
+      // a FRESH encoder instance each time — the per-instance lazy
+      // state must go back through the shared memo
+      BpeEncoder(merges(i)).encodeText(
+        UTF8String.fromString(s"lru${i}x$i plain")); ()
+    }
+    val c0 = BpeEncoder.buildCount.get()
+    (1 to 17).foreach(touch)
+    assert(BpeEncoder.buildCount.get() == c0 + 17)
+    // under the old clear-at-cap policy the 17th insert wiped 1..16;
+    // LRU keeps 2..17, so reusing them rebuilds NOTHING
+    (2 to 17).foreach(touch)
+    assert(BpeEncoder.buildCount.get() == c0 + 17,
+      "recently-used tokenizer states were evicted and rebuilt")
+    // the evicted eldest (1) does rebuild — exactly one extra build
+    touch(1)
+    assert(BpeEncoder.buildCount.get() == c0 + 18)
+  }
 }

@@ -47,6 +47,40 @@ class CurationSpec extends SparkTest {
     assert(a.toSet != b.toSet)
   }
 
+  test("shuffleShards: refuses to overwrite pre-existing output columns") {
+    val withShard = flowDf(Seq("doc_id"), (0L until 5L).map(Seq(_)))
+      .withColumn("shard", lit(99L))
+    val e = intercept[IllegalArgumentException] {
+      Curation.shuffleShards(withShard, "doc_id", 1L, 4) }
+    assert(e.getMessage.contains("shard"))
+    val withSeq = flowDf(Seq("doc_id"), (0L until 5L).map(Seq(_)))
+      .withColumn("seq", lit(0L))
+    intercept[IllegalArgumentException] {
+      Curation.shuffleShards(withSeq, "doc_id", 1L, 4) }
+  }
+
+  test("shuffleShards: 48-bit bucket key bounds imbalance across " +
+    "non-power-of-two shard counts (property)") {
+    // 16-bit draws had a SYSTEMATIC ~1.6% skew at non-power-of-two s
+    // (2^16 mod s leftover buckets favor shards < 2^16 mod s); with 48
+    // bits that bias is s/2^48, so observed imbalance is pure binomial
+    // noise: sd of a shard count ≈ sqrt(n/s). Assert every shard is
+    // within 5 sd of n/s for several awkward shard counts.
+    val n = 50000L
+    val df = flowDf(Seq("doc_id"), (0L until n).map(Seq(_)))
+    for (s <- Seq(3, 5, 6, 7, 11, 13)) {
+      val sizes = Curation.shuffleShards(df, "doc_id", 7L, s)
+        .groupBy("shard").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sizes.size == s, s"shards=$s: only ${sizes.size} used")
+      val mean = n.toDouble / s
+      val tol = 5.0 * math.sqrt(mean)
+      sizes.foreach { case (shard, c) =>
+        assert(math.abs(c - mean) <= tol,
+          s"shards=$s shard=$shard count=$c vs mean=$mean ± $tol") }
+    }
+  }
+
   test("gopherRules: each rule gates independently") {
     import graft.operators.TextAnalysis
     def metrics(text: String): Map[String, Any] = {

@@ -947,6 +947,58 @@ class ExtensionOpsSpec extends SparkTest {
       s"got ${perCluster.toSeq}")
   }
 
+  test("semanticDedup: maxCompare skew cap is exact on a pathological " +
+    "one-blob cluster and caps the pair join's left side") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // all 64 vectors IDENTICAL (the skew case the cap exists for:
+    // every centroid ties, assignment tie-breaks to the smallest cid,
+    // so ONE cluster holds everything no matter what k says)
+    val rows = (1L to 64L).map(i => i -> Array(1f, 0f, 0f, 0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.semanticDedup(df, "vec_id", "embedding",
+        k = 4, iters = 2, minSim = 0.9)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val capped = Similarity.semanticDedup(df, "vec_id", "embedding",
+        k = 4, iters = 2, minSim = 0.9, maxCompare = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // one blob → everything within eps of the smallest id, which is
+    // always a representative: capped == exact == keep id 1 only
+    assert(exact == Seq(1L), s"exact kept $exact")
+    assert(capped == exact)
+    // mixed case: two far-apart eps-neighborhoods that the trainer may
+    // place in ONE cluster (k=1 forces it); both survive under a cap
+    // that still covers the second neighborhood's representative
+    val two = (Seq(1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.999f, 0.001f, 0f, 0f),
+      3L -> Array(0f, 1f, 0f, 0f),
+      4L -> Array(0.001f, 0.999f, 0f, 0f))).toDF("vec_id", "embedding")
+    val keptTwo = Similarity.semanticDedup(two, "vec_id", "embedding",
+        k = 1, iters = 1, minSim = 0.9, maxCompare = 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptTwo == Seq(1L, 3L), s"kept $keptTwo")
+  }
+
+  test("semanticDedup: zero-norm embeddings always survive (NULL cosine " +
+    "is never a duplicate verdict, either side)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rows = Seq(
+      1L -> Array(0f, 0f, 0f, 0f), // zero vector, smallest id
+      2L -> Array(0f, 0f, 0f, 0f), // identical zero vector
+      3L -> Array(1f, 0f, 0f, 0f),
+      4L -> Array(0.99f, 0.01f, 0f, 0f))
+    val df = rows.toDF("vec_id", "embedding")
+    // k=1: ONE cluster, so every pair is compared — the verdicts below
+    // are pure cosine semantics, independent of seeding
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+        k = 1, iters = 1, minSim = 0.9)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // both zero vectors kept (cosine(0,0) undefined → not duplicates,
+    // and zero id 1 never drops anything); 4 pruned as 3's duplicate
+    assert(kept == Seq(1L, 2L, 3L), s"kept $kept")
+  }
+
   test("int8 quantization: known values, cosine ranking preserved") {
     import graft.operators.Similarity
     import spark.implicits._
