@@ -4377,11 +4377,12 @@ object Queries {
     * grams mark their non-first occurrences (ROW_NUMBER by (doc, pos)
     * ≡ the operator's min-struct — same set, no implementation
     * leakage), marked windows merge into maximal spans per document
-    * via the prev-running-max islands idiom. */
-  private def spanCtes(l: Int): String =
+    * via the prev-running-max islands idiom. `src` is the corpus
+    * relation (q121 runs the same chain over its gated/deduped CTE). */
+  private def spanCtes(l: Int, src: String = "documents"): String =
     s"""stoks AS (SELECT doc_id,
           list_filter(string_split(text, ' '), x -> x <> '') AS tk
-        FROM documents),
+        FROM $src),
       sgram AS (SELECT doc_id,
           unnest(range(1, len(tk) - $l + 2)) AS pos, tk
         FROM stoks WHERE len(tk) >= $l),
@@ -4594,6 +4595,159 @@ object Queries {
           ORDER BY key ASC, doc_id ASC) AS BIGINT) AS seq
       FROM sh ORDER BY shard ASC, seq ASC"""))
 
+  /** q121: the COMPOSED curation pipeline — every prior curation
+    * operator chained as ONE DataFrame over `documents`, the realistic
+    * deployment shape (the reference's analog: one flow stream feeding
+    * many operators in the monitoring-object tree, netflow.c:214-244)
+    * and the test most likely to surface operator-BOUNDARY drift
+    * (tokenization handoff, empty-string survivors, column contracts):
+    *
+    *   Gopher gate (minWords=20, minStopHits=1 — the synthetic corpus
+    *   is stopword-poor) → exact dedup (digest scale path) → exact
+    *   duplicate-SPAN removal (L=8) → span decontamination against
+    *   the src0 benchmark (L=4, pad=2) over the CLEANED text →
+    *   deterministic reshard (seed 42, 8 shards).
+    *
+    * Exchange note (measured, formatted plan at sf0.01): 20 shuffle
+    * exchanges, 0 SortAggregate, 17 of 18 joins broadcast (1 SMJ).
+    * Per stage the budget is the operator's own: the gate is a pure
+    * projection FUSED into the dedup's digest scan; exact dedup pays
+    * its narrow winner agg + semi-join back; span dedup the gram agg
+    * + join-back + per-doc window (gram legs 16 bytes/window —
+    * hashed); decontamination re-pays gram marking on the CLEANED
+    * text + the bench semi-join (bench grams broadcast); reshard ONE
+    * shard exchange + per-shard sort. The count exceeds the naive
+    * sum because sibling branches (a span join's two sides) re-derive
+    * the upstream gate+dedup lineage instead of sharing it — the
+    * declarative trade: at 100 TB a deployment checkpoints each
+    * stage boundary (one parquet write/read) exactly like the
+    * reference's MO tree materializes per-window files, collapsing
+    * the re-derived scans; the operators themselves need no code
+    * change for that, it's a .persist()/write at the call site. */
+  private val q121 = Q(
+    "q121_curation_pipeline",
+    (s, dir) => {
+      import graft.operators.{Curation, Dedup, SpanDedup, TextAnalysis}
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("source") =!= "src0")
+      val bench = docs.filter(col("source") === "src0")
+      val keep = TextAnalysis.gopherRules(col("text"), minWords = 20,
+        minStopHits = 1).toMap.apply("keep")
+      val gated = corpus.filter(keep).select(col("doc_id"), col("text"))
+      val deduped = Dedup.exactByDigest(gated, "doc_id", "text")
+      val spanned = SpanDedup.removeSpans(deduped, "doc_id", "text",
+        minTokens = 8)
+      val decon = SpanDedup.removeContaminated(spanned, "doc_id",
+        "cleaned", bench, "text", minTokens = 4, pad = 2)
+      Curation.shuffleShards(decon, "doc_id", seed = 42L, shards = 8)
+        .select(col("doc_id"), col("cleaned"), col("shard"), col("seq"))
+        .orderBy(col("shard").asc, col("seq").asc)
+    },
+    Some(s"""WITH pbase AS (SELECT doc_id, text FROM documents
+        WHERE source <> 'src0'),
+      pg AS (SELECT doc_id, text,
+          list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+          list_filter(string_split(lower(text), ' '), x -> x <> '') AS lt
+        FROM pbase),
+      pm AS (SELECT doc_id, text,
+          CAST(len(tk) AS BIGINT) AS n_words,
+          CAST(CASE WHEN len(tk) > 0 THEN FLOOR(10000 *
+              list_sum(list_transform(tk, w -> len(w))) / len(tk))
+            ELSE 0 END AS BIGINT) AS mwl,
+          CAST(CASE WHEN len(tk) > 0 THEN FLOOR(10000 *
+              ((len(text) - len(replace(text, '#', ''))) +
+               (len(text) - len(replace(text, '...', ''))) / 3)
+              / len(tk))
+            ELSE 0 END AS BIGINT) AS sym,
+          CAST(CASE WHEN len(tk) > 0 THEN FLOOR(10000 *
+              len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+              / len(tk))
+            ELSE 0 END AS BIGINT) AS alpha,
+          CAST((CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END +
+            CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END)
+            AS BIGINT) AS stop
+        FROM pg),
+      pex AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+          ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM pm
+        WHERE n_words >= 20 AND n_words <= 100000
+          AND mwl >= 30000 AND mwl <= 100000
+          AND sym <= 1000 AND alpha >= 8000 AND stop >= 1)
+        WHERE rn = 1),
+      ${spanCtes(8, "pex")},
+      stp AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, tk
+        FROM stoks),
+      stok1 AS (SELECT doc_id, pos, tk[pos] AS tok FROM stp),
+      skept AS (SELECT t.doc_id, t.pos, t.tok FROM stok1 t
+        WHERE NOT EXISTS (SELECT 1 FROM sspans s
+          WHERE s.doc_id = t.doc_id
+            AND t.pos BETWEEN s.start_tok AND s.end_tok)),
+      sclean0 AS (SELECT doc_id,
+          string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        FROM skept GROUP BY doc_id),
+      sclean AS (SELECT e.doc_id, COALESCE(c.cleaned, '') AS cleaned
+        FROM pex e LEFT JOIN sclean0 c ON e.doc_id = c.doc_id),
+      ctoks AS (SELECT doc_id,
+          list_filter(string_split(cleaned, ' '), x -> x <> '') AS tk
+        FROM sclean),
+      cgram AS (SELECT doc_id, unnest(range(1, len(tk) - 4 + 2)) AS pos,
+          tk FROM ctoks WHERE len(tk) >= 4),
+      cg2 AS (SELECT doc_id, pos,
+          array_to_string(list_slice(tk, pos, pos + 4 - 1), ' ') AS gram
+        FROM cgram),
+      btoks AS (SELECT list_filter(string_split(text, ' '),
+            x -> x <> '') AS tk
+        FROM documents WHERE source = 'src0'),
+      bgram AS (SELECT DISTINCT
+          array_to_string(list_slice(tk, pos, pos + 4 - 1), ' ') AS gram
+        FROM (SELECT unnest(range(1, len(tk) - 4 + 2)) AS pos, tk
+              FROM btoks WHERE len(tk) >= 4)),
+      cmark AS (SELECT doc_id, pos - 2 AS s, pos + 4 - 1 + 2 AS e
+        FROM cg2 WHERE gram IN (SELECT gram FROM bgram)),
+      cord AS (SELECT doc_id, s, e,
+          MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM cmark),
+      cisl AS (SELECT doc_id, s, e,
+          SUM(CASE WHEN prev_end IS NULL OR s > prev_end + 1
+              THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s) AS gid
+        FROM cord),
+      cspans0 AS (SELECT doc_id, MIN(s) AS s0, MAX(e) AS e0
+        FROM cisl GROUP BY doc_id, gid),
+      cspans AS (SELECT c.doc_id,
+          GREATEST(c.s0, 1) AS start_tok,
+          LEAST(c.e0, len(t.tk)) AS end_tok
+        FROM cspans0 c JOIN ctoks t ON c.doc_id = t.doc_id),
+      dtp AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, tk
+        FROM ctoks),
+      dtok AS (SELECT doc_id, pos, tk[pos] AS tok FROM dtp),
+      dkept AS (SELECT t.doc_id, t.pos, t.tok FROM dtok t
+        WHERE NOT EXISTS (SELECT 1 FROM cspans s
+          WHERE s.doc_id = t.doc_id
+            AND t.pos BETWEEN s.start_tok AND s.end_tok)),
+      dclean0 AS (SELECT doc_id,
+          string_agg(tok, ' ' ORDER BY pos) AS cleaned
+        FROM dkept GROUP BY doc_id),
+      dclean AS (SELECT e.doc_id, COALESCE(c.cleaned, '') AS cleaned
+        FROM sclean e LEFT JOIN dclean0 c ON e.doc_id = c.doc_id),
+      pk AS (SELECT doc_id, cleaned,
+          md5(concat('42', ':', CAST(doc_id AS VARCHAR))) AS key
+        FROM dclean),
+      psh AS (SELECT doc_id, cleaned, key,
+          CAST(CAST('0x' || substr(key, 1, 12) AS BIGINT) % 8 AS BIGINT)
+            AS shard FROM pk)
+      SELECT doc_id, cleaned, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+          ORDER BY key ASC, doc_id ASC) AS BIGINT) AS seq
+      FROM psh ORDER BY shard ASC, seq ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4604,7 +4758,7 @@ object Queries {
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-    q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -338,11 +338,14 @@ object TextAnalysis {
     * FLOOR(10000·x) — engine-independent like every oracle here.
     * Rules: word count in [minWords, maxWords]; mean word length in
     * [3, 10] chars; symbol-to-word ratio (# and … as '...') ≤ 10%;
-    * ≥ 80% of words contain an alphabetic char; ≥ 2 distinct hits
-    * from the required-stopword list (the/be/to/of/and/that/have/
-    * with). */
+    * ≥ 80% of words contain an alphabetic char; ≥ `minStopHits`
+    * distinct hits from the required-stopword list (the/be/to/of/and/
+    * that/have/with — the paper's threshold is 2; corpora whose
+    * register is stopword-poor tune it down rather than lose the
+    * other rules). */
   def gopherRules(text: Column, minWords: Long = 50,
-                  maxWords: Long = 100000): Seq[(String, Column)] = {
+                  maxWords: Long = 100000,
+                  minStopHits: Long = 2): Seq[(String, Column)] = {
     val toks = tokens(text)
     val n = size(toks).cast(LongType)
     val charSum = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
@@ -364,7 +367,7 @@ object TextAnalysis {
       .reduce(_ + _)
     val keep = n >= minWords && n <= maxWords &&
       meanBp >= 30000L && meanBp <= 100000L &&
-      symBp <= 1000L && alphaBp >= 8000L && stopHits >= 2L
+      symBp <= 1000L && alphaBp >= 8000L && stopHits >= minStopHits
     Seq(
       "n_words" -> n,
       "mean_word_len_bp" -> meanBp,

@@ -682,4 +682,100 @@ class PropertySpec extends SparkTest {
             Seq[Byte](0x47, 0x46, 0x54, 0x53, 0, 0, 0, 1))
       }
   }
+
+  test("tokenization contract: tokens(), BPE word split, gopher n_words " +
+    "and SpanDedup positions all agree with the single-space model") {
+    import graft.functions.BpeEncoder
+    import graft.operators.{SpanDedup, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // THE contract, as a driver-side model: split on ASCII space ONLY,
+    // drop empties — exactly DuckDB's
+    // list_filter(string_split(text, ' '), x -> x <> ''), which every
+    // oracle tokenizes with. Span positions, token counts, and BPE
+    // word boundaries all ride on every implementation agreeing.
+    def model(s: String): Seq[String] =
+      s.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+    // adversarial raw strings: multi-space runs, leading/trailing
+    // space, and NON-split whitespace (tab, newline, CR, NBSP,
+    // em-space) that must stay INSIDE tokens, plus an astral
+    // (surrogate-pair) char to exercise code-point handling
+    val genChar = Gen.frequency(
+      6 -> Gen.oneOf('a', 'b', 'c'),
+      4 -> Gen.const(' '),
+      1 -> Gen.const('\t'),
+      1 -> Gen.const('\n'),
+      1 -> Gen.const('\r'),
+      1 -> Gen.const('\u00A0') /* NBSP */,
+      1 -> Gen.const('\u2003') /* em-space */)
+    val genText = for {
+      n <- Gen.chooseNum(0, 40)
+      cs <- Gen.listOfN(n, genChar)
+      astral <- Gen.oneOf("", "\uD835\uDCB3") /* astral script X */
+    } yield cs.mkString + astral
+    val texts = (samples(genText, 120) ++ Seq(
+      "", " ", "  ", "a", " a ", "a  b", "\t", " \t ")).distinct
+
+    // 1) TextAnalysis.tokens — one Spark job over every sample
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val gotTokens = df
+      .select(col("id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(gotTokens(i.toLong) == model(t),
+        s"tokens() vs model on codepoints ${t.map(_.toInt)}") }
+
+    // 2) gopher n_words: same split, as a count
+    val nWordsCol = TextAnalysis.gopherRules(col("text"))
+      .toMap.apply("n_words")
+    val gotN = df.select(col("id"), nWordsCol.as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(gotN(i.toLong) == model(t).size.toLong) }
+
+    // 3) BPE apply's word segmentation (driver-side, no job): with NO
+    // merges every model word explodes to its code points in order —
+    // any boundary drift would reorder or merge the flattening
+    val enc = BpeEncoder(Seq())
+    texts.foreach { t =>
+      val arr = enc.encodeText(UTF8String.fromString(t))
+      val flat = (0 until arr.numElements())
+        .map(j => arr.getUTF8String(j).toString)
+      val want = model(t).flatMap(w => w.codePoints().toArray.toSeq
+        .map(cp => new String(Character.toChars(cp))))
+      assert(flat == want,
+        s"BPE word split vs model on codepoints ${t.map(_.toInt)}")
+    }
+
+    // 4) SpanDedup positions: distinct words (some with embedded
+    // non-split whitespace) joined by multi-space runs; an identical
+    // doc pair must span exactly (1, model-token-count) — 1-based
+    // positions INTO THE MODEL TOKEN LIST, not the raw string
+    val genSep = Gen.oneOf(" ", "  ", "   ")
+    val genDoc = for {
+      k <- Gen.chooseNum(2, 10)
+      seps <- Gen.listOfN(k + 1, genSep)
+      inner <- Gen.listOfN(k, Gen.oneOf("", "\t", "\n", "\u00A0"))
+    } yield (0 until k).map(j => seps(j) + s"w${inner(j)}$j")
+      .mkString + seps(k)
+    samples(genDoc, 6).foreach { t =>
+      val k = model(t).size
+      val pair = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+      val spans = SpanDedup.duplicateSpans(pair, "doc_id", "text", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(spans == Seq((2L, 1L, k.toLong)),
+        s"spans $spans vs whole-doc (2,1,$k) on codepoints " +
+          s"${t.map(_.toInt)}")
+      val cleanedRows = SpanDedup.removeSpans(pair, "doc_id", "text", 2)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(cleanedRows ==
+        Seq(1L -> model(t).mkString(" "), 2L -> ""))
+    }
+  }
 }
