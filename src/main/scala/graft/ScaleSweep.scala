@@ -83,8 +83,24 @@ object ScaleSweep {
     // near-linear); q116/q117 grams stay intra-replica (tags make
     // cross-replica windows distinct), so spans and cleaned rows
     // scale 10x and the slope measures the explode + gram agg/join +
-    // doc-windowed island pipeline
-    "q115_bpe_apply", "q116_dup_spans", "q117_span_clean")
+    // doc-windowed island pipeline (r17: gram legs hashed to 128 bits,
+    // 16 bytes/window on the exchange)
+    "q115_bpe_apply", "q116_dup_spans", "q117_span_clean",
+    // r17: q118 bench (src0) docs carry the same per-replica word tag
+    // as their replica's corpus, so benchmark collisions stay
+    // intra-replica and contaminated spans scale 10x; q119 is a pure
+    // projection (rows 10x, slope = scan+project); q120 is one shard
+    // exchange + per-shard sort (rows 10x, shards fixed at 8 so each
+    // shard sorts 10x the rows — slope bounds the sort's superlinear
+    // term); q121 composes gate -> dedup -> span cut -> decontam ->
+    // reshard. q121's rows DO NOT scale: the per-replica word tags
+    // turn "the" into "the~r", so replicas 1-9 fail the stopword rule
+    // and the GATE keeps only replica 0 — by design the measurement
+    // then shows the scale property that matters for a gated
+    // pipeline: downstream cost follows SURVIVING rows, not raw
+    // corpus rows (the 10x corpus costs only the extra gate scan)
+    "q118_contam_spans", "q119_gopher_rules", "q120_shuffle_shards",
+    "q121_curation_pipeline")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
