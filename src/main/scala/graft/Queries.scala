@@ -4752,6 +4752,127 @@ object Queries {
           ORDER BY key ASC, doc_id ASC) AS BIGINT) AS seq
       FROM psh ORDER BY shard ASC, seq ASC"""))
 
+  /** q122: perceptual image hash (aHash) — the multimodal arm of the
+    * dedup family: luma box-average to an 8×8 thumbnail, one bit per
+    * cell vs the image mean, integer-exact throughout (see
+    * [[graft.operators.Multimodal.imageAHash]]). Runs the REAL decode
+    * (ImageIO pixels) over the RGB-PNG subset of the generated corpus
+    * — the lossless subset whose pixels equal the generator formula —
+    * so the oracle recomputes the hash from arithmetic alone: the
+    * pixel formula → cell luma sums → exact rational mean compare →
+    * the same 16-hex-char signature. */
+  private val q122 = Q(
+    "q122_image_ahash",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val imgs = s.range(64)
+        .filter(col("id") % 6 === 4 && col("id") % 7 =!= 0)
+        .map(i => (i, Multimodal.encodeTestImage(i)))
+        .toDF("id", "payload")
+      Multimodal.withAHash(imgs, "payload")
+        .select(col("id"),
+          lower(lpad(hex(col("ahash")), 16, "0")).as("ahash_hex"))
+        .orderBy(col("id").asc)
+    },
+    Some("""WITH ids AS (
+        SELECT i, 8 + i % 9 AS w, 5 + (i * 3) % 11 AS h
+        FROM range(64) t(i) WHERE i % 6 = 4 AND i % 7 <> 0),
+      px AS (
+        SELECT i,
+          ((i * 2654435761 + xx.x * 31 + yy.y) % 16777216) AS pv,
+          (xx.x * 8) // w AS cu, (yy.y * 8) // h AS cv
+        FROM ids,
+          (SELECT unnest(generate_series(0, 16)) AS x) xx,
+          (SELECT unnest(generate_series(0, 15)) AS y) yy
+        WHERE xx.x < w AND yy.y < h),
+      lum AS (SELECT i, cu, cv,
+          SUM(((pv >> 16) & 255) + ((pv >> 8) & 255) + (pv & 255)) AS cs,
+          COUNT(*) AS cn
+        FROM px GROUP BY i, cu, cv),
+      tot AS (SELECT i, SUM(cs) AS ts, SUM(cn) AS tn
+        FROM lum GROUP BY i),
+      grid AS (SELECT gu, gv FROM
+        (SELECT unnest(generate_series(0, 7)) AS gu),
+        (SELECT unnest(generate_series(0, 7)) AS gv)),
+      cells AS (SELECT t.i, g.gu, g.gv,
+          COALESCE(l.cs, 0) AS cs, COALESCE(l.cn, 0) AS cn, t.ts, t.tn
+        FROM tot t CROSS JOIN grid g
+        LEFT JOIN lum l ON l.i = t.i AND l.cu = g.gu AND l.cv = g.gv),
+      rowbytes AS (SELECT i, gv,
+          CAST(SUM(CASE WHEN cs * tn > ts * cn
+            THEN (1 << gu) ELSE 0 END) AS BIGINT) AS byte
+        FROM cells GROUP BY i, gv)
+      SELECT i AS id,
+        string_agg(printf('%02x', byte), '' ORDER BY gv DESC)
+          AS ahash_hex
+      FROM rowbytes GROUP BY i ORDER BY id ASC"""))
+
+  /** q123: perceptual near-duplicate image pairs — [[q122]]'s aHash
+    * fed through the SAME pigeonhole-banded Hamming join the SimHash
+    * text path uses ([[graft.operators.Dedup.hammingPairs]], factored
+    * for exactly this reuse): 7 bands over 64 bits, perfect recall at
+    * distance ≤ 6, popcount verify — so image dedup at corpus scale
+    * never goes all-pairs. The corpus plants an EXACT duplicate of
+    * every source image under id+100 (re-ingest shape); the oracle
+    * recomputes every hash from the pixel formula and brute-forces
+    * all pairs, so banding recall is proven, not assumed. */
+  private val q123 = Q(
+    "q123_image_neardup",
+    (s, dir) => {
+      import graft.operators.{Dedup, Multimodal}
+      import s.implicits._
+      val srcs = Seq(4L, 10L, 16L, 22L, 34L, 40L, 46L, 52L, 58L)
+      val rows = srcs.map(i => (i, Multimodal.encodeTestImage(i))) ++
+        srcs.map(i => (i + 100L, Multimodal.encodeTestImage(i)))
+      val imgs = rows.toDF("img_id", "payload")
+      Dedup.hammingPairs(
+          Multimodal.withAHash(imgs, "payload"), "img_id", "ahash",
+          bits = 64, maxDist = 6)
+        .orderBy(col("a").asc, col("b").asc)
+    },
+    Some("""WITH srcs AS (
+        SELECT i, 8 + i % 9 AS w, 5 + (i * 3) % 11 AS h
+        FROM (VALUES (4), (10), (16), (22), (34), (40), (46), (52),
+          (58)) t(i)),
+      px AS (
+        SELECT i,
+          ((i * 2654435761 + xx.x * 31 + yy.y) % 16777216) AS pv,
+          (xx.x * 8) // w AS cu, (yy.y * 8) // h AS cv
+        FROM srcs,
+          (SELECT unnest(generate_series(0, 16)) AS x) xx,
+          (SELECT unnest(generate_series(0, 15)) AS y) yy
+        WHERE xx.x < w AND yy.y < h),
+      lum AS (SELECT i, cu, cv,
+          SUM(((pv >> 16) & 255) + ((pv >> 8) & 255) + (pv & 255)) AS cs,
+          COUNT(*) AS cn
+        FROM px GROUP BY i, cu, cv),
+      tot AS (SELECT i, SUM(cs) AS ts, SUM(cn) AS tn
+        FROM lum GROUP BY i),
+      grid AS (SELECT gu, gv FROM
+        (SELECT unnest(generate_series(0, 7)) AS gu),
+        (SELECT unnest(generate_series(0, 7)) AS gv)),
+      rowbytes AS (SELECT t.i, g.gv,
+          CAST(SUM(CASE WHEN COALESCE(l.cs, 0) * t.tn >
+            t.ts * COALESCE(l.cn, 0) THEN (1 << g.gu) ELSE 0 END)
+            AS BIGINT) AS byte
+        FROM tot t CROSS JOIN grid g
+        LEFT JOIN lum l ON l.i = t.i AND l.cu = g.gu AND l.cv = g.gv
+        GROUP BY t.i, g.gv),
+      imgs AS (SELECT i AS img_id, i AS src FROM srcs
+        UNION ALL SELECT i + 100, i FROM srcs),
+      pairs AS (SELECT a.img_id AS a, b.img_id AS b,
+          a.src AS sa, b.src AS sb
+        FROM imgs a JOIN imgs b ON a.img_id < b.img_id),
+      dists AS (SELECT p.a, p.b,
+          CAST(SUM(bit_count(xor(ra.byte, rb.byte))) AS BIGINT) AS dist
+        FROM pairs p
+        JOIN rowbytes ra ON ra.i = p.sa
+        JOIN rowbytes rb ON rb.i = p.sb AND rb.gv = ra.gv
+        GROUP BY p.a, p.b)
+      SELECT a, b, dist FROM dists WHERE dist <= 6
+      ORDER BY a ASC, b ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4762,7 +4883,8 @@ object Queries {
     q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89,
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
-    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
+    q122, q123)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -286,21 +286,38 @@ object Dedup {
     * Skew note: a zero-ish band (short docs) concentrates a bucket; at
     * 100 TB feed AQE skew-join or pre-salt the top buckets. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 16, maxDist: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol, bits)
+                   bits: Int = 16, maxDist: Int = 3): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol, bits), idCol, "simhash",
+      bits, maxDist)
+
+  /** Pigeonhole-banded Hamming pairs over ANY ≤64-bit integer
+    * signature column (see [[simhashPairs]] for the recall argument —
+    * this is that join, factored so other signature families reuse it:
+    * text SimHash, image aHash, any fingerprint that compares by
+    * Hamming distance). Output: (a, b, dist), a < b, dist ≤ maxDist,
+    * identical to brute-force all-pairs. NULL signatures (undecodable
+    * payloads) never pair — each band value is non-NULL only for
+    * non-NULL signatures, and the equi-join drops NULL keys. */
+  def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
+                   bits: Int, maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits=$bits out of [1,64]")
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist=$maxDist out of [0,$bits)")
     val nBands = maxDist + 1
     val base = bits / nBands
     val rem = bits % nBands
     val bandCols = (0 until nBands).map { b =>
       val width = base + (if (b < rem) 1 else 0)
       val start = b * base + math.min(b, rem)
-      shiftright(col("simhash"), start).bitwiseAND(lit((1L << width) - 1))
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftright(col(sigCol), start).bitwiseAND(lit(mask))
     }
-    val banded = sig.select(col(idCol), col("simhash"),
+    val banded = sig.select(col(idCol), col(sigCol).as("__sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-    val l = banded.select(col(idCol).as("a"), col("simhash").as("sa"),
+      .where(col("__sig").isNotNull)
+    val l = banded.select(col(idCol).as("a"), col("__sig").as("sa"),
       col("band"), col("bv"))
-    val r = banded.select(col(idCol).as("b"), col("simhash").as("sb"),
+    val r = banded.select(col(idCol).as("b"), col("__sig").as("sb"),
       col("band"), col("bv"))
     l.join(r, Seq("band", "bv"))
       .filter(col("a") < col("b"))

@@ -790,6 +790,90 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Perceptual average-hash (aHash) of a decoded image — the standard
+    * cheap near-duplicate fingerprint for image corpora (same family
+    * pHash/dHash belong to): luma per pixel, box-average down to a
+    * grid×grid thumbnail, one bit per cell = "cell brighter than the
+    * image mean". Near-duplicate images (recompressions, small edits,
+    * minor crops) land within a few Hamming bits; the banded pair join
+    * ([[Dedup.hammingPairs]]) finds them without an all-pairs pass —
+    * image dedup at corpus scale, the visual analog of SimHash text
+    * dedup.
+    *
+    * Integer-exact by construction so an oracle can replay it:
+    *  - luma = r + g + b (the exact SUM — dividing by 3 loses nothing
+    *    for comparisons and would round engine-dependently);
+    *  - pixel (x, y) belongs to cell (x·grid/w, y·grid/h) (floor);
+    *  - bit(cell) = 1 iff cellSum·totN > totSum·cellN — the exact
+    *    rational mean comparison, no floating point anywhere (products
+    *    promoted to BigInteger past 2^24 pixels, where long² could
+    *    overflow);
+    *  - bit index = v·grid + u; empty cells (w or h < grid) hash 0.
+    * Default grid 8 → a 64-bit signature. */
+  def imageAHash(bytes: Array[Byte], grid: Int = 8): Option[Long] = {
+    require(grid >= 1 && grid * grid <= 64,
+      s"grid=$grid out of [1,8] (signature must fit 64 bits)")
+    if (bytes == null || bytes.length < 8 ||
+        !(looksLikeImage(bytes) || isWebp(bytes))) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = Array.ofDim[Long](grid * grid)
+      val cellN = Array.ofDim[Long](grid * grid)
+      var tot = 0L
+      var y = 0
+      while (y < h) {
+        val v0 = y * grid / h
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val luma = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          val c = v0 * grid + x * grid / w
+          cellSum(c) += luma
+          cellN(c) += 1
+          tot += luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val big = n > (1L << 24) // luma·n² would overflow long
+      var hash = 0L
+      var c = 0
+      while (c < grid * grid) {
+        val brighter =
+          if (big)
+            java.math.BigInteger.valueOf(cellSum(c))
+              .multiply(java.math.BigInteger.valueOf(n))
+              .compareTo(java.math.BigInteger.valueOf(tot)
+                .multiply(java.math.BigInteger.valueOf(cellN(c)))) > 0
+          else cellSum(c) * n > tot * cellN(c)
+        if (brighter) hash |= 1L << c
+        c += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach the 64-bit aHash (`ahash`, NULL for undecodable payloads),
+    * partition-batched like every decode pass here. */
+  def withAHash(df: DataFrame, binCol: String,
+                grid: Int = 8): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("ahash", LongType, true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val hv = imageAHash(row.getAs[Array[Byte]](binIdx), grid)
+          .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(row.toSeq :+ hv)
+      }
+    }(enc)
+  }
+
   /** Attach per-channel pixel sums, partition-batched. */
   def withChannelSums(df: DataFrame, binCol: String): DataFrame = {
     val statsSchema = StructType(Seq(

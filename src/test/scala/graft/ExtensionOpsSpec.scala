@@ -999,6 +999,68 @@ class ExtensionOpsSpec extends SparkTest {
     assert(kept == Seq(1L, 2L, 3L), s"kept $kept")
   }
 
+  test("imageAHash: hand-computed half-dark/half-bright PNG; duplicates " +
+    "hash identically; corrupt payloads are NULL") {
+    import graft.operators.Multimodal
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pix(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 8×8 with grid 8 → one pixel per cell; right half white: those
+    // 32 cells beat the mean → byte 0xF0 per row → 0xF0F0F0F0F0F0F0F0
+    val split = png(8, 8)((x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    assert(Multimodal.imageAHash(split) ==
+      Some(0xF0F0F0F0F0F0F0F0L))
+    // uniform image: no cell exceeds the mean (strict >) → hash 0
+    assert(Multimodal.imageAHash(png(8, 8)((_, _) => 0x808080)) ==
+      Some(0L))
+    // non-multiple dims still hash (cells of unequal population);
+    // determinism across encodes of the same pixels
+    val odd = png(11, 7)((x, y) => if ((x + y) % 3 == 0) 0xFFFFFF else 0)
+    assert(Multimodal.imageAHash(odd).isDefined)
+    assert(Multimodal.imageAHash(odd) == Multimodal.imageAHash(
+      png(11, 7)((x, y) => if ((x + y) % 3 == 0) 0xFFFFFF else 0)))
+    // junk bytes → None
+    assert(Multimodal.imageAHash(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
+  test("hammingPairs equals brute force over random 64-bit signatures " +
+    "(negatives included); NULL signatures never pair") {
+    import graft.operators.Dedup
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val rnd = new scala.util.Random(7L)
+    val sigs: Seq[(Long, java.lang.Long)] = (1L to 40L).map { i =>
+      // cluster signatures around a few anchors so distances spread
+      val anchor = Seq(0L, -1L, 0x0123456789ABCDEFL)(rnd.nextInt(3))
+      val flips = rnd.nextInt(12)
+      val s = (0 until flips).foldLeft(anchor)((a, _) =>
+        a ^ (1L << rnd.nextInt(64)))
+      (i, if (i % 13 == 0) null else java.lang.Long.valueOf(s))
+    }
+    val df = spark.createDataFrame(
+      sigs.map { case (i, s) => Row(i, s) }.asJava,
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("sig", LongType, true))))
+    for (maxDist <- Seq(0, 3, 9)) {
+      val got = Dedup.hammingPairs(df, "id", "sig", 64, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = (for {
+        (a, sa) <- sigs if sa != null
+        (b, sb) <- sigs if sb != null && a < b
+        d = java.lang.Long.bitCount(sa ^ sb)
+        if d <= maxDist
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want, s"maxDist=$maxDist")
+    }
+  }
+
   test("int8 quantization: known values, cosine ranking preserved") {
     import graft.operators.Similarity
     import spark.implicits._

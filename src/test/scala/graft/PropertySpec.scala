@@ -778,4 +778,64 @@ class PropertySpec extends SparkTest {
         Seq(1L -> model(t).mkString(" "), 2L -> ""))
     }
   }
+
+  test("SpanDedup.duplicateSpans equals a sequential ExactSubstr " +
+    "reference model on random small-vocab corpora (both policies)") {
+    import graft.operators.SpanDedup
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+
+    val L = 3
+    // tiny vocab → dense gram collisions across and within documents
+    val genDoc = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+    val genCorpus = Gen.listOfN(6, genDoc)
+
+    def modelSpans(corpus: Seq[(Long, Seq[String])],
+                   keepFirst: Boolean): Seq[(Long, Long, Long)] = {
+      val occ = for {
+        (id, tk) <- corpus
+        p <- 1 to tk.size - L + 1
+      } yield (tk.slice(p - 1, p - 1 + L).mkString(" "), id, p)
+      val byGram = occ.groupBy(_._1)
+      val marked = byGram.valuesIterator.flatMap { os =>
+        if (os.size <= 1) Nil
+        else {
+          val sorted = os.map(o => (o._2, o._3)).sortBy(identity)
+          if (keepFirst) sorted.tail else sorted
+        }
+      }.toSeq
+      marked.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+        // merge [p, p+L-1] windows, overlapping OR adjacent
+        val ivs = ps.map(_._2).sorted.map(p => (p.toLong, (p + L - 1).toLong))
+        ivs.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (s, e)) =>
+          acc.lastOption match {
+            case Some((ps0, pe)) if s <= pe + 1 =>
+              acc.init :+ (ps0, math.max(pe, e))
+            case _ => acc :+ (s, e)
+          }
+        }.map { case (s, e) => (id, s, e) }
+      }.sorted
+    }
+
+    samples(genCorpus, 8).foreach { docsToks =>
+      val corpus = docsToks.zipWithIndex.map { case (tk, i) =>
+        (i.toLong, tk) }
+      val df = spark.createDataFrame(
+        corpus.map { case (i, tk) => Row(i, tk.mkString(" ")) }.asJava,
+        StructType(Seq(StructField("doc_id", LongType, false),
+          StructField("text", StringType, false))))
+      for (keepFirst <- Seq(true, false)) {
+        val got = SpanDedup.duplicateSpans(df, "doc_id", "text", L,
+            keepFirst)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sorted
+        val want = modelSpans(corpus, keepFirst)
+        assert(got == want,
+          s"keepFirst=$keepFirst corpus=$docsToks got=$got want=$want")
+      }
+    }
+  }
 }
