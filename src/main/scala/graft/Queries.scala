@@ -4873,6 +4873,65 @@ object Queries {
       SELECT a, b, dist FROM dists WHERE dist <= 6
       ORDER BY a ASC, b ASC"""))
 
+  /** q124: audio fingerprint — [[q122]]'s design over the PCM stream:
+    * real `javax.sound` decode of all three containers (WAV/AIFF/AU,
+    * both byte orders), Σ|sample| per 64 equal time slices, one bit
+    * per slice vs the clip mean, exact integer arithmetic end to end
+    * (see [[graft.operators.Multimodal.audioFingerprint]]). The
+    * oracle recomputes every sample from the generator byte formula —
+    * including the per-container ENDIANNESS branch — so a green row
+    * proves the decode path reassembles the same 16-bit signed
+    * samples the generator wrote. Corrupt payloads fingerprint NULL.
+    * Near-dup pairing rides the same [[q123]] hammingPairs machinery
+    * (spec'd; no second oracle needed). */
+  private val q124 = Q(
+    "q124_audio_fingerprint",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val wavs = s.range(48)
+        .map(i => (i, Multimodal.encodeTestAudio(i)))
+        .toDF("id", "payload")
+      Multimodal.withAudioFingerprint(wavs, "payload")
+        .select(col("id"),
+          lower(lpad(hex(col("afp")), 16, "0")).as("afp_hex"))
+        .orderBy(col("id").asc)
+    },
+    Some("""WITH ids AS (
+        SELECT i, 1 + i % 2 AS ch, 50 + i % 20 AS frames,
+          CASE WHEN (i // 3) % 3 = 0 THEN 0 ELSE 1 END AS be
+        FROM range(48) t(i) WHERE i % 7 <> 0),
+      samp AS (
+        SELECT i, ss.s AS idx, frames * ch AS n,
+          ((i * 31 + (ss.s * 2) * 7) % 256) AS b0,
+          ((i * 31 + (ss.s * 2 + 1) * 7) % 256) AS b1, be
+        FROM ids, (SELECT unnest(generate_series(0, 139)) AS s) ss
+        WHERE ss.s < frames * ch),
+      amp AS (SELECT i, idx, n,
+          ABS(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS a
+        FROM (SELECT i, idx, n,
+            CASE WHEN be = 1 THEN b0 * 256 + b1
+                 ELSE b1 * 256 + b0 END AS u FROM samp)),
+      buck AS (SELECT i, (idx * 64) // n AS k,
+          SUM(a) AS bs, COUNT(*) AS bn
+        FROM amp GROUP BY i, k),
+      tot AS (SELECT i, SUM(bs) AS ts, SUM(bn) AS tn
+        FROM buck GROUP BY i),
+      grid AS (SELECT unnest(generate_series(0, 63)) AS k),
+      rowbytes AS (SELECT t.i, g.k // 8 AS gv,
+          CAST(SUM(CASE WHEN COALESCE(b.bs, 0) * t.tn >
+            t.ts * COALESCE(b.bn, 0) THEN (1 << (g.k % 8))
+            ELSE 0 END) AS BIGINT) AS byte
+        FROM tot t CROSS JOIN grid g
+        LEFT JOIN buck b ON b.i = t.i AND b.k = g.k
+        GROUP BY t.i, g.k // 8),
+      fps AS (SELECT i, string_agg(printf('%02x', byte), ''
+          ORDER BY gv DESC) AS afp_hex
+        FROM rowbytes GROUP BY i)
+      SELECT t.i AS id, f.afp_hex
+      FROM range(48) t(i) LEFT JOIN fps f ON f.i = t.i
+      ORDER BY id ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4884,7 +4943,7 @@ object Queries {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123)
+    q122, q123, q124)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

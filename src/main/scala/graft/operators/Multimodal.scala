@@ -874,6 +874,86 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio fingerprint — [[imageAHash]]'s design applied to sound:
+    * decode the PCM sample stream (real `javax.sound` decode, any
+    * container it reads — WAV/AIFF/AU, either endianness), cut it
+    * into `buckets` equal time slices, one bit per slice = "slice
+    * louder than the clip mean" (amplitude = Σ|sample|, the exact
+    * integer energy surrogate). Same exact rational mean compare, so
+    * an oracle replays it from sample arithmetic alone; same 64-bit
+    * signature contract, so [[graft.operators.Dedup.hammingPairs]]
+    * finds near-duplicate clips (re-encodes, level-preserving trims)
+    * without an all-pairs join. 16-bit PCM only (this corpus's
+    * contract); undecodable/other payloads → None. */
+  def audioFingerprint(bytes: Array[Byte],
+                       buckets: Int = 64): Option[Long] = {
+    require(buckets >= 1 && buckets <= 64,
+      s"buckets=$buckets out of [1,64] (signature must fit 64 bits)")
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val raw = ais.readAllBytes()
+      val n = raw.length / 2
+      if (n == 0) return None
+      val be = fmt.isBigEndian
+      val bSum = Array.ofDim[Long](buckets)
+      val bN = Array.ofDim[Long](buckets)
+      var tot = 0L
+      var s = 0
+      while (s < n) {
+        val b0 = raw(2 * s) & 0xff
+        val b1 = raw(2 * s + 1) & 0xff
+        val u = if (be) (b0 << 8) | b1 else (b1 << 8) | b0
+        val amp = math.abs(if (u >= 32768) u - 65536 else u).toLong
+        val k = (s.toLong * buckets / n).toInt
+        bSum(k) += amp
+        bN(k) += 1
+        tot += amp
+        s += 1
+      }
+      // past 2^24 samples (≈ 6 min of stereo 48 kHz) the long products
+      // amp·n² could overflow — same BigInteger fallback as imageAHash
+      val big = n > (1 << 24)
+      var hash = 0L
+      var k = 0
+      while (k < buckets) {
+        val louder =
+          if (big)
+            java.math.BigInteger.valueOf(bSum(k))
+              .multiply(java.math.BigInteger.valueOf(n.toLong))
+              .compareTo(java.math.BigInteger.valueOf(tot)
+                .multiply(java.math.BigInteger.valueOf(bN(k)))) > 0
+          else bSum(k) * n > tot * bN(k)
+        if (louder) hash |= 1L << k
+        k += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach the 64-bit audio fingerprint (`afp`, NULL for undecodable
+    * payloads), partition-batched. */
+  def withAudioFingerprint(df: DataFrame, binCol: String,
+                           buckets: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("afp", LongType, true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val hv = audioFingerprint(row.getAs[Array[Byte]](binIdx), buckets)
+          .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(row.toSeq :+ hv)
+      }
+    }(enc)
+  }
+
   /** Attach per-channel pixel sums, partition-batched. */
   def withChannelSums(df: DataFrame, binCol: String): DataFrame = {
     val statsSchema = StructType(Seq(

@@ -1028,6 +1028,64 @@ class ExtensionOpsSpec extends SparkTest {
     assert(Multimodal.imageAHash(Array[Byte](1, 2, 3, 4)).isEmpty)
   }
 
+  test("audioFingerprint: hand-computed quiet/loud WAV; duplicate clips " +
+    "pair at distance 0 through hammingPairs; corrupt payloads are NULL") {
+    import graft.operators.{Dedup, Multimodal}
+    import javax.sound.sampled._
+    def wav(samples: Array[Short], bigEndian: Boolean = false,
+            typ: AudioFileFormat.Type = AudioFileFormat.Type.WAVE)
+        : Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val raw = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        if (bigEndian) { raw(2 * i) = (s >> 8).toByte
+          raw(2 * i + 1) = s.toByte }
+        else { raw(2 * i) = s.toByte; raw(2 * i + 1) = (s >> 8).toByte }
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, typ, bos)
+      bos.toByteArray
+    }
+    // 128 samples, one per half-bucket: first half silent, second half
+    // loud → buckets 32..63 beat the mean → hex ffffffff00000000
+    val clip = Array.tabulate[Short](128)(s =>
+      if (s < 64) 0 else 1000)
+    assert(Multimodal.audioFingerprint(wav(clip)) ==
+      Some(0xFFFFFFFF00000000L))
+    // the same SAMPLES through a different container/byte order must
+    // fingerprint identically — the hash is of the sound, not the file
+    assert(Multimodal.audioFingerprint(
+      wav(clip, bigEndian = true, AudioFileFormat.Type.AIFF)) ==
+      Some(0xFFFFFFFF00000000L))
+    // negative amplitudes count as energy: -1000 in the loud half
+    val neg = Array.tabulate[Short](128)(s =>
+      if (s < 64) 0 else -1000)
+    assert(Multimodal.audioFingerprint(wav(neg)) ==
+      Some(0xFFFFFFFF00000000L))
+    // junk → None
+    assert(Multimodal.audioFingerprint(Array[Byte](1, 2, 3, 4)).isEmpty)
+
+    // duplicate clips pair at dist 0 via the shared banded join
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val other = Array.tabulate[Short](128)(s =>
+      if (s % 2 == 0) 900 else 0)
+    val rows = Seq(
+      Row(1L, wav(clip)), Row(2L, wav(clip)), Row(3L, wav(other)))
+    val df = spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("payload", BinaryType, true))))
+    val pairs = Dedup.hammingPairs(
+        Multimodal.withAudioFingerprint(df, "payload"), "id", "afp",
+        bits = 64, maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pairs == Set((1L, 2L, 0L)), s"pairs $pairs")
+  }
+
   test("hammingPairs equals brute force over random 64-bit signatures " +
     "(negatives included); NULL signatures never pair") {
     import graft.operators.Dedup
