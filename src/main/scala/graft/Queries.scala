@@ -4932,6 +4932,55 @@ object Queries {
       FROM range(48) t(i) LEFT JOIN fps f ON f.i = t.i
       ORDER BY id ASC"""))
 
+  /** q125: video sample-stream signature — the container-level member
+    * of the fingerprint triple (q122 image, q124 audio): every encoded
+    * sample's byte sum is its "energy", one bit per stream slice vs
+    * the mean. Catches the re-mux / metadata-strip duplicate class
+    * (identical encoded streams in different container bytes) without
+    * a codec; a re-ENCODE defeats it by design — documented at
+    * [[graft.operators.Multimodal.videoSampleSignature]]. The oracle
+    * replays sample energies from the MP4 generator formula (sample k
+    * = 8 bytes of (i·31 + k·7) mod 256), so a green row proves the
+    * sample-table walk slices the same payloads the generator wrote. */
+  private val q125 = Q(
+    "q125_video_signature",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val vids = s.range(48)
+        .map(i => (i, Multimodal.encodeTestVideoSamples(i)))
+        .toDF("id", "payload")
+      Multimodal.withVideoSignature(vids, "payload")
+        .select(col("id"),
+          lower(lpad(hex(col("vsig")), 16, "0")).as("vsig_hex"))
+        .orderBy(col("id").asc)
+    },
+    Some("""WITH ids AS (
+        SELECT i, 5 + i % 4 AS n FROM range(48) t(i) WHERE i % 7 <> 0),
+      en AS (SELECT i, kk.k AS s, n,
+          8 * ((i * 31 + kk.k * 7) % 256) AS e
+        FROM ids, (SELECT unnest(generate_series(0, 8)) AS k) kk
+        WHERE kk.k < n),
+      buck AS (SELECT i, (s * 64) // n AS k,
+          SUM(e) AS bs, COUNT(*) AS bn
+        FROM en GROUP BY i, k),
+      tot AS (SELECT i, SUM(bs) AS ts, SUM(bn) AS tn
+        FROM buck GROUP BY i),
+      grid AS (SELECT unnest(generate_series(0, 63)) AS k),
+      rowbytes AS (SELECT t.i, g.k // 8 AS gv,
+          CAST(SUM(CASE WHEN COALESCE(b.bs, 0) * t.tn >
+            t.ts * COALESCE(b.bn, 0) THEN (1 << (g.k % 8))
+            ELSE 0 END) AS BIGINT) AS byte
+        FROM tot t CROSS JOIN grid g
+        LEFT JOIN buck b ON b.i = t.i AND b.k = g.k
+        GROUP BY t.i, g.k // 8),
+      fps AS (SELECT i, string_agg(printf('%02x', byte), ''
+          ORDER BY gv DESC) AS vsig_hex
+        FROM rowbytes GROUP BY i)
+      SELECT t.i AS id, f.vsig_hex
+      FROM range(48) t(i) LEFT JOIN fps f ON f.i = t.i
+      ORDER BY id ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4943,7 +4992,7 @@ object Queries {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124)
+    q122, q123, q124, q125)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -575,6 +575,52 @@ class ExtensionOpsSpec extends SparkTest {
       Multimodal.encodeTestVideo(1L), 1).isEmpty) // no sample table
   }
 
+  test("videoSampleSignature: invariant under re-mux (same encoded " +
+    "samples, different chunk layout); changes when a sample changes") {
+    import graft.operators.Multimodal
+    def u32(x: Long) = Array[Byte](((x >> 24) & 0xff).toByte,
+      ((x >> 16) & 0xff).toByte, ((x >> 8) & 0xff).toByte,
+      (x & 0xff).toByte)
+    def box(t: String, b: Array[Byte]) =
+      u32(b.length + 8L) ++ t.getBytes("US-ASCII") ++ b
+    // 6 samples of 8 bytes, sample k filled with k*11 — built in TWO
+    // container layouts: one chunk vs two chunks (re-mux shape)
+    val pay = Array.tabulate(6 * 8)(b => ((b / 8) * 11 % 256).toByte)
+    def head(offs: Seq[Long], spc: Seq[(Long, Long)]): Array[Byte] = {
+      val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(6) ++
+        Array.tabulate(6)(_ => u32(8)).flatten)
+      val stsc = box("stsc", u32(0) ++ u32(spc.size) ++
+        spc.flatMap { case (first, n) => u32(first) ++ u32(n) ++ u32(1) }
+          .toArray)
+      val stco = box("stco", u32(0) ++ u32(offs.size) ++
+        offs.flatMap(u32).toArray)
+      box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0) ++
+        "isom".getBytes("US-ASCII")) ++
+        box("moov", box("trak", box("mdia", box("minf",
+          box("stbl", stsz ++ stsc ++ stco)))))
+    }
+    def build(offs: Seq[Long], spc: Seq[(Long, Long)],
+              p: Array[Byte]): Array[Byte] = {
+      val h0 = head(offs.map(_ => 0L), spc)
+      val base = h0.length + 8L
+      head(offs.map(_ + base), spc) ++ box("mdat", p)
+    }
+    val oneChunk = build(Seq(0L), Seq(1L -> 6L), pay)
+    val twoChunks = build(Seq(0L, 32L), Seq(1L -> 4L, 2L -> 2L), pay)
+    val sig1 = Multimodal.videoSampleSignature(oneChunk)
+    val sig2 = Multimodal.videoSampleSignature(twoChunks)
+    assert(sig1.isDefined && sig1 == sig2,
+      s"re-mux changed the signature: $sig1 vs $sig2")
+    // a changed sample changes the signature (different energy profile)
+    val edited = pay.clone()
+    java.util.Arrays.fill(edited, 0, 8, 0xFF.toByte)
+    assert(Multimodal.videoSampleSignature(
+      build(Seq(0L), Seq(1L -> 6L), edited)) != sig1)
+    // unparseable → None
+    assert(Multimodal.videoSampleSignature(
+      Multimodal.encodeTestVideoSamples(0L)).isEmpty)
+  }
+
   test("mp4 sample-table counts are untrusted: a corrupt huge count is " +
     "rejected (None) instead of allocating or reading sibling bytes") {
     import graft.operators.Multimodal
