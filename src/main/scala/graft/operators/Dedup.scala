@@ -297,9 +297,19 @@ object Dedup {
     * Hamming distance). Output: (a, b, dist), a < b, dist ≤ maxDist,
     * identical to brute-force all-pairs. NULL signatures (undecodable
     * payloads) never pair — each band value is non-NULL only for
-    * non-NULL signatures, and the equi-join drops NULL keys. */
+    * non-NULL signatures, and the equi-join drops NULL keys.
+    *
+    * `maxBucket` is the corpus-scale skew guard: one degenerate band
+    * value (the all-zero band every near-blank image or silent clip
+    * shares) makes its bucket quadratic regardless of banding. With a
+    * cap, buckets holding more than `maxBucket` signatures are
+    * excluded from PAIRING THROUGH THAT BAND — a pair is lost only if
+    * EVERY band it agrees on is hot, so recall degrades last exactly
+    * where the output was least informative (blank-vs-blank matches).
+    * Default None: exact semantics, oracle-matched. */
   def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
-                   bits: Int, maxDist: Int): DataFrame = {
+                   bits: Int, maxDist: Int,
+                   maxBucket: Option[Long] = None): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits=$bits out of [1,64]")
     require(maxDist >= 0 && maxDist < bits,
       s"maxDist=$maxDist out of [0,$bits)")
@@ -312,9 +322,21 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1
       shiftright(col(sigCol), start).bitwiseAND(lit(mask))
     }
-    val banded = sig.select(col(idCol), col(sigCol).as("__sig"),
+    val banded0 = sig.select(col(idCol), col(sigCol).as("__sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
       .where(col("__sig").isNotNull)
+    val banded = maxBucket match {
+      case None => banded0
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucket=$cap out of [2,∞)")
+        // the bucket histogram is a map-side-combined count — at most
+        // one ~30-byte row per distinct (band, bv) ever shuffles
+        val hot = banded0.groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > cap)
+          .select(col("band"), col("bv"))
+        banded0.join(hot, Seq("band", "bv"), "left_anti")
+    }
     val l = banded.select(col(idCol).as("a"), col("__sig").as("sa"),
       col("band"), col("bv"))
     val r = banded.select(col(idCol).as("b"), col("__sig").as("sb"),

@@ -1165,6 +1165,39 @@ class ExtensionOpsSpec extends SparkTest {
     }
   }
 
+  test("hammingPairs maxBucket skew guard: hot-band pairs drop, pairs " +
+    "agreeing on a cold band survive") {
+    import graft.operators.Dedup
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // 2 bands over 16 bits (maxDist=1): low byte = band 0, high byte =
+    // band 1. 30 "blank" signatures share band0=0 AND band1=0 except
+    // for one bit — a hot bucket on both bands for most. Two outlier
+    // signatures agree on a UNIQUE band-1 value (0x7f00) and differ in
+    // one band-0 bit → their pair rides the cold band and must
+    // survive any cap the blanks trip.
+    val blanks = (1L to 30L).map(i => (i, (i % 2) << 1)) // 0 or 2
+    val out = Seq(100L -> 0x7f00L, 101L -> 0x7f01L)
+    val df = spark.createDataFrame(
+      (blanks ++ out).map { case (i, s) => Row(i, s) }.asJava,
+      StructType(Seq(StructField("id", LongType, false),
+        StructField("sig", LongType, true))))
+    val exact = Dedup.hammingPairs(df, "id", "sig", 16, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.hammingPairs(df, "id", "sig", 16, 1,
+        maxBucket = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the outlier pair agrees on band 1 value 0x7f (population 2 ≤ 5)
+    assert(capped.contains((100L, 101L)))
+    assert(exact.contains((100L, 101L)))
+    // blank-vs-blank pairs ran only through hot buckets → dropped
+    assert(!capped.exists { case (a, b) => a <= 30 && b <= 30 })
+    assert(exact.exists { case (a, b) => a <= 30 && b <= 30 })
+    // the cap never ADDS pairs
+    assert(capped.subsetOf(exact))
+  }
+
   test("int8 quantization: known values, cosine ranking preserved") {
     import graft.operators.Similarity
     import spark.implicits._
