@@ -781,6 +781,8 @@ object Multimodal {
     * when the sample table is unparseable), partition-batched. */
   def withVideoSignature(df: DataFrame, binCol: String,
                          buckets: Int = 64): DataFrame = {
+    require(!df.columns.contains("vsig"),
+      "withVideoSignature output column 'vsig' already exists in the input")
     val outSchema = StructType(df.schema.fields :+
       StructField("vsig", LongType, true))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
@@ -935,6 +937,8 @@ object Multimodal {
     * partition-batched like every decode pass here. */
   def withAHash(df: DataFrame, binCol: String,
                 grid: Int = 8): DataFrame = {
+    require(!df.columns.contains("ahash"),
+      "withAHash output column 'ahash' already exists in the input")
     val outSchema = StructType(df.schema.fields :+
       StructField("ahash", LongType, true))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
@@ -1015,6 +1019,8 @@ object Multimodal {
     * payloads), partition-batched. */
   def withAudioFingerprint(df: DataFrame, binCol: String,
                            buckets: Int = 64): DataFrame = {
+    require(!df.columns.contains("afp"),
+      "withAudioFingerprint output column 'afp' already exists in the input")
     val outSchema = StructType(df.schema.fields :+
       StructField("afp", LongType, true))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
