@@ -214,17 +214,25 @@ object BpeEncoder {
 
   private[functions] def stateFor(
       digest: String,
-      payload: () => (Array[String], Array[String])): State =
+      payload: () => (Array[String], Array[String])): State = {
+    val hit = built.synchronized(built.get(digest))
+    if (hit != null) return hit
+    // the payload fetch can be a BROADCAST network pull (seconds,
+    // cold executor) — never hold the global memo lock through it, or
+    // every other thread's pure cache hit stalls behind one fetch.
+    // buildState itself stays under the lock: CPU-bound, and holding
+    // it collapses concurrent duplicate builds of the same digest.
+    val (l, r) = payload()
     built.synchronized {
-      val cur = built.get(digest)
-      if (cur != null) cur
+      val again = built.get(digest)
+      if (again != null) again
       else {
-        val (l, r) = payload()
         val s = buildState(l, r)
         built.put(digest, s)
         s
       }
     }
+  }
 
   private def buildState(lefts: Array[String],
                          rights: Array[String]): State = {

@@ -322,13 +322,25 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1
       shiftright(col(sigCol), start).bitwiseAND(lit(mask))
     }
-    val banded0 = sig.select(col(idCol), col(sigCol).as("__sig"),
+    maxBucket.foreach(cap =>
+      require(cap >= 2, s"maxBucket=$cap out of [2,∞)"))
+    // capped mode consumes the signature lineage three times
+    // (histogram + both join sides) — materialize the NARROW (id, sig)
+    // projection once so a decode-heavy upstream (withAHash over
+    // binary payloads) never re-runs; ~16 bytes/row, the cheapest
+    // thing in the plan. Uncapped keeps pure lineage (two consumers,
+    // same as the banding join has always had).
+    val slim = maxBucket match {
+      case Some(_) => sig.select(col(idCol), col(sigCol))
+        .where(col(sigCol).isNotNull).localCheckpoint()
+      case None => sig
+    }
+    val banded0 = slim.select(col(idCol), col(sigCol).as("__sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
       .where(col("__sig").isNotNull)
     val banded = maxBucket match {
       case None => banded0
       case Some(cap) =>
-        require(cap >= 2, s"maxBucket=$cap out of [2,∞)")
         // the bucket histogram is a map-side-combined count — at most
         // one ~30-byte row per distinct (band, bv) ever shuffles
         val hot = banded0.groupBy(col("band"), col("bv"))

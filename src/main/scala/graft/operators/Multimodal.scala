@@ -757,22 +757,9 @@ object Multimodal {
           s += 1
         }
         // energies are byte sums (≤ 255·frameLen); cap the exact-long
-        // path conservatively like the other fingerprints
-        val big = tot > (1L << 31) || n > (1 << 20)
-        var hash = 0L
-        var k = 0
-        while (k < buckets) {
-          val louder =
-            if (big)
-              java.math.BigInteger.valueOf(bSum(k))
-                .multiply(java.math.BigInteger.valueOf(n.toLong))
-                .compareTo(java.math.BigInteger.valueOf(tot)
-                  .multiply(java.math.BigInteger.valueOf(bN(k)))) > 0
-            else bSum(k) * n > tot * bN(k)
-          if (louder) hash |= 1L << k
-          k += 1
-        }
-        Some(hash)
+        // path conservatively
+        Some(meanBits(bSum, bN, tot, n.toLong,
+          big = tot > (1L << 31) || n > (1 << 20)))
       }
     }
   }
@@ -780,22 +767,9 @@ object Multimodal {
   /** Attach the 64-bit video sample-stream signature (`vsig`, NULL
     * when the sample table is unparseable), partition-batched. */
   def withVideoSignature(df: DataFrame, binCol: String,
-                         buckets: Int = 64): DataFrame = {
-    require(!df.columns.contains("vsig"),
-      "withVideoSignature output column 'vsig' already exists in the input")
-    val outSchema = StructType(df.schema.fields :+
-      StructField("vsig", LongType, true))
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it =>
-      it.map { row =>
-        val hv = videoSampleSignature(
-          row.getAs[Array[Byte]](binIdx), buckets)
-          .map(java.lang.Long.valueOf).orNull
-        Row.fromSeq(row.toSeq :+ hv)
-      }
-    }(enc)
-  }
+                         buckets: Int = 64): DataFrame =
+    attachSignature(df, binCol, "vsig", "withVideoSignature")(
+      videoSampleSignature(_, buckets))
 
   /** Deterministic REAL MP4 generator: hand-assembled ISO-BMFF boxes
     * (ftyp + moov(mvhd + trak(tkhd)...)), analytic in `i`:
@@ -843,8 +817,12 @@ object Multimodal {
     * codec-defined pixels and are spec-only. */
   def imageChannelSums(bytes: Array[Byte])
       : Option[(Int, Int, Long, Long, Long)] = {
+    // PIXEL paths gate on looksLikeImage ONLY: ImageIO has no WebP
+    // codec, so admitting WebP here would pay the full stream+plugin
+    // setup per payload just to return None (the metadata path's
+    // decodeWebp is header-only and stays WebP-capable)
     if (bytes == null || bytes.length < 8 ||
-        !(looksLikeImage(bytes) || isWebp(bytes))) return None
+        !looksLikeImage(bytes)) return None
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -864,6 +842,51 @@ object Multimodal {
       }
       Some((img.getWidth, img.getHeight, sr, sg, sb))
     } catch { case _: Exception => None }
+  }
+
+  /** One bit per bucket — bucket mean strictly above the global mean,
+    * compared as EXACT rationals: bit(k) = bSum(k)·n > tot·bN(k).
+    * `big` routes the products through BigInteger where long·long
+    * could overflow (each fingerprint states its own threshold). The
+    * subtle compare lives in exactly one place for all three
+    * fingerprint families (image/audio/video). */
+  private def meanBits(bSum: Array[Long], bN: Array[Long], tot: Long,
+                       n: Long, big: Boolean): Long = {
+    var hash = 0L
+    var k = 0
+    while (k < bSum.length) {
+      val above =
+        if (big)
+          java.math.BigInteger.valueOf(bSum(k))
+            .multiply(java.math.BigInteger.valueOf(n))
+            .compareTo(java.math.BigInteger.valueOf(tot)
+              .multiply(java.math.BigInteger.valueOf(bN(k)))) > 0
+        else bSum(k) * n > tot * bN(k)
+      if (above) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Shared attach wrapper for the fingerprint family: one nullable
+    * LongType signature column computed per row, partition-batched;
+    * refuses an input already carrying the output name. */
+  private def attachSignature(df: DataFrame, binCol: String,
+                              outCol: String, fnName: String)(
+      f: Array[Byte] => Option[Long]): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"$fnName output column '$outCol' already exists in the input")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val hv = f(row.getAs[Array[Byte]](binIdx))
+          .map(java.lang.Long.valueOf).orNull
+        Row.fromSeq(row.toSeq :+ hv)
+      }
+    }(enc)
   }
 
   /** Perceptual average-hash (aHash) of a decoded image — the standard
@@ -889,8 +912,9 @@ object Multimodal {
   def imageAHash(bytes: Array[Byte], grid: Int = 8): Option[Long] = {
     require(grid >= 1 && grid * grid <= 64,
       s"grid=$grid out of [1,8] (signature must fit 64 bits)")
+    // looksLikeImage only — no in-JDK WebP codec (see imageChannelSums)
     if (bytes == null || bytes.length < 8 ||
-        !(looksLikeImage(bytes) || isWebp(bytes))) return None
+        !looksLikeImage(bytes)) return None
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -915,42 +939,17 @@ object Multimodal {
         y += 1
       }
       val n = w.toLong * h
-      val big = n > (1L << 24) // luma·n² would overflow long
-      var hash = 0L
-      var c = 0
-      while (c < grid * grid) {
-        val brighter =
-          if (big)
-            java.math.BigInteger.valueOf(cellSum(c))
-              .multiply(java.math.BigInteger.valueOf(n))
-              .compareTo(java.math.BigInteger.valueOf(tot)
-                .multiply(java.math.BigInteger.valueOf(cellN(c)))) > 0
-          else cellSum(c) * n > tot * cellN(c)
-        if (brighter) hash |= 1L << c
-        c += 1
-      }
-      Some(hash)
+      // past 2^24 pixels luma·n² could overflow long
+      Some(meanBits(cellSum, cellN, tot, n, big = n > (1L << 24)))
     } catch { case _: Exception => None }
   }
 
   /** Attach the 64-bit aHash (`ahash`, NULL for undecodable payloads),
     * partition-batched like every decode pass here. */
   def withAHash(df: DataFrame, binCol: String,
-                grid: Int = 8): DataFrame = {
-    require(!df.columns.contains("ahash"),
-      "withAHash output column 'ahash' already exists in the input")
-    val outSchema = StructType(df.schema.fields :+
-      StructField("ahash", LongType, true))
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it =>
-      it.map { row =>
-        val hv = imageAHash(row.getAs[Array[Byte]](binIdx), grid)
-          .map(java.lang.Long.valueOf).orNull
-        Row.fromSeq(row.toSeq :+ hv)
-      }
-    }(enc)
-  }
+                grid: Int = 8): DataFrame =
+    attachSignature(df, binCol, "ahash", "withAHash")(
+      imageAHash(_, grid))
 
   /** Audio fingerprint — [[imageAHash]]'s design applied to sound:
     * decode the PCM sample stream (real `javax.sound` decode, any
@@ -995,44 +994,18 @@ object Multimodal {
         tot += amp
         s += 1
       }
-      // past 2^24 samples (≈ 6 min of stereo 48 kHz) the long products
-      // amp·n² could overflow — same BigInteger fallback as imageAHash
-      val big = n > (1 << 24)
-      var hash = 0L
-      var k = 0
-      while (k < buckets) {
-        val louder =
-          if (big)
-            java.math.BigInteger.valueOf(bSum(k))
-              .multiply(java.math.BigInteger.valueOf(n.toLong))
-              .compareTo(java.math.BigInteger.valueOf(tot)
-                .multiply(java.math.BigInteger.valueOf(bN(k)))) > 0
-          else bSum(k) * n > tot * bN(k)
-        if (louder) hash |= 1L << k
-        k += 1
-      }
-      Some(hash)
+      // past 2^24 samples (≈ 6 min of stereo 48 kHz) amp·n² could
+      // overflow long
+      Some(meanBits(bSum, bN, tot, n.toLong, big = n > (1 << 24)))
     } catch { case _: Exception => None }
   }
 
   /** Attach the 64-bit audio fingerprint (`afp`, NULL for undecodable
     * payloads), partition-batched. */
   def withAudioFingerprint(df: DataFrame, binCol: String,
-                           buckets: Int = 64): DataFrame = {
-    require(!df.columns.contains("afp"),
-      "withAudioFingerprint output column 'afp' already exists in the input")
-    val outSchema = StructType(df.schema.fields :+
-      StructField("afp", LongType, true))
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val binIdx = df.schema.fieldIndex(binCol)
-    df.mapPartitions { it =>
-      it.map { row =>
-        val hv = audioFingerprint(row.getAs[Array[Byte]](binIdx), buckets)
-          .map(java.lang.Long.valueOf).orNull
-        Row.fromSeq(row.toSeq :+ hv)
-      }
-    }(enc)
-  }
+                           buckets: Int = 64): DataFrame =
+    attachSignature(df, binCol, "afp", "withAudioFingerprint")(
+      audioFingerprint(_, buckets))
 
   /** Attach per-channel pixel sums, partition-batched. */
   def withChannelSums(df: DataFrame, binCol: String): DataFrame = {

@@ -107,42 +107,55 @@ object SpanDedup {
     * the q116 plan before this fast path).
     *
     * Path choice is a per-dataset PRECHECK: one column-pruned
-    * min/max pass over the id (a 1-row action at plan-build time).
-    * Packing uses (id − minId) so the 42 bits bound the range, not
-    * the absolute value — `monotonically_increasing_id` output
-    * (partition id in the high bits, ≥ 2^42 from partition 512 on)
-    * packs fine whenever the occupied range fits; anything wider
+    * min/max pass over the id (a 1-row action at plan-build time;
+    * callers who already know their bounds pass `idRange` and skip
+    * the job). Packing uses (id − minId) so the 42 bits bound the
+    * range, not the absolute value — `monotonically_increasing_id`
+    * output (partition id in the high bits, ≥ 2^42 from partition 512
+    * on) packs fine whenever the occupied range fits; anything wider
     * (or a non-integral id) falls back to the generic struct-min
-    * (documented SortAggregate cost), never an error. raise_error is
-    * reserved for the one genuine data-contract violation: a
-    * ≥ 2M-token document. */
+    * (documented SortAggregate cost), never an error. The precheck is
+    * a SNAPSHOT — if the source is non-deterministic and an id
+    * outside the snapshotted range materializes at execution, the
+    * packed key would silently mis-order, so the packed branch keeps
+    * a per-row raise_error for out-of-range ids (and for the one
+    * genuine data contract: a ≥ 2M-token document) — drift fails
+    * loudly, never silently. */
   private def markedStarts(df: DataFrame, idCol: String, textCol: String,
                            minTokens: Int, keepFirst: Boolean,
-                           exactGrams: Boolean): DataFrame = {
+                           exactGrams: Boolean,
+                           idRange: Option[(Long, Long)]): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val integralId = df.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _                                             => false
     }
-    val packOffset: Option[Long] =
+    val packRange: Option[(Long, Long)] =
       if (!integralId) None
       else {
-        val r = df.agg(min(col(idCol).cast("long")),
-          max(col(idCol).cast("long"))).head()
-        if (r.isNullAt(0)) Some(0L) // empty input: packed, vacuously
-        else if (BigInt(r.getLong(1)) - BigInt(r.getLong(0)) <
-          (BigInt(1) << (63 - PosBits))) Some(r.getLong(0))
-        else None
+        val bounds = idRange.orElse {
+          val r = df.agg(min(col(idCol).cast("long")),
+            max(col(idCol).cast("long"))).head()
+          if (r.isNullAt(0)) Some((0L, 0L)) // empty: packed, vacuously
+          else Some((r.getLong(0), r.getLong(1)))
+        }
+        bounds.filter { case (lo, hi) =>
+          BigInt(hi) - BigInt(lo) < (BigInt(1) << (63 - PosBits)) }
       }
     val g = gramOccurrences(df, idCol, textCol, minTokens, exactGrams)
-    val occKey = packOffset match {
-      case Some(off) =>
-        val id = col(idCol).cast("long") - off
-        when(col("pos") >= (1L << PosBits),
-          // data-dependent contract violation, not a code bug: fail
+    val occKey = packRange match {
+      case Some((lo, hi)) =>
+        val rawId = col(idCol).cast("long")
+        val id = rawId - lo
+        when(col("pos") >= (1L << PosBits) ||
+          rawId < lo || rawId > hi,
+          // data-dependent contract violations, not code bugs: a
+          // ≥ 2M-token document, or an id that drifted outside the
+          // prechecked snapshot (non-deterministic source) — fail
           // loudly instead of silently mis-ordering the packed key
-          raise_error(concat(lit("SpanDedup: document longer than " +
-            s"2^$PosBits tokens at id "), col(idCol))).cast("long"))
+          raise_error(concat(lit("SpanDedup: id/pos outside the " +
+            s"packed range (ids $lo..$hi, pos < 2^$PosBits): "),
+            rawId, lit("/"), col("pos"))).cast("long"))
           .otherwise(shiftleft(id, PosBits) + col("pos"))
       case None => struct(col(idCol), col("pos"))
     }
@@ -181,13 +194,20 @@ object SpanDedup {
 
   /** Maximal duplicated spans per document: (id, start_tok, end_tok),
     * 1-based inclusive. `exactGrams` trades the 16-byte hashed gram
-    * key for the raw token string (see object doc). */
+    * key for the raw token string (see object doc). `idRange` is the
+    * known (min, max) id bounds — pass it to skip the plan-build
+    * min/max precheck job (an extra id-only corpus pass at 100 TB);
+    * ids outside it raise at execution. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      minTokens: Int, keepFirst: Boolean = true,
-                     exactGrams: Boolean = false): DataFrame = {
+                     exactGrams: Boolean = false,
+                     idRange: Option[(Long, Long)] = None): DataFrame = {
     require(minTokens >= 2, s"minTokens=$minTokens out of [2,∞)")
+    require(idRange.forall { case (lo, hi) => lo <= hi },
+      s"idRange=$idRange must be (min, max) with min <= max")
     mergeIslands(
-      markedStarts(df, idCol, textCol, minTokens, keepFirst, exactGrams)
+      markedStarts(df, idCol, textCol, minTokens, keepFirst, exactGrams,
+        idRange)
         .select(col(idCol), col("pos").as("__s"),
           (col("pos") + minTokens - 1).as("__e")),
       idCol)
@@ -238,10 +258,11 @@ object SpanDedup {
     * projection (spans per doc are few), no extra shuffle. */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
                   minTokens: Int, keepFirst: Boolean = true,
-                  exactGrams: Boolean = false): DataFrame =
+                  exactGrams: Boolean = false,
+                  idRange: Option[(Long, Long)] = None): DataFrame =
     cutSpans(df, idCol, textCol,
       duplicateSpans(df, idCol, textCol, minTokens, keepFirst,
-        exactGrams))
+        exactGrams, idRange))
 
   /** [[contaminationSpans]] cut back out of the corpus (see
     * [[removeSpans]] for the cut's shape). */

@@ -169,6 +169,25 @@ class SpanDedupSpec extends SparkTest {
     assert(ch == ce)
   }
 
+  test("caller-supplied idRange: same spans without the precheck job; " +
+    "an id outside the declared range fails loudly at execution") {
+    val df = docs(10L -> "a b c d e", 20L -> "a b c d e")
+    val withRange = SpanDedup.duplicateSpans(df, "doc_id", "text", 3,
+        idRange = Some((10L, 20L)))
+      .orderBy(col("doc_id"), col("start_tok")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(withRange == Seq((20L, 1L, 5L)))
+    // snapshot drift must be LOUD: id 20 is outside the declared range
+    val e = intercept[Exception] {
+      SpanDedup.duplicateSpans(df, "doc_id", "text", 3,
+        idRange = Some((10L, 15L))).collect()
+    }
+    val trace = { val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw)); sw.toString }
+    assert(trace.contains("packed range"),
+      s"expected the packed-range raise_error, got $e")
+  }
+
   test("gram aggregation stays HashAggregate (no SortAggregate) on the packed path") {
     import org.apache.spark.sql.execution.aggregate.SortAggregateExec
     val df = docs(1L -> "a b c d e f", 2L -> "a b c d e f")
