@@ -4981,6 +4981,76 @@ object Queries {
       FROM range(48) t(i) LEFT JOIN fps f ON f.i = t.i
       ORDER BY id ASC"""))
 
+  /** q126: trained quality/domain classifier filter — the stage real
+    * pipelines put between rule gates and training (GPT-3's
+    * CommonCrawl quality classifier; DSIR's hashed n-gram importance
+    * weights): TRAIN integer odds weights per hashed token bucket on
+    * the even-doc_id half labeled lang='en', SCORE the odd half, keep
+    * score > 0. Training is ONE map-side-combined aggregation (≤ 4096
+    * weight rows shuffle at any corpus size); scoring is one explode
+    * + broadcast weight join + per-doc sum. The oracle replays
+    * train-then-score end to end — the learned weights are
+    * bit-identical across engines because everything is integer
+    * (documented deviation from float log-odds at
+    * [[graft.operators.TextAnalysis.hashedOddsWeights]]).
+    *
+    * Honest note on this corpus: the synthetic documents draw ONE
+    * shared vocabulary regardless of their lang/source labels
+    * (measured: per-token "the"-rate is the same for lang=zh as
+    * lang=en), so NO label here is token-learnable and the keep rate
+    * correctly hovers near the prior — the query proves the
+    * train/score machinery bit-for-bit, and ContaminationSpec proves
+    * DISCRIMINATION on a separable corpus (disjoint vocabularies →
+    * perfect split; 9:1 imbalance → shared-vocab docs still score
+    * ≈ 0, the prior-centering property). */
+  private val q126 = Q(
+    "q126_quality_classifier",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("text"), (col("lang") === "en").as("label"))
+      val w = TextAnalysis.hashedOddsWeights(train, "text", "label",
+        buckets = 4096)
+      TextAnalysis.scoreByHashedWeights(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", w,
+          buckets = 4096)
+        .select(col("doc_id"), col("score"),
+          (col("score") > 0).as("keep"))
+        .orderBy(col("doc_id").asc)
+    },
+    Some("""WITH tr AS (SELECT (lang = 'en') AS y,
+          unnest(list_filter(string_split(lower(text), ' '),
+            x -> x <> '')) AS t
+        FROM documents WHERE doc_id % 2 = 0),
+      cnts AS (SELECT
+          CAST(CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 4096
+            AS BIGINT) AS bucket,
+          SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+          SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n
+        FROM tr GROUP BY 1),
+      prior AS (SELECT CAST(FLOOR(10000 * (SUM(p) + 1)
+          / (SUM(p) + SUM(n) + 2)) AS BIGINT) AS prior_bp FROM cnts),
+      w AS (SELECT bucket,
+          CAST(FLOOR(10000 * (p + 1) / (p + n + 2))
+            - (SELECT prior_bp FROM prior) AS BIGINT) AS w_bp
+        FROM cnts),
+      te AS (SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '),
+            x -> x <> '')) AS t
+        FROM documents WHERE doc_id % 2 = 1),
+      tb AS (SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 4096
+            AS BIGINT) AS bucket FROM te),
+      sc AS (SELECT tb.doc_id,
+          CAST(SUM(COALESCE(w.w_bp, 0)) AS BIGINT) AS score
+        FROM tb LEFT JOIN w USING (bucket) GROUP BY tb.doc_id)
+      SELECT d.doc_id, COALESCE(s.score, 0) AS score,
+        COALESCE(s.score, 0) > 0 AS keep
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      LEFT JOIN sc s USING (doc_id)
+      ORDER BY doc_id ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4992,7 +5062,7 @@ object Queries {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125)
+    q122, q123, q124, q125, q126)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -395,6 +395,82 @@ object TextAnalysis {
       .otherwise(typedlit(Seq.empty[String]))
   }
 
+  /** Hashed-feature bucket of one token: 48 md5 bits mod `buckets` —
+    * the feature-hashing trick (Weinberger et al. 2009) that bounds a
+    * classifier's weight table by D instead of the corpus vocabulary,
+    * md5-based like every engine-portable hash here. */
+  private def featBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 12), 16, 10).cast(LongType) % buckets
+
+  /** TRAIN a linear quality/domain classifier from labeled examples —
+    * the filtering stage real pipelines put between rules and
+    * training (GPT-3's CommonCrawl quality classifier; DSIR's hashed
+    * n-gram importance weights, arXiv:2302.03169): per hashed token
+    * bucket, the add-one-smoothed positive rate in centered basis
+    * points,
+    *
+    *   w(b) = rate_bp(b) − prior_bp,   where
+    *   rate_bp(b) = FLOOR(10⁴·(pos(b)+1)/(pos(b)+neg(b)+2)) and
+    *   prior_bp   = the same ratio over ALL token occurrences,
+    *
+    * a monotone integer surrogate of the log-odds a fastText/LR
+    * classifier would learn (documented deviation: exact logs are
+    * engine-dependent floats; this stays oracle-exact and trains in
+    * ONE map-side-combined aggregation over the labeled slice — no
+    * iterative optimizer to distribute). Centering at the CLASS PRIOR
+    * (not at 50%) matters: with an imbalanced positive class a
+    * 5000-centered weight makes every class-neutral token vote
+    * negative and the classifier degenerates to reject-everything.
+    * Unseen buckets score 0 (the prior). Output: (bucket, w_bp).
+    *
+    * Scale: training shuffles ≤ `buckets` rows after map-side
+    * partials regardless of corpus size; the prior rides a 1-row
+    * broadcast (no driver action — the plan stays lazy); the weight
+    * table is KBs and broadcasts. */
+  def hashedOddsWeights(labeled: DataFrame, textCol: String,
+                        labelCol: String,
+                        buckets: Int = 1 << 16): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets out of [2,∞)")
+    def rateBp(p: Column, n: Column): Column =
+      floor(lit(10000L) * (p + 1L) / (p + n + 2L)).cast(LongType)
+    val agg = labeled
+      .select(col(labelCol).cast("boolean").as("__y"),
+        explode(tokens(lower(col(textCol)))).as("__t"))
+      .groupBy(featBucket(col("__t"), buckets).as("bucket"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
+    val prior = agg.agg(sum(col("__p")).as("__tp"),
+        sum(col("__n")).as("__tn"))
+      .select(rateBp(col("__tp"), col("__tn")).as("__prior"))
+    agg.crossJoin(broadcast(prior))
+      .select(col("bucket"),
+        (rateBp(col("__p"), col("__n")) - col("__prior"))
+          .cast(LongType).as("w_bp"))
+  }
+
+  /** APPLY a [[hashedOddsWeights]] table: per document, the integer
+    * margin Σ w_bp(bucket(token)) over all token occurrences —
+    * positive means the document leans toward the positive class.
+    * One explode + one broadcast join + one per-doc sum: the corpus
+    * never shuffles more than (id, bucket) pairs, and the weight
+    * table rides a broadcast. The caller picks the decision
+    * threshold (0 = the centered prior). */
+  def scoreByHashedWeights(df: DataFrame, idCol: String,
+                           textCol: String, weights: DataFrame,
+                           buckets: Int = 1 << 16): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets out of [2,∞)")
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("__t"))
+      .select(col(idCol), featBucket(col("__t"), buckets).as("bucket"))
+    val scored = toks
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("w_bp"), lit(0L))).as("score"))
+    // empty documents have no token rows — they carry the prior (0)
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Repetition / boilerplate metrics per document over word n-grams —
     * the "repetitious text" quality signals of large-corpus curation
     * (duplicate-n-gram and top-n-gram fractions, reported in basis

@@ -151,4 +151,49 @@ class ContaminationSpec extends SparkTest {
     val bench = docs((10L, "", "b")) // shingles of "" → no grams
     assert(bloomRows(corpus, bench, 3, 1024) == Seq((1L, 2L, 0L, 0L)))
   }
+
+  test("hashedOddsWeights + scoreByHashedWeights: disjoint vocabularies " +
+    "separate perfectly; prior centering keeps shared-vocab docs " +
+    "near zero under 9:1 class imbalance") {
+    import spark.implicits._
+    // train: positive docs speak 'alpha' dialect, negative 'beta',
+    // both mixed with shared filler
+    val train = (
+      (1 to 9).map(i => (s"alphaword$i common filler stuff", true)) ++
+        (1 to 9).map(i => (s"betaword$i common filler stuff", false))
+    ).toDF("text", "label")
+    val w = TextAnalysis.hashedOddsWeights(train, "text", "label",
+      buckets = 1 << 14)
+    val test = Seq(
+      (1L, "alphaword3 alphaword7 common"), // clearly positive
+      (2L, "betaword2 betaword8 filler"),   // clearly negative
+      (3L, "common filler stuff"),          // class-neutral
+      (4L, "")                              // empty → exactly prior 0
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.scoreByHashedWeights(test, "doc_id",
+        "text", w, buckets = 1 << 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(1L) > 0, s"positive doc scored ${scores(1L)}")
+    assert(scores(2L) < 0, s"negative doc scored ${scores(2L)}")
+    assert(scores(4L) == 0L)
+    // balanced classes: neutral doc lies strictly between the others
+    assert(scores(2L) < scores(3L) && scores(3L) < scores(1L))
+
+    // 9:1 IMBALANCE: without prior centering every token's weight
+    // would sit ~+4000 bp and a shared-vocab doc would score hugely
+    // positive; centered at the prior it stays near zero
+    val skewed = (
+      (1 to 27).map(i => (s"alphaword${i % 9} common filler", true)) ++
+        (1 to 3).map(i => (s"betaword$i common filler", false))
+    ).toDF("text", "label")
+    val w2 = TextAnalysis.hashedOddsWeights(skewed, "text", "label",
+      buckets = 1 << 14)
+    val s2 = TextAnalysis.scoreByHashedWeights(
+        Seq((1L, "common filler common filler")).toDF("doc_id", "text"),
+        "doc_id", "text", w2, buckets = 1 << 14)
+      .collect().head.getLong(1)
+    // 4 shared tokens, each |w| ≤ a few hundred bp of rounding slack —
+    // nowhere near the ±4000/token an uncentered weight would carry
+    assert(math.abs(s2) < 1000, s"shared-vocab doc scored $s2")
+  }
 }
