@@ -100,7 +100,15 @@ object ScaleSweep {
     // pipeline: downstream cost follows SURVIVING rows, not raw
     // corpus rows (the 10x corpus costs only the extra gate scan)
     "q118_contam_spans", "q119_gopher_rules", "q120_shuffle_shards",
-    "q121_curation_pipeline")
+    "q121_curation_pipeline",
+    // r17 cont.: classifier train+score — replica offsets are even so
+    // doc_id parity (the train/test split) survives replication; the
+    // tagged words hash to fresh buckets per replica, so the weight
+    // table grows but stays ≤ 4096 rows by construction and the score
+    // rows scale 10x. (q122–q125 generate their own fixed-size
+    // image/audio/video corpora — nothing to scale — so they are
+    // deliberately not swept.)
+    "q126_quality_classifier")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
