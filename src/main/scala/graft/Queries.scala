@@ -5051,6 +5051,42 @@ object Queries {
       LEFT JOIN sc s USING (doc_id)
       ORDER BY doc_id ASC"""))
 
+  /** q127: int8-quantized top-k search — the READ side of q50's 4×-
+    * smaller storage form: quantize the corpus and the query with the
+    * same [[q50]] formula, rank by the pure INTEGER dot product
+    * Σ q_i·p_i (monotone ~cosine surrogate on unit-normalized
+    * quantized vectors), TakeOrdered — one broadcast + one map-side-
+    * combined per-id sum, no float anywhere in the plan, bit-exact in
+    * DuckDB. */
+  private val q127 = Q(
+    "q127_int8_topk",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val corpus = Similarity.quantizeInt8(
+        emb.filter(col("vec_id") =!= 1), "vec_id", "embedding")
+      val query = Similarity.quantizeInt8(
+        emb.filter(col("vec_id") === 1), "vec_id", "embedding")
+      Similarity.int8TopK(corpus, "vec_id", "pos", "q", query, k = 10)
+        .orderBy(col("dot").desc, col("vec_id").asc)
+    },
+    Some(s"""WITH n AS (SELECT vec_id, embedding,
+               sqrt(${OracleSql.dotSql("embedding", "embedding", 64)})
+                 AS nrm
+             FROM embeddings),
+      qz AS (SELECT vec_id, i AS pos,
+          CASE WHEN nrm <> 0 THEN
+            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / nrm + 0.5)
+                 AS BIGINT) END AS q
+        FROM n, (SELECT unnest(range(1, 65)) AS i)),
+      corpus AS (SELECT * FROM qz WHERE vec_id <> 1 AND q IS NOT NULL),
+      query AS (SELECT pos, q FROM qz WHERE vec_id = 1
+        AND q IS NOT NULL)
+      SELECT c.vec_id, CAST(SUM(c.q * query.q) AS BIGINT) AS dot
+      FROM corpus c JOIN query ON c.pos = query.pos
+      GROUP BY c.vec_id
+      ORDER BY dot DESC, c.vec_id ASC LIMIT 10"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5062,7 +5098,7 @@ object Queries {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126)
+    q122, q123, q124, q125, q126, q127)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

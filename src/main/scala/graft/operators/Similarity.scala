@@ -793,6 +793,28 @@ object Similarity {
           floor(col("__x").cast("double") * 127 / col("__n") + 0.5)
             .cast("long")).as("q"))
 
+  /** Top-k search DIRECTLY over the int8-quantized form
+    * [[quantizeInt8]] emits — the read side of the 4×-smaller index: a
+    * pure INTEGER dot product Σ q_i·p_i ranks candidates (for
+    * unit-normalized quantized vectors the integer dot is a monotone
+    * ~cosine surrogate within quantization error), exact and
+    * engine-replayable, no float in the plan. One broadcast of the
+    * quantized query + one map-side-combined per-id sum + TakeOrdered:
+    * the corpus side never shuffles more than (id, partial-dot) rows.
+    * Zero-norm rows ([[quantizeInt8]] emits NULL q) never rank. */
+  def int8TopK(qdf: DataFrame, idCol: String, posCol: String,
+               qCol: String, query: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k out of [1,∞)")
+    val q = broadcast(query.select(col(posCol).as("__qp"),
+      col(qCol).as("__qq")).where(col(qCol).isNotNull))
+    qdf.where(col(qCol).isNotNull)
+      .join(q, col(posCol) === col("__qp"))
+      .groupBy(col(idCol))
+      .agg(sum(col(qCol) * col("__qq")).as("dot"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, blocked
     * by LSH bucket so no cross product forms. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,

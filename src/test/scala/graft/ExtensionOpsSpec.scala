@@ -1045,6 +1045,36 @@ class ExtensionOpsSpec extends SparkTest {
     assert(kept == Seq(1L, 2L, 3L), s"kept $kept")
   }
 
+  test("int8TopK: integer ranking recovers the float-cosine top-1 and " +
+    "overlaps the exact top-10; zero-norm rows never rank") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val data = emb.filter(col("vec_id") =!= 1)
+    val queryF = emb.filter(col("vec_id") === 1)
+    val exact = Similarity.topK(data, "vec_id", "embedding",
+        queryF, "embedding", 10)
+      .collect().map(_.getLong(0)).toSeq
+    val qc = Similarity.quantizeInt8(data, "vec_id", "embedding")
+    val qq = Similarity.quantizeInt8(queryF, "vec_id", "embedding")
+    val quant = Similarity.int8TopK(qc, "vec_id", "pos", "q", qq, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(quant.head == exact.head,
+      s"top-1 drifted: float ${exact.head} vs int8 ${quant.head}")
+    val overlap = quant.toSet.intersect(exact.toSet).size
+    assert(overlap >= 8, s"top-10 overlap only $overlap: " +
+      s"float $exact vs int8 $quant")
+    // zero-norm rows quantize to NULL and never rank
+    val withZero = data.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((999999L, Array.fill(64)(0f)))
+        .toDF("vec_id", "embedding"))
+    val qz = Similarity.quantizeInt8(withZero, "vec_id", "embedding")
+    val ranked = Similarity.int8TopK(qz, "vec_id", "pos", "q", qq, 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ranked.contains(999999L))
+  }
+
   test("imageAHash: hand-computed half-dark/half-bright PNG; duplicates " +
     "hash identically; corrupt payloads are NULL") {
     import graft.operators.Multimodal
