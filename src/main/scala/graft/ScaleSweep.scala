@@ -107,8 +107,10 @@ object ScaleSweep {
     // table grows but stays ≤ 4096 rows by construction and the score
     // rows scale 10x. (q122–q125 generate their own fixed-size
     // image/audio/video corpora — nothing to scale — so they are
-    // deliberately not swept.)
-    "q126_quality_classifier")
+    // deliberately not swept.) q127 is k-normalized like q82: output
+    // is always k=10 rows, the interesting number is the time slope
+    // of the quantize + integer-dot scan over 10x the vectors
+    "q126_quality_classifier", "q127_int8_topk")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,

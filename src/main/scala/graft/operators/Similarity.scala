@@ -805,8 +805,8 @@ object Similarity {
   def int8TopK(qdf: DataFrame, idCol: String, posCol: String,
                qCol: String, query: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k=$k out of [1,∞)")
-    val q = broadcast(query.select(col(posCol).as("__qp"),
-      col(qCol).as("__qq")).where(col(qCol).isNotNull))
+    val q = broadcast(query.where(col(qCol).isNotNull)
+      .select(col(posCol).as("__qp"), col(qCol).as("__qq")))
     qdf.where(col(qCol).isNotNull)
       .join(q, col(posCol) === col("__qp"))
       .groupBy(col(idCol))

@@ -426,7 +426,12 @@ object TextAnalysis {
     * Scale: training shuffles ≤ `buckets` rows after map-side
     * partials regardless of corpus size; the prior rides a 1-row
     * broadcast (no driver action — the plan stays lazy); the weight
-    * table is KBs and broadcasts. */
+    * table is KBs and broadcasts. Exactness bound: the ratio is
+    * evaluated in binary64, exact while 10⁴·(count+2) < 2⁵³ — i.e.
+    * up to ~9·10¹⁴ token occurrences per class (≈ PB-scale text per
+    * TRAINING slice; training slices are samples, so the bound is
+    * generous). Beyond it the floor could differ from an exact
+    * rational engine in the last basis point. */
   def hashedOddsWeights(labeled: DataFrame, textCol: String,
                         labelCol: String,
                         buckets: Int = 1 << 16): DataFrame = {
