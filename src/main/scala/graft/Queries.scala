@@ -4817,21 +4817,24 @@ object Queries {
     * every source image under id+100 (re-ingest shape); the oracle
     * recomputes every hash from the pixel formula and brute-forces
     * all pairs, so banding recall is proven, not assumed. */
-  private val q123 = Q(
-    "q123_image_neardup",
-    (s, dir) => {
-      import graft.operators.{Dedup, Multimodal}
-      import s.implicits._
-      val srcs = Seq(4L, 10L, 16L, 22L, 34L, 40L, 46L, 52L, 58L)
-      val rows = srcs.map(i => (i, Multimodal.encodeTestImage(i))) ++
-        srcs.map(i => (i + 100L, Multimodal.encodeTestImage(i)))
-      val imgs = rows.toDF("img_id", "payload")
-      Dedup.hammingPairs(
-          Multimodal.withAHash(imgs, "payload"), "img_id", "ahash",
-          bits = 64, maxDist = 6)
-        .orderBy(col("a").asc, col("b").asc)
-    },
-    Some("""WITH srcs AS (
+  /** The q123/q128 image corpus: the RGB-PNG subset sources plus an
+    * exact re-ingest duplicate of each under id+100. */
+  private val imageDedupSrcs =
+    Seq(4L, 10L, 16L, 22L, 34L, 40L, 46L, 52L, 58L)
+
+  private def imageDedupCorpus(s: SparkSession): DataFrame = {
+    import graft.operators.Multimodal
+    import s.implicits._
+    (imageDedupSrcs.map(i => (i, Multimodal.encodeTestImage(i))) ++
+      imageDedupSrcs.map(i => (i + 100L, Multimodal.encodeTestImage(i))))
+      .toDF("img_id", "payload")
+  }
+
+  /** Shared oracle CTE chain for q123/q128: recompute every aHash from
+    * the generator pixel formula, then brute-force all-pairs Hamming
+    * distances. Exposes `imgs(img_id, src)` and `dists(a, b, dist)`. */
+  private val imageHashCtes: String =
+    """srcs AS (
         SELECT i, 8 + i % 9 AS w, 5 + (i * 3) % 11 AS h
         FROM (VALUES (4), (10), (16), (22), (34), (40), (46), (52),
           (58)) t(i)),
@@ -4861,17 +4864,54 @@ object Queries {
         GROUP BY t.i, g.gv),
       imgs AS (SELECT i AS img_id, i AS src FROM srcs
         UNION ALL SELECT i + 100, i FROM srcs),
-      pairs AS (SELECT a.img_id AS a, b.img_id AS b,
+      allp AS (SELECT a.img_id AS a, b.img_id AS b,
           a.src AS sa, b.src AS sb
         FROM imgs a JOIN imgs b ON a.img_id < b.img_id),
       dists AS (SELECT p.a, p.b,
           CAST(SUM(bit_count(xor(ra.byte, rb.byte))) AS BIGINT) AS dist
-        FROM pairs p
+        FROM allp p
         JOIN rowbytes ra ON ra.i = p.sa
         JOIN rowbytes rb ON rb.i = p.sb AND rb.gv = ra.gv
-        GROUP BY p.a, p.b)
+        GROUP BY p.a, p.b)"""
+
+  private val q123 = Q(
+    "q123_image_neardup",
+    (s, dir) => {
+      import graft.operators.{Dedup, Multimodal}
+      Dedup.hammingPairs(
+          Multimodal.withAHash(imageDedupCorpus(s), "payload"),
+          "img_id", "ahash", bits = 64, maxDist = 6)
+        .orderBy(col("a").asc, col("b").asc)
+    },
+    Some(s"""WITH $imageHashCtes
       SELECT a, b, dist FROM dists WHERE dist <= 6
       ORDER BY a ASC, b ASC"""))
+
+  /** q128: media dedup END TO END — q123's perceptual pairs fed
+    * through the same star-contraction connected components + resolve
+    * the text side uses (q45/q46 machinery verbatim): duplicate
+    * clusters over aHash-Hamming edges, keep the smallest id per
+    * cluster. The re-ingest duplicates (id+100) all drop, every
+    * original survives — and the oracle proves it by recursive-CTE
+    * closure over the brute-forced distance table. */
+  private val q128 = Q(
+    "q128_media_dedup_resolve",
+    (s, dir) => {
+      import graft.operators.{ConnectedComponents, Dedup, Multimodal}
+      val imgs = imageDedupCorpus(s)
+      val pairs = Dedup.hammingPairs(
+        Multimodal.withAHash(imgs, "payload"), "img_id", "ahash",
+        bits = 64, maxDist = 6)
+      ConnectedComponents.resolve(imgs, "img_id", pairs, "a", "b")
+        .select(col("img_id"))
+        .orderBy(col("img_id").asc)
+    },
+    Some(s"""WITH RECURSIVE $imageHashCtes,
+      mpairs AS (SELECT a, b FROM dists WHERE dist <= 6),
+      ${OracleSql.closureCtes("mpairs")}
+      SELECT img_id FROM imgs
+      WHERE img_id NOT IN (SELECT id FROM cc WHERE component <> id)
+      ORDER BY img_id ASC"""))
 
   /** q124: audio fingerprint — [[q122]]'s design over the PCM stream:
     * real `javax.sound` decode of all three containers (WAV/AIFF/AU,
@@ -5098,7 +5138,7 @@ object Queries {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127)
+    q122, q123, q124, q125, q126, q127, q128)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
