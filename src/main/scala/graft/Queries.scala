@@ -5127,6 +5127,47 @@ object Queries {
       GROUP BY c.vec_id
       ORDER BY dot DESC, c.vec_id ASC LIMIT 10"""))
 
+  /** q129: STREAMING duplicate-span marking — ExactSubstr as a
+    * continuous-ingestion operator: the corpus replayed through a
+    * file stream, every L-token window keyed by the SAME 128-bit gram
+    * hash the batch path uses, one transformWithState holding each
+    * gram's first occurrence (~20 bytes/gram), later arrivals emitted
+    * as marks; the streamed marks island-merge batch-side
+    * (spansFromMarks — a doc's marks all land in its arrival
+    * micro-batch, so the merge needs no cross-batch state). A
+    * single-batch replay reproduces batch keepFirst exactly, so the
+    * q116 DuckDB oracle adjudicates the whole streaming path
+    * bit-for-bit. */
+  private val q129 = Q(
+    "q129_stream_span_marks",
+    (s, dir) => {
+      import graft.operators.SpanDedup
+      import graft.streaming.StreamingSpanDedup
+      val run = streamRunSeq.incrementAndGet()
+      val pid = ProcessHandle.current().pid()
+      val base = tmpWorkDir(s"graft_q129_stream_$pid")
+      val sinkName = s"q129_sink_$run"
+      val spool = new java.io.File(base, s"spool-$run")
+      spool.mkdirs()
+      linkIntoSpool(spool, s"$dir/documents.parquet", copies = 1)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      withRocksDb(s) {
+        val docs = s.readStream.schema(schema)
+          .parquet(spool.getAbsolutePath)
+        val marks = runStreamToMemory(s, sinkName,
+          new java.io.File(base, s"ckpt-$run"))(
+          StreamingSpanDedup.markedStarts(docs, "doc_id", "doc_id",
+            "text", minTokens = 8).toDF())
+        SpanDedup.spansFromMarks(
+            marks.select(col("id").as("doc_id"), col("pos")),
+            "doc_id", "pos", minTokens = 8)
+          .orderBy(col("doc_id").asc, col("start_tok").asc)
+      }
+    },
+    Some(s"""WITH ${spanCtes(8)}
+      SELECT doc_id, start_tok, end_tok FROM sspans
+      ORDER BY doc_id ASC, start_tok ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5138,7 +5179,7 @@ object Queries {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128)
+    q122, q123, q124, q125, q126, q127, q128, q129)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

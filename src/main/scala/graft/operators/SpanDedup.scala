@@ -68,10 +68,16 @@ object SpanDedup {
   /** One (id, pos, <gram key>) row per length-L window; pos is
     * 1-based. Hashed mode emits the 128-bit pair (gh1, gh2) straight
     * off the token slice — the raw gram string is never materialized,
-    * so column pruning keeps the exchange at 16 bytes per window. */
-  private def gramOccurrences(df: DataFrame, idCol: String,
-                              textCol: String, minTokens: Int,
-                              exactGrams: Boolean): DataFrame = {
+    * so column pruning keeps the exchange at 16 bytes per window.
+    * `carryCols` ride through unchanged (the streaming path carries
+    * its event-time column). Package-private: the streaming operator
+    * ([[graft.streaming.StreamingSpanDedup]]) reuses THE SAME window
+    * explode + hash so batch and stream mark identical gram keys. */
+  private[graft] def gramOccurrences(df: DataFrame, idCol: String,
+                                     textCol: String, minTokens: Int,
+                                     exactGrams: Boolean,
+                                     carryCols: Seq[String] = Nil)
+      : DataFrame = {
     def keyed(i: Column): Seq[Column] =
       if (exactGrams)
         Seq(concat_ws(" ", slice(col("__tk"), i, lit(minTokens)))
@@ -81,13 +87,14 @@ object SpanDedup {
         Seq(xxhash64(sl).as("gh1"),
           xxhash64(lit(HashSalt), sl).as("gh2"))
       }
-    df.select(col(idCol), toks(textCol).as("__tk"))
+    val carry = carryCols.map(col)
+    df.select((col(idCol) +: carry :+ toks(textCol).as("__tk")): _*)
       .where(size(col("__tk")) >= minTokens)
-      .select(col(idCol), explode(transform(
+      .select((col(idCol) +: carry :+ explode(transform(
         sequence(lit(1), size(col("__tk")) - minTokens + 1),
         i => struct((i.as("pos") +: keyed(i)): _*)))
-        .as("__g"))
-      .select((col(idCol) +: col("__g.pos").as("pos") +:
+        .as("__g")): _*)
+      .select((col(idCol) +: carry ++: col("__g.pos").as("pos") +:
         gramKeyCols(exactGrams).map(n => col(s"__g.$n").as(n))): _*)
   }
 
@@ -210,6 +217,22 @@ object SpanDedup {
         idRange)
         .select(col(idCol), col("pos").as("__s"),
           (col("pos") + minTokens - 1).as("__e")),
+      idCol)
+  }
+
+  /** Island-merge externally produced marked window starts into
+    * maximal spans — the batch-side finisher for the STREAMING marker
+    * ([[graft.streaming.StreamingSpanDedup]] emits (id, pos) marks;
+    * a document's marks all land in its arrival micro-batch, so the
+    * merge is per-batch work with no cross-batch state). Duplicate
+    * marks (re-delivered input) are harmless: merging is idempotent
+    * over overlapping windows. */
+  def spansFromMarks(marks: DataFrame, idCol: String, posCol: String,
+                     minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens=$minTokens out of [2,∞)")
+    mergeIslands(
+      marks.select(col(idCol), col(posCol).as("__s"),
+        (col(posCol) + minTokens - 1).as("__e")),
       idCol)
   }
 
