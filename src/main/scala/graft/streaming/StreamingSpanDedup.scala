@@ -64,24 +64,36 @@ object StreamingSpanDedup {
     override def handleInputRows(key: (Long, Long),
         rows: Iterator[Occ],
         timerValues: TimerValues): Iterator[Mark] = {
-      // (ts, id, pos) order: a single-batch replay reproduces the
-      // batch keep-first (id, pos) order exactly
-      val sorted = rows.toSeq.sortBy(r => (r.tsNs, r.id, r.pos))
+      // ONE streaming pass, no sort, no Occ buffering: a boilerplate
+      // gram repeated millions of times per batch lands on one task
+      // (the skew the batch marker's doc warns about), so this must
+      // not materialize the iterator. With a stored first, every row
+      // except its re-delivery marks regardless of order. With empty
+      // state, track the running (ts, id, pos)-min — the batch
+      // keep-first winner — marking each displaced candidate as it
+      // loses; a single-batch replay still reproduces the batch
+      // (id, pos) keep-first exactly.
       val stored = Option(first.get())
       val out = Seq.newBuilder[Mark]
-      var cur: Option[First] = stored
-      sorted.foreach { r =>
-        cur match {
+      var best: Occ = null
+      rows.foreach { r =>
+        stored match {
+          case Some(f) =>
+            if (f.id != r.id || f.pos != r.pos) // stored-first
+              out += Mark(r.id, r.pos.toLong)   // re-delivery: no-op
           case None =>
-            val f = First(r.id, r.pos)
-            first.update(f)
-            cur = Some(f)
-          case Some(f) if f.id == r.id && f.pos == r.pos =>
-            () // re-delivery of the stored first: complete no-op
-          case Some(_) =>
-            out += Mark(r.id, r.pos.toLong)
+            if (best == null) best = r
+            else if (r.id == best.id && r.pos == best.pos)
+              () // same-batch re-delivery of the current winner
+            else if (Ordering[(Long, Long, Int)].lt(
+              (r.tsNs, r.id, r.pos), (best.tsNs, best.id, best.pos))) {
+              out += Mark(best.id, best.pos.toLong)
+              best = r
+            } else out += Mark(r.id, r.pos.toLong)
         }
       }
+      if (stored.isEmpty && best != null)
+        first.update(First(best.id, best.pos))
       out.result().iterator
     }
   }

@@ -15,9 +15,21 @@ class StreamingSpanDedupSpec extends SparkTest {
       : Seq[StreamingSpanDedup.Mark] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // bracketed like every sibling streaming spec: plain-streaming
+    // suites running later in the same JVM must not inherit RocksDB
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerConf,
       "org.apache.spark.sql.execution.streaming.state." +
         "RocksDBStateStoreProvider")
+    try runStreamInner(batches, minTokens)
+    finally spark.conf.unset(providerConf)
+  }
+
+  private def runStreamInner(batches: Seq[Seq[(Long, String)]],
+                             minTokens: Int)
+      : Seq[StreamingSpanDedup.Mark] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
     val mem = MemoryStream[(Long, Long, String)]
     val marks = StreamingSpanDedup.markedStarts(
       mem.toDF().toDF("id", "ts", "text"), "id", "ts", "text",
