@@ -102,6 +102,41 @@ class StreamingSpanDedupSpec extends SparkTest {
     assert(marks.map(m => (m.id, m.pos)).toSet == Set((10L, 2L)))
   }
 
+  test("randomized differential: streamed spans equal batch duplicateSpans " +
+    "on random small-vocab corpora, single-batch and id-ordered splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1717L)
+    for (trial <- 1 to 4) {
+      // dense collisions: 8 docs, 0-14 tokens from a 4-word vocab
+      val corpus = (1L to 8L).map(i => i ->
+        Seq.fill(rnd.nextInt(15))(
+          Seq("a", "b", "c", "d")(rnd.nextInt(4))).mkString(" "))
+      val l = 2 + rnd.nextInt(2) // L in {2, 3}
+      val batchSpans = SpanDedup.duplicateSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", l)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // single batch, and a 2-way split in id order (earlier ids in
+      // the earlier batch → first-arrival == batch keep-first)
+      val splits = Seq(Seq(corpus),
+        Seq(corpus.take(4), corpus.drop(4)))
+      splits.foreach { batches =>
+        val marks = runStream(batches, minTokens = l)
+        val streamedSpans =
+          if (marks.isEmpty) Set.empty[(Long, Long, Long)]
+          else SpanDedup.spansFromMarks(
+              marks.map(m => (m.id, m.pos)).distinct
+                .toDF("doc_id", "pos"), "doc_id", "pos", l)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSet
+        assert(streamedSpans == batchSpans,
+          s"trial $trial L=$l batches=${batches.size} corpus=$corpus: " +
+            s"streamed $streamedSpans vs batch $batchSpans")
+      }
+    }
+  }
+
   test("re-delivery is safe: the stored first is a no-op, a re-delivered " +
     "duplicate re-emits its mark (island merge is idempotent)") {
     val marks = runStream(Seq(
