@@ -110,7 +110,13 @@ object ScaleSweep {
     // deliberately not swept.) q127 is k-normalized like q82: output
     // is always k=10 rows, the interesting number is the time slope
     // of the quantize + integer-dot scan over 10x the vectors
-    "q126_quality_classifier", "q127_int8_topk")
+    "q126_quality_classifier", "q127_int8_topk",
+    // r17 cont.: streaming span marking — replica tags keep grams
+    // intra-replica (same argument as q116), so spans scale 10x; the
+    // time slope carries the fixed RocksDB/streaming-harness setup
+    // plus the per-gram state writes, which DO scale with distinct
+    // grams
+    "q129_stream_span_marks")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,
