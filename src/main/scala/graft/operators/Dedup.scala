@@ -306,10 +306,20 @@ object Dedup {
     * excluded from PAIRING THROUGH THAT BAND — a pair is lost only if
     * EVERY band it agrees on is hot, so recall degrades last exactly
     * where the output was least informative (blank-vs-blank matches).
-    * Default None: exact semantics, oracle-matched. */
+    * Default None: exact semantics, oracle-matched.
+    *
+    * `materializeSlim` (meaningful only with `maxBucket`): the capped
+    * plan consumes the signature lineage three times, so by default
+    * the narrow (id, sig) projection is localCheckpoint'ed — an EAGER
+    * materialization (runs a Spark job at plan-construction time,
+    * pins executor storage for the session, unusable on streaming
+    * inputs). Pass false to keep a pure lazy plan and manage
+    * materialization yourself (persist/checkpoint the signature frame
+    * upstream, or accept the decode re-run). */
   def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
                    bits: Int, maxDist: Int,
-                   maxBucket: Option[Long] = None): DataFrame = {
+                   maxBucket: Option[Long] = None,
+                   materializeSlim: Boolean = true): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits=$bits out of [1,64]")
     require(maxDist >= 0 && maxDist < bits,
       s"maxDist=$maxDist out of [0,$bits)")
@@ -329,11 +339,14 @@ object Dedup {
     // projection once so a decode-heavy upstream (withAHash over
     // binary payloads) never re-runs; ~16 bytes/row, the cheapest
     // thing in the plan. Uncapped keeps pure lineage (two consumers,
-    // same as the banding join has always had).
+    // same as the banding join has always had). The caller opts out
+    // via materializeSlim=false (streaming inputs, self-managed
+    // caching).
     val slim = maxBucket match {
-      case Some(_) => sig.select(col(idCol), col(sigCol))
-        .where(col(sigCol).isNotNull).localCheckpoint()
-      case None => sig
+      case Some(_) if materializeSlim =>
+        sig.select(col(idCol), col(sigCol))
+          .where(col(sigCol).isNotNull).localCheckpoint()
+      case _ => sig
     }
     val banded0 = slim.select(col(idCol), col(sigCol).as("__sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bv")))

@@ -54,6 +54,22 @@ object Multimodal {
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
 
+  /** Does the runtime classpath register a WebP ImageIO plugin? The
+    * stock JDK ships none (ImageIO.read returns null for WebP), but a
+    * deployment may add one (e.g. a TwelveMonkeys reader) — probed
+    * ONCE against the plugin registry so the pixel paths admit WebP
+    * exactly when decoding it can succeed, and skip the ~1 ms/row
+    * stream+registry setup when it can't. */
+  private lazy val webpReaderRegistered: Boolean =
+    try javax.imageio.ImageIO.getImageReadersByMIMEType("image/webp")
+      .hasNext
+    catch { case _: Exception => false }
+
+  /** Pixel-decode admission: the JDK-native magic bytes, plus WebP iff
+    * a WebP reader is actually registered. */
+  private def pixelDecodable(b: Array[Byte]): Boolean =
+    looksLikeImage(b) || (webpReaderRegistered && isWebp(b))
+
   /** WebP has no in-JDK codec, but its header is a public spec — the
     * dimensions/alpha live in the first chunk, so a metadata pass can
     * still be real for webp: VP8 (lossy) start-code + 14-bit dims,
@@ -234,7 +250,7 @@ object Multimodal {
     * of a multimodal training pipeline — the decode is necessarily a
     * full pixel decode here, unlike the metadata pass. */
   def resizeImage(bytes: Array[Byte], box: Int): Option[Array[Byte]] = {
-    if (bytes == null || bytes.length < 8 || !looksLikeImage(bytes))
+    if (bytes == null || bytes.length < 8 || !pixelDecodable(bytes))
       return None
     try {
       val img = javax.imageio.ImageIO.read(
@@ -817,12 +833,13 @@ object Multimodal {
     * codec-defined pixels and are spec-only. */
   def imageChannelSums(bytes: Array[Byte])
       : Option[(Int, Int, Long, Long, Long)] = {
-    // PIXEL paths gate on looksLikeImage ONLY: ImageIO has no WebP
-    // codec, so admitting WebP here would pay the full stream+plugin
-    // setup per payload just to return None (the metadata path's
-    // decodeWebp is header-only and stays WebP-capable)
+    // PIXEL paths gate on pixelDecodable: the stock JDK has no WebP
+    // codec (admitting WebP would pay the full stream+plugin setup
+    // per payload just to return None), but a registered plugin
+    // re-admits it — probed once (the metadata path's decodeWebp is
+    // header-only and always WebP-capable)
     if (bytes == null || bytes.length < 8 ||
-        !looksLikeImage(bytes)) return None
+        !pixelDecodable(bytes)) return None
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -912,9 +929,10 @@ object Multimodal {
   def imageAHash(bytes: Array[Byte], grid: Int = 8): Option[Long] = {
     require(grid >= 1 && grid * grid <= 64,
       s"grid=$grid out of [1,8] (signature must fit 64 bits)")
-    // looksLikeImage only — no in-JDK WebP codec (see imageChannelSums)
+    // pixelDecodable — WebP admitted iff a reader is registered (see
+    // imageChannelSums)
     if (bytes == null || bytes.length < 8 ||
-        !looksLikeImage(bytes)) return None
+        !pixelDecodable(bytes)) return None
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))

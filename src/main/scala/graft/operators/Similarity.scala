@@ -801,12 +801,27 @@ object Similarity {
     * engine-replayable, no float in the plan. One broadcast of the
     * quantized query + one map-side-combined per-id sum + TakeOrdered:
     * the corpus side never shuffles more than (id, partial-dot) rows.
-    * Zero-norm rows ([[quantizeInt8]] emits NULL q) never rank. */
+    * Zero-norm rows ([[quantizeInt8]] emits NULL q) never rank.
+    *
+    * The query frame must hold exactly ONE vector: [[quantizeInt8]]
+    * emits per-(vec_id, pos) rows, and this ranker sums Σ q_i·p_i per
+    * corpus id — two query vectors' rows would silently mix into one
+    * meaningless ranking. Guarded on the (tiny, broadcast) query
+    * side: a duplicate `posCol` value — the signature of a
+    * multi-vector or malformed frame — fails the plan at execution
+    * with assert_true instead of returning garbage. */
   def int8TopK(qdf: DataFrame, idCol: String, posCol: String,
                qCol: String, query: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k=$k out of [1,∞)")
     val q = broadcast(query.where(col(qCol).isNotNull)
-      .select(col(posCol).as("__qp"), col(qCol).as("__qq")))
+      .groupBy(col(posCol).as("__qp"))
+      .agg(max(col(qCol)).as("__q0"), count(lit(1)).as("__c"))
+      .select(col("__qp"),
+        (col("__q0") + coalesce(
+          assert_true(col("__c") === 1,
+            lit("int8TopK: query frame holds more than one vector " +
+              "(duplicate pos) — pass a single quantized query"))
+            .cast("long"), lit(0L))).as("__qq")))
     qdf.where(col(qCol).isNotNull)
       .join(q, col(posCol) === col("__qp"))
       .groupBy(col(idCol))
@@ -859,9 +874,14 @@ object Similarity {
     * the largest — one pathological cluster (a boilerplate blob the
     * embeddings collapse together) re-quadratizes its self-join
     * regardless of k. With `maxCompare = c` the LEFT side of the pair
-    * join is restricted to each cluster's c smallest-id members
-    * (deterministic representatives, one doc-bounded window sort), so
+    * join is restricted to each cluster's c smallest-id members —
+    * picked RANK-FREE by a bounded-heap aggregate
+    * ([[graft.functions.BoundedTopK.smallestK]]: O(c) state per
+    * cluster, map-side combined, ≤c-row partials on the shuffle), so
+    * even the pathological mega-cluster never sorts on one task — so
     * per-cluster pair work is ≤ c·size — linear, never quadratic.
+    * The guard requires an integral id column (the heap is over
+    * longs); the exact default path keeps any orderable id type.
     * This is the sampled-representative fallback: results are
     * IDENTICAL to the exact pass whenever every cluster holds ≤ c
     * distinct ε-neighborhoods — in particular the pathological
@@ -891,10 +911,21 @@ object Similarity {
       col("__n").as("na"), col("__cid"))
     val l =
       if (maxCompare == Int.MaxValue) lBase
-      else lBase.withColumn("__rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__cid")).orderBy(col("a").asc)))
-        .where(col("__rk") <= maxCompare).drop("__rk")
+      else {
+        import org.apache.spark.sql.types.{ByteType, IntegerType,
+          LongType, ShortType}
+        val idType = asg.schema(idCol).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(idType),
+          s"semanticDedup maxCompare needs an integral id column; " +
+            s"'$idCol' is $idType")
+        val reps = asg.groupBy(col("__cid"))
+          .agg(graft.functions.BoundedTopK.smallestK(maxCompare)(
+            col(idCol).cast(LongType)).as("__reps"))
+          .select(col("__cid"), explode(col("__reps")).as("__rep"))
+          .select(col("__cid"), col("__rep").cast(idType).as("a"))
+        lBase.join(reps, Seq("__cid", "a"), "left_semi")
+      }
     val r = asg.select(col(idCol).as("b"), col(vecCol).as("vb"),
       col("__n").as("nb"), col("__cid").as("__cid2"))
     val dropped = l

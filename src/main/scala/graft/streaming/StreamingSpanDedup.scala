@@ -64,37 +64,56 @@ object StreamingSpanDedup {
     override def handleInputRows(key: (Long, Long),
         rows: Iterator[Occ],
         timerValues: TimerValues): Iterator[Mark] = {
-      // ONE streaming pass, no sort, no Occ buffering: a boilerplate
-      // gram repeated millions of times per batch lands on one task
-      // (the skew the batch marker's doc warns about), so this must
-      // not materialize the iterator. With a stored first, every row
-      // except its re-delivery marks regardless of order. With empty
-      // state, track the running (ts, id, pos)-min — the batch
+      // ONE streaming pass, no sort, no buffering of input OR output:
+      // a boilerplate gram repeated millions of times per batch lands
+      // on one task (the skew the batch marker's doc warns about), so
+      // neither side may materialize — marks are emitted lazily as
+      // the runtime drains the returned iterator, which drives the
+      // input iterator one row at a time (constant memory per key).
+      // With a stored first, every row except its re-delivery marks
+      // regardless of order and no state write happens at all. With
+      // empty state, track the running (ts, id, pos)-min — the batch
       // keep-first winner — marking each displaced candidate as it
-      // loses; a single-batch replay still reproduces the batch
-      // (id, pos) keep-first exactly.
-      val stored = Option(first.get())
-      val out = Seq.newBuilder[Mark]
-      var best: Occ = null
-      rows.foreach { r =>
-        stored match {
-          case Some(f) =>
-            if (f.id != r.id || f.pos != r.pos) // stored-first
-              out += Mark(r.id, r.pos.toLong)   // re-delivery: no-op
-          case None =>
-            if (best == null) best = r
-            else if (r.id == best.id && r.pos == best.pos)
-              () // same-batch re-delivery of the current winner
-            else if (Ordering[(Long, Long, Int)].lt(
-              (r.tsNs, r.id, r.pos), (best.tsNs, best.id, best.pos))) {
-              out += Mark(best.id, best.pos.toLong)
-              best = r
-            } else out += Mark(r.id, r.pos.toLong)
-        }
+      // loses; the state write happens ON EACH DISPLACEMENT (expected
+      // O(log n) writes for a gram with n same-batch occurrences, not
+      // O(n)), so the stored value is correct-so-far at every point
+      // of output consumption and exactly the batch keep-first winner
+      // once the batch's rows are drained. A single-batch replay
+      // still reproduces the batch (id, pos) keep-first exactly.
+      Option(first.get()) match {
+        case Some(f) =>
+          rows.collect {
+            case r if f.id != r.id || f.pos != r.pos => // re-delivery
+              Mark(r.id, r.pos.toLong)                  // is a no-op
+          }
+        case None =>
+          new Iterator[Mark] {
+            private var best: Occ = null
+            private var pending: Mark = null
+            private def advance(): Unit =
+              while (pending == null && rows.hasNext) {
+                val r = rows.next()
+                if (best == null) {
+                  best = r
+                  first.update(First(best.id, best.pos))
+                } else if (r.id == best.id && r.pos == best.pos) {
+                  () // same-batch re-delivery of the current winner
+                } else if (Ordering[(Long, Long, Int)].lt(
+                  (r.tsNs, r.id, r.pos),
+                  (best.tsNs, best.id, best.pos))) {
+                  pending = Mark(best.id, best.pos.toLong)
+                  best = r
+                  first.update(First(best.id, best.pos))
+                } else pending = Mark(r.id, r.pos.toLong)
+              }
+            override def hasNext: Boolean = { advance(); pending != null }
+            override def next(): Mark = {
+              advance()
+              if (pending == null) throw new NoSuchElementException
+              val m = pending; pending = null; m
+            }
+          }
       }
-      if (stored.isEmpty && best != null)
-        first.update(First(best.id, best.pos))
-      out.result().iterator
     }
   }
 

@@ -1075,6 +1075,45 @@ class ExtensionOpsSpec extends SparkTest {
     assert(!ranked.contains(999999L))
   }
 
+  test("int8TopK: a multi-vector query frame fails the plan instead " +
+    "of silently mixing rankings; single-vector passes the guard") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = Similarity.quantizeInt8(
+      emb.filter(col("vec_id") > 2), "vec_id", "embedding")
+    val twoQueries = Similarity.quantizeInt8(
+      emb.filter(col("vec_id") <= 2), "vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.int8TopK(corpus, "vec_id", "pos", "q",
+        twoQueries, 5).collect()
+    }
+    assert(ex.getMessage.contains("more than one vector") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("more than one vector")),
+      s"wrong failure: $ex")
+    // the guard is transparent for a well-formed single query
+    val one = Similarity.int8TopK(corpus, "vec_id", "pos", "q",
+      Similarity.quantizeInt8(emb.filter(col("vec_id") === 1),
+        "vec_id", "embedding"), 5).collect()
+    assert(one.length == 5)
+  }
+
+  test("BoundedTopK.smallestK: exact k smallest per group, " +
+    "duplicate-preserving, merge across partitions") {
+    import graft.functions.BoundedTopK
+    import spark.implicits._
+    val df = Seq((1L, 5L), (1L, 3L), (1L, 9L), (1L, 3L), (1L, 1L),
+        (2L, 7L), (3L, 4L), (3L, 2L))
+      .toDF("g", "v").repartition(4)
+    val got = df.groupBy(col("g"))
+      .agg(BoundedTopK.smallestK(3)(col("v")).as("ks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      .sortBy(_._1).toList
+    assert(got == List((1L, List(1L, 3L, 3L)), (2L, List(7L)),
+      (3L, List(2L, 4L))))
+  }
+
   test("imageAHash: hand-computed half-dark/half-bright PNG; duplicates " +
     "hash identically; corrupt payloads are NULL") {
     import graft.operators.Multimodal
