@@ -4874,13 +4874,27 @@ object Queries {
         JOIN rowbytes rb ON rb.i = p.sb AND rb.gv = ra.gv
         GROUP BY p.a, p.b)"""
 
+  /** q123/q128 run hammingPairs WITH the hot-bucket skew guard — the
+    * deployment shape for media dedup: one blank-media blob (identical
+    * signatures, every band agreeing) re-quadratizes the band join at
+    * corpus scale exactly like SemDeDup's one-blob cluster, and the
+    * cap bounds every bucket's pair work at cap² (measured n²/2 vs
+    * capped in HammingSkewBench; SCALE.md). cap=8 here: the corpus'
+    * largest band bucket holds 4 signatures (pinned by spec), so the
+    * guard provably never drops a pair and the brute-force oracle
+    * still matches bit-for-bit — recall loss begins only where a
+    * bucket exceeds the cap, i.e. where the matches were
+    * blank-vs-blank noise. */
+  private val mediaMaxBucket = Some(8L)
+
   private val q123 = Q(
     "q123_image_neardup",
     (s, dir) => {
       import graft.operators.{Dedup, Multimodal}
       Dedup.hammingPairs(
           Multimodal.withAHash(imageDedupCorpus(s), "payload"),
-          "img_id", "ahash", bits = 64, maxDist = 6)
+          "img_id", "ahash", bits = 64, maxDist = 6,
+          maxBucket = mediaMaxBucket)
         .orderBy(col("a").asc, col("b").asc)
     },
     Some(s"""WITH $imageHashCtes
@@ -4901,7 +4915,7 @@ object Queries {
       val imgs = imageDedupCorpus(s)
       val pairs = Dedup.hammingPairs(
         Multimodal.withAHash(imgs, "payload"), "img_id", "ahash",
-        bits = 64, maxDist = 6)
+        bits = 64, maxDist = 6, maxBucket = mediaMaxBucket)
       ConnectedComponents.resolve(imgs, "img_id", pairs, "a", "b")
         .select(col("img_id"))
         .orderBy(col("img_id").asc)

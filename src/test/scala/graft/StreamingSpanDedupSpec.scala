@@ -156,4 +156,93 @@ class StreamingSpanDedupSpec extends SparkTest {
       .toSeq
     assert(spans == Seq((2L, 1L, 4L)))
   }
+
+  /** TTL harness: with a TTL the operator runs in
+    * TimeMode.ProcessingTime, where EVERY trigger constructs a
+    * housekeeping micro-batch — `processAllAvailable` never sees
+    * quiescence (the operator doc's operational note, now pinned by
+    * this harness's existence). Batch completion is detected through
+    * the data itself: each batch carries a SENTINEL doc whose gram
+    * repeats within the doc, so the batch's arrival in the output
+    * queue proves the batch committed. */
+  private def runTtlStream(batches: Seq[Seq[(Long, String)]],
+                           minTokens: Int, ttl: java.time.Duration,
+                           sleepBetweenBatchesMs: Long)
+      : Seq[StreamingSpanDedup.Mark] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(providerConf,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, String)]
+      val marks = StreamingSpanDedup.markedStarts(
+        mem.toDF().toDF("id", "ts", "text"), "id", "ts", "text",
+        minTokens, ttl = Some(ttl))
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[
+        StreamingSpanDedup.Mark]()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("spandedupttl").toString
+      val q = marks.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .trigger(
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamingSpanDedup.Mark],
+           _: Long) => b.collect().foreach(got.add); ()
+        }
+        .start()
+      try {
+        batches.zipWithIndex.foreach { case (batch, i) =>
+          if (i > 0 && sleepBetweenBatchesMs > 0)
+            Thread.sleep(sleepBetweenBatchesMs)
+          // sentinel: batch-unique tokens, gram repeated IN-doc at
+          // pos 1 and pos minTokens+1 → one guaranteed same-batch mark
+          val sTok = (1 to minTokens).map(t => s"s${i}x$t")
+          val sentinel = (900L + i) ->
+            (sTok ++ sTok).mkString(" ")
+          mem.addData((batch :+ sentinel)
+            .map { case (id, t) => (id, i * 1000L + id, t) })
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (!got.iterator().asScala.exists(_.id == 900L + i)) {
+            assert(System.nanoTime() < deadline,
+              s"batch $i never committed (no sentinel mark); " +
+                s"query exception: ${q.exception}")
+            Thread.sleep(100)
+          }
+          Thread.sleep(300) // let the rest of the batch's marks enqueue
+        }
+      } finally q.stop()
+      got.iterator().asScala.toSeq.filter(_.id < 900L)
+    } finally spark.conf.unset(providerConf)
+  }
+
+  test("TTL: a gram re-admitted after the horizon re-marks as FIRST " +
+    "(the documented infinite-feed trade); inside the horizon it marks") {
+    // state outlives the horizon → the replayed doc is NOT marked:
+    // its grams expired, it becomes the new stored first. The trade
+    // every infinite feed must accept for bounded state — pinned here
+    // so a silent un-mark after expiry is a spec'd behavior, not a
+    // surprise. Wide real-time margins (200 ms TTL, 3 s sleep) keep
+    // the processing-time comparison deterministic under load.
+    val expired = runTtlStream(Seq(
+        Seq(1L -> "k1 k2 k3 k4 k5"),
+        Seq(20L -> "k1 k2 k3 k4 k5")), minTokens = 4,
+      ttl = java.time.Duration.ofMillis(200),
+      sleepBetweenBatchesMs = 3000)
+    assert(!expired.exists(_.id == 20L),
+      s"doc 20 must re-admit unmarked after TTL expiry: $expired")
+    assert(!expired.exists(_.id == 1L), s"doc 1 marked: $expired")
+    // control: same replay inside a 1-hour horizon IS marked — the
+    // TTL knob, not the delay, is what changed the outcome
+    val kept = runTtlStream(Seq(
+        Seq(1L -> "k1 k2 k3 k4 k5"),
+        Seq(20L -> "k1 k2 k3 k4 k5")), minTokens = 4,
+      ttl = java.time.Duration.ofHours(1),
+      sleepBetweenBatchesMs = 3000)
+    assert(kept.filter(_.id == 20L).map(_.pos).toSet == Set(1L, 2L),
+      s"doc 20 must mark fully inside the horizon: $kept")
+  }
 }
