@@ -784,14 +784,19 @@ object Similarity {
     * dot products stay within ~1% for cosine ranking). Emitted as
     * (id, pos, q) rows: q = floor(x·127/‖v‖ + 0.5), exact integer
     * output both engines can reproduce (mirrored IEEE op order; zero
-    * vectors yield NULL via the norm guard). */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), norm2(col(vecCol)).as("__n"),
-        posexplode(col(vecCol)).as(Seq("pos", "__x")))
-      .select(col(idCol), (col("pos") + 1).as("pos"),
-        when(col("__n") =!= 0.0,
-          floor(col("__x").cast("double") * 127 / col("__n") + 0.5)
-            .cast("long")).as("q"))
+    * vectors yield NULL via the norm guard). `carryCols` ride along
+    * unchanged (e.g. an IVF list id — avoids a post-hoc join back
+    * onto the exploded rows). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   carryCols: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol) +: carryCols.map(col)) ++ Seq(
+        norm2(col(vecCol)).as("__qin"),
+        posexplode(col(vecCol)).as(Seq("pos", "__x"))): _*)
+      .select((col(idCol) +: carryCols.map(col)) ++ Seq(
+        (col("pos") + 1).as("pos"),
+        when(col("__qin") =!= 0.0,
+          floor(col("__x").cast("double") * 127 / col("__qin") + 0.5)
+            .cast("long")).as("q")): _*)
 
   /** Top-k search DIRECTLY over the int8-quantized form
     * [[quantizeInt8]] emits — the read side of the 4×-smaller index: a
@@ -828,6 +833,80 @@ object Similarity {
       .agg(sum(col(qCol) * col("__qq")).as("dot"))
       .orderBy(col("dot").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF search over an INT8 index — [[ivfTopK]]'s pruning composed
+    * with [[quantizeInt8]]'s storage form, the full corpus-scale
+    * story in one plan: the inverted lists hold int8 rows (4× smaller
+    * than f32 — at 100 TB of embeddings the index is 25 TB), the
+    * coarse quantizer prunes to `nprobe` lists (the scan reads
+    * nprobe/k of the index), and the probed candidates rank by
+    * [[int8TopK]]'s pure integer dot (no float decode of the lists,
+    * ever). Exact and engine-replayable end to end: assignment is the
+    * same argmin-cosine rule as [[ivfTopK]] (one oracle replay for
+    * both), quantization and ranking are integer-exact.
+    *
+    * Plan shape: centroids broadcast twice (assignment fan-out is
+    * collapsed map-side before any shuffle; probe list is an
+    * nprobe-row broadcast), the int8 lists shuffle ONCE on the
+    * semi-join's cid, and the ranking's per-id partial sums combine
+    * map-side — candidate-side traffic is (id, partial-dot) rows.
+    * `query` must hold exactly one vector ([[int8TopK]]'s guard
+    * applies). Returns (idCol, dot), dot descending, k rows. */
+  def int8IvfTopK(df: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame, centIdCol: String,
+                  centVecCol: String, nprobe: Int,
+                  query: DataFrame, queryVecCol: String,
+                  k: Int): DataFrame =
+    int8IvfSearch(
+      int8IvfIndex(df, idCol, vecCol, centroids, centIdCol, centVecCol),
+      idCol, centroids, centIdCol, centVecCol, nprobe,
+      query, queryVecCol, k)
+
+  /** Build the int8 IVF index — the PERSISTED artifact of the
+    * [[int8IvfTopK]] composition (write it as parquet partitioned by
+    * `cid`, the q73 ivf-index pattern, and every later search prunes
+    * to nprobe partitions at the SCAN): (cid, idCol, pos, q) rows,
+    * dim+ε bytes per vector vs f32's 4·dim. Assignment is
+    * [[ivfTopK]]'s argmin-cosine rule; quantization is
+    * [[quantizeInt8]], carried through the assignment so nothing
+    * joins back onto 64×n exploded rows. */
+  def int8IvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, centIdCol: String,
+                   centVecCol: String): DataFrame = {
+    val cent = prepCent(centroids, centIdCol, centVecCol)
+    val asg = assignToCentroids(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, cent)
+    quantizeInt8(asg, idCol, vecCol, carryCols = Seq("__cid"))
+      .withColumnRenamed("__cid", "cid")
+  }
+
+  /** Search an [[int8IvfIndex]]: prune to the query's nprobe nearest
+    * lists (broadcast of nprobe rows), rank the probed candidates by
+    * [[int8TopK]]'s pure integer dot. Train-once/index-once/
+    * search-many: this side touches only the index — no f32 corpus
+    * access, no re-quantization per query. */
+  def int8IvfSearch(lists: DataFrame, idCol: String,
+                    centroids: DataFrame, centIdCol: String,
+                    centVecCol: String, nprobe: Int,
+                    query: DataFrame, queryVecCol: String,
+                    k: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe out of [1,∞)")
+    val cent = prepCent(centroids, centIdCol, centVecCol)
+    val probes = broadcast(query
+      .select(col(queryVecCol).as("__qv"),
+        norm2(col(queryVecCol)).as("__qn"))
+      .join(cent)
+      .withColumn("__cs",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .orderBy(col("__cs").desc, col("__cid").asc)
+      .limit(nprobe)
+      .select(col("__cid").as("cid")))
+    val cand = lists.join(probes, Seq("cid"), "left_semi")
+    int8TopK(cand, idCol, "pos", "q",
+      quantizeInt8(query.select(col(queryVecCol).as("__qv"))
+        .withColumn("__qid", lit(0L)), "__qid", "__qv"),
+      k)
   }
 
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, blocked

@@ -476,6 +476,38 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** Persist a [[hashedOddsWeights]] table as a parquet artifact —
+    * the train-once/score-many deployment shape (the GeoDbStore
+    * pattern: compile offline, every scoring job reads the artifact
+    * instead of re-training). The bucket count is stored WITH the
+    * weights — scoring with a different `buckets` than training
+    * silently mis-hashes every token, so the artifact carries its own
+    * and [[loadClassifier]] returns it for the caller to pass to
+    * [[scoreByHashedWeights]]. One file: the table is ≤ buckets rows
+    * of two longs (KBs). */
+  def saveClassifier(weights: DataFrame, buckets: Int,
+                     dir: String): Unit = {
+    require(buckets >= 2, s"buckets=$buckets out of [2,∞)")
+    weights.select(col("bucket").cast(LongType),
+        col("w_bp").cast(LongType), lit(buckets).as("buckets"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a [[saveClassifier]] artifact: (weights, buckets). The
+    * weight table round-trips bit-exactly (two long columns), so a
+    * reloaded classifier scores identically to the in-flight one
+    * (spec'd). The collect is one row (the stored bucket count). */
+  def loadClassifier(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (DataFrame, Int) = {
+    val df = spark.read.parquet(dir)
+    val bs = df.select(col("buckets")).distinct().collect()
+    require(bs.length == 1,
+      s"classifier artifact at $dir holds ${bs.length} distinct " +
+        "bucket counts — corrupt or mixed artifact")
+    (df.select(col("bucket"), col("w_bp")), bs.head.getInt(0))
+  }
+
   /** Repetition / boilerplate metrics per document over word n-grams —
     * the "repetitious text" quality signals of large-corpus curation
     * (duplicate-n-gram and top-n-gram fractions, reported in basis

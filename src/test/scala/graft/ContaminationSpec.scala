@@ -196,4 +196,36 @@ class ContaminationSpec extends SparkTest {
     // nowhere near the ±4000/token an uncentered weight would carry
     assert(math.abs(s2) < 1000, s"shared-vocab doc scored $s2")
   }
+
+  test("classifier artifact: save/load round-trips the weight table " +
+    "bit-exactly and scores identically; bucket count rides along") {
+    import spark.implicits._
+    val train = (
+      (1 to 9).map(i => (s"alphaword$i common filler stuff", true)) ++
+        (1 to 9).map(i => (s"betaword$i common filler stuff", false))
+    ).toDF("text", "label")
+    val buckets = 1 << 14
+    val w = TextAnalysis.hashedOddsWeights(train, "text", "label",
+      buckets)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_clf").toString + "/clf"
+    TextAnalysis.saveClassifier(w, buckets, dir)
+    val (w2, b2) = TextAnalysis.loadClassifier(spark, dir)
+    assert(b2 == buckets)
+    // the weight TABLE round-trips bit-exactly
+    val before = w.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val after = w2.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(after == before)
+    // and a reloaded classifier scores the corpus identically
+    val test = Seq((1L, "alphaword3 alphaword7 common"),
+      (2L, "betaword2 betaword8 filler"), (3L, "common filler stuff"),
+      (4L, "")).toDF("doc_id", "text")
+    def scores(wt: org.apache.spark.sql.DataFrame, b: Int) =
+      TextAnalysis.scoreByHashedWeights(test, "doc_id", "text", wt, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    assert(scores(w2, b2) == scores(w, buckets))
+  }
 }
