@@ -387,34 +387,55 @@ object Dedup {
     * gram sets). Default off: exact semantics, oracle-matched. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, blockCol: Option[String],
-                        minBp: Long, maxDf: Option[Long] = None): DataFrame = {
+                        minBp: Long, maxDf: Option[Long] = None,
+                        exactGrams: Boolean = false): DataFrame = {
+    // gram identity defaults to the 128-bit (xxhash64,
+    // salted-xxhash64) pair — the SpanDedup convention: the distinct
+    // exchange and the self-join carry 16 FIXED bytes per gram
+    // instead of variable-length strings. Neutral at sf0.1's short
+    // bigrams (the cost there is candidate enumeration, adjudicated
+    // in SCALE.md); the byte win scales with gram length (a 5-word
+    // shingle averages 30+ bytes). A false intersection needs a
+    // collision in BOTH hashes (~2⁻¹²⁸ per gram pair — below any
+    // corpus's bit-flip noise floor). exactGrams=true keeps string
+    // grams for strict set semantics.
+    val raw = df.select(
+      (col(idCol).as("id") +:
+        blockCol.map(col).toSeq :+
+        explode(array_distinct(shingles(col(textCol), n))).as("__g")): _*)
+    val keyed =
+      if (exactGrams) raw.withColumnRenamed("__g", "g")
+      else raw.select(
+        (col("id") +: blockCol.map(col).toSeq) ++ Seq(
+          xxhash64(col("__g")).as("g1"),
+          xxhash64(lit("graft-jaccard-gram"), col("__g")).as("g2")): _*)
+    val gramKeys = if (exactGrams) Seq("g") else Seq("g1", "g2")
     // NOTE: the .distinct() is semantically redundant (array_distinct
     // already de-dups per doc) but load-bearing for performance: its
     // exchange is identical across the three consumers (join left/right
     // + sizes), so Spark's ReuseExchange computes the gram table once.
     // Removing it makes every branch recompute the shingle pipeline
     // (measured 8.3 s → 20.3 s at sf0.1).
-    val gramsAll = df.select(
-      (col(idCol).as("id") +:
-        blockCol.map(col).toSeq :+
-        explode(array_distinct(shingles(col(textCol), n))).as("g")): _*)
-      .distinct()
+    val gramsAll = keyed.distinct()
     // hot-gram cap: count each gram's df with a window over the same
     // (block, gram) partitioning the self-join shuffles on anyway
     val grams = maxDf match {
       case Some(cap) =>
         val w = Window.partitionBy(
-          (blockCol.map(col).toSeq :+ col("g")): _*)
+          (blockCol.map(col).toSeq ++ gramKeys.map(col)): _*)
         gramsAll.withColumn("__df", count(lit(1)).over(w))
           .filter(col("__df") <= cap).drop("__df")
       case None => gramsAll
     }
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val l = grams.select((col("id").as("a") +: col("g").as("ga") +:
-      blockCol.map(c => col(c).as("blk")).toSeq): _*)
-    val r = grams.select((col("id").as("b") +: col("g").as("gb") +:
-      blockCol.map(c => col(c).as("blk2")).toSeq): _*)
-    val joinCond = (col("ga") === col("gb")) &&
+    val l = grams.select((col("id").as("a") +:
+      gramKeys.map(gk => col(gk).as(s"${gk}_a"))) ++
+      blockCol.map(c => col(c).as("blk")).toSeq: _*)
+    val r = grams.select((col("id").as("b") +:
+      gramKeys.map(gk => col(gk).as(s"${gk}_b"))) ++
+      blockCol.map(c => col(c).as("blk2")).toSeq: _*)
+    val joinCond = gramKeys.map(gk => col(s"${gk}_a") === col(s"${gk}_b"))
+      .reduce(_ && _) &&
       blockCol.map(_ => col("blk") === col("blk2")).getOrElse(lit(true)) &&
       (col("a") < col("b"))
     val inter = l.join(r, joinCond)

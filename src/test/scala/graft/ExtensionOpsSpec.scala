@@ -190,6 +190,11 @@ class ExtensionOpsSpec extends SparkTest {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out.contains((1L, 2L, 5000L)))
     assert(!out.exists(p => p._2 == 3L && p._3 > 2500L))
+    // the hashed-gram default and exactGrams=true agree row for row
+    val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, None,
+        1L, exactGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact == out)
   }
 
   test("ngram jaccard maxDf cap bounds hot-gram candidate pairs") {
