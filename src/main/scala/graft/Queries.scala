@@ -5244,6 +5244,57 @@ object Queries {
       ORDER BY dot DESC, c.vec_id ASC LIMIT 10""")
     })
 
+  /** q131: the COMPOSED multimodal curation pipeline — q121's analog
+    * for media: aHash fingerprint → banded Hamming pairs (with the
+    * q123 skew cap) → star-contraction connected components → keep
+    * smallest id per duplicate cluster → deterministic reshard. One
+    * DataFrame chain, every stage the same operator its standalone
+    * query oracles, and the DuckDB oracle replays the WHOLE chain
+    * (pixel-formula hashes → brute-force distances → recursive-CTE
+    * closure → md5 shard assignment) bit-for-bit.
+    *
+    * Exchange note (formatted plan, measured): the FINAL assembled
+    * plan pays 4 exchanges (1 broadcast for the survivors' anti-join
+    * side + 3 shuffles, reshard's shard exchange and per-shard sort
+    * among them). Everything upstream sits behind the chain's two
+    * existing materialization points — hammingPairs' capped path
+    * materializes the narrow (id, sig) projection (the aHash decode
+    * runs ONCE, never re-derived for histogram/join sides) and the
+    * CC loop localCheckpoints per iteration (q45's design) — so no
+    * stage re-derives an upstream lineage; the property q121 needed
+    * explicit stage checkpoints for comes free here. */
+  private val q131 = Q(
+    "q131_media_pipeline",
+    (s, dir) => {
+      import graft.operators.{ConnectedComponents, Curation, Dedup,
+        Multimodal}
+      val imgs = imageDedupCorpus(s)
+      val pairs = Dedup.hammingPairs(
+        Multimodal.withAHash(imgs, "payload"), "img_id", "ahash",
+        bits = 64, maxDist = 6, maxBucket = mediaMaxBucket)
+      val survivors = ConnectedComponents.resolve(
+        imgs, "img_id", pairs, "a", "b")
+      Curation.shuffleShards(survivors.select(col("img_id")),
+          "img_id", seed = 7L, shards = 4)
+        .select(col("img_id"), col("shard"), col("seq"))
+        .orderBy(col("shard").asc, col("seq").asc)
+    },
+    Some(s"""WITH RECURSIVE $imageHashCtes,
+      mpairs AS (SELECT a, b FROM dists WHERE dist <= 6),
+      ${OracleSql.closureCtes("mpairs")}
+      , surv AS (SELECT img_id FROM imgs
+        WHERE img_id NOT IN (SELECT id FROM cc WHERE component <> id)),
+      k AS (SELECT img_id,
+        md5(concat('7', ':', CAST(img_id AS VARCHAR))) AS key
+        FROM surv),
+      sh AS (SELECT img_id, key,
+        CAST(CAST('0x' || substr(key, 1, 12) AS BIGINT) % 4 AS BIGINT)
+          AS shard FROM k)
+      SELECT img_id, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+          ORDER BY key ASC, img_id ASC) AS BIGINT) AS seq
+      FROM sh ORDER BY shard ASC, seq ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5255,7 +5306,7 @@ object Queries {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
