@@ -5202,47 +5202,8 @@ object Queries {
           nprobe = 2, emb.filter(col("vec_id") === 1), "embedding",
           k = 10)
         .orderBy(col("dot").desc, col("vec_id").asc)
-    }, {
-      def cos(a: String, b: String) =
-        s"${OracleSql.dotSql(a, b, 64)} / " +
-          s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
-          s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
-      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
-               FROM embeddings WHERE vec_id % 100 = 0),
-      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
-      asg AS (SELECT vec_id, embedding, cid FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${cos("e.embedding", "c.cv")} DESC NULLS LAST,
-                          c.cid ASC) AS rn
-        FROM embeddings e, cent c WHERE e.vec_id <> 1) WHERE rn = 1),
-      probes AS (SELECT cid FROM (
-        SELECT c.cid FROM cent c, q
-        ORDER BY ${cos("qv", "c.cv")} DESC NULLS LAST, c.cid ASC
-        LIMIT 2)),
-      cand AS (SELECT a.vec_id, a.embedding FROM asg a
-               JOIN probes p ON a.cid = p.cid),
-      cn AS (SELECT vec_id, embedding,
-               sqrt(${OracleSql.dotSql("embedding", "embedding", 64)})
-                 AS nrm FROM cand),
-      cz AS (SELECT vec_id, i AS pos,
-          CASE WHEN nrm <> 0 THEN
-            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / nrm + 0.5)
-                 AS BIGINT) END AS q
-        FROM cn, (SELECT unnest(range(1, 65)) AS i)),
-      qn AS (SELECT qv, sqrt(${OracleSql.dotSql("qv", "qv", 64)})
-               AS nrm FROM q),
-      qz AS (SELECT i AS pos,
-          CASE WHEN nrm <> 0 THEN
-            CAST(FLOOR(CAST(qv[i] AS DOUBLE) * 127 / nrm + 0.5)
-                 AS BIGINT) END AS q
-        FROM qn, (SELECT unnest(range(1, 65)) AS i))
-      SELECT c.vec_id, CAST(SUM(c.q * z.q) AS BIGINT) AS dot
-      FROM cz c JOIN qz z ON c.pos = z.pos
-      WHERE c.q IS NOT NULL AND z.q IS NOT NULL
-      GROUP BY c.vec_id
-      ORDER BY dot DESC, c.vec_id ASC LIMIT 10""")
-    })
+    },
+    Some(int8IvfOracle))
 
   /** q131: the COMPOSED multimodal curation pipeline — q121's analog
     * for media: aHash fingerprint → banded Hamming pairs (with the
@@ -5295,6 +5256,80 @@ object Queries {
           ORDER BY key ASC, img_id ASC) AS BIGINT) AS seq
       FROM sh ORDER BY shard ASC, seq ASC"""))
 
+  /** The q130 oracle, shared with q132: in-flight and persisted int8
+    * IVF are DEFINED to produce identical rankings (q73's relation to
+    * q58, now for the int8 form). */
+  private lazy val int8IvfOracle: String = {
+    def cos(a: String, b: String) =
+      s"${OracleSql.dotSql(a, b, 64)} / " +
+        s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
+        s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id % 100 = 0),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+      asg AS (SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cv")} DESC NULLS LAST,
+                          c.cid ASC) AS rn
+        FROM embeddings e, cent c WHERE e.vec_id <> 1) WHERE rn = 1),
+      probes AS (SELECT cid FROM (
+        SELECT c.cid FROM cent c, q
+        ORDER BY ${cos("qv", "c.cv")} DESC NULLS LAST, c.cid ASC
+        LIMIT 2)),
+      cand AS (SELECT a.vec_id, a.embedding FROM asg a
+               JOIN probes p ON a.cid = p.cid),
+      cn AS (SELECT vec_id, embedding,
+               sqrt(${OracleSql.dotSql("embedding", "embedding", 64)})
+                 AS nrm FROM cand),
+      cz AS (SELECT vec_id, i AS pos,
+          CASE WHEN nrm <> 0 THEN
+            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / nrm + 0.5)
+                 AS BIGINT) END AS q
+        FROM cn, (SELECT unnest(range(1, 65)) AS i)),
+      qn AS (SELECT qv, sqrt(${OracleSql.dotSql("qv", "qv", 64)})
+               AS nrm FROM q),
+      qz AS (SELECT i AS pos,
+          CASE WHEN nrm <> 0 THEN
+            CAST(FLOOR(CAST(qv[i] AS DOUBLE) * 127 / nrm + 0.5)
+                 AS BIGINT) END AS q
+        FROM qn, (SELECT unnest(range(1, 65)) AS i))
+      SELECT c.vec_id, CAST(SUM(c.q * z.q) AS BIGINT) AS dot
+      FROM cz c JOIN qz z ON c.pos = z.pos
+      WHERE c.q IS NOT NULL AND z.q IS NOT NULL
+      GROUP BY c.vec_id
+      ORDER BY dot DESC, c.vec_id ASC LIMIT 10"""
+  }
+
+  /** q132: the PERSISTED int8 IVF index — q130's composition through
+    * the on-disk artifact (q73's relation to q58): centroids + int8
+    * lists written partitioned by cid, the search's `cid IN (probes)`
+    * filter pruning whole partitions at the parquet scan (the probed
+    * fraction is the only data read — at a 25 TB int8 index with
+    * k=65536 lists and nprobe=32, a search reads ~12 GB). Built once
+    * per process; repeated runs measure the search. Result defined
+    * identical to q130's in-flight ranking — one oracle for both. */
+  private val q132 = Q(
+    "q132_int8_ivf_index",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val idxDir = tmpWorkDir(
+        s"graft_q132_i8ivf_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!new java.io.File(idxDir, "lists/_SUCCESS").exists())
+        Similarity.buildInt8IvfIndex(emb.filter(col("vec_id") =!= 1),
+          "vec_id", "embedding",
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          idxDir.getAbsolutePath)
+      Similarity.searchInt8IvfIndex(s, idxDir.getAbsolutePath,
+          emb.filter(col("vec_id") === 1), "embedding",
+          nprobe = 2, k = 10)
+        .select(col("id").as("vec_id"), col("dot"))
+        .orderBy(col("dot").desc, col("vec_id").asc)
+    },
+    Some(int8IvfOracle))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5306,7 +5341,7 @@ object Queries {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

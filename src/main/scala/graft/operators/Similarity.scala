@@ -909,6 +909,57 @@ object Similarity {
       k)
   }
 
+  /** Persist an [[int8IvfIndex]] as the on-disk artifact (centroids +
+    * int8 lists partitioned by `cid`): the int8 rendition of
+    * [[buildIvfIndex]], 4× smaller on disk, and a search's
+    * `cid IN (probes)` filter prunes whole partitions at the parquet
+    * SCAN — the probed fraction is the only data read. */
+  def buildInt8IvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, centIdCol: String,
+                        centVecCol: String, dir: String): Unit = {
+    centroids.select(col(centIdCol).as("cid"), col(centVecCol).as("cv"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    int8IvfIndex(df, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .select(col(idCol).as("id"), col("pos"), col("q"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$dir/lists")
+  }
+
+  /** Search a [[buildInt8IvfIndex]] artifact — [[searchIvfIndex]]'s
+    * contract (single query row, probe list collected driver-side,
+    * ≤ nprobe rows) over the int8 lists: partition pruning at the
+    * scan + [[int8TopK]]'s integer ranking. Returns (id, dot). */
+  def searchInt8IvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, query: DataFrame,
+                         queryVecCol: String, nprobe: Int,
+                         k: Int): DataFrame = {
+    val cent = prepCent(spark.read.parquet(s"$dir/centroids"),
+      "cid", "cv")
+    val qProj = query.select(col(queryVecCol).as("__qv"))
+    val qRows = qProj.limit(2).collect()
+    require(qRows.length == 1,
+      s"searchInt8IvfIndex expects exactly one query row, got " +
+        s"${if (qRows.isEmpty) "none" else "several"}")
+    val q1 = broadcast(spark.createDataFrame(
+        java.util.Collections.singletonList(qRows.head), qProj.schema)
+      .withColumn("__qn", norm2(col("__qv"))))
+    val probeRows = q1.join(cent)
+      .withColumn("__cs",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .orderBy(col("__cs").desc, col("__cid").asc)
+      .limit(nprobe)
+      .select(col("__cid")).collect() // bounded: ≤ nprobe rows
+    require(probeRows.nonEmpty, "empty centroid table")
+    val cids = probeRows.map(_.get(0)).toSeq
+    int8TopK(
+      spark.read.parquet(s"$dir/lists")
+        .filter(col("cid").isin(cids: _*)),
+      "id", "pos", "q",
+      quantizeInt8(q1.select(col("__qv"))
+        .withColumn("__qid", lit(0L)), "__qid", "__qv"),
+      k)
+  }
+
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, blocked
     * by LSH bucket so no cross product forms. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,

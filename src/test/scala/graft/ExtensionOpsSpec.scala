@@ -685,6 +685,34 @@ class ExtensionOpsSpec extends SparkTest {
     assert(a.toSeq == b.toSeq, s"index=$a live=$b")
   }
 
+  test("persisted int8 IVF index: search equals the in-flight " +
+    "int8IvfTopK, probes prune to their partitions on disk") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("i8ivfidx").toFile
+    dir.deleteOnExit()
+    val data = emb.filter(col("vec_id") =!= 1)
+    val query = emb.filter(col("vec_id") === 1)
+    Similarity.buildInt8IvfIndex(data, "vec_id", "embedding", cents,
+      "cid", "cv", dir.getAbsolutePath)
+    val listDirs = new java.io.File(dir, "lists").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(listDirs.nonEmpty && listDirs.forall(_.matches("cid=\\d+")))
+    val viaIndex = Similarity.searchInt8IvfIndex(spark,
+      dir.getAbsolutePath, query, "embedding", nprobe = 2, k = 10)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"no partition pruning:\n$plan")
+    val live = Similarity.int8IvfTopK(data, "vec_id", "embedding",
+      cents, "cid", "cv", nprobe = 2, query, "embedding", 10)
+    val a = viaIndex.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = live.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq, s"index=${a.toSeq} live=${b.toSeq}")
+  }
+
   test("appendToIvfIndex: build half + append half searches identically " +
     "to an index built from the union at once") {
     import graft.operators.Similarity
