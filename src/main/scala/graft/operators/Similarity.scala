@@ -925,6 +925,22 @@ object Similarity {
       .parquet(s"$dir/lists")
   }
 
+  /** Incrementally extend a persisted int8 IVF index — the
+    * continuous-ingestion half of the int8 lifecycle, with
+    * [[appendToIvfIndex]]'s exact contract (assignment by the index's
+    * OWN persisted quantizer, appended files under the same `cid=`
+    * partitions, search-after-append ≡ search over a union-built
+    * index — spec'd; quantizer not retrained; ids must be new;
+    * compact under high-frequency small appends). */
+  def appendToInt8IvfIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, df: DataFrame, idCol: String,
+                           vecCol: String): Unit =
+    int8IvfIndex(df, idCol, vecCol,
+        spark.read.parquet(s"$dir/centroids"), "cid", "cv")
+      .select(col(idCol).as("id"), col("pos"), col("q"), col("cid"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$dir/lists")
+
   /** Search a [[buildInt8IvfIndex]] artifact — [[searchIvfIndex]]'s
     * contract (single query row, probe list collected driver-side,
     * ≤ nprobe rows) over the int8 lists: partition pruning at the

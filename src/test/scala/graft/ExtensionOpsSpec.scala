@@ -713,6 +713,45 @@ class ExtensionOpsSpec extends SparkTest {
     assert(a.toSeq == b.toSeq, s"index=${a.toSeq} live=${b.toSeq}")
   }
 
+  test("appendToInt8IvfIndex: build half + append half + compact " +
+    "searches identically to a union-built int8 index") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val query = emb.filter(col("vec_id") === 1)
+    val data = emb.filter(col("vec_id") =!= 1)
+    val full = java.nio.file.Files.createTempDirectory("i8full").toFile
+    val inc = java.nio.file.Files.createTempDirectory("i8inc").toFile
+    full.deleteOnExit(); inc.deleteOnExit()
+    Similarity.buildInt8IvfIndex(data, "vec_id", "embedding", cents,
+      "cid", "cv", full.getAbsolutePath)
+    Similarity.buildInt8IvfIndex(
+      data.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", cents, "cid", "cv", inc.getAbsolutePath)
+    Similarity.appendToInt8IvfIndex(spark, inc.getAbsolutePath,
+      data.filter(pmod(col("vec_id"), lit(2)) =!= 0),
+      "vec_id", "embedding")
+    def search(d: java.io.File) =
+      Similarity.searchInt8IvfIndex(spark, d.getAbsolutePath,
+          query, "embedding", nprobe = 2, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaFull = search(full)
+    assert(search(inc) == viaFull,
+      s"appended=${search(inc)} full=$viaFull")
+    // the schema-agnostic compaction works on int8 lists too, and
+    // search stays bit-identical
+    Similarity.compactIvfIndex(spark, inc.getAbsolutePath)
+    val files = new java.io.File(inc, "lists").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+    assert(files.nonEmpty && files.values.forall(_ == 1),
+      s"compaction must leave one file per list: $files")
+    assert(search(inc) == viaFull)
+  }
+
   test("appendToIvfIndex: build half + append half searches identically " +
     "to an index built from the union at once") {
     import graft.operators.Similarity
