@@ -20,6 +20,29 @@ class PropertySpec extends SparkTest {
     }
   }
 
+  test("BoundedTopK.smallestK equals sort-take-k on random groups " +
+    "for random k, across partition counts") {
+    import graft.functions.BoundedTopK
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 5) {
+      val k = 1 + rnd.nextInt(6)
+      val rows = Seq.fill(200 + rnd.nextInt(200))(
+        (rnd.nextInt(7).toLong, rnd.nextInt(40).toLong - 20L))
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted.take(k)
+      }
+      val got = rows.toDF("g", "v")
+        .repartition(1 + rnd.nextInt(5))
+        .groupBy(org.apache.spark.sql.functions.col("g"))
+        .agg(BoundedTopK.smallestK(k)(
+          org.apache.spark.sql.functions.col("v")).as("ks"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      assert(got == want, s"trial $trial k=$k: got $got want $want")
+    }
+  }
+
   test("Lpm.build equals naive longest-prefix scan for random prefixes") {
     val genPrefix = for {
       addr <- Gen.chooseNum(0L, (1L << 32) - 1)
