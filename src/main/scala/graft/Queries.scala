@@ -5330,6 +5330,48 @@ object Queries {
     },
     Some(int8IvfOracle))
 
+  /** q133: batched int8 top-k — a PANEL of quantized queries ranked
+    * against the quantized corpus in one plan (q42's batch shape for
+    * the int8 form): panel broadcast, per-(q_id, id) integer dot
+    * collapsed map-side, top-k per query by window rank. The proper
+    * home for multi-vector query frames (q127's single-query ranker
+    * rejects them by design). */
+  private val q133 = Q(
+    "q133_int8_topk_batch",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val corpus = Similarity.quantizeInt8(
+        emb.filter(col("vec_id") > 3), "vec_id", "embedding")
+      val panel = Similarity.quantizeInt8(
+          emb.filter(col("vec_id") <= 3), "vec_id", "embedding")
+        .withColumnRenamed("vec_id", "q_id")
+      Similarity.int8TopKBatch(corpus, "vec_id", "pos", "q",
+          panel, "q_id", k = 5)
+        .orderBy(col("q_id").asc, col("dot").desc, col("vec_id").asc)
+    },
+    Some(s"""WITH n AS (SELECT vec_id, embedding,
+               sqrt(${OracleSql.dotSql("embedding", "embedding", 64)})
+                 AS nrm
+             FROM embeddings),
+      qz AS (SELECT vec_id, i AS pos,
+          CASE WHEN nrm <> 0 THEN
+            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / nrm + 0.5)
+                 AS BIGINT) END AS q
+        FROM n, (SELECT unnest(range(1, 65)) AS i)),
+      corpus AS (SELECT * FROM qz WHERE vec_id > 3 AND q IS NOT NULL),
+      panel AS (SELECT vec_id AS q_id, pos, q FROM qz
+        WHERE vec_id <= 3 AND q IS NOT NULL),
+      d AS (SELECT p.q_id, c.vec_id,
+          CAST(SUM(c.q * p.q) AS BIGINT) AS dot
+        FROM corpus c JOIN panel p ON c.pos = p.pos
+        GROUP BY p.q_id, c.vec_id),
+      r AS (SELECT q_id, vec_id, dot, row_number() OVER (
+          PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rn
+        FROM d)
+      SELECT q_id, vec_id, dot FROM r WHERE rn <= 5
+      ORDER BY q_id ASC, dot DESC, vec_id ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5341,7 +5383,8 @@ object Queries {
     q90, q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
+    q133)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -835,6 +835,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched [[int8TopK]]: rank the quantized corpus against a PANEL
+    * of quantized queries at once — the [[annTopKBatch]] /
+    * [[searchIvfIndexBatch]] shape for the int8 form, and the proper
+    * home for a multi-vector query frame (the single-query ranker
+    * rejects one by design). `queries` is [[quantizeInt8]] output
+    * KEYED by its own id column; output (q_id, idCol, dot), top-k per
+    * query by the integer dot.
+    *
+    * Scale shape: the panel broadcasts (quantized queries are
+    * dim+ε bytes each); the corpus-side join fans each (id, pos, q)
+    * row out to |panel| rows INSIDE the map task and the partial
+    * aggregate collapses them to one (q_id, id) row per pair before
+    * the shuffle — so the exchange carries |panel|·|corpus| partial
+    * dots, and the per-query window rank is the same bounded
+    * top-k-per-group cut annTopKBatch takes. Exact ranking with no
+    * pruning: bound the panel size, or go through
+    * [[searchInt8IvfIndex]] per query when the corpus side must be
+    * pruned too. */
+  def int8TopKBatch(qdf: DataFrame, idCol: String, posCol: String,
+                    qCol: String, queries: DataFrame, qIdCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k=$k out of [1,∞)")
+    val q = broadcast(queries.where(col(qCol).isNotNull)
+      .select(col(qIdCol).as("q_id"), col(posCol).as("__qp"),
+        col(qCol).as("__qq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+    qdf.where(col(qCol).isNotNull)
+      .join(q, col(posCol) === col("__qp"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col(qCol) * col("__qq")).as("dot"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** IVF search over an INT8 index — [[ivfTopK]]'s pruning composed
     * with [[quantizeInt8]]'s storage form, the full corpus-scale
     * story in one plan: the inverted lists hold int8 rows (4× smaller

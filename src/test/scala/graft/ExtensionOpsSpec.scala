@@ -1171,6 +1171,30 @@ class ExtensionOpsSpec extends SparkTest {
     assert(one.length == 5)
   }
 
+  test("int8TopKBatch: a singleton panel reproduces int8TopK exactly; " +
+    "a 3-query panel ranks each query independently") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = Similarity.quantizeInt8(
+      emb.filter(col("vec_id") > 3), "vec_id", "embedding")
+    def panel(ids: Long*) = Similarity.quantizeInt8(
+        emb.filter(col("vec_id").isin(ids: _*)), "vec_id", "embedding")
+      .withColumnRenamed("vec_id", "q_id")
+    val single = Similarity.int8TopK(corpus, "vec_id", "pos", "q",
+        panel(1L).drop("q_id"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = Similarity.int8TopKBatch(corpus, "vec_id", "pos", "q",
+        panel(1L, 2L, 3L), "q_id", 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val forQ1 = batch.filter(_._1 == 1L)
+      .sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3)).toSeq
+    assert(forQ1 == single, s"batch-for-q1 $forQ1 vs single $single")
+    assert(batch.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(batch.groupBy(_._1).values.forall(_.length == 5))
+  }
+
   test("BoundedTopK.smallestK: exact k smallest per group, " +
     "duplicate-preserving, merge across partitions") {
     import graft.functions.BoundedTopK
