@@ -5372,6 +5372,76 @@ object Queries {
       SELECT q_id, vec_id, dot FROM r WHERE rn <= 5
       ORDER BY q_id ASC, dot DESC, vec_id ASC"""))
 
+  /** q134: classifier-GATED curation — the GPT-3/CCNet deployment
+    * shape q126 trains for, composed end to end: train the hashed
+    * log-odds classifier on the labeled slice (even ids), gate the
+    * candidate pool (odd ids) at score > 0, exact-dedup the
+    * survivors (digest scale path), deterministic reshard. Every
+    * stage is the operator its standalone query oracles (q126, q84,
+    * q120); the DuckDB oracle replays the whole chain — learned
+    * weights included — bit-for-bit. */
+  private val q134 = Q(
+    "q134_classified_curation",
+    (s, dir) => {
+      import graft.operators.{Curation, Dedup, TextAnalysis}
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("text"), (col("lang") === "en").as("label"))
+      val w = TextAnalysis.hashedOddsWeights(train, "text", "label",
+        buckets = 4096)
+      val pool = docs.filter(col("doc_id") % 2 === 1)
+      val kept = pool.join(
+        TextAnalysis.scoreByHashedWeights(pool, "doc_id", "text", w,
+            buckets = 4096)
+          .filter(col("score") > 0).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val deduped = Dedup.exactByDigest(kept, "doc_id", "text")
+      Curation.shuffleShards(deduped.select(col("doc_id")),
+          "doc_id", seed = 11L, shards = 4)
+        .select(col("doc_id"), col("shard"), col("seq"))
+        .orderBy(col("shard").asc, col("seq").asc)
+    },
+    Some("""WITH tr AS (SELECT (lang = 'en') AS y,
+          unnest(list_filter(string_split(lower(text), ' '),
+            x -> x <> '')) AS t
+        FROM documents WHERE doc_id % 2 = 0),
+      cnts AS (SELECT
+          CAST(CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 4096
+            AS BIGINT) AS bucket,
+          SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+          SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n
+        FROM tr GROUP BY 1),
+      prior AS (SELECT CAST(FLOOR(10000 * (SUM(p) + 1)
+          / (SUM(p) + SUM(n) + 2)) AS BIGINT) AS prior_bp FROM cnts),
+      w AS (SELECT bucket,
+          CAST(FLOOR(10000 * (p + 1) / (p + n + 2))
+            - (SELECT prior_bp FROM prior) AS BIGINT) AS w_bp
+        FROM cnts),
+      te AS (SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '),
+            x -> x <> '')) AS t
+        FROM documents WHERE doc_id % 2 = 1),
+      tb AS (SELECT doc_id,
+          CAST(CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % 4096
+            AS BIGINT) AS bucket FROM te),
+      sc AS (SELECT tb.doc_id,
+          CAST(SUM(COALESCE(w.w_bp, 0)) AS BIGINT) AS score
+        FROM tb LEFT JOIN w USING (bucket) GROUP BY tb.doc_id),
+      kept AS (SELECT d.doc_id, d.text
+        FROM documents d JOIN sc USING (doc_id)
+        WHERE d.doc_id % 2 = 1 AND sc.score > 0),
+      dd AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+      sk AS (SELECT doc_id,
+        md5(concat('11', ':', CAST(doc_id AS VARCHAR))) AS key
+        FROM dd),
+      sh AS (SELECT doc_id, key,
+        CAST(CAST('0x' || substr(key, 1, 12) AS BIGINT) % 4 AS BIGINT)
+          AS shard FROM sk)
+      SELECT doc_id, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+          ORDER BY key ASC, doc_id ASC) AS BIGINT) AS seq
+      FROM sh ORDER BY shard ASC, seq ASC"""))
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5384,7 +5454,7 @@ object Queries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133)
+    q133, q134)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
