@@ -752,6 +752,57 @@ class ExtensionOpsSpec extends SparkTest {
     assert(search(inc) == viaFull)
   }
 
+  test("streaming ingest into the persisted int8 index: foreachBatch " +
+    "appends arriving vectors; post-stream search equals union-built") {
+    // the continuous-ingestion deployment shape: an embedding feed
+    // appended to the live index per micro-batch through the stored
+    // quantizer — no corpus-wide re-assignment, no index rebuild
+    import graft.operators.Similarity
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val query = emb.filter(col("vec_id") === 1)
+    val data = emb.filter(col("vec_id") =!= 1)
+    val full = java.nio.file.Files.createTempDirectory("i8sfull").toFile
+    val inc = java.nio.file.Files.createTempDirectory("i8sinc").toFile
+    full.deleteOnExit(); inc.deleteOnExit()
+    Similarity.buildInt8IvfIndex(data, "vec_id", "embedding", cents,
+      "cid", "cv", full.getAbsolutePath)
+    // seed the streaming index with the first half...
+    Similarity.buildInt8IvfIndex(
+      data.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", cents, "cid", "cv", inc.getAbsolutePath)
+    // ...and stream the second half in, two micro-batches
+    val arriving = data.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("i8sckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToInt8IvfIndex(spark, inc.getAbsolutePath,
+          b, "vec_id", "embedding"); ()
+      }
+      .start()
+    try {
+      val (h1, h2) = arriving.splitAt(arriving.length / 2)
+      mem.addData(h1); q.processAllAvailable()
+      mem.addData(h2); q.processAllAvailable()
+    } finally q.stop()
+    def search(d: java.io.File) =
+      Similarity.searchInt8IvfIndex(spark, d.getAbsolutePath,
+          query, "embedding", nprobe = 2, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(search(inc) == search(full),
+      s"streamed=${search(inc)} full=${search(full)}")
+  }
+
   test("appendToIvfIndex: build half + append half searches identically " +
     "to an index built from the union at once") {
     import graft.operators.Similarity
