@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * buckets are excluded and pair work is bounded by cap² per bucket.
   *
   * The measured corpus: `n` rows holding ONE identical signature (the
-  * blob) + `n/6` distinct background signatures that still form planted
-  * near-dup pairs (id i pairs with i+1 at distance 1), so the capped
-  * run's recall on NON-degenerate pairs is observable: the background
-  * pairs all survive the cap (their buckets are cold), while the
-  * blob's n²/2 blank-vs-blank pairs — the least informative output —
-  * are the only loss. Reports uncapped vs capped wall time and output
-  * rows; uncapped cost is quadratic in the blob, capped is linear.
+  * blob) + `n/6` background rows in planted near-dup pairs — ids
+  * sharing floor(id/2) get the same base signature except the low bit
+  * (distance 1), so consecutive even/odd ids pair and the one or two
+  * ids whose floor(id/2) partner falls outside the background range
+  * stay unpaired (~n/12 pairs total; the run reports the exact
+  * count). The capped run's recall on NON-degenerate pairs is then
+  * observable: every planted pair survives the cap (their buckets are
+  * cold), while the blob's n²/2 blank-vs-blank pairs — the least
+  * informative output — are the only loss. Reports uncapped vs capped
+  * wall time and output rows; uncapped cost is quadratic in the blob,
+  * capped is linear.
   *
   * args: [n] (blob rows, default 10000). env SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_RUNS as the other bench mains. */

@@ -4822,7 +4822,7 @@ object Queries {
   private val imageDedupSrcs =
     Seq(4L, 10L, 16L, 22L, 34L, 40L, 46L, 52L, 58L)
 
-  private def imageDedupCorpus(s: SparkSession): DataFrame = {
+  private[graft] def imageDedupCorpus(s: SparkSession): DataFrame = {
     import graft.operators.Multimodal
     import s.implicits._
     (imageDedupSrcs.map(i => (i, Multimodal.encodeTestImage(i))) ++
@@ -4885,7 +4885,7 @@ object Queries {
     * still matches bit-for-bit — recall loss begins only where a
     * bucket exceeds the cap, i.e. where the matches were
     * blank-vs-blank noise. */
-  private val mediaMaxBucket = Some(8L)
+  private[graft] val mediaMaxBucket = Some(8L)
 
   private val q123 = Q(
     "q123_image_neardup",

@@ -316,6 +316,22 @@ object Dedup {
     * inputs). Pass false to keep a pure lazy plan and manage
     * materialization yourself (persist/checkpoint the signature frame
     * upstream, or accept the decode re-run). */
+  /** The pigeonhole band split [[hammingPairs]] joins on — exposed
+    * package-private so specs pin cap decisions against the REAL
+    * banding arithmetic, not a hand-copied replica. */
+  private[graft] def bandColumns(sigCol: Column, bits: Int,
+                                 maxDist: Int): Seq[Column] = {
+    val nBands = maxDist + 1
+    val base = bits / nBands
+    val rem = bits % nBands
+    (0 until nBands).map { b =>
+      val width = base + (if (b < rem) 1 else 0)
+      val start = b * base + math.min(b, rem)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftright(sigCol, start).bitwiseAND(lit(mask))
+    }
+  }
+
   def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
                    bits: Int, maxDist: Int,
                    maxBucket: Option[Long] = None,
@@ -323,15 +339,7 @@ object Dedup {
     require(bits >= 1 && bits <= 64, s"bits=$bits out of [1,64]")
     require(maxDist >= 0 && maxDist < bits,
       s"maxDist=$maxDist out of [0,$bits)")
-    val nBands = maxDist + 1
-    val base = bits / nBands
-    val rem = bits % nBands
-    val bandCols = (0 until nBands).map { b =>
-      val width = base + (if (b < rem) 1 else 0)
-      val start = b * base + math.min(b, rem)
-      val mask = if (width == 64) -1L else (1L << width) - 1
-      shiftright(col(sigCol), start).bitwiseAND(lit(mask))
-    }
+    val bandCols = bandColumns(col(sigCol), bits, maxDist)
     maxBucket.foreach(cap =>
       require(cap >= 2, s"maxBucket=$cap out of [2,∞)"))
     // capped mode consumes the signature lineage three times

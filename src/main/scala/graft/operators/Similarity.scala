@@ -786,11 +786,14 @@ object Similarity {
     * output both engines can reproduce (mirrored IEEE op order; zero
     * vectors yield NULL via the norm guard). `carryCols` ride along
     * unchanged (e.g. an IVF list id — avoids a post-hoc join back
-    * onto the exploded rows). */
+    * onto the exploded rows); `normCol` points at a PRECOMPUTED
+    * ‖v‖ column (same norm2 arithmetic) so a pipeline that already
+    * paid the Σx² (e.g. centroid assignment) doesn't pay it twice. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
-                   carryCols: Seq[String] = Nil): DataFrame =
+                   carryCols: Seq[String] = Nil,
+                   normCol: Option[String] = None): DataFrame =
     df.select((col(idCol) +: carryCols.map(col)) ++ Seq(
-        norm2(col(vecCol)).as("__qin"),
+        normCol.map(col).getOrElse(norm2(col(vecCol))).as("__qin"),
         posexplode(col(vecCol)).as(Seq("pos", "__x"))): _*)
       .select((col(idCol) +: carryCols.map(col)) ++ Seq(
         (col("pos") + 1).as("pos"),
@@ -857,9 +860,18 @@ object Similarity {
                     qCol: String, queries: DataFrame, qIdCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, s"k=$k out of [1,∞)")
+    // same malformed-frame guard as [[int8TopK]], per panel member: a
+    // duplicated (q_id, pos) — two vectors sharing a q_id — would
+    // silently mix into one garbage ranking, so fail the plan instead
     val q = broadcast(queries.where(col(qCol).isNotNull)
-      .select(col(qIdCol).as("q_id"), col(posCol).as("__qp"),
-        col(qCol).as("__qq")))
+      .groupBy(col(qIdCol).as("q_id"), col(posCol).as("__qp"))
+      .agg(max(col(qCol)).as("__q0"), count(lit(1)).as("__c"))
+      .select(col("q_id"), col("__qp"),
+        (col("__q0") + coalesce(
+          assert_true(col("__c") === 1,
+            lit("int8TopKBatch: panel holds more than one vector per " +
+              "q_id (duplicate (q_id, pos)) — ids must be unique"))
+            .cast("long"), lit(0L))).as("__qq")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("dot").desc, col(idCol).asc)
@@ -914,7 +926,10 @@ object Similarity {
     val cent = prepCent(centroids, centIdCol, centVecCol)
     val asg = assignToCentroids(df.select(col(idCol), col(vecCol)),
       idCol, vecCol, cent)
-    quantizeInt8(asg, idCol, vecCol, carryCols = Seq("__cid"))
+    // assignment already computed each vector's norm (__n) — reuse it
+    // instead of paying a second Σx² per row on the build path
+    quantizeInt8(asg, idCol, vecCol, carryCols = Seq("__cid"),
+        normCol = Some("__n"))
       .withColumnRenamed("__cid", "cid")
   }
 
@@ -1063,8 +1078,9 @@ object Similarity {
     * cluster, map-side combined, ≤c-row partials on the shuffle), so
     * even the pathological mega-cluster never sorts on one task — so
     * per-cluster pair work is ≤ c·size — linear, never quadratic.
-    * The guard requires an integral id column (the heap is over
-    * longs); the exact default path keeps any orderable id type.
+    * Non-integral id columns (the heap is over longs) fall back to
+    * the windowed-rank pick — any orderable id type still works,
+    * paying the per-cluster single-task sort the heap avoids.
     * This is the sampled-representative fallback: results are
     * IDENTICAL to the exact pass whenever every cluster holds ≤ c
     * distinct ε-neighborhoods — in particular the pathological
@@ -1098,16 +1114,23 @@ object Similarity {
         import org.apache.spark.sql.types.{ByteType, IntegerType,
           LongType, ShortType}
         val idType = asg.schema(idCol).dataType
-        require(Seq(ByteType, ShortType, IntegerType, LongType)
-          .contains(idType),
-          s"semanticDedup maxCompare needs an integral id column; " +
-            s"'$idCol' is $idType")
-        val reps = asg.groupBy(col("__cid"))
-          .agg(graft.functions.BoundedTopK.smallestK(maxCompare)(
-            col(idCol).cast(LongType)).as("__reps"))
-          .select(col("__cid"), explode(col("__reps")).as("__rep"))
-          .select(col("__cid"), col("__rep").cast(idType).as("a"))
-        lBase.join(reps, Seq("__cid", "a"), "left_semi")
+        if (Seq(ByteType, ShortType, IntegerType, LongType)
+            .contains(idType)) {
+          val reps = asg.groupBy(col("__cid"))
+            .agg(graft.functions.BoundedTopK.smallestK(maxCompare)(
+              col(idCol).cast(LongType)).as("__reps"))
+            .select(col("__cid"), explode(col("__reps")).as("__rep"))
+            .select(col("__cid"), col("__rep").cast(idType).as("a"))
+          lBase.join(reps, Seq("__cid", "a"), "left_semi")
+        } else {
+          // non-integral ids (the bounded heap is over longs): keep
+          // the windowed-rank pick — linearithmic, single-task per
+          // cluster, but any orderable id type works
+          lBase.withColumn("__rk", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("__cid")).orderBy(col("a").asc)))
+            .where(col("__rk") <= maxCompare).drop("__rk")
+        }
       }
     val r = asg.select(col(idCol).as("b"), col(vecCol).as("vb"),
       col("__n").as("nb"), col("__cid").as("__cid2"))

@@ -488,24 +488,33 @@ object TextAnalysis {
   def saveClassifier(weights: DataFrame, buckets: Int,
                      dir: String): Unit = {
     require(buckets >= 2, s"buckets=$buckets out of [2,∞)")
+    // weights and metadata are separate files so a legitimately EMPTY
+    // weight table (a token-free training slice — the classifier then
+    // scores everything at the prior) round-trips instead of losing
+    // its bucket count with its rows
     weights.select(col("bucket").cast(LongType),
-        col("w_bp").cast(LongType), lit(buckets).as("buckets"))
+        col("w_bp").cast(LongType))
       .repartition(1)
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").parquet(s"$dir/weights")
+    weights.sparkSession.range(1)
+      .select(lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a [[saveClassifier]] artifact: (weights, buckets). The
     * weight table round-trips bit-exactly (two long columns), so a
     * reloaded classifier scores identically to the in-flight one
-    * (spec'd). The collect is one row (the stored bucket count). */
+    * (spec'd, including the empty-table case). The collect is one
+    * row (the stored bucket count). */
   def loadClassifier(spark: org.apache.spark.sql.SparkSession,
                      dir: String): (DataFrame, Int) = {
-    val df = spark.read.parquet(dir)
-    val bs = df.select(col("buckets")).distinct().collect()
+    val bs = spark.read.parquet(s"$dir/meta")
+      .select(col("buckets")).distinct().collect()
     require(bs.length == 1,
       s"classifier artifact at $dir holds ${bs.length} distinct " +
         "bucket counts — corrupt or mixed artifact")
-    (df.select(col("bucket"), col("w_bp")), bs.head.getInt(0))
+    (spark.read.parquet(s"$dir/weights")
+      .select(col("bucket"), col("w_bp")), bs.head.getInt(0))
   }
 
   /** Repetition / boilerplate metrics per document over word n-grams —

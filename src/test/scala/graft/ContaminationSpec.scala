@@ -227,5 +227,18 @@ class ContaminationSpec extends SparkTest {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .sortBy(_._1).toSeq
     assert(scores(w2, b2) == scores(w, buckets))
+
+    // an EMPTY weight table (token-free training slice) is a valid
+    // classifier — everything scores the prior — and must round-trip
+    val emptyW = TextAnalysis.hashedOddsWeights(
+      Seq(("   ", true), ("", false)).toDF("text", "label"), "text",
+      "label", buckets)
+    assert(emptyW.count() == 0)
+    val edir = java.nio.file.Files
+      .createTempDirectory("graft_clf_e").toString + "/clf"
+    TextAnalysis.saveClassifier(emptyW, buckets, edir)
+    val (ew, eb) = TextAnalysis.loadClassifier(spark, edir)
+    assert(eb == buckets && ew.count() == 0)
+    assert(scores(ew, eb).forall(_._2 == 0L))
   }
 }

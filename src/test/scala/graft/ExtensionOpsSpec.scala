@@ -1244,6 +1244,16 @@ class ExtensionOpsSpec extends SparkTest {
     assert(forQ1 == single, s"batch-for-q1 $forQ1 vs single $single")
     assert(batch.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
     assert(batch.groupBy(_._1).values.forall(_.length == 5))
+    // a panel with two vectors under ONE q_id fails the plan instead
+    // of silently mixing them into a garbage ranking
+    val dup = panel(1L).unionByName(panel(2L).withColumn("q_id", lit(1L)))
+    val ex = intercept[Exception] {
+      Similarity.int8TopKBatch(corpus, "vec_id", "pos", "q",
+        dup, "q_id", 5).collect()
+    }
+    assert(ex.getMessage.contains("more than one vector") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("more than one vector")), s"wrong: $ex")
   }
 
   test("BoundedTopK.smallestK: exact k smallest per group, " +

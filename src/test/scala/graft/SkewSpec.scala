@@ -50,41 +50,28 @@ class SkewSpec extends SparkTest {
   test("media-dedup maxBucket cap: the q123/q128 corpus' largest band " +
     "bucket stays under the call-site cap, so capped == uncapped") {
     import graft.operators.{Dedup, Multimodal}
-    import org.apache.spark.sql.{Row, types => T}
-    // the q123/q128 corpus: the RGB-PNG subset + an exact re-ingest
-    // duplicate of each under id+100 (mirrors Queries.imageDedupCorpus)
-    val srcs = Seq(4L, 10L, 16L, 22L, 34L, 40L, 46L, 52L, 58L)
-    val rows = srcs.map(i => Row(i, Multimodal.encodeTestImage(i))) ++
-      srcs.map(i => Row(i + 100L, Multimodal.encodeTestImage(i)))
-    val schema = T.StructType(Seq(
-      T.StructField("img_id", T.LongType),
-      T.StructField("payload", T.BinaryType)))
-    val corpus = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 2), schema)
+    // the REAL production pieces, not replicas: the q123/q128/q131
+    // corpus, the call sites' cap value, and hammingPairs' own band
+    // split — so corpus growth or a banding change fails HERE before
+    // it can silently drop pairs at the oracled call sites
+    val corpus = Queries.imageDedupCorpus(spark)
+    val cap = Queries.mediaMaxBucket.get
     val sig = Multimodal.withAHash(corpus, "payload")
-    // replicate hammingPairs' 7-band split of the 64-bit signature and
-    // pin the histogram: the call-site cap (8) must exceed the largest
-    // bucket, which is what makes the capped plan provably identical
-    // to the brute-force oracle
-    val nBands = 7; val base = 64 / nBands; val rem = 64 % nBands
-    val bandCols = (0 until nBands).map { b =>
-      val width = base + (if (b < rem) 1 else 0)
-      val start = b * base + math.min(b, rem)
-      val mask = (1L << width) - 1
-      shiftright(col("ahash"), start).bitwiseAND(lit(mask))
-    }
     val maxBucket = sig
-      .select(posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+      .select(posexplode(
+        array(Dedup.bandColumns(col("ahash"), 64, 6): _*))
+        .as(Seq("band", "bv")))
       .groupBy(col("band"), col("bv")).count()
       .agg(max(col("count"))).collect().head.getLong(0)
-    assert(maxBucket <= 8,
-      s"corpus' hottest band bucket grew to $maxBucket — q123/q128's " +
-        "maxBucket=8 would now drop pairs and drift from the oracle")
+    assert(maxBucket <= cap,
+      s"corpus' hottest band bucket grew to $maxBucket — the media " +
+        s"call sites' maxBucket=$cap would now drop pairs and drift " +
+        "from the oracle")
     val uncapped = Dedup.hammingPairs(sig, "img_id", "ahash", 64, 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(identity).toSeq
     val capped = Dedup.hammingPairs(sig, "img_id", "ahash", 64, 6,
-        maxBucket = Some(8L))
+        maxBucket = Queries.mediaMaxBucket)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(identity).toSeq
     assert(capped == uncapped)
