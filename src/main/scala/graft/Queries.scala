@@ -5373,13 +5373,17 @@ object Queries {
       ORDER BY q_id ASC, dot DESC, vec_id ASC"""))
 
   /** q134: classifier-GATED curation — the GPT-3/CCNet deployment
-    * shape q126 trains for, composed end to end: train the hashed
-    * log-odds classifier on the labeled slice (even ids), gate the
-    * candidate pool (odd ids) at score > 0, exact-dedup the
-    * survivors (digest scale path), deterministic reshard. Every
-    * stage is the operator its standalone query oracles (q126, q84,
-    * q120); the DuckDB oracle replays the whole chain — learned
-    * weights included — bit-for-bit. */
+    * shape q126 trains for, composed end to end THROUGH THE ARTIFACT:
+    * train the hashed log-odds classifier on the labeled slice (even
+    * ids), persist it ([[TextAnalysis.saveClassifier]] — the
+    * train-once/gate-many deployment the artifact exists for), reload
+    * weights + bucket count from disk, gate the candidate pool (odd
+    * ids) at score > 0, exact-dedup the survivors (digest scale
+    * path), deterministic reshard. Every stage is the operator its
+    * standalone query oracles (q126, q84, q120); reload is
+    * bit-identical to in-flight weights (ContaminationSpec round-trip,
+    * so the oracle — which replays the learned weights directly — is
+    * unchanged by the artifact hop). */
   private val q134 = Q(
     "q134_classified_curation",
     (s, dir) => {
@@ -5387,12 +5391,22 @@ object Queries {
       val docs = t(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 2 === 0)
         .select(col("text"), (col("lang") === "en").as("label"))
-      val w = TextAnalysis.hashedOddsWeights(train, "text", "label",
-        buckets = 4096)
+      val clsDir = tmpWorkDir(
+        s"graft_q134_cls_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!new java.io.File(clsDir, "weights/_SUCCESS").exists())
+        TextAnalysis.saveClassifier(
+          TextAnalysis.hashedOddsWeights(train, "text", "label",
+            buckets = 4096),
+          buckets = 4096, clsDir.getAbsolutePath)
+      val (w, buckets) = TextAnalysis.loadClassifier(
+        s, clsDir.getAbsolutePath)
+      require(buckets == 4096,
+        s"classifier artifact bucket drift: $buckets")
       val pool = docs.filter(col("doc_id") % 2 === 1)
       val kept = pool.join(
         TextAnalysis.scoreByHashedWeights(pool, "doc_id", "text", w,
-            buckets = 4096)
+            buckets = buckets)
           .filter(col("score") > 0).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       val deduped = Dedup.exactByDigest(kept, "doc_id", "text")
@@ -5442,6 +5456,91 @@ object Queries {
           ORDER BY key ASC, doc_id ASC) AS BIGINT) AS seq
       FROM sh ORDER BY shard ASC, seq ASC"""))
 
+  /** q135: BATCHED search over the PERSISTED int8 IVF index — the one
+    * composition q132 (persisted, single query) and q133 (batched,
+    * unpruned) left open: a query PANEL against the on-disk artifact
+    * with no driver loop. Per-query probe lists come from a window
+    * top-nprobe over the broadcast centroid table (the panel never
+    * collects), the probe UNION is the scan's literal `cid` partition
+    * filter (bounded by |centroids| for ANY panel size), and each
+    * list row fans out only to the queries that probed its cid before
+    * the map-side-combined integer dot. Each (q_id, id) dot is
+    * bit-identical to a searchInt8IvfIndex loop (spec'd); the oracle
+    * replays assignment → per-query probes → quantization → integer
+    * dots → per-query top-k. */
+  private val q135 = Q(
+    "q135_int8_ivf_batch",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val idxDir = tmpWorkDir(
+        s"graft_q135_i8ivfb_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!new java.io.File(idxDir, "lists/_SUCCESS").exists())
+        Similarity.buildInt8IvfIndex(emb.filter(col("vec_id") > 3),
+          "vec_id", "embedding",
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          idxDir.getAbsolutePath)
+      Similarity.searchInt8IvfIndexBatch(s, idxDir.getAbsolutePath,
+          emb.filter(col("vec_id") <= 3), "vec_id", "embedding",
+          nprobe = 2, k = 5)
+        .select(col("q_id"), col("id").as("vec_id"), col("dot"))
+        .orderBy(col("q_id").asc, col("dot").desc, col("vec_id").asc)
+    },
+    Some(int8IvfBatchOracle))
+
+  /** The q135 oracle: int8IvfOracle's chain with q133's panel shape —
+    * per-query probes instead of one probe list, per-query top-k. */
+  private lazy val int8IvfBatchOracle: String = {
+    def cos(a: String, b: String) =
+      s"${OracleSql.dotSql(a, b, 64)} / " +
+        s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
+        s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id % 100 = 0),
+      qs AS (SELECT vec_id AS q_id, embedding AS qv
+             FROM embeddings WHERE vec_id <= 3),
+      asg AS (SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cos("e.embedding", "c.cv")} DESC NULLS LAST,
+                          c.cid ASC) AS rn
+        FROM embeddings e, cent c WHERE e.vec_id > 3) WHERE rn = 1),
+      probes AS (SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cos("q.qv", "c.cv")} DESC NULLS LAST,
+                          c.cid ASC) AS rn
+        FROM qs q, cent c) WHERE rn <= 2),
+      cn AS (SELECT vec_id, embedding, cid,
+               sqrt(${OracleSql.dotSql("embedding", "embedding", 64)})
+                 AS nrm FROM asg),
+      cz AS (SELECT vec_id, cid, i AS pos,
+          CASE WHEN nrm <> 0 THEN
+            CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127 / nrm + 0.5)
+                 AS BIGINT) END AS q
+        FROM cn, (SELECT unnest(range(1, 65)) AS i)),
+      qn AS (SELECT q_id, qv,
+               sqrt(${OracleSql.dotSql("qv", "qv", 64)}) AS nrm FROM qs),
+      qz AS (SELECT q_id, i AS pos,
+          CASE WHEN nrm <> 0 THEN
+            CAST(FLOOR(CAST(qv[i] AS DOUBLE) * 127 / nrm + 0.5)
+                 AS BIGINT) END AS q
+        FROM qn, (SELECT unnest(range(1, 65)) AS i)),
+      d AS (SELECT p.q_id, c.vec_id,
+          CAST(SUM(c.q * z.q) AS BIGINT) AS dot
+        FROM probes p
+        JOIN cz c ON c.cid = p.cid
+        JOIN qz z ON z.q_id = p.q_id AND z.pos = c.pos
+        WHERE c.q IS NOT NULL AND z.q IS NOT NULL
+        GROUP BY p.q_id, c.vec_id),
+      r AS (SELECT q_id, vec_id, dot, row_number() OVER (
+          PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rn
+        FROM d)
+      SELECT q_id, vec_id, dot FROM r WHERE rn <= 5
+      ORDER BY q_id ASC, dot DESC, vec_id ASC"""
+  }
+
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5454,7 +5553,7 @@ object Queries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134)
+    q133, q134, q135)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -290,6 +290,22 @@ object Dedup {
     hammingPairs(simhash(df, idCol, textCol, bits), idCol, "simhash",
       bits, maxDist)
 
+  /** The pigeonhole band split [[hammingPairs]] joins on — exposed
+    * package-private so specs pin cap decisions against the REAL
+    * banding arithmetic, not a hand-copied replica. */
+  private[graft] def bandColumns(sigCol: Column, bits: Int,
+                                 maxDist: Int): Seq[Column] = {
+    val nBands = maxDist + 1
+    val base = bits / nBands
+    val rem = bits % nBands
+    (0 until nBands).map { b =>
+      val width = base + (if (b < rem) 1 else 0)
+      val start = b * base + math.min(b, rem)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftright(sigCol, start).bitwiseAND(lit(mask))
+    }
+  }
+
   /** Pigeonhole-banded Hamming pairs over ANY ≤64-bit integer
     * signature column (see [[simhashPairs]] for the recall argument —
     * this is that join, factored so other signature families reuse it:
@@ -316,22 +332,6 @@ object Dedup {
     * inputs). Pass false to keep a pure lazy plan and manage
     * materialization yourself (persist/checkpoint the signature frame
     * upstream, or accept the decode re-run). */
-  /** The pigeonhole band split [[hammingPairs]] joins on — exposed
-    * package-private so specs pin cap decisions against the REAL
-    * banding arithmetic, not a hand-copied replica. */
-  private[graft] def bandColumns(sigCol: Column, bits: Int,
-                                 maxDist: Int): Seq[Column] = {
-    val nBands = maxDist + 1
-    val base = bits / nBands
-    val rem = bits % nBands
-    (0 until nBands).map { b =>
-      val width = base + (if (b < rem) 1 else 0)
-      val start = b * base + math.min(b, rem)
-      val mask = if (width == 64) -1L else (1L << width) - 1
-      shiftright(sigCol, start).bitwiseAND(lit(mask))
-    }
-  }
-
   def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
                    bits: Int, maxDist: Int,
                    maxBucket: Option[Long] = None,
@@ -383,9 +383,18 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
-  /** Exact n-gram Jaccard over distinct word n-grams, integer basis-point
+  /** n-gram Jaccard over distinct word n-grams, integer basis-point
     * result: 10000*|A∩B| / (|A|+|B|-|A∩B|). Pairwise within an (optional)
     * blocking column — at scale, feed LSH buckets as the block.
+    *
+    * GRAM IDENTITY DEFAULT: grams are keyed by a 128-bit
+    * (xxhash64, salted-xxhash64) hash pair, NOT by the exact string —
+    * collision-probabilistic at ~2⁻¹²⁸ per gram pair (below any
+    * corpus's bit-flip noise floor) in exchange for 16 fixed bytes per
+    * gram on the distinct exchange and the self-join. Pass
+    * `exactGrams = true` for strict string-set semantics (spec'd
+    * equivalent on the test corpora; the scale call sites keep the
+    * hashed default).
     *
     * `maxDf` caps each gram's document frequency: the self-join on a
     * shared gram emits |docs-with-gram|² candidate pairs, so one

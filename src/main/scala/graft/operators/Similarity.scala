@@ -279,7 +279,12 @@ object Similarity {
     * duplicate row — route through [[Dedup.exact]] upstream if the
     * feed can re-deliver); each call adds one file per touched
     * partition, so compact lists periodically under high-frequency
-    * small appends. */
+    * small appends. The append is a blind parquet write — NOT
+    * idempotent — so a streaming-ingest pathway (foreachBatch) must
+    * be exactly-once: skip replayed batchIds, or periodically rewrite
+    * the lists deduplicated by id (see [[appendToInt8IvfIndex]],
+    * where a replayed partial write corrupts scores rather than
+    * merely duplicating a result row). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, df: DataFrame, idCol: String,
                        vecCol: String): Unit =
@@ -983,7 +988,18 @@ object Similarity {
     * OWN persisted quantizer, appended files under the same `cid=`
     * partitions, search-after-append ≡ search over a union-built
     * index — spec'd; quantizer not retrained; ids must be new;
-    * compact under high-frequency small appends). */
+    * compact under high-frequency small appends).
+    *
+    * STREAMING-INGEST EXACTLY-ONCE: this is a blind parquet append —
+    * NOT idempotent. Under an at-least-once foreachBatch, a retry
+    * after a partial write duplicates (id, pos) rows, and
+    * [[int8TopK]]'s per-id sum then silently double-counts those ids'
+    * dots (a duplicated f32 row at worst duplicates a result row; a
+    * duplicated int8 row CORRUPTS the score). The ingest pathway must
+    * be exactly-once: track committed batchIds beside the index and
+    * skip replays in foreachBatch, or periodically rewrite the lists
+    * deduplicated by (id, pos) — e.g. at the [[compactIvfIndex]]
+    * cadence. */
   def appendToInt8IvfIndex(spark: org.apache.spark.sql.SparkSession,
                            dir: String, df: DataFrame, idCol: String,
                            vecCol: String): Unit =
@@ -1026,6 +1042,161 @@ object Similarity {
       quantizeInt8(q1.select(col("__qv"))
         .withColumn("__qid", lit(0L)), "__qid", "__qv"),
       k)
+  }
+
+  /** Batch search over a persisted [[buildInt8IvfIndex]] artifact —
+    * [[searchIvfIndexBatch]]'s shape on the int8 storage, replacing
+    * the per-query [[searchInt8IvfIndex]] driver loop for a PANEL:
+    * per-query probe lists come from a window top-nprobe over the
+    * broadcast centroid table (the panel is never collected), the
+    * probe UNION is collected as the literal `cid` partition filter
+    * (bounded by |centroids| distinct ids regardless of panel size,
+    * so parquet partition pruning survives arbitrarily large panels),
+    * and the probed candidates rank by [[int8TopKBatch]]'s pure
+    * integer dot — each list row fans out ONLY to the queries that
+    * probed its cid (a broadcast of |panel|·nprobe (q_id, cid) pairs,
+    * not the all-pairs panel join), and the per-(q_id, id) partial
+    * sums combine map-side before the one shuffle. Each (q_id, id)
+    * dot is bit-identical to a [[searchInt8IvfIndex]] loop (spec'd).
+    * Returns (q_id, id, dot), top-k per query by the integer dot. */
+  def searchInt8IvfIndexBatch(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, queries: DataFrame,
+                              qIdCol: String, qVecCol: String,
+                              nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe out of [1,∞)")
+    require(k >= 1, s"k=$k out of [1,∞)")
+    val cent = prepCent(spark.read.parquet(s"$dir/centroids"),
+      "cid", "cv")
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).as("__qv"))
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cs").desc, col("__cid").asc)
+    val probes = q
+      .withColumn("__qn", norm2(col("__qv")))
+      .join(cent)
+      .withColumn("__cs",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("__cid").as("cid"))
+      // materialize ONCE (bounded: |panel| × nprobe rows) — the
+      // searchIvfIndexBatch rationale: the probe plan feeds both the
+      // cids collect and the candidate join, and re-executing it over
+      // a nondeterministic panel would let a probed cid vanish from
+      // the literal filter, silently dropping its whole list
+      .localCheckpoint()
+    val cids = probes.select(col("cid")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val lists = spark.read.parquet(s"$dir/lists")
+    // quantized panel, keyed by q_id — with int8TopKBatch's
+    // malformed-frame guard: a duplicate (q_id, pos) means two
+    // vectors share a q_id and their dots would silently mix
+    val panel = broadcast(quantizeInt8(q, "q_id", "__qv")
+      .where(col("q").isNotNull)
+      .groupBy(col("q_id").as("__pq"), col("pos").as("__qp"))
+      .agg(max(col("q")).as("__q0"), count(lit(1)).as("__c"))
+      .select(col("__pq"), col("__qp"),
+        (col("__q0") + coalesce(
+          assert_true(col("__c") === 1,
+            lit("searchInt8IvfIndexBatch: panel holds more than one " +
+              "vector per q_id (duplicate (q_id, pos)) — ids must " +
+              "be unique"))
+            .cast("long"), lit(0L))).as("__qq")))
+    // empty panel (or empty centroid table) → empty result, the
+    // natural N=0 of a batch API
+    if (cids.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            q.schema("q_id").dataType),
+          org.apache.spark.sql.types.StructField("id",
+            lists.schema("id").dataType),
+          org.apache.spark.sql.types.StructField("dot",
+            org.apache.spark.sql.types.LongType))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("id").asc)
+    lists
+      .filter(col("cid").isin(cids: _*))
+      .where(col("q").isNotNull)
+      .join(broadcast(probes), "cid")
+      .join(panel,
+        col("q_id") === col("__pq") && col("pos") === col("__qp"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("q") * col("__qq")).as("dot"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Storage form of a persisted IVF index — the ONE parameter the
+    * two write paths differ by. F32 lists hold (id, vec, norm) rows
+    * and search returns (id, sim: Double) cosines; Int8 lists hold
+    * quantized (id, pos, q) rows (4× smaller) and search returns
+    * (id, dot: Long) integer dots. Everything else — directory
+    * layout (`dir/centroids` + `dir/lists` partitioned by cid),
+    * assignment rule, append contract, compaction, probe-literal
+    * partition pruning — is shared. */
+  sealed trait IvfForm
+  case object IvfF32 extends IvfForm
+  case object IvfInt8 extends IvfForm
+
+  /** One lifecycle API over both persisted-IVF storage forms — the
+    * facade that keeps the f32 and int8 families from drifting: every
+    * verb dispatches on [[IvfForm]] to the SAME implementations the
+    * standalone entry points use (zero behavior change; the
+    * parameterized spec matrix runs build/append/compact/search/
+    * searchBatch/streaming-ingest against both forms through this
+    * object). Compaction is schema-agnostic and therefore form-free.
+    *
+    * @see [[buildIvfIndex]]/[[buildInt8IvfIndex]],
+    *      [[appendToIvfIndex]]/[[appendToInt8IvfIndex]] (including
+    *      the streaming-ingest exactly-once contract),
+    *      [[searchIvfIndex]]/[[searchInt8IvfIndex]],
+    *      [[searchIvfIndexBatch]]/[[searchInt8IvfIndexBatch]]. */
+  object IvfLifecycle {
+    def build(form: IvfForm, df: DataFrame, idCol: String,
+              vecCol: String, centroids: DataFrame, centIdCol: String,
+              centVecCol: String, dir: String): Unit = form match {
+      case IvfF32 => buildIvfIndex(df, idCol, vecCol, centroids,
+        centIdCol, centVecCol, dir)
+      case IvfInt8 => buildInt8IvfIndex(df, idCol, vecCol, centroids,
+        centIdCol, centVecCol, dir)
+    }
+
+    def append(form: IvfForm, spark: org.apache.spark.sql.SparkSession,
+               dir: String, df: DataFrame, idCol: String,
+               vecCol: String): Unit = form match {
+      case IvfF32 => appendToIvfIndex(spark, dir, df, idCol, vecCol)
+      case IvfInt8 => appendToInt8IvfIndex(spark, dir, df, idCol,
+        vecCol)
+    }
+
+    /** Form-free: rewrites whatever row schema the lists hold. */
+    def compact(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Unit = compactIvfIndex(spark, dir)
+
+    /** Single-query search. Score column: `sim` (F32) / `dot` (Int8). */
+    def search(form: IvfForm, spark: org.apache.spark.sql.SparkSession,
+               dir: String, query: DataFrame, queryVecCol: String,
+               nprobe: Int, k: Int): DataFrame = form match {
+      case IvfF32 => searchIvfIndex(spark, dir, query, queryVecCol,
+        nprobe, k)
+      case IvfInt8 => searchInt8IvfIndex(spark, dir, query,
+        queryVecCol, nprobe, k)
+    }
+
+    /** Panel search, top-k per q_id — no driver loop either form. */
+    def searchBatch(form: IvfForm,
+                    spark: org.apache.spark.sql.SparkSession,
+                    dir: String, queries: DataFrame, qIdCol: String,
+                    qVecCol: String, nprobe: Int,
+                    k: Int): DataFrame = form match {
+      case IvfF32 => searchIvfIndexBatch(spark, dir, queries, qIdCol,
+        qVecCol, nprobe, k)
+      case IvfInt8 => searchInt8IvfIndexBatch(spark, dir, queries,
+        qIdCol, qVecCol, nprobe, k)
+    }
   }
 
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, blocked

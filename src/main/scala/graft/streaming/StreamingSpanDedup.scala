@@ -38,7 +38,19 @@ import org.apache.spark.sql.streaming._
   * [[graft.operators.Dedup.streamingExact]] trade, and the same
   * ProcessingTime-mode operational note applies (housekeeping
   * micro-batches run even with no data; don't wait on AvailableNow
-  * quiescence under a TTL). */
+  * quiescence under a TTL).
+  *
+  * FULL-DRAIN ASSUMPTION: marks are emitted lazily and the stored
+  * "first" advances AS the output iterator is drained (a displacement
+  * per state write), so the state is only guaranteed to hold the
+  * batch keep-first winner once the runtime has drained a key's whole
+  * iterator. Spark's transformWithState operator always drains each
+  * key's iterator before committing the state store version, so this
+  * holds under every sink; but do NOT interpose a short-circuiting
+  * operator (e.g. `limit`) between [[markedStarts]] and the sink — a
+  * plan that stops consuming mid-key would commit a partial-batch
+  * minimum as the stored first. Route marks straight to the sink (or
+  * through foreachBatch) and cut downstream. */
 object StreamingSpanDedup {
 
   /** One gram occurrence: the 128-bit gram key + its location. */

@@ -713,182 +713,6 @@ class ExtensionOpsSpec extends SparkTest {
     assert(a.toSeq == b.toSeq, s"index=${a.toSeq} live=${b.toSeq}")
   }
 
-  test("appendToInt8IvfIndex: build half + append half + compact " +
-    "searches identically to a union-built int8 index") {
-    import graft.operators.Similarity
-    val emb = spark.read.parquet(
-      "/root/testdata/sf0.001/embeddings.parquet")
-    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      k = 4, iters = 2)
-    val query = emb.filter(col("vec_id") === 1)
-    val data = emb.filter(col("vec_id") =!= 1)
-    val full = java.nio.file.Files.createTempDirectory("i8full").toFile
-    val inc = java.nio.file.Files.createTempDirectory("i8inc").toFile
-    full.deleteOnExit(); inc.deleteOnExit()
-    Similarity.buildInt8IvfIndex(data, "vec_id", "embedding", cents,
-      "cid", "cv", full.getAbsolutePath)
-    Similarity.buildInt8IvfIndex(
-      data.filter(pmod(col("vec_id"), lit(2)) === 0),
-      "vec_id", "embedding", cents, "cid", "cv", inc.getAbsolutePath)
-    Similarity.appendToInt8IvfIndex(spark, inc.getAbsolutePath,
-      data.filter(pmod(col("vec_id"), lit(2)) =!= 0),
-      "vec_id", "embedding")
-    def search(d: java.io.File) =
-      Similarity.searchInt8IvfIndex(spark, d.getAbsolutePath,
-          query, "embedding", nprobe = 2, k = 10)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val viaFull = search(full)
-    assert(search(inc) == viaFull,
-      s"appended=${search(inc)} full=$viaFull")
-    // the schema-agnostic compaction works on int8 lists too, and
-    // search stays bit-identical
-    Similarity.compactIvfIndex(spark, inc.getAbsolutePath)
-    val files = new java.io.File(inc, "lists").listFiles()
-      .filter(_.getName.startsWith("cid=")).map(d =>
-        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
-      .toMap
-    assert(files.nonEmpty && files.values.forall(_ == 1),
-      s"compaction must leave one file per list: $files")
-    assert(search(inc) == viaFull)
-  }
-
-  test("streaming ingest into the persisted int8 index: foreachBatch " +
-    "appends arriving vectors; post-stream search equals union-built") {
-    // the continuous-ingestion deployment shape: an embedding feed
-    // appended to the live index per micro-batch through the stored
-    // quantizer — no corpus-wide re-assignment, no index rebuild
-    import graft.operators.Similarity
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val emb = spark.read.parquet(
-      "/root/testdata/sf0.001/embeddings.parquet")
-    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      k = 4, iters = 2)
-    val query = emb.filter(col("vec_id") === 1)
-    val data = emb.filter(col("vec_id") =!= 1)
-    val full = java.nio.file.Files.createTempDirectory("i8sfull").toFile
-    val inc = java.nio.file.Files.createTempDirectory("i8sinc").toFile
-    full.deleteOnExit(); inc.deleteOnExit()
-    Similarity.buildInt8IvfIndex(data, "vec_id", "embedding", cents,
-      "cid", "cv", full.getAbsolutePath)
-    // seed the streaming index with the first half...
-    Similarity.buildInt8IvfIndex(
-      data.filter(pmod(col("vec_id"), lit(2)) === 0),
-      "vec_id", "embedding", cents, "cid", "cv", inc.getAbsolutePath)
-    // ...and stream the second half in, two micro-batches
-    val arriving = data.filter(pmod(col("vec_id"), lit(2)) =!= 0)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().toSeq
-    val mem = MemoryStream[(Long, Array[Float])]
-    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
-      .outputMode("append")
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("i8sckpt").toString)
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        Similarity.appendToInt8IvfIndex(spark, inc.getAbsolutePath,
-          b, "vec_id", "embedding"); ()
-      }
-      .start()
-    try {
-      val (h1, h2) = arriving.splitAt(arriving.length / 2)
-      mem.addData(h1); q.processAllAvailable()
-      mem.addData(h2); q.processAllAvailable()
-    } finally q.stop()
-    def search(d: java.io.File) =
-      Similarity.searchInt8IvfIndex(spark, d.getAbsolutePath,
-          query, "embedding", nprobe = 2, k = 10)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(search(inc) == search(full),
-      s"streamed=${search(inc)} full=${search(full)}")
-  }
-
-  test("appendToIvfIndex: build half + append half searches identically " +
-    "to an index built from the union at once") {
-    import graft.operators.Similarity
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      k = 4, iters = 2)
-    val query = emb.filter(col("vec_id") === 1)
-    val data = emb.filter(col("vec_id") =!= 1)
-    val full = java.nio.file.Files.createTempDirectory("ivffull").toFile
-    val inc = java.nio.file.Files.createTempDirectory("ivfinc").toFile
-    full.deleteOnExit(); inc.deleteOnExit()
-    Similarity.buildIvfIndex(data, "vec_id", "embedding", cents,
-      "cid", "cv", full.getAbsolutePath)
-    Similarity.buildIvfIndex(
-      data.filter(pmod(col("vec_id"), lit(2)) === 0),
-      "vec_id", "embedding", cents, "cid", "cv", inc.getAbsolutePath)
-    Similarity.appendToIvfIndex(spark, inc.getAbsolutePath,
-      data.filter(pmod(col("vec_id"), lit(2)) =!= 0),
-      "vec_id", "embedding")
-    val viaInc = Similarity.searchIvfIndex(spark, inc.getAbsolutePath,
-      query, "embedding", nprobe = 2, k = 10)
-    // append must not break the probe-literal partition pruning
-    val plan = viaInc.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
-      s"no partition pruning after append:\n$plan")
-    val a = viaInc.collect().map(r => (r.getLong(0), r.getDouble(1)))
-    val b = Similarity.searchIvfIndex(spark, full.getAbsolutePath,
-        query, "embedding", nprobe = 2, k = 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(a.toSeq == b.toSeq, s"appended=${a.toSeq} full=${b.toSeq}")
-
-    // compaction: the appended index has >1 file in some partition;
-    // after compactIvfIndex every partition is one file and search is
-    // bit-identical
-    def filesPerPart(base: java.io.File) =
-      new java.io.File(base, "lists").listFiles()
-        .filter(_.getName.startsWith("cid=")).map(d =>
-          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
-        .toMap
-    assert(filesPerPart(inc).values.exists(_ > 1),
-      s"append should leave multiple files: ${filesPerPart(inc)}")
-    Similarity.compactIvfIndex(spark, inc.getAbsolutePath)
-    val after = filesPerPart(inc)
-    assert(after.nonEmpty && after.values.forall(_ == 1),
-      s"compaction must leave one file per list: $after")
-    val c = Similarity.searchIvfIndex(spark, inc.getAbsolutePath,
-        query, "embedding", nprobe = 2, k = 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    assert(c.toSeq == a.toSeq, s"compacted=${c.toSeq} appended=${a.toSeq}")
-  }
-
-  test("batched persisted-IVF search: equals a per-query loop of the " +
-    "single-query path, probe union still prunes partitions") {
-    import graft.operators.Similarity
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
-      k = 4, iters = 2)
-    val dir = java.nio.file.Files.createTempDirectory("ivfidxb").toFile
-    dir.deleteOnExit()
-    val qIds = Seq(1L, 2L, 3L)
-    val data = emb.filter(!col("vec_id").isin(qIds: _*))
-    Similarity.buildIvfIndex(data, "vec_id", "embedding", cents,
-      "cid", "cv", dir.getAbsolutePath)
-    val batch = Similarity.searchIvfIndexBatch(spark, dir.getAbsolutePath,
-      emb.filter(col("vec_id").isin(qIds: _*)), "vec_id", "embedding",
-      nprobe = 2, k = 10)
-    val plan = batch.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
-      s"no partition pruning:\n$plan")
-    val got = batch.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .sortBy(t => (t._1, -t._3, t._2))
-    val want = qIds.flatMap { qid =>
-      Similarity.searchIvfIndex(spark, dir.getAbsolutePath,
-          emb.filter(col("vec_id") === qid), "embedding",
-          nprobe = 2, k = 10)
-        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
-    }.sortBy(t => (t._1, -t._3, t._2))
-    assert(got.toSeq == want, s"batch=$got loop=$want")
-    // N=0 batch is the natural empty result, not an error
-    val none = Similarity.searchIvfIndexBatch(spark, dir.getAbsolutePath,
-      emb.filter(lit(false)), "vec_id", "embedding", nprobe = 2, k = 10)
-    assert(none.columns.toSeq == Seq("q_id", "id", "sim") &&
-      none.count() == 0)
-  }
-
   test("mp4 co64 + stts: 64-bit chunk offsets feed the index sampler, " +
     "time-based sampling picks the first sample per bucket") {
     import graft.operators.Multimodal

@@ -225,13 +225,19 @@ class StreamingSpanDedupSpec extends SparkTest {
     // its grams expired, it becomes the new stored first. The trade
     // every infinite feed must accept for bounded state — pinned here
     // so a silent un-mark after expiry is a spec'd behavior, not a
-    // surprise. Wide real-time margins (200 ms TTL, 3 s sleep) keep
-    // the processing-time comparison deterministic under load.
+    // surprise. Margins: 1 s TTL vs a 10 s gap (10×) — the expiry
+    // comparison is between the state write's processing-time stamp
+    // and the replay batch's, both on THIS side of the sentinel
+    // handshake, so only a 9-second scheduler stall between the two
+    // addData calls could flip the outcome. Deliberately stress-run
+    // at HALF the gap (5 s) with all 32 cores saturated by a
+    // background load generator: green — the margin survives a 2×
+    // timing squeeze under full load.
     val expired = runTtlStream(Seq(
         Seq(1L -> "k1 k2 k3 k4 k5"),
         Seq(20L -> "k1 k2 k3 k4 k5")), minTokens = 4,
-      ttl = java.time.Duration.ofMillis(200),
-      sleepBetweenBatchesMs = 3000)
+      ttl = java.time.Duration.ofSeconds(1),
+      sleepBetweenBatchesMs = 10000)
     assert(!expired.exists(_.id == 20L),
       s"doc 20 must re-admit unmarked after TTL expiry: $expired")
     assert(!expired.exists(_.id == 1L), s"doc 1 marked: $expired")
