@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{ConnectedComponents, Curation, Dedup, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-bound slope for the q131 media pipeline (aHash fingerprint →
+  * capped banded Hamming pairs → CC resolve → deterministic reshard),
+  * which the oracled query runs over a FIXED 18-image harness corpus.
+  * Here the corpus replicates: each replica r re-derives the 9 source
+  * images from a replica-distinct generator seed (encodeTestImage is
+  * analytic in its seed) and plants the same exact re-ingest duplicate
+  * under id+100 — so every replica contributes the identical planted
+  * dup structure while its PIXELS (hence aHashes) differ, and the
+  * pipeline's per-stage cost can be read against corpus size.
+  *
+  * What the sweep is expected to show (recorded in SCALE.md):
+  *  - decode+hash is embarrassingly linear (per-image ImageIO work);
+  *  - the banded join is linear only while band buckets stay sparse.
+  *   64-bit signatures cut into maxDist+1 = 7 bands leave ~9 bits per
+  *   band value; pseudo-random hashes therefore SATURATE the ~512-value
+  *   band space at a few thousand images (mean bucket > 1), after
+  *   which uncapped pair candidates grow quadratically and the cap=8
+  *   guard starts excluding buckets wholesale. maxDist=3 (4 bands,
+  *   16 bits each, 65,536 values) pushes saturation out by two orders
+  *   of magnitude — the knob a 100 TB deployment turns (tighter
+  *   distance budget per banding level, or hierarchical prefilter),
+  *   measured here as the control.
+  *
+  * args: replica counts (default: 10 100 1000; 18 images each). env
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_RUNS as the other bench mains. */
+object MediaScaleBench {
+
+  private val srcs = Seq(4L, 10L, 16L, 22L, 34L, 40L, 46L, 52L, 58L)
+
+  /** R replicas of the q131-shaped corpus (replica 0 IS q131's, id
+    * space r*1000+{i, i+100}). Payload generation (not a pipeline
+    * stage) is excluded from timing via localCheckpoint. */
+  def corpus(s: SparkSession, replicas: Long): DataFrame = {
+    import s.implicits._
+    s.range(0L, replicas).as[Long]
+      .flatMap { r =>
+        srcs.flatMap { i =>
+          val p = Multimodal.encodeTestImage(i + 61L * r)
+          Seq((r * 1000L + i, p), (r * 1000L + i + 100L, p))
+        }
+      }
+      .toDF("img_id", "payload")
+      .repartition(32)
+      .localCheckpoint()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales =
+      if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(10L, 100L, 1000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.get("SPARK_GRAFT_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def median(xs: Seq[Double]): Double =
+      math.rint(xs.sorted.apply(xs.length / 2) * 1000) / 1000
+
+    val rows = scales.map { r =>
+      val imgs = corpus(spark, r)
+      val n = imgs.count()
+
+      // stage 1: decode + aHash (the per-image data-bound term)
+      val hashSec = median((0 to runs).map(_ =>
+        timed(Multimodal.withAHash(imgs, "payload")
+          .select(col("img_id"), col("ahash")).count())._1).tail)
+
+      // band-bucket saturation diagnostic: how many (band, value)
+      // buckets exceed the q131 cap (those pair only via cold bands)
+      val sig = Multimodal.withAHash(imgs, "payload")
+        .select(col("img_id"), col("ahash"))
+        .where(col("ahash").isNotNull).localCheckpoint()
+      def hotBuckets(maxDist: Int, cap: Long): Long =
+        sig.select(posexplode(array(
+            Dedup.bandColumns(col("ahash"), 64, maxDist): _*))
+          .as(Seq("band", "bv")))
+          .groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("n")).where(col("n") > cap).count()
+
+      // stage 2 + full pipeline: the all-pairs join (q123's contract)
+      // vs the connectivity-equivalent edge set (q131's wiring since
+      // hammingEdges landed), each at the q131 cap; plus the
+      // maxDist=3 control (wider bands, later saturation)
+      def sweep(maxDist: Int, edgesOp: Boolean)
+          : (Double, Long, Double, Long) = {
+        def pairs =
+          if (edgesOp) Dedup.hammingEdges(
+            Multimodal.withAHash(imgs, "payload"), "img_id", "ahash",
+            bits = 64, maxDist = maxDist, maxBucket = Some(8L))
+          else Dedup.hammingPairs(
+            Multimodal.withAHash(imgs, "payload"), "img_id", "ahash",
+            bits = 64, maxDist = maxDist, maxBucket = Some(8L))
+        val pr = (0 to runs).map(_ => timed(pairs.count())).tail
+        val (fullSecs, survivors) = (0 to runs).map { _ =>
+          timed {
+            val surv = ConnectedComponents.resolve(
+              imgs, "img_id", pairs, "a", "b")
+            Curation.shuffleShards(surv.select(col("img_id")),
+              "img_id", seed = 7L, shards = 4).count()
+          }
+        }.tail.unzip
+        (median(pr.map(_._1)), pr.head._2, median(fullSecs),
+          survivors.head)
+      }
+      def block(tag: String, maxDist: Int, edgesOp: Boolean): String = {
+        val (p, np, f, s) = sweep(maxDist, edgesOp)
+        s""""$tag":{"pairs_sec":$p,"pairs":$np,"full_sec":$f,""" +
+          s""""survivors":$s,"hot_buckets":${hotBuckets(maxDist, 8L)}}"""
+      }
+      s"""{"replicas":$r,"images":$n,"hash_sec":$hashSec,""" +
+        Seq(block("d6_pairs", 6, edgesOp = false),
+          block("d6_edges", 6, edgesOp = true),
+          block("d3_pairs", 3, edgesOp = false)).mkString(",") + "}"
+    }
+    println(s"""{"mode":"media_scale","runs":$runs,"rows":[""" +
+      rows.mkString(",") + "]}")
+    spark.stop()
+  }
+}

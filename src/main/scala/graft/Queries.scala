@@ -5206,23 +5206,28 @@ object Queries {
     Some(int8IvfOracle))
 
   /** q131: the COMPOSED multimodal curation pipeline — q121's analog
-    * for media: aHash fingerprint → banded Hamming pairs (with the
-    * q123 skew cap) → star-contraction connected components → keep
-    * smallest id per duplicate cluster → deterministic reshard. One
-    * DataFrame chain, every stage the same operator its standalone
-    * query oracles, and the DuckDB oracle replays the WHOLE chain
-    * (pixel-formula hashes → brute-force distances → recursive-CTE
-    * closure → md5 shard assignment) bit-for-bit.
+    * for media: aHash fingerprint → connectivity-equivalent Hamming
+    * EDGE set (exact-sig star contraction + banded rep pairs with the
+    * q123 skew cap — [[graft.operators.Dedup.hammingEdges]], the
+    * corpus-scale form: exact re-ingest duplicates connect by one
+    * hash aggregation, never band luck) → star-contraction connected
+    * components → keep smallest id per duplicate cluster →
+    * deterministic reshard. One DataFrame chain; the DuckDB oracle
+    * replays the ALL-PAIRS chain (pixel-formula hashes → brute-force
+    * distances → recursive-CTE closure → md5 shard assignment) — the
+    * edge set's components are proven equal to all-pairs' (SkewSpec
+    * differential + this oracle staying bit-identical across the
+    * switch), so the result is unchanged.
     *
     * Exchange note (formatted plan, measured): the FINAL assembled
     * plan pays 4 exchanges (1 broadcast for the survivors' anti-join
     * side + 3 shuffles, reshard's shard exchange and per-shard sort
-    * among them). Everything upstream sits behind the chain's two
-    * existing materialization points — hammingPairs' capped path
-    * materializes the narrow (id, sig) projection (the aHash decode
-    * runs ONCE, never re-derived for histogram/join sides) and the
-    * CC loop localCheckpoints per iteration (q45's design) — so no
-    * stage re-derives an upstream lineage; the property q121 needed
+    * among them). Everything upstream sits behind the chain's
+    * materialization points — hammingEdges materializes the narrow
+    * (id, sig) projection and the rep table (the aHash decode runs
+    * ONCE, never re-derived for histogram/join sides) and the CC loop
+    * localCheckpoints per iteration (q45's design) — so no stage
+    * re-derives an upstream lineage; the property q121 needed
     * explicit stage checkpoints for comes free here. */
   private val q131 = Q(
     "q131_media_pipeline",
@@ -5230,7 +5235,7 @@ object Queries {
       import graft.operators.{ConnectedComponents, Curation, Dedup,
         Multimodal}
       val imgs = imageDedupCorpus(s)
-      val pairs = Dedup.hammingPairs(
+      val pairs = Dedup.hammingEdges(
         Multimodal.withAHash(imgs, "payload"), "img_id", "ahash",
         bits = 64, maxDist = 6, maxBucket = mediaMaxBucket)
       val survivors = ConnectedComponents.resolve(
@@ -5489,6 +5494,47 @@ object Queries {
     },
     Some(int8IvfBatchOracle))
 
+  /** q136: the connectivity-equivalent Hamming EDGE set
+    * ([[graft.operators.Dedup.hammingEdges]]) over the media corpus —
+    * the corpus-scale replacement for the all-pairs join when the
+    * consumer is a CC resolve (q131 now runs through it). The oracle
+    * states the operator's exact contract from brute-force distances:
+    * identical-signature groups (dist-0 closures) contribute one star
+    * edge per non-min member, and the group representatives
+    * contribute their ≤ maxDist pairs — so exact-dup recall is
+    * provably structural (a hash aggregation), not band luck, and the
+    * banded join runs over |distinct signatures| rows. The q131 cap
+    * (maxBucket=8) is active and provably non-binding here (SkewSpec
+    * pins the corpus' hottest band bucket under it). */
+  private val q136 = Q(
+    "q136_media_hamming_edges",
+    (s, dir) => {
+      import graft.operators.{Dedup, Multimodal}
+      Dedup.hammingEdges(
+          Multimodal.withAHash(imageDedupCorpus(s), "payload"),
+          "img_id", "ahash", bits = 64, maxDist = 6,
+          maxBucket = mediaMaxBucket)
+        .orderBy(col("a").asc, col("b").asc)
+    },
+    Some(s"""WITH RECURSIVE $imageHashCtes,
+      sym AS (SELECT a AS x, b AS y, dist FROM dists
+        UNION ALL SELECT b AS x, a AS y, dist FROM dists),
+      rep AS (SELECT i.img_id AS x,
+          LEAST(i.img_id, COALESCE(MIN(CASE WHEN s.dist = 0
+            THEN s.y END), i.img_id)) AS r
+        FROM imgs i LEFT JOIN sym s ON s.x = i.img_id
+        GROUP BY i.img_id),
+      stars AS (SELECT r AS a, x AS b, CAST(0 AS BIGINT) AS dist
+        FROM rep WHERE x <> r),
+      reps AS (SELECT x FROM rep WHERE x = r),
+      repe AS (SELECT d.a, d.b, d.dist FROM dists d
+        JOIN reps ra ON d.a = ra.x
+        JOIN reps rb ON d.b = rb.x
+        WHERE d.dist BETWEEN 1 AND 6)
+      SELECT a, b, dist FROM
+        (SELECT * FROM stars UNION ALL SELECT * FROM repe)
+      ORDER BY a ASC, b ASC"""))
+
   /** The q135 oracle: int8IvfOracle's chain with q133's panel shape —
     * per-query probes instead of one probe list, per-query top-k. */
   private lazy val int8IvfBatchOracle: String = {
@@ -5553,7 +5599,7 @@ object Queries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135)
+    q133, q134, q135, q136)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

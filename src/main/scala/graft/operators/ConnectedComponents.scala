@@ -24,6 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Lineage-truncating barrier for the iteration: localCheckpoint,
+    * then rebuild the frame from the checkpointed RDD so the logical
+    * plan is a bare scan. The rebuild matters: LogicalRDD CARRIES the
+    * original plan's constraints, and a constraint referencing a
+    * pre-alias attribute trips Spark's Union constraint-rewrite
+    * (`UnionBase.rewriteConstraints` → "key not found: dst#N") when
+    * the star steps re-union the checkpointed edges — observed with
+    * union-shaped edge inputs (hammingEdges). A bare-scan plan
+    * carries no constraints, so the loop is immune to whatever plan
+    * produced its input. Identity on data; same eager materialization
+    * localCheckpoint always had. */
+  private def ckptBarrier(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
   /** Star step shared shape: emit (v, m(u)) for the chosen neighbor set.
     * largeStar: over the SYMMETRIZED edges, m(u) = min(Γ(u) ∪ {u}),
     * emitted for strictly larger neighbors v > u — hangs every node's
@@ -71,18 +87,17 @@ object ConnectedComponents {
     * the O(log n) claim is measurable (ScaleDemo `cc` mode). */
   def runWithStats(edges: DataFrame, aCol: String, bCol: String,
                    maxIter: Int = 30): (DataFrame, Int) = {
-    var e = edges
+    var e = ckptBarrier(edges
       .select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var stable = false
     var it = 0
     var prevCount = e.count()
     while (!stable && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = ckptBarrier(smallStar(largeStar(e)))
       val nextCount = next.count()
       // both sides are distinct sets: equal count + empty one-sided
       // difference ⇒ set equality ⇒ fixed point reached

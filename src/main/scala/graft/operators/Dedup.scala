@@ -383,6 +383,65 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Connectivity-equivalent Hamming edge set for DEDUP pipelines —
+    * the scale form of [[hammingPairs]] when the consumer is a
+    * connected-components resolve (q131's shape) rather than the
+    * all-pairs list: identical-signature groups are star-contracted
+    * FIRST (min-id representative, one dist-0 edge per other member),
+    * and only the DISTINCT signatures enter the banded join. The
+    * returned edges' connected components are exactly
+    * [[hammingPairs]]' components (spec'd differentially): a pair
+    * with equal signatures shares a star; a pair with different
+    * signatures has representatives at the same distance, so the
+    * banded rep edge plus two star edges connects it — and every
+    * emitted edge is itself a valid ≤ maxDist pair, so no component
+    * over-merges.
+    *
+    * Why this is the 100 TB form:
+    *  - exact re-ingest duplicates (the bulk of crawl dup mass) are
+    *    found by ONE hash aggregation, never banding — their recall
+    *    is guaranteed, independent of band-bucket luck;
+    *  - a degenerate blob (millions of identical blank-media
+    *    signatures) contracts to a single representative: the skew
+    *    [[hammingPairs]] needs `maxBucket` to survive costs one
+    *    groupBy here, and the blob stays in ONE component instead of
+    *    losing its pairs to the cap;
+    *  - band saturation arrives |distinct sigs| / |corpus| later, and
+    *    `maxBucket` (still available for the rep join) caps buckets
+    *    of REPRESENTATIVES, so a hot bucket drops only near-dup rep
+    *    edges, never exact-dup membership.
+    * Output: (a, b, dist), a < b; star edges carry dist 0. NOT the
+    * all-pairs list — use [[hammingPairs]] when the pair set itself
+    * is the product. */
+  def hammingEdges(sig: DataFrame, idCol: String, sigCol: String,
+                   bits: Int, maxDist: Int,
+                   maxBucket: Option[Long] = None,
+                   materializeSlim: Boolean = true): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits=$bits out of [1,64]")
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist=$maxDist out of [0,$bits)")
+    val slim0 = sig.select(col(idCol), col(sigCol))
+      .where(col(sigCol).isNotNull)
+    // the narrow projection feeds the rep aggregation AND the star
+    // join; the rep table feeds the star join AND the banded join —
+    // materialize both once (same contract and opt-out as
+    // hammingPairs' materializeSlim; reps is ≤ |distinct sigs| rows
+    // of 16 bytes)
+    val slim = if (materializeSlim) slim0.localCheckpoint() else slim0
+    val reps0 = slim.groupBy(col(sigCol).as("__sig"))
+      .agg(min(col(idCol)).as("__rep"))
+    val reps = if (materializeSlim) reps0.localCheckpoint() else reps0
+    val stars = slim.join(reps, col(sigCol) === col("__sig"))
+      .where(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("a"), col(idCol).as("b"),
+        lit(0L).as("dist"))
+    val repPairs = hammingPairs(
+      reps.select(col("__rep").as(idCol), col("__sig").as(sigCol)),
+      idCol, sigCol, bits, maxDist, maxBucket,
+      materializeSlim = false)
+    stars.unionByName(repPairs)
+  }
+
   /** n-gram Jaccard over distinct word n-grams, integer basis-point
     * result: 10000*|A∩B| / (|A|+|B|-|A∩B|). Pairwise within an (optional)
     * blocking column — at scale, feed LSH buckets as the block.

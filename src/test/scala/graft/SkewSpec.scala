@@ -77,4 +77,100 @@ class SkewSpec extends SparkTest {
     assert(capped == uncapped)
     assert(uncapped.nonEmpty)
   }
+
+  /** Union-find over collected edges — the spec-side component oracle
+    * for the hammingEdges ≡ hammingPairs connectivity contract. */
+  private def components(ids: Seq[Long],
+                         edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val p = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (p(x) == x) x else { val r = find(p(x)); p(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) p(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  test("hammingEdges: components equal hammingPairs' (and brute force) " +
+    "on a randomized corpus; every emitted edge is a valid pair") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(99L)
+    val bases = Seq.fill(6)(rnd.nextLong())
+    val rows = (1L to 60L).map { id =>
+      val b = bases(rnd.nextInt(bases.size))
+      // 0–4 random bit flips: plenty of exact-sig collisions (stars)
+      // AND near-dup chains crossing signature groups (rep edges)
+      id -> Seq.fill(rnd.nextInt(5))(rnd.nextInt(64))
+        .foldLeft(b)((s, k) => s ^ (1L << k))
+    }
+    val sigOf = rows.toMap
+    val df = flowDf(Seq("id", "sig"), rows.map { case (i, s) => Seq(i, s) })
+    val maxDist = 3
+    val edges = Dedup.hammingEdges(df, "id", "sig", 64, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // soundness: every edge is itself a ≤ maxDist pair, dist correct
+    edges.foreach { case (a, b, d) =>
+      val real = java.lang.Long.bitCount(sigOf(a) ^ sigOf(b)).toLong
+      assert(a < b && real == d && d <= maxDist,
+        s"invalid edge ($a,$b,$d), real dist $real")
+    }
+    // connectivity: components match the brute-force all-pairs truth
+    val ids = rows.map(_._1)
+    val brute = for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sigOf(a) ^ sigOf(b)) <= maxDist
+    } yield (a, b)
+    val viaEdges = components(ids, edges.map(e => (e._1, e._2)).toSeq)
+    assert(viaEdges == components(ids, brute),
+      "hammingEdges components drifted from brute-force all-pairs")
+    // and from hammingPairs' own output (the operator contract)
+    val pairs = Dedup.hammingPairs(df, "id", "sig", 64, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaEdges == components(ids, pairs))
+    // the edge set is the compact one: star edges collapse each
+    // exact-sig group to |group|-1 rows, never |group|²/2
+    val dupMass = rows.groupBy(_._2).values.map(g => g.size - 1).sum
+    val starEdges = edges.count(_._3 == 0L)
+    assert(starEdges == dupMass,
+      s"expected $dupMass dist-0 star edges, got $starEdges")
+  }
+
+  test("hammingEdges under a degenerate blob: star contraction keeps " +
+    "the blob ONE component at n-1 edges where the capped pair join " +
+    "drops it, and planted near-dups still pair") {
+    import graft.operators.Dedup
+    // 500 identical blank signatures + 10 planted distance-1 pairs on
+    // cold, well-separated bases
+    val blob = (1L to 500L).map(i => i -> 0L)
+    val planted = (0 until 10).flatMap { k =>
+      val base = scala.util.hashing.byteswap64(1000L + k) | (1L << 63)
+      Seq((1001L + 2 * k) -> base, (1002L + 2 * k) -> (base ^ 1L))
+    }
+    val rows = blob ++ planted
+    val df = flowDf(Seq("id", "sig"), rows.map { case (i, s) => Seq(i, s) })
+    val cap = Some(8L)
+    val edges = Dedup.hammingEdges(df, "id", "sig", 64, 3,
+        maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the blob: exactly 499 star edges from min-id 1, zero quadratic
+    // blow-up, membership NOT sacrificed to the cap
+    val blobEdges = edges.filter(_._2 <= 500L)
+    assert(blobEdges.length == 499 &&
+      blobEdges.forall(e => e._1 == 1L && e._3 == 0L),
+      s"blob must star-contract to 499 edges: ${blobEdges.length}")
+    // every planted pair survives (their rep buckets are cold)
+    val plantedPairs = edges.filter(_._1 > 1000L)
+      .map(e => (e._1, e._2)).toSet
+    assert(plantedPairs ==
+      (0 until 10).map(k => (1001L + 2 * k, 1002L + 2 * k)).toSet,
+      s"planted pairs lost: $plantedPairs")
+    // contrast — the motivating deficiency: the capped PAIR join must
+    // drop the blob's pairs entirely (its buckets are all hot)
+    val cappedPairs = Dedup.hammingPairs(df, "id", "sig", 64, 3,
+        maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!cappedPairs.exists(_._2 <= 500L),
+      "capped hammingPairs unexpectedly kept blob pairs")
+  }
 }
