@@ -124,10 +124,46 @@ object MediaScaleBench {
         s""""$tag":{"pairs_sec":$p,"pairs":$np,"full_sec":$f,""" +
           s""""survivors":$s,"hot_buckets":${hotBuckets(maxDist, 8L)}}"""
       }
+
+      // the WIDE (256-bit, 16×16) signature through hammingEdgesWide —
+      // the entropy fix for the saturation the 64-bit rows measure;
+      // ground truth: only planted exact dups should merge (replica
+      // pixels differ), so survivors near images − valid planted
+      // pairs is the precision reading
+      def wideBlock(maxDist: Int): String = {
+        def edges = Dedup.hammingEdgesWide(
+          Multimodal.withAHashWide(imgs, "payload"), "img_id",
+          "ahash_w", bits = 256, maxDist = maxDist,
+          maxBucket = Some(8L))
+        val pr = (0 to runs).map(_ => timed(edges.count())).tail
+        val (fullSecs, survivors) = (0 to runs).map { _ =>
+          timed {
+            val surv = ConnectedComponents.resolve(
+              imgs, "img_id", edges, "a", "b")
+            Curation.shuffleShards(surv.select(col("img_id")),
+              "img_id", seed = 7L, shards = 4).count()
+          }
+        }.tail.unzip
+        val sig = Multimodal.withAHashWide(imgs, "payload")
+          .select(col("img_id"), col("ahash_w"))
+          .where(col("ahash_w").isNotNull).localCheckpoint()
+        val hot = sig.select(posexplode(array(
+            Dedup.bandColumnsWide(col("ahash_w"), 256, maxDist): _*))
+          .as(Seq("band", "bv")))
+          .groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("n")).where(col("n") > 8L).count()
+        s""""d${maxDist}_wide_edges":{"pairs_sec":${median(pr.map(_._1))},""" +
+          s""""pairs":${pr.head._2},""" +
+          s""""full_sec":${median(fullSecs)},""" +
+          s""""survivors":${survivors.head},"hot_buckets":$hot}"""
+      }
+
       s"""{"replicas":$r,"images":$n,"hash_sec":$hashSec,""" +
-        Seq(block("d6_pairs", 6, edgesOp = false),
+        (Seq(block("d6_pairs", 6, edgesOp = false),
           block("d6_edges", 6, edgesOp = true),
-          block("d3_pairs", 3, edgesOp = false)).mkString(",") + "}"
+          block("d3_pairs", 3, edgesOp = false)) :+
+          wideBlock(6) :+ wideBlock(3))
+          .mkString(",") + "}"
     }
     println(s"""{"mode":"media_scale","runs":$runs,"rows":[""" +
       rows.mkString(",") + "]}")

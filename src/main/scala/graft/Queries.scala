@@ -5535,6 +5535,124 @@ object Queries {
         (SELECT * FROM stars UNION ALL SELECT * FROM repe)
       ORDER BY a ASC, b ASC"""))
 
+  /** q137: the WIDE (256-bit, 16×16-grid) perceptual aHash — the
+    * higher-entropy signature MediaScaleBench's saturation measurement
+    * calls for (SCALE.md r19: 64-bit aHash band values repeat across
+    * genuinely different structured images, so banding saturates at
+    * O(10³) images; 4× the bits give maxDist-6 bands ~37 bits wide).
+    * Same integer-exact arithmetic as q122's narrow hash (sum-luma
+    * box average, exact rational mean compare), emitted as 4 packed
+    * little-endian words and oracled as the 64-hex-char big-endian
+    * string — DuckDB replays every bit from the generator pixel
+    * formula, 16-bit row values aggregated in hex so no 1<<63 sign
+    * trap exists in either engine. */
+  private val q137 = Q(
+    "q137_image_ahash_wide",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val imgs = s.range(64)
+        .filter(col("id") % 6 === 4 && col("id") % 7 =!= 0)
+        .map(i => (i, Multimodal.encodeTestImage(i)))
+        .toDF("id", "payload")
+      Multimodal.withAHashWide(imgs, "payload")
+        .select(col("id"),
+          lower(concat((4 to 1 by -1).map(j =>
+            lpad(hex(element_at(col("ahash_w"), j)), 16, "0")): _*))
+            .as("ahash256_hex"))
+        .orderBy(col("id").asc)
+    },
+    Some("""WITH ids AS (
+        SELECT i, 8 + i % 9 AS w, 5 + (i * 3) % 11 AS h
+        FROM range(64) t(i) WHERE i % 6 = 4 AND i % 7 <> 0),
+      px AS (
+        SELECT i,
+          ((i * 2654435761 + xx.x * 31 + yy.y) % 16777216) AS pv,
+          (xx.x * 16) // w AS cu, (yy.y * 16) // h AS cv
+        FROM ids,
+          (SELECT unnest(generate_series(0, 16)) AS x) xx,
+          (SELECT unnest(generate_series(0, 15)) AS y) yy
+        WHERE xx.x < w AND yy.y < h),
+      lum AS (SELECT i, cu, cv,
+          SUM(((pv >> 16) & 255) + ((pv >> 8) & 255) + (pv & 255)) AS cs,
+          COUNT(*) AS cn
+        FROM px GROUP BY i, cu, cv),
+      tot AS (SELECT i, SUM(cs) AS ts, SUM(cn) AS tn
+        FROM lum GROUP BY i),
+      grid AS (SELECT gu, gv FROM
+        (SELECT unnest(generate_series(0, 15)) AS gu),
+        (SELECT unnest(generate_series(0, 15)) AS gv)),
+      cells AS (SELECT t.i, g.gu, g.gv,
+          COALESCE(l.cs, 0) AS cs, COALESCE(l.cn, 0) AS cn, t.ts, t.tn
+        FROM tot t CROSS JOIN grid g
+        LEFT JOIN lum l ON l.i = t.i AND l.cu = g.gu AND l.cv = g.gv),
+      rowvals AS (SELECT i, gv,
+          CAST(SUM(CASE WHEN cs * tn > ts * cn
+            THEN (1 << gu) ELSE 0 END) AS BIGINT) AS rv
+        FROM cells GROUP BY i, gv)
+      SELECT i AS id,
+        string_agg(printf('%04x', rv), '' ORDER BY gv DESC)
+          AS ahash256_hex
+      FROM rowvals GROUP BY i ORDER BY id ASC"""))
+
+  /** q138: banded Hamming pairs over the WIDE signature
+    * ([[graft.operators.Dedup.hammingPairsWide]]) on the media
+    * corpus — same pigeonhole contract as q123, bands spanning word
+    * boundaries (256 bits / 7 bands ≈ 37 bits each), distance =
+    * Σ popcount(xor) across the 4 words. The oracle brute-forces
+    * all pairs from the 16×16 pixel-formula hashes (row-wise 16-bit
+    * XOR popcounts summed — never assembles a signed 64-bit word). */
+  private val q138 = Q(
+    "q138_image_neardup_wide",
+    (s, dir) => {
+      import graft.operators.{Dedup, Multimodal}
+      Dedup.hammingPairsWide(
+          Multimodal.withAHashWide(imageDedupCorpus(s), "payload"),
+          "img_id", "ahash_w", bits = 256, maxDist = 6)
+        .orderBy(col("a").asc, col("b").asc)
+    },
+    Some(s"""WITH srcs AS (
+        SELECT i, 8 + i % 9 AS w, 5 + (i * 3) % 11 AS h
+        FROM (VALUES (4), (10), (16), (22), (34), (40), (46), (52),
+          (58)) t(i)),
+      px AS (
+        SELECT i,
+          ((i * 2654435761 + xx.x * 31 + yy.y) % 16777216) AS pv,
+          (xx.x * 16) // w AS cu, (yy.y * 16) // h AS cv
+        FROM srcs,
+          (SELECT unnest(generate_series(0, 16)) AS x) xx,
+          (SELECT unnest(generate_series(0, 15)) AS y) yy
+        WHERE xx.x < w AND yy.y < h),
+      lum AS (SELECT i, cu, cv,
+          SUM(((pv >> 16) & 255) + ((pv >> 8) & 255) + (pv & 255)) AS cs,
+          COUNT(*) AS cn
+        FROM px GROUP BY i, cu, cv),
+      tot AS (SELECT i, SUM(cs) AS ts, SUM(cn) AS tn
+        FROM lum GROUP BY i),
+      grid AS (SELECT gu, gv FROM
+        (SELECT unnest(generate_series(0, 15)) AS gu),
+        (SELECT unnest(generate_series(0, 15)) AS gv)),
+      rowvals AS (SELECT t.i, g.gv,
+          CAST(SUM(CASE WHEN COALESCE(l.cs, 0) * t.tn >
+            t.ts * COALESCE(l.cn, 0) THEN (1 << g.gu) ELSE 0 END)
+            AS BIGINT) AS rv
+        FROM tot t CROSS JOIN grid g
+        LEFT JOIN lum l ON l.i = t.i AND l.cu = g.gu AND l.cv = g.gv
+        GROUP BY t.i, g.gv),
+      imgs AS (SELECT i AS img_id, i AS src FROM srcs
+        UNION ALL SELECT i + 100, i FROM srcs),
+      allp AS (SELECT a.img_id AS a, b.img_id AS b,
+          a.src AS sa, b.src AS sb
+        FROM imgs a JOIN imgs b ON a.img_id < b.img_id),
+      d AS (SELECT p.a, p.b,
+          CAST(SUM(bit_count(xor(ra.rv, rb.rv))) AS BIGINT) AS dist
+        FROM allp p
+        JOIN rowvals ra ON ra.i = p.sa
+        JOIN rowvals rb ON rb.i = p.sb AND rb.gv = ra.gv
+        GROUP BY p.a, p.b)
+      SELECT a, b, dist FROM d WHERE dist <= 6
+      ORDER BY a ASC, b ASC"""))
+
   /** The q135 oracle: int8IvfOracle's chain with q133's panel shape —
     * per-query probes instead of one probe list, per-query top-k. */
   private lazy val int8IvfBatchOracle: String = {
@@ -5599,7 +5717,7 @@ object Queries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136)
+    q133, q134, q135, q136, q137, q138)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

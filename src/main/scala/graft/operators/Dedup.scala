@@ -383,6 +383,97 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** [[bandColumns]] for WIDE signatures (array<long>, little-endian
+    * words: bit k of the signature = bit k%64 of element k/64+1).
+    * Bands may span a word boundary; each band value still fits one
+    * long (width ≤ 64 enforced by the callers). */
+  private[graft] def bandColumnsWide(sigCol: Column, bits: Int,
+                                     maxDist: Int): Seq[Column] = {
+    val nBands = maxDist + 1
+    val base = bits / nBands
+    val rem = bits % nBands
+    (0 until nBands).map { b =>
+      val width = base + (if (b < rem) 1 else 0)
+      val start = b * base + math.min(b, rem)
+      val end = start + width
+      val loIdx = start / 64
+      val off = start % 64
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      val lo = shiftright(element_at(sigCol, loIdx + 1), off)
+      val v =
+        if (end > (loIdx + 1) * 64)
+          lo.bitwiseOR(
+            shiftleft(element_at(sigCol, loIdx + 2), 64 - off))
+        else lo
+      v.bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Σ popcount(xor) across the words of two wide signatures. */
+  private def wideDist(a: Column, b: Column, words: Int): Column =
+    (1 to words)
+      .map(j => bit_count(element_at(a, j)
+        .bitwiseXOR(element_at(b, j))))
+      .reduce(_ + _).cast(LongType)
+
+  /** [[hammingPairs]] for WIDE (>64-bit) signatures held as
+    * array<long> — the measured answer to 64-bit signature-entropy
+    * saturation (SCALE.md r19: on structured corpora 64-bit aHash
+    * band values repeat across genuinely different images, so buckets
+    * saturate at O(10³) images; 256 bits give maxDist-6 bands of ~37
+    * bits instead of ~9). Same pigeonhole recall argument, same
+    * output contract ((a, b, dist), a < b, dist ≤ maxDist ≡
+    * brute-force all-pairs), same `maxBucket` skew cap and
+    * `materializeSlim` opt-out. `bits` must be word-aligned (64·words)
+    * and band width (bits/(maxDist+1)) at most 64. NULL signatures
+    * never pair. */
+  def hammingPairsWide(sig: DataFrame, idCol: String, sigCol: String,
+                       bits: Int, maxDist: Int,
+                       maxBucket: Option[Long] = None,
+                       materializeSlim: Boolean = true): DataFrame = {
+    require(bits > 64 && bits % 64 == 0,
+      s"bits=$bits must be a multiple of 64 over 64 (use hammingPairs" +
+        " for ≤64-bit signatures)")
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist=$maxDist out of [0,$bits)")
+    val nBands = maxDist + 1
+    require((bits + nBands - 1) / nBands <= 64,
+      s"band width ${(bits + nBands - 1) / nBands} exceeds 64 bits — " +
+        "raise maxDist or shrink the signature")
+    val words = bits / 64
+    val bandCols = bandColumnsWide(col(sigCol), bits, maxDist)
+    maxBucket.foreach(cap =>
+      require(cap >= 2, s"maxBucket=$cap out of [2,∞)"))
+    val slim = maxBucket match {
+      case Some(_) if materializeSlim =>
+        sig.select(col(idCol), col(sigCol))
+          .where(col(sigCol).isNotNull).localCheckpoint()
+      case _ => sig
+    }
+    val banded0 = slim.select(col(idCol), col(sigCol).as("__sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+      .where(col("__sig").isNotNull)
+    val banded = maxBucket match {
+      case None => banded0
+      case Some(cap) =>
+        val hot = banded0.groupBy(col("band"), col("bv"))
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > cap)
+          .select(col("band"), col("bv"))
+        banded0.join(hot, Seq("band", "bv"), "left_anti")
+    }
+    val l = banded.select(col(idCol).as("a"), col("__sig").as("sa"),
+      col("band"), col("bv"))
+    val r = banded.select(col(idCol).as("b"), col("__sig").as("sb"),
+      col("band"), col("bv"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        wideDist(col("sa"), col("sb"), words).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Connectivity-equivalent Hamming edge set for DEDUP pipelines —
     * the scale form of [[hammingPairs]] when the consumer is a
     * connected-components resolve (q131's shape) rather than the
@@ -420,13 +511,35 @@ object Dedup {
     require(bits >= 1 && bits <= 64, s"bits=$bits out of [1,64]")
     require(maxDist >= 0 && maxDist < bits,
       s"maxDist=$maxDist out of [0,$bits)")
+    hammingEdgesImpl(sig, idCol, sigCol, materializeSlim)(reps =>
+      hammingPairs(reps, idCol, sigCol, bits, maxDist, maxBucket,
+        materializeSlim = false))
+  }
+
+  /** [[hammingEdges]] for WIDE (array<long>) signatures — the same
+    * star-contraction + distinct-signature banding over
+    * [[hammingPairsWide]]'s join. Contracts identical: components ≡
+    * the wide all-pairs set, star edges dist 0, exact-dup recall
+    * structural. */
+  def hammingEdgesWide(sig: DataFrame, idCol: String, sigCol: String,
+                       bits: Int, maxDist: Int,
+                       maxBucket: Option[Long] = None,
+                       materializeSlim: Boolean = true): DataFrame =
+    hammingEdgesImpl(sig, idCol, sigCol, materializeSlim)(reps =>
+      hammingPairsWide(reps, idCol, sigCol, bits, maxDist, maxBucket,
+        materializeSlim = false))
+
+  private def hammingEdgesImpl(sig: DataFrame, idCol: String,
+                               sigCol: String,
+                               materializeSlim: Boolean)(
+      pairFn: DataFrame => DataFrame): DataFrame = {
     val slim0 = sig.select(col(idCol), col(sigCol))
       .where(col(sigCol).isNotNull)
     // the narrow projection feeds the rep aggregation AND the star
     // join; the rep table feeds the star join AND the banded join —
     // materialize both once (same contract and opt-out as
     // hammingPairs' materializeSlim; reps is ≤ |distinct sigs| rows
-    // of 16 bytes)
+    // of 16 bytes narrow / 40 wide)
     val slim = if (materializeSlim) slim0.localCheckpoint() else slim0
     val reps0 = slim.groupBy(col(sigCol).as("__sig"))
       .agg(min(col(idCol)).as("__rep"))
@@ -435,10 +548,8 @@ object Dedup {
       .where(col(idCol) =!= col("__rep"))
       .select(col("__rep").as("a"), col(idCol).as("b"),
         lit(0L).as("dist"))
-    val repPairs = hammingPairs(
-      reps.select(col("__rep").as(idCol), col("__sig").as(sigCol)),
-      idCol, sigCol, bits, maxDist, maxBucket,
-      materializeSlim = false)
+    val repPairs = pairFn(
+      reps.select(col("__rep").as(idCol), col("__sig").as(sigCol)))
     stars.unionByName(repPairs)
   }
 

@@ -969,6 +969,87 @@ object Multimodal {
     attachSignature(df, binCol, "ahash", "withAHash")(
       imageAHash(_, grid))
 
+  /** WIDE perceptual average-hash — [[imageAHash]]'s exact arithmetic
+    * on a finer grid, emitting ceil(grid²/64) packed 64-bit words
+    * (grid 16 → a 256-bit signature as 4 longs; cell c = cv·grid+cu
+    * sets bit c%64 of word c/64). Why it exists, measured
+    * (MediaScaleBench, SCALE.md): 64-bit aHashes are LOW-ENTROPY on
+    * structured corpora — whole band values repeat across genuinely
+    * different images, so at corpus scale the banded join's buckets
+    * saturate and near-dup matching over-merges (precision collapse)
+    * while the skew cap erodes recall. 4× the bits raises per-band
+    * entropy (the [[graft.operators.Dedup.hammingPairsWide]] bands
+    * are ~37 bits at maxDist 6 instead of ~9) and separates
+    * near-identical-LOOKING images a 64-bit cell grid cannot.
+    * Integer-exact like the narrow form (same rational mean compare),
+    * so a DuckDB oracle replays every word from the pixel formula. */
+  def imageAHashWide(bytes: Array[Byte],
+                     grid: Int = 16): Option[Array[Long]] = {
+    require(grid >= 1 && grid <= 32,
+      s"grid=$grid out of [1,32]")
+    if (bytes == null || bytes.length < 8 ||
+        !pixelDecodable(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = Array.ofDim[Long](grid * grid)
+      val cellN = Array.ofDim[Long](grid * grid)
+      var tot = 0L
+      var y = 0
+      while (y < h) {
+        val v0 = y * grid / h
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val luma = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          val c = v0 * grid + x * grid / w
+          cellSum(c) += luma
+          cellN(c) += 1
+          tot += luma
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val big = n > (1L << 24)
+      val words = Array.ofDim[Long]((grid * grid + 63) / 64)
+      var c = 0
+      while (c < grid * grid) {
+        val above =
+          if (big)
+            java.math.BigInteger.valueOf(cellSum(c))
+              .multiply(java.math.BigInteger.valueOf(n))
+              .compareTo(java.math.BigInteger.valueOf(tot)
+                .multiply(java.math.BigInteger.valueOf(cellN(c)))) > 0
+          else cellSum(c) * n > tot * cellN(c)
+        if (above) words(c / 64) |= 1L << (c % 64)
+        c += 1
+      }
+      Some(words)
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach the wide aHash (`ahash_w` array<long>, NULL for
+    * undecodable payloads), partition-batched. */
+  def withAHashWide(df: DataFrame, binCol: String,
+                    grid: Int = 16): DataFrame = {
+    require(!df.columns.contains("ahash_w"),
+      "withAHashWide output column 'ahash_w' already exists")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("ahash_w", ArrayType(LongType, false), true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val hv = imageAHashWide(row.getAs[Array[Byte]](binIdx), grid)
+          .map(_.toSeq).orNull
+        Row.fromSeq(row.toSeq :+ hv)
+      }
+    }(enc)
+  }
+
   /** Audio fingerprint — [[imageAHash]]'s design applied to sound:
     * decode the PCM sample stream (real `javax.sound` decode, any
     * container it reads — WAV/AIFF/AU, either endianness), cut it

@@ -173,4 +173,78 @@ class SkewSpec extends SparkTest {
     assert(!cappedPairs.exists(_._2 <= 500L),
       "capped hammingPairs unexpectedly kept blob pairs")
   }
+
+  /** Random 256-bit signatures clustered around shared bases so wide
+    * pairs/edges have real positives to find. */
+  private def wideRows(seed: Long, n: Int): Seq[(Long, Seq[Long])] = {
+    val rnd = new scala.util.Random(seed)
+    val bases = Seq.fill(5)(Seq.fill(4)(rnd.nextLong()))
+    (1L to n).map { id =>
+      val b = bases(rnd.nextInt(bases.size))
+      val flips = Seq.fill(rnd.nextInt(6))(rnd.nextInt(256))
+      id -> flips.foldLeft(b)((s, k) =>
+        s.updated(k / 64, s(k / 64) ^ (1L << (k % 64))))
+    }
+  }
+
+  private def wideDistOf(a: Seq[Long], b: Seq[Long]): Int =
+    a.zip(b).map { case (x, y) =>
+      java.lang.Long.bitCount(x ^ y) }.sum
+
+  test("hammingPairsWide: equals brute-force all-pairs on random " +
+    "clustered 256-bit signatures, at word-aligned AND word-spanning " +
+    "band widths; NULL signatures never pair") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rows = wideRows(31L, 50)
+    val sigOf = rows.toMap
+    val df = rows.toDF("id", "sig")
+      .unionByName(Seq((999L, null)).toDF("id", "sig")
+        .select(col("id"), col("sig").cast("array<long>")))
+    // maxDist 3 → 4 bands × 64 bits (exact word boundaries);
+    // maxDist 6 → 7 bands of 37/36 bits (every band spans a word)
+    for (d <- Seq(3, 6)) {
+      val got = Dedup.hammingPairsWide(df, "id", "sig", 256, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val ids = rows.map(_._1)
+      val want = (for {
+        a <- ids; b <- ids if a < b
+        dist = wideDistOf(sigOf(a), sigOf(b)) if dist <= d
+      } yield (a, b, dist.toLong)).sortBy(t => (t._1, t._2))
+      assert(got == want,
+        s"maxDist=$d: got ${got.size} pairs, want ${want.size}")
+      assert(!got.exists(t => t._1 == 999L || t._2 == 999L))
+    }
+  }
+
+  test("hammingEdgesWide: components equal hammingPairsWide's; " +
+    "star edges count the exact-dup mass; narrow/wide arithmetic " +
+    "agree at grid 8") {
+    import graft.operators.{Dedup, Multimodal}
+    import spark.implicits._
+    val rows = wideRows(77L, 60)
+    val df = rows.toDF("id", "sig")
+    val ids = rows.map(_._1)
+    val edges = Dedup.hammingEdgesWide(df, "id", "sig", 256, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sigOf = rows.toMap
+    edges.foreach { case (a, b, d) =>
+      assert(a < b && wideDistOf(sigOf(a), sigOf(b)).toLong == d &&
+        d <= 6, s"invalid wide edge ($a,$b,$d)")
+    }
+    val pairs = Dedup.hammingPairsWide(df, "id", "sig", 256, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(components(ids, edges.map(e => (e._1, e._2)).toSeq) ==
+      components(ids, pairs))
+    val dupMass = rows.groupBy(_._2).values.map(g => g.size - 1).sum
+    assert(edges.count(_._3 == 0L) == dupMass)
+    // the wide hash at grid 8 packs to exactly the narrow hash — one
+    // differential pins both implementations to the same arithmetic
+    for (i <- Seq(4L, 10L, 58L, 7L)) { // 7 is corrupt → None on both
+      val p = Multimodal.encodeTestImage(i)
+      assert(Multimodal.imageAHashWide(p, grid = 8).map(_.head) ==
+        Multimodal.imageAHash(p, grid = 8), s"grid-8 drift at $i")
+    }
+  }
 }
