@@ -399,7 +399,14 @@ object Dedup {
       val loIdx = start / 64
       val off = start % 64
       val mask = if (width == 64) -1L else (1L << width) - 1
-      val lo = shiftright(element_at(sigCol, loIdx + 1), off)
+      // UNSIGNED shift is load-bearing: an arithmetic shift of a
+      // negative lo word smears sign bits into exactly the positions
+      // the hi word's bits are OR'd into — matches stay correct (the
+      // smear is a function of band bits both sides share, and the
+      // exact dist filter kills false candidates) but the band value
+      // loses the hi word's entropy, re-creating the bucket
+      // saturation this form exists to avoid
+      val lo = shiftrightunsigned(element_at(sigCol, loIdx + 1), off)
       val v =
         if (end > (loIdx + 1) * 64)
           lo.bitwiseOR(

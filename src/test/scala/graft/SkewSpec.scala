@@ -218,6 +218,39 @@ class SkewSpec extends SparkTest {
     }
   }
 
+  test("bandColumnsWide: every band value is the exact bit slice, " +
+    "including word-spanning bands over NEGATIVE low words") {
+    // an arithmetic shift of a negative lo word would smear sign bits
+    // into the hi word's OR positions — matches would still be found
+    // (the smear is shared and the dist filter is exact) but the band
+    // would lose the hi word's entropy; this pins the slice exactly
+    import graft.operators.Dedup
+    import spark.implicits._
+    val rnd = new scala.util.Random(5L)
+    val sigs = Seq.fill(8)(Seq.fill(4)(rnd.nextLong())) :+
+      Seq(0x8000000000000001L, 0xffL, -1L, Long.MinValue) // adversarial
+    def bitOf(s: Seq[Long], k: Int): Long =
+      (s(k / 64) >>> (k % 64)) & 1L
+    for (maxDist <- Seq(3, 6, 7)) {
+      val nBands = maxDist + 1
+      val base = 256 / nBands
+      val rem = 256 % nBands
+      val got = sigs.map(s => s -> Seq(s).toDF("sig")
+        .select(Dedup.bandColumnsWide(col("sig"), 256, maxDist): _*)
+        .collect().head.toSeq.map(_.asInstanceOf[Long]))
+      got.foreach { case (s, bands) =>
+        bands.zipWithIndex.foreach { case (bv, b) =>
+          val width = base + (if (b < rem) 1 else 0)
+          val start = b * base + math.min(b, rem)
+          val want = (0 until width).map(k =>
+            bitOf(s, start + k) << k).reduce(_ | _)
+          assert(bv == want,
+            s"band $b of $s at maxDist $maxDist: got $bv want $want")
+        }
+      }
+    }
+  }
+
   test("hammingEdgesWide: components equal hammingPairsWide's; " +
     "star edges count the exact-dup mass; narrow/wide arithmetic " +
     "agree at grid 8") {
