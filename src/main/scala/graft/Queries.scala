@@ -5653,6 +5653,60 @@ object Queries {
       SELECT a, b, dist FROM d WHERE dist <= 6
       ORDER BY a ASC, b ASC"""))
 
+  /** q139: CCNet-style bigram-LM surprisal scoring — the curation
+    * stage between the rule gate (q119) and the trained classifier
+    * (q126/q134): train a bigram model on the reference slice (even
+    * ids), score the pool (odd ids) by mean surprisal in whole bits,
+    * integer-exact on both engines (floor-log2 of the smoothed
+    * rational via bin()-length + shift compare — no transcendental
+    * call, so DuckDB replays every bit). */
+  private val q139 = Q(
+    "q139_bigram_surprisal",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.trainBigramLm(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      TextAnalysis.bigramSurprisal(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lm)
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH tr AS (SELECT
+        unnest(${OracleSql.shinglesSql("lower(text)", 2)}) AS g
+        FROM documents WHERE doc_id % 2 = 0),
+      cnts AS (SELECT string_split(g, ' ')[1] AS w1,
+          string_split(g, ' ')[2] AS w2, COUNT(*) AS c
+        FROM tr GROUP BY 1, 2),
+      pfx AS (SELECT w1, SUM(c) AS c1 FROM cnts GROUP BY w1),
+      voc AS (SELECT COUNT(DISTINCT w2) AS v FROM cnts),
+      te AS (SELECT doc_id,
+          unnest(${OracleSql.shinglesSql("lower(text)", 2)}) AS g
+        FROM documents WHERE doc_id % 2 = 1),
+      occ AS (SELECT doc_id, string_split(g, ' ')[1] AS w1,
+          string_split(g, ' ')[2] AS w2 FROM te),
+      sc AS (SELECT o.doc_id,
+          COALESCE(p.c1, 0) + (SELECT v FROM voc) AS a,
+          COALESCE(c.c, 0) + 1 AS b
+        FROM occ o
+        LEFT JOIN cnts c ON c.w1 = o.w1 AND c.w2 = o.w2
+        LEFT JOIN pfx p ON p.w1 = o.w1),
+      bits AS (SELECT doc_id,
+          (length(bin(a)) - 1) - (length(bin(b)) - 1)
+            - (CASE WHEN (a >> ((length(bin(a)) - 1)
+                - (length(bin(b)) - 1))) < b THEN 1 ELSE 0 END) AS bt
+        FROM sc),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(bt) AS BIGINT) AS sum_bits FROM bits
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        COALESCE(a.sum_bits, 0) AS sum_bits,
+        COALESCE(CAST(FLOOR(100 * a.sum_bits / a.n_bigrams) AS BIGINT),
+          0) AS mean_cb
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id ASC"""))
+
   /** The q135 oracle: int8IvfOracle's chain with q133's panel shape —
     * per-query probes instead of one probe list, per-query top-k. */
   private lazy val int8IvfBatchOracle: String = {
@@ -5717,7 +5771,7 @@ object Queries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138)
+    q133, q134, q135, q136, q137, q138, q139)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -116,7 +116,17 @@ object ScaleSweep {
     // time slope carries the fixed RocksDB/streaming-harness setup
     // plus the per-gram state writes, which DO scale with distinct
     // grams
-    "q129_stream_span_marks")
+    "q129_stream_span_marks",
+    // r19: q135 searches the persisted int8 index (built once per
+    // process+sfDir) — output is k·panel-normalized (the panel filter
+    // keeps the original ids), so the interesting number is the time
+    // slope of the probe-pruned search over 10x lists and 10x
+    // centroids; q139 trains on the tagged even half (the bigram
+    // vocabulary grows with the per-replica word universes) and
+    // scores 10x docs — scored rows scale exactly 10x. (q136–q138
+    // generate the fixed media corpus — not swept, like q122–q125;
+    // their replicated-corpus story is MediaScaleBench's.)
+    "q135_int8_ivf_batch", "q139_bigram_surprisal")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,

@@ -859,8 +859,9 @@ object Similarity {
     * dots, and the per-query window rank is the same bounded
     * top-k-per-group cut annTopKBatch takes. Exact ranking with no
     * pruning: bound the panel size, or go through
-    * [[searchInt8IvfIndex]] per query when the corpus side must be
-    * pruned too. */
+    * [[searchInt8IvfIndexBatch]] when the corpus side must be pruned
+    * too — the panel shape over the persisted index, one plan, no
+    * driver loop. */
   def int8TopKBatch(qdf: DataFrame, idCol: String, posCol: String,
                     qCol: String, queries: DataFrame, qIdCol: String,
                     k: Int): DataFrame = {

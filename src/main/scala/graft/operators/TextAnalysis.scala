@@ -517,6 +517,86 @@ object TextAnalysis {
       .select(col("bucket"), col("w_bp")), bs.head.getInt(0))
   }
 
+  /** Train a bigram language model for CCNet-style perplexity
+    * bucketing (Wenzek et al. 2020 — the curation stage between the
+    * rule gate and the trained classifier: score each document by how
+    * SURPRISING a reference-corpus LM finds it, keep the
+    * low-perplexity head/middle). Returns the count table
+    * (w1, w2, c) over word bigrams of the lowercased reference —
+    * prefix totals and the vocabulary size derive from it at scoring
+    * time, so the model is ONE table.
+    *
+    * Scale: one explode + one map-side-combined groupBy — at most
+    * |bigram vocabulary| rows ever shuffle, regardless of reference
+    * size. */
+  def trainBigramLm(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(explode(Dedup.shingles(lower(col(textCol)), 2)).as("g"))
+      .select(element_at(split(col("g"), " ", 2), 1).as("w1"),
+        element_at(split(col("g"), " ", 2), 2).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Score documents by mean bigram SURPRISAL in whole bits — the
+    * engine-exact perplexity surrogate: for each bigram occurrence,
+    *   bits = floor(log2((c(w1·)+V) / (c(w1,w2)+1)))
+    * (add-one smoothing over prefix totals c(w1·)=Σ_w2 c and
+    * vocabulary V=|distinct w2|; unseen prefixes cost floor(log2 V)).
+    * floor-log2 of the rational is computed EXACTLY in integers on
+    * both engines — floorlog2(x) = length(bin(x))−1 and a d-bit
+    * compare via right-shift — no transcendental call anywhere, so
+    * the DuckDB oracle replays every bit (a float log2 would differ
+    * in the last ulp between libm implementations). True perplexity
+    * weights by fractional bits; the floor keeps ordering within one
+    * bit per token, which is what a bucket cut consumes.
+    *
+    * Output: (idCol, n_bigrams, sum_bits, mean_cb) where mean_cb =
+    * floor(100·sum_bits/n_bigrams) (0 for bigram-less docs — shorter
+    * than 2 tokens; CCNet routes those to a length rule, not the LM).
+    *
+    * Scale: explode + one join keyed (w1, w2) against the model
+    * (broadcast when it fits, shuffle join at vocabulary scale), one
+    * broadcast prefix table (≤ |unigram vocab| rows), a 1-row V
+    * broadcast, one per-doc aggregation. Exactness bound: sums stay
+    * under 2⁵³ (bits ≤ 63 per occurrence ⇒ ~10¹¹ bigrams per doc). */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                      lm: DataFrame): DataFrame = {
+    def fl2(x: Column): Column = (length(bin(x)) - 1).cast(LongType)
+    val pfx = lm.groupBy(col("w1").as("__p1"))
+      .agg(sum(col("c")).as("__c1"))
+    val vocab = lm.agg(
+      count_distinct(col("w2")).cast(LongType).as("__v"))
+    val occ = df.select(col(idCol),
+        explode(Dedup.shingles(lower(col(textCol)), 2)).as("g"))
+      .select(col(idCol),
+        element_at(split(col("g"), " ", 2), 1).as("__w1"),
+        element_at(split(col("g"), " ", 2), 2).as("__w2"))
+    val scored = occ
+      .join(lm.select(col("w1").as("__w1"), col("w2").as("__w2"),
+        col("c").as("__c12")), Seq("__w1", "__w2"), "left")
+      .join(broadcast(pfx), col("__w1") === col("__p1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (coalesce(col("__c1"), lit(0L)) + col("__v")).as("__a"),
+        (coalesce(col("__c12"), lit(0L)) + 1L).as("__b"))
+      // floor(log2(a/b)) for integers 1 ≤ b ≤ a: d = fl2(a) − fl2(b),
+      // minus one iff floor(a / 2^d) < b (shiftright's second operand
+      // is a column — the SQL ShiftRight expression, not the Int-only
+      // Scala wrapper)
+      .withColumn("__d", fl2(col("__a")) - fl2(col("__b")))
+      .withColumn("__bits", col("__d") -
+        when(expr("shiftright(__a, __d)") < col("__b"), 1L)
+          .otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__bits")).as("sum_bits"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+        coalesce(floor(lit(100L) * col("sum_bits") / col("n_bigrams")),
+          lit(0L)).cast(LongType).as("mean_cb"))
+  }
+
   /** Repetition / boilerplate metrics per document over word n-grams —
     * the "repetitious text" quality signals of large-corpus curation
     * (duplicate-n-gram and top-n-gram fractions, reported in basis

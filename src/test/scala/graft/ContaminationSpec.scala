@@ -152,6 +152,30 @@ class ContaminationSpec extends SparkTest {
     assert(bloomRows(corpus, bench, 3, 1024) == Seq((1L, 2L, 0L, 0L)))
   }
 
+  test("bigramSurprisal: hand-computed bits on a tiny LM (smoothing, " +
+    "unseen prefixes, the shift-compare floor-log2); empty doc = 0") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // reference: bigrams (a,b)×2, (a,c)×1 → prefix a:3, V = |{b,c}| = 2
+    val lm = TextAnalysis.trainBigramLm(
+      Seq("a b", "a b", "a c").toDF("text"), "text")
+    assert(lm.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("a", "b", 2L), ("a", "c", 1L)))
+    // doc "a b a c a z": per-occurrence bits (a = c1+V, b = c12+1):
+    //  (a,b): fl2(5/3) = 0   (b,a): unseen prefix, fl2(2/1) = 1
+    //  (a,c): fl2(5/2) = 1   (c,a): unseen, 1      (a,z): fl2(5/1) = 2
+    // sum 5, n 5, mean_cb 100
+    val got = TextAnalysis.bigramSurprisal(
+        Seq((1L, "a b a c a z"), (2L, ""), (3L, "solo")).toDF(
+          "doc_id", "text"), "doc_id", "text", lm)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 5L, 5L, 100L),
+      (2L, 0L, 0L, 0L), (3L, 0L, 0L, 0L)), s"got $got")
+  }
+
   test("hashedOddsWeights + scoreByHashedWeights: disjoint vocabularies " +
     "separate perfectly; prior centering keeps shared-vocab docs " +
     "near zero under 9:1 class imbalance") {
