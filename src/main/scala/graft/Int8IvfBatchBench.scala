@@ -35,6 +35,7 @@ object Int8IvfBatchBench {
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
       k = 16, iters = 2).localCheckpoint()
     val dir = java.nio.file.Files.createTempDirectory("i8ivfbb").toFile
+    dir.deleteOnExit()
     Similarity.buildInt8IvfIndex(emb, "vec_id", "embedding",
       cents, "cid", "cv", dir.getAbsolutePath)
 

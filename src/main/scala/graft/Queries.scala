@@ -5707,6 +5707,88 @@ object Queries {
       LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id ASC"""))
 
+  /** q140: the COMPOSED CCNet curation chain — q139's surprisal
+    * scores cut at the exact 2/3 quantile (q95's order-statistic
+    * operator, global key), keep the low-perplexity head+middle,
+    * digest-dedup the survivors, deterministic reshard. The Wenzek et
+    * al. 2020 deployment shape end to end, every stage the operator
+    * its standalone query oracles (q139, q95, q84, q120); bigram-less
+    * docs route out before the LM (the CCNet length rule's job). */
+  private val q140 = Q(
+    "q140_ccnet_pipeline",
+    (s, dir) => {
+      import graft.operators.{Curation, Dedup, Sketches, TextAnalysis}
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.trainBigramLm(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      val scores = TextAnalysis.bigramSurprisal(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lm)
+        .filter(col("n_bigrams") > 0)
+      val t2 = Sketches.quantilesByValue(scores, Nil, "mean_cb",
+          Seq(6666))
+        .agg(min(col("q_value")).as("__t2"))
+      val kept = scores.crossJoin(broadcast(t2))
+        .filter(col("mean_cb") <= col("__t2"))
+        .select(col("doc_id"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      val deduped = Dedup.exactByDigest(kept, "doc_id", "text")
+      Curation.shuffleShards(deduped.select(col("doc_id")),
+          "doc_id", seed = 13L, shards = 4)
+        .select(col("doc_id"), col("shard"), col("seq"))
+        .orderBy(col("shard").asc, col("seq").asc)
+    },
+    Some(s"""WITH tr AS (SELECT
+        unnest(${OracleSql.shinglesSql("lower(text)", 2)}) AS g
+        FROM documents WHERE doc_id % 2 = 0),
+      cnts AS (SELECT string_split(g, ' ')[1] AS w1,
+          string_split(g, ' ')[2] AS w2, COUNT(*) AS c
+        FROM tr GROUP BY 1, 2),
+      pfx AS (SELECT w1, SUM(c) AS c1 FROM cnts GROUP BY w1),
+      voc AS (SELECT COUNT(DISTINCT w2) AS v FROM cnts),
+      te AS (SELECT doc_id,
+          unnest(${OracleSql.shinglesSql("lower(text)", 2)}) AS g
+        FROM documents WHERE doc_id % 2 = 1),
+      occ AS (SELECT doc_id, string_split(g, ' ')[1] AS w1,
+          string_split(g, ' ')[2] AS w2 FROM te),
+      sc AS (SELECT o.doc_id,
+          COALESCE(p.c1, 0) + (SELECT v FROM voc) AS a,
+          COALESCE(c.c, 0) + 1 AS b
+        FROM occ o
+        LEFT JOIN cnts c ON c.w1 = o.w1 AND c.w2 = o.w2
+        LEFT JOIN pfx p ON p.w1 = o.w1),
+      bits AS (SELECT doc_id,
+          (length(bin(a)) - 1) - (length(bin(b)) - 1)
+            - (CASE WHEN (a >> ((length(bin(a)) - 1)
+                - (length(bin(b)) - 1))) < b THEN 1 ELSE 0 END) AS bt
+        FROM sc),
+      scores AS (SELECT doc_id,
+          CAST(FLOOR(100 * SUM(bt) / COUNT(*)) AS BIGINT) AS mean_cb
+        FROM bits GROUP BY doc_id),
+      qc AS (SELECT mean_cb, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM scores GROUP BY mean_cb),
+      qw AS (SELECT mean_cb, cnt,
+          CAST(SUM(cnt) OVER (ORDER BY mean_cb ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum,
+          CAST(SUM(cnt) OVER () AS BIGINT) AS total
+        FROM qc),
+      t2 AS (SELECT MIN(mean_cb) AS t2 FROM qw
+        WHERE cum >= ((6666 * (total - 1)) // 10000) + 1),
+      kept AS (SELECT d.doc_id, d.text
+        FROM documents d JOIN scores s USING (doc_id)
+        WHERE s.mean_cb <= (SELECT t2 FROM t2)),
+      dd AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+      sk AS (SELECT doc_id,
+        md5(concat('13', ':', CAST(doc_id AS VARCHAR))) AS key
+        FROM dd),
+      sh AS (SELECT doc_id, key,
+        CAST(CAST('0x' || substr(key, 1, 12) AS BIGINT) % 4 AS BIGINT)
+          AS shard FROM sk)
+      SELECT doc_id, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+          ORDER BY key ASC, doc_id ASC) AS BIGINT) AS seq
+      FROM sh ORDER BY shard ASC, seq ASC"""))
+
   /** The q135 oracle: int8IvfOracle's chain with q133's panel shape —
     * per-query probes instead of one probe list, per-query top-k. */
   private lazy val int8IvfBatchOracle: String = {
@@ -5771,7 +5853,7 @@ object Queries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139)
+    q133, q134, q135, q136, q137, q138, q139, q140)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

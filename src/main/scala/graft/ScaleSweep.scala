@@ -126,7 +126,12 @@ object ScaleSweep {
     // scores 10x docs — scored rows scale exactly 10x. (q136–q138
     // generate the fixed media corpus — not swept, like q122–q125;
     // their replicated-corpus story is MediaScaleBench's.)
-    "q135_int8_ivf_batch", "q139_bigram_surprisal")
+    "q135_int8_ivf_batch", "q139_bigram_surprisal",
+    // q140 composes q139 → exact 2/3-quantile gate → dedup → reshard:
+    // the quantile keeps ~2/3 of scored docs BY CONSTRUCTION at any
+    // scale, so survivors (and shard rows) scale ~10x and the slope
+    // measures score + threshold + gate + digest-dedup + reshard
+    "q140_ccnet_pipeline")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,

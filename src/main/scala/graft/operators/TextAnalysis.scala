@@ -552,6 +552,11 @@ object TextAnalysis {
     * Output: (idCol, n_bigrams, sum_bits, mean_cb) where mean_cb =
     * floor(100·sum_bits/n_bigrams) (0 for bigram-less docs — shorter
     * than 2 tokens; CCNet routes those to a length rule, not the LM).
+    * The model must hold at least one bigram (V ≥ 1 keeps the
+    * smoothed rational ≥ 1, hence bits ≥ 0) — scoring against an
+    * EMPTY model is meaningless and yields a degenerate −1 bits per
+    * occurrence rather than an error (the plan is lazy; both engines
+    * agree on the degenerate value, so even that cannot drift).
     *
     * Scale: explode + one join keyed (w1, w2) against the model
     * (broadcast when it fits, shuffle join at vocabulary scale), one
