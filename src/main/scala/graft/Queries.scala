@@ -5789,6 +5789,27 @@ object Queries {
           ORDER BY key ASC, doc_id ASC) AS BIGINT) AS seq
       FROM sh ORDER BY shard ASC, seq ASC"""))
 
+  /** q141: the IN-FLIGHT int8 IVF panel search — q135's composition
+    * without the artifact (q130's relation to q132, for panels),
+    * completing the {single, batch} × {in-flight, persisted} search
+    * matrix. Fully lazy: the (q_id, cid) probe broadcast's inner join
+    * IS the prune (no literal filter, no driver collect anywhere).
+    * Defined identical to q135's ranking — one oracle for both. */
+  private val q141 = Q(
+    "q141_int8_ivf_batch_inflight",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8IvfTopKBatch(emb.filter(col("vec_id") > 3),
+          "vec_id", "embedding",
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          nprobe = 2, emb.filter(col("vec_id") <= 3), "vec_id",
+          "embedding", k = 5)
+        .select(col("q_id"), col("vec_id"), col("dot"))
+        .orderBy(col("q_id").asc, col("dot").desc, col("vec_id").asc)
+    },
+    Some(int8IvfBatchOracle))
+
   /** The q135 oracle: int8IvfOracle's chain with q133's panel shape —
     * per-query probes instead of one probe list, per-query top-k. */
   private lazy val int8IvfBatchOracle: String = {
@@ -5853,7 +5874,7 @@ object Queries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -967,6 +967,78 @@ object Similarity {
       k)
   }
 
+  /** Batched [[int8IvfSearch]] — the in-flight half of the panel
+    * matrix ([[searchInt8IvfIndexBatch]] is the persisted half; q130/
+    * q132's relation, for panels): rank a query PANEL against
+    * in-flight int8 lists with IVF pruning and NO driver action
+    * anywhere — fully lazy, streaming-composable. Per-query probe
+    * lists come from a window top-nprobe over the broadcast centroid
+    * table; the (q_id, cid) probe pairs broadcast and their INNER
+    * join against the lists IS the prune (a list row in an unprobed
+    * cid matches nothing — no literal filter needed off-disk, no
+    * probe collect, the one plan-shape difference from the persisted
+    * form); the quantized panel broadcasts with [[int8TopKBatch]]'s
+    * duplicate-(q_id, pos) guard; per-(q_id, id) integer dots combine
+    * map-side. Returns (q_id, idCol, dot), top-k per query. */
+  def int8IvfSearchBatch(lists: DataFrame, idCol: String,
+                         centroids: DataFrame, centIdCol: String,
+                         centVecCol: String, nprobe: Int,
+                         queries: DataFrame, qIdCol: String,
+                         qVecCol: String, k: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe=$nprobe out of [1,∞)")
+    require(k >= 1, s"k=$k out of [1,∞)")
+    val cent = prepCent(centroids, centIdCol, centVecCol)
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).as("__qv"))
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cs").desc, col("__cid").asc)
+    val probes = q
+      .withColumn("__qn", norm2(col("__qv")))
+      .join(cent)
+      .withColumn("__cs",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("__cid").as("cid"))
+    val panel = broadcast(quantizeInt8(q, "q_id", "__qv")
+      .where(col("q").isNotNull)
+      .groupBy(col("q_id").as("__pq"), col("pos").as("__qp"))
+      .agg(max(col("q")).as("__q0"), count(lit(1)).as("__c"))
+      .select(col("__pq"), col("__qp"),
+        (col("__q0") + coalesce(
+          assert_true(col("__c") === 1,
+            lit("int8IvfSearchBatch: panel holds more than one " +
+              "vector per q_id (duplicate (q_id, pos)) — ids must " +
+              "be unique"))
+            .cast("long"), lit(0L))).as("__qq")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col(idCol).asc)
+    lists
+      .where(col("q").isNotNull)
+      .join(broadcast(probes), "cid")
+      .join(panel,
+        col("q_id") === col("__pq") && col("pos") === col("__qp"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("q") * col("__qq")).as("dot"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** [[int8IvfTopK]]'s panel form: build the in-flight int8 index and
+    * run [[int8IvfSearchBatch]] over it — one lazy plan from raw
+    * vectors to per-query top-k. */
+  def int8IvfTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, centIdCol: String,
+                       centVecCol: String, nprobe: Int,
+                       queries: DataFrame, qIdCol: String,
+                       qVecCol: String, k: Int): DataFrame =
+    int8IvfSearchBatch(
+      int8IvfIndex(df, idCol, vecCol, centroids, centIdCol,
+        centVecCol),
+      idCol, centroids, centIdCol, centVecCol, nprobe,
+      queries, qIdCol, qVecCol, k)
+
   /** Persist an [[int8IvfIndex]] as the on-disk artifact (centroids +
     * int8 lists partitioned by `cid`): the int8 rendition of
     * [[buildIvfIndex]], 4× smaller on disk, and a search's

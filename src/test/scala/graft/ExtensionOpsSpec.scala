@@ -685,6 +685,38 @@ class ExtensionOpsSpec extends SparkTest {
     assert(a.toSeq == b.toSeq, s"index=$a live=$b")
   }
 
+  test("in-flight int8 IVF panel search equals the persisted batch " +
+    "(and hence the per-query loop); N=0 panel is empty, not an error") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2).localCheckpoint()
+    val qIds = Seq(1L, 2L, 3L)
+    val data = emb.filter(!col("vec_id").isin(qIds: _*))
+    val panel = emb.filter(col("vec_id").isin(qIds: _*))
+    val dir = java.nio.file.Files.createTempDirectory("i8ivfifb").toFile
+    dir.deleteOnExit()
+    Similarity.buildInt8IvfIndex(data, "vec_id", "embedding", cents,
+      "cid", "cv", dir.getAbsolutePath)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val inflight = rows(Similarity.int8IvfTopKBatch(data, "vec_id",
+      "embedding", cents, "cid", "cv", nprobe = 2, panel, "vec_id",
+      "embedding", k = 10))
+    val persisted = rows(Similarity.searchInt8IvfIndexBatch(spark,
+      dir.getAbsolutePath, panel, "vec_id", "embedding",
+      nprobe = 2, k = 10).select(col("q_id"), col("id"), col("dot")))
+    assert(inflight == persisted,
+      s"inflight=$inflight persisted=$persisted")
+    assert(inflight.nonEmpty)
+    val none = Similarity.int8IvfTopKBatch(data, "vec_id", "embedding",
+      cents, "cid", "cv", nprobe = 2, emb.filter(lit(false)),
+      "vec_id", "embedding", k = 10)
+    assert(none.count() == 0)
+  }
+
   test("persisted int8 IVF index: search equals the in-flight " +
     "int8IvfTopK, probes prune to their partitions on disk") {
     import graft.operators.Similarity
