@@ -5653,25 +5653,12 @@ object Queries {
       SELECT a, b, dist FROM d WHERE dist <= 6
       ORDER BY a ASC, b ASC"""))
 
-  /** q139: CCNet-style bigram-LM surprisal scoring — the curation
-    * stage between the rule gate (q119) and the trained classifier
-    * (q126/q134): train a bigram model on the reference slice (even
-    * ids), score the pool (odd ids) by mean surprisal in whole bits,
-    * integer-exact on both engines (floor-log2 of the smoothed
-    * rational via bin()-length + shift compare — no transcendental
-    * call, so DuckDB replays every bit). */
-  private val q139 = Q(
-    "q139_bigram_surprisal",
-    (s, dir) => {
-      import graft.operators.TextAnalysis
-      val docs = t(s, dir, "documents")
-      val lm = TextAnalysis.trainBigramLm(
-        docs.filter(col("doc_id") % 2 === 0), "text")
-      TextAnalysis.bigramSurprisal(
-          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lm)
-        .orderBy(col("doc_id").asc)
-    },
-    Some(s"""WITH tr AS (SELECT
+  /** Shared q139/q140 oracle CTE chain — train the bigram counts on
+    * the even ids, emit per-occurrence surprisal bits for the odd ids
+    * (ONE definition so the standalone scorer and the composed
+    * pipeline cannot drift). Exposes `bits(doc_id, bt)`. */
+  private lazy val bigramBitsCtes: String =
+    s"""tr AS (SELECT
         unnest(${OracleSql.shinglesSql("lower(text)", 2)}) AS g
         FROM documents WHERE doc_id % 2 = 0),
       cnts AS (SELECT string_split(g, ' ')[1] AS w1,
@@ -5694,7 +5681,27 @@ object Queries {
           (length(bin(a)) - 1) - (length(bin(b)) - 1)
             - (CASE WHEN (a >> ((length(bin(a)) - 1)
                 - (length(bin(b)) - 1))) < b THEN 1 ELSE 0 END) AS bt
-        FROM sc),
+        FROM sc)"""
+
+  /** q139: CCNet-style bigram-LM surprisal scoring — the curation
+    * stage between the rule gate (q119) and the trained classifier
+    * (q126/q134): train a bigram model on the reference slice (even
+    * ids), score the pool (odd ids) by mean surprisal in whole bits,
+    * integer-exact on both engines (floor-log2 of the smoothed
+    * rational via bin()-length + shift compare — no transcendental
+    * call, so DuckDB replays every bit). */
+  private val q139 = Q(
+    "q139_bigram_surprisal",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.trainBigramLm(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      TextAnalysis.bigramSurprisal(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lm)
+        .orderBy(col("doc_id").asc)
+    },
+    Some(s"""WITH $bigramBitsCtes,
       agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
           CAST(SUM(bt) AS BIGINT) AS sum_bits FROM bits
         GROUP BY doc_id)
@@ -5737,30 +5744,7 @@ object Queries {
         .select(col("doc_id"), col("shard"), col("seq"))
         .orderBy(col("shard").asc, col("seq").asc)
     },
-    Some(s"""WITH tr AS (SELECT
-        unnest(${OracleSql.shinglesSql("lower(text)", 2)}) AS g
-        FROM documents WHERE doc_id % 2 = 0),
-      cnts AS (SELECT string_split(g, ' ')[1] AS w1,
-          string_split(g, ' ')[2] AS w2, COUNT(*) AS c
-        FROM tr GROUP BY 1, 2),
-      pfx AS (SELECT w1, SUM(c) AS c1 FROM cnts GROUP BY w1),
-      voc AS (SELECT COUNT(DISTINCT w2) AS v FROM cnts),
-      te AS (SELECT doc_id,
-          unnest(${OracleSql.shinglesSql("lower(text)", 2)}) AS g
-        FROM documents WHERE doc_id % 2 = 1),
-      occ AS (SELECT doc_id, string_split(g, ' ')[1] AS w1,
-          string_split(g, ' ')[2] AS w2 FROM te),
-      sc AS (SELECT o.doc_id,
-          COALESCE(p.c1, 0) + (SELECT v FROM voc) AS a,
-          COALESCE(c.c, 0) + 1 AS b
-        FROM occ o
-        LEFT JOIN cnts c ON c.w1 = o.w1 AND c.w2 = o.w2
-        LEFT JOIN pfx p ON p.w1 = o.w1),
-      bits AS (SELECT doc_id,
-          (length(bin(a)) - 1) - (length(bin(b)) - 1)
-            - (CASE WHEN (a >> ((length(bin(a)) - 1)
-                - (length(bin(b)) - 1))) < b THEN 1 ELSE 0 END) AS bt
-        FROM sc),
+    Some(s"""WITH $bigramBitsCtes,
       scores AS (SELECT doc_id,
           CAST(FLOOR(100 * SUM(bt) / COUNT(*)) AS BIGINT) AS mean_cb
         FROM bits GROUP BY doc_id),
