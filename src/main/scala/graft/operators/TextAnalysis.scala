@@ -558,11 +558,13 @@ object TextAnalysis {
     * occurrence rather than an error (the plan is lazy; both engines
     * agree on the degenerate value, so even that cannot drift).
     *
-    * Scale: explode + one join keyed (w1, w2) against the model
-    * (broadcast when it fits, shuffle join at vocabulary scale), one
-    * broadcast prefix table (≤ |unigram vocab| rows), a 1-row V
-    * broadcast, one per-doc aggregation. Exactness bound: sums stay
-    * under 2⁵³ (bits ≤ 63 per occurrence ⇒ ~10¹¹ bigrams per doc). */
+    * Scale: explode + one join keyed (w1, w2) against the model and
+    * one keyed w1 against the prefix table — both planner-chosen
+    * (broadcast when they fit, shuffle join at web-corpus vocabulary
+    * scale; neither is hint-forced, so a 10⁸-unigram vocabulary never
+    * OOMs the driver), a 1-row V broadcast, one per-doc aggregation.
+    * Exactness bound: sums stay under 2⁵³ (bits ≤ 63 per occurrence ⇒
+    * ~10¹¹ bigrams per doc). */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
                       lm: DataFrame): DataFrame = {
     def fl2(x: Column): Column = (length(bin(x)) - 1).cast(LongType)
@@ -575,10 +577,16 @@ object TextAnalysis {
       .select(col(idCol),
         element_at(split(col("g"), " ", 2), 1).as("__w1"),
         element_at(split(col("g"), " ", 2), 2).as("__w2"))
+    // NO broadcast hint on the model or prefix joins: both tables are
+    // vocabulary-sized (a web corpus holds 10⁸+ unigrams — a forced
+    // broadcast would OOM the driver at exactly the scale this
+    // operator targets); the planner broadcasts them when they fit
+    // and shuffles on the gram key when they don't. Only the 1-row V
+    // is hint-broadcast.
     val scored = occ
       .join(lm.select(col("w1").as("__w1"), col("w2").as("__w2"),
         col("c").as("__c12")), Seq("__w1", "__w2"), "left")
-      .join(broadcast(pfx), col("__w1") === col("__p1"), "left")
+      .join(pfx, col("__w1") === col("__p1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         (coalesce(col("__c1"), lit(0L)) + col("__v")).as("__a"),
