@@ -5399,7 +5399,13 @@ object Queries {
       val clsDir = tmpWorkDir(
         s"graft_q134_cls_${ProcessHandle.current().pid()}_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
-      if (!new java.io.File(clsDir, "weights/_SUCCESS").exists())
+      // guard on meta/_SUCCESS — the LAST artifact saveClassifier
+      // writes (weights first, meta second), so a half-written
+      // directory (interrupted between the two writes) re-trains
+      // instead of passing the guard and failing loadClassifier on
+      // the missing meta (ADVICE r19; q79's first-written-marker
+      // lesson)
+      if (!new java.io.File(clsDir, "meta/_SUCCESS").exists())
         TextAnalysis.saveClassifier(
           TextAnalysis.hashedOddsWeights(train, "text", "label",
             buckets = 4096),

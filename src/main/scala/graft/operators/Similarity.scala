@@ -979,7 +979,19 @@ object Similarity {
     * probe collect, the one plan-shape difference from the persisted
     * form); the quantized panel broadcasts with [[int8TopKBatch]]'s
     * duplicate-(q_id, pos) guard; per-(q_id, id) integer dots combine
-    * map-side. Returns (q_id, idCol, dot), top-k per query. */
+    * map-side. Returns (q_id, idCol, dot), top-k per query.
+    *
+    * PANEL-SIZE BOUND: the quantized panel and the (q_id, cid) probe
+    * table are hint-broadcast — the whole point of the batch form is
+    * that every list row sees only its probing queries without a
+    * shuffle, and that requires the panel on every executor. At
+    * dim 64 a panel row is ~70 bytes quantized (+ nprobe 16-byte
+    * probe pairs), so the practical ceiling is a few million queries
+    * against the default 8 GB broadcast limit and driver heap — a
+    * PANEL, not a second corpus. Joining corpus-against-corpus is a
+    * different operator (block both sides: [[nearDupPairs]] /
+    * [[semanticDedup]]); feeding one through this API would OOM the
+    * driver by design, not by accident. */
   def int8IvfSearchBatch(lists: DataFrame, idCol: String,
                          centroids: DataFrame, centIdCol: String,
                          centVecCol: String, nprobe: Int,
@@ -1131,7 +1143,11 @@ object Similarity {
     * not the all-pairs panel join), and the per-(q_id, id) partial
     * sums combine map-side before the one shuffle. Each (q_id, id)
     * dot is bit-identical to a [[searchInt8IvfIndex]] loop (spec'd).
-    * Returns (q_id, id, dot), top-k per query by the integer dot. */
+    * Returns (q_id, id, dot), top-k per query by the integer dot.
+    * Panel-size bound: the panel and probe broadcasts cap practical
+    * panel size at a few million queries (~70 bytes/row at dim 64) —
+    * see [[int8IvfSearchBatch]]'s PANEL-SIZE BOUND note; this API is
+    * for panels, never a second corpus. */
   def searchInt8IvfIndexBatch(spark: org.apache.spark.sql.SparkSession,
                               dir: String, queries: DataFrame,
                               qIdCol: String, qVecCol: String,
