@@ -89,17 +89,27 @@ object Int8IvfBench {
     // thin cluster margins: OVER-FETCH with the integer dot (3k+1
     // candidates), then exact f32 re-rank of just that short list —
     // the re-rank touches ≤ 3k+1 rows, so its cost is independent of
-    // corpus size
+    // corpus size. Since r20 this runs THROUGH THE OPERATOR OPTION
+    // ([[Similarity.Refine]] on IvfLifecycle.search — r19 directive
+    // #3) over the persisted artifact, not a hand-built re-join, so
+    // the recorded recall is the API's, with the self-hit absorbed by
+    // requesting k+1 and dropping the query id post-search (the same
+    // exclude-self convention as the int8 run above).
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_i8ivf_bench").toFile
+    idxDir.deleteOnExit()
+    Similarity.buildInt8IvfIndex(emb, "vec_id", "embedding",
+      cents, "cid", "cv", idxDir.getAbsolutePath)
     def rerankRecall(np: Int): Double = {
       val hits = queries.map { qId =>
-        val qf = emb.filter(col("vec_id") === qId)
-        val cand = Similarity.int8IvfSearch(index, "vec_id",
-            cents, "cid", "cv", np, qf, "embedding", 3 * topK + 1)
-          .collect().map(_.getLong(0)).filter(_ != qId)
-        val got = Similarity.topK(
-            emb.filter(col("vec_id").isin(cand.toSeq: _*)), "vec_id",
-            "embedding", qf, "embedding", topK)
-          .collect().map(_.getLong(0)).toSet
+        val got = Similarity.IvfLifecycle.search(Similarity.IvfInt8,
+            spark, idxDir.getAbsolutePath,
+            emb.filter(col("vec_id") === qId), "embedding",
+            nprobe = np, k = topK + 1,
+            refine = Some(Similarity.Refine(overfetch = 3 * topK + 1,
+              vectors = Some((emb, "vec_id", "embedding")))))
+          .collect().map(_.getLong(0)).filter(_ != qId).take(topK)
+          .toSet
         (got & truth(qId)).size
       }.sum
       math.rint(hits.toDouble / (queries.size * topK) * 1000) / 1000

@@ -5802,12 +5802,23 @@ object Queries {
 
   /** The q135 oracle: int8IvfOracle's chain with q133's panel shape —
     * per-query probes instead of one probe list, per-query top-k. */
-  private lazy val int8IvfBatchOracle: String = {
+  private lazy val int8IvfBatchOracle: String =
+    s"""WITH $int8IvfPanelDotsCtes,
+      r AS (SELECT q_id, vec_id, dot, row_number() OVER (
+          PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rn
+        FROM d)
+      SELECT q_id, vec_id, dot FROM r WHERE rn <= 5
+      ORDER BY q_id ASC, dot DESC, vec_id ASC"""
+
+  /** Shared q135/q141/q144 CTE chain — the panel's per-(q_id, vec_id)
+    * integer dots over the probed int8 lists. Exposes `qs(q_id, qv)`
+    * and `d(q_id, vec_id, dot)`. */
+  private lazy val int8IvfPanelDotsCtes: String = {
     def cos(a: String, b: String) =
       s"${OracleSql.dotSql(a, b, 64)} / " +
         s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
         s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+    s"""cent AS (SELECT vec_id AS cid, embedding AS cv
              FROM embeddings WHERE vec_id % 100 = 0),
       qs AS (SELECT vec_id AS q_id, embedding AS qv
              FROM embeddings WHERE vec_id <= 3),
@@ -5844,13 +5855,66 @@ object Queries {
         JOIN cz c ON c.cid = p.cid
         JOIN qz z ON z.q_id = p.q_id AND z.pos = c.pos
         WHERE c.q IS NOT NULL AND z.q IS NOT NULL
-        GROUP BY p.q_id, c.vec_id),
-      r AS (SELECT q_id, vec_id, dot, row_number() OVER (
-          PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rn
-        FROM d)
-      SELECT q_id, vec_id, dot FROM r WHERE rn <= 5
-      ORDER BY q_id ASC, dot DESC, vec_id ASC"""
+        GROUP BY p.q_id, c.vec_id)"""
   }
+
+  /** q144: over-fetch + exact f32 re-rank THROUGH THE API — the
+    * measured compensation for int8 thin-margin rank inversions
+    * (SCALE.md recall table; r19 directive #3) as a [[Similarity
+    * .Refine]] option on the lifecycle search instead of a hand-built
+    * re-join: q135's batched persisted-index search keeps 3k+1 = 16
+    * candidates per query by the integer dot, then the exact cosine
+    * against the caller-supplied f32 corpus re-ranks that short list
+    * to the final top-5. The oracle replays the whole chain — integer
+    * dots → per-query top-16 cut → exact cosine over exactly that
+    * candidate set → re-ranked top-5 (rounded to 6 dp for the output,
+    * ordered BY the rounded value so both engines sort identically).
+    * The re-rank's scale shape: one pass over the f32 corpus pruned
+    * map-side by the broadcast candidate list (≤ |panel|·16 rows) —
+    * cost independent of corpus size. */
+  private val q144 = Q(
+    "q144_int8_refine_search",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val idxDir = tmpWorkDir(
+        s"graft_q144_refine_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!new java.io.File(idxDir, "lists/_SUCCESS").exists())
+        Similarity.buildInt8IvfIndex(emb.filter(col("vec_id") > 3),
+          "vec_id", "embedding",
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          idxDir.getAbsolutePath)
+      Similarity.IvfLifecycle.searchBatch(Similarity.IvfInt8, s,
+          idxDir.getAbsolutePath, emb.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", nprobe = 2, k = 5,
+          refine = Some(Similarity.Refine(overfetch = 16,
+            vectors = Some((emb.filter(col("vec_id") > 3), "vec_id",
+              "embedding")))))
+        .select(col("q_id"), col("id").as("vec_id"),
+          round(col("sim"), 6).as("sim_r"))
+        .orderBy(col("q_id").asc, col("sim_r").desc, col("vec_id").asc)
+    }, {
+      val cos = s"${OracleSql.dotSql("q.qv", "e.embedding", 64)} / " +
+        s"(sqrt(${OracleSql.dotSql("q.qv", "q.qv", 64)}) * " +
+        s"sqrt(${OracleSql.dotSql("e.embedding", "e.embedding", 64)}))"
+      Some(s"""WITH $int8IvfPanelDotsCtes,
+        cr AS (SELECT q_id, vec_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rn
+          FROM d),
+        cand AS (SELECT q_id, vec_id FROM cr WHERE rn <= 16),
+        rr AS (SELECT c.q_id, c.vec_id, $cos AS sim
+          FROM cand c
+          JOIN embeddings e ON e.vec_id = c.vec_id
+          JOIN qs q ON q.q_id = c.q_id),
+        rk AS (SELECT q_id, vec_id, sim, row_number() OVER (
+            PARTITION BY q_id ORDER BY sim DESC NULLS LAST,
+              vec_id ASC) AS rn
+          FROM rr)
+        SELECT q_id, vec_id, round(sim, 6) AS sim_r FROM rk
+        WHERE rn <= 5
+        ORDER BY q_id ASC, round(sim, 6) DESC, vec_id ASC""")
+    })
 
   // ------------------------------------------------------------ registry
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -5864,7 +5928,7 @@ object Queries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q144)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1230,6 +1230,66 @@ object Similarity {
   case object IvfF32 extends IvfForm
   case object IvfInt8 extends IvfForm
 
+  /** Over-fetch + exact-re-rank search option — the MEASURED
+    * compensation for int8 thin-margin rank inversions (SCALE.md
+    * recall table: int8 alone loses rank-order where real clusters
+    * have thin cosine margins, 0.96 vs 1.00 at exhaustive probing;
+    * over-fetching 3k+1 by the integer dot and exactly re-ranking
+    * that short list against the f32 vectors recovers the f32 curve
+    * at every nprobe), exposed as an operator option instead of a
+    * hand-built re-join.
+    *
+    * `overfetch` = how many candidates the integer ranking keeps per
+    * query before the exact re-rank (the measured sweet spot is
+    * 3k+1). `vectors` = the exact f32 source (frame, idCol, vecCol);
+    * None defaults to the index's OWN stored vectors — valid for the
+    * f32 form (its lists hold them), an error for int8 (its lists
+    * are quantized, so the caller must hand the f32 corpus in). The
+    * re-rank touches ≤ |panel|·overfetch vector rows — its cost is
+    * independent of corpus size (one scan of `vectors` pruned
+    * map-side by the broadcast candidate list; no shuffle of the
+    * corpus). */
+  final case class Refine(
+      overfetch: Int,
+      vectors: Option[(DataFrame, String, String)] = None)
+
+  /** Exact-cosine re-rank of per-query candidate lists — [[Refine]]'s
+    * engine, usable standalone over ANY candidate frame (in-flight
+    * int8 searches, PQ shortlists): keep the top-k of each query's
+    * candidates by exact f32 cosine against `vectors`. `cands` must
+    * carry (`candQIdCol`, `candIdCol`); extra columns (the integer
+    * dot) are dropped — the re-rank REPLACES the coarse score.
+    * Returns (q_id, candIdCol, sim), top-k per query, sim the exact
+    * cosine.
+    *
+    * Scale shape: the candidate list broadcasts (bounded by
+    * |panel|·overfetch — the panel contract), so the `vectors` scan
+    * prunes map-side in ONE pass with no corpus shuffle; the query
+    * panel broadcasts (same bound as every panel search here); the
+    * per-query window ranks ≤ overfetch rows per query. */
+  def refineTopK(cands: DataFrame, candIdCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 vectors: DataFrame, vecIdCol: String, vecCol: String,
+                 k: Int, candQIdCol: String = "q_id"): DataFrame = {
+    require(k >= 1, s"k=$k out of [1,∞)")
+    val c = cands.select(col(candQIdCol).as("q_id"),
+      col(candIdCol).as("__rcid"))
+    val v = vectors.select(col(vecIdCol).as("__rvid"),
+      col(vecCol).as("__rvv"), norm2(col(vecCol)).as("__rvn"))
+    val q = queries.select(col(qIdCol).as("__rqid"),
+      col(qVecCol).as("__rqv"), norm2(col(qVecCol)).as("__rqn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(candIdCol).asc)
+    v.join(broadcast(c), col("__rvid") === col("__rcid"))
+      .join(broadcast(q), col("q_id") === col("__rqid"))
+      .select(col("q_id"), col("__rvid").as(candIdCol),
+        cosinePre(col("__rvv"), col("__rqv"), col("__rvn"),
+          col("__rqn")).as("sim"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** One lifecycle API over both persisted-IVF storage forms — the
     * facade that keeps the f32 and int8 families from drifting: every
     * verb dispatches on [[IvfForm]] to the SAME implementations the
@@ -1265,27 +1325,191 @@ object Similarity {
     def compact(spark: org.apache.spark.sql.SparkSession,
                 dir: String): Unit = compactIvfIndex(spark, dir)
 
-    /** Single-query search. Score column: `sim` (F32) / `dot` (Int8). */
-    def search(form: IvfForm, spark: org.apache.spark.sql.SparkSession,
-               dir: String, query: DataFrame, queryVecCol: String,
-               nprobe: Int, k: Int): DataFrame = form match {
-      case IvfF32 => searchIvfIndex(spark, dir, query, queryVecCol,
-        nprobe, k)
-      case IvfInt8 => searchInt8IvfIndex(spark, dir, query,
-        queryVecCol, nprobe, k)
+    /** Resolve a [[Refine]]'s exact-vector source: explicit frame if
+      * given; the f32 index's own stored lists otherwise; an ERROR
+      * for int8 with no explicit source (its lists are quantized —
+      * there is nothing exact to re-rank against). */
+    private def exactVectors(form: IvfForm,
+                             spark: org.apache.spark.sql.SparkSession,
+                             dir: String, r: Refine)
+        : (DataFrame, String, String) = r.vectors match {
+      case Some(v) => v
+      case None => form match {
+        case IvfF32 => (spark.read.parquet(s"$dir/lists"), "id", "vec")
+        case IvfInt8 => throw new IllegalArgumentException(
+          "Refine on an int8 index needs Refine.vectors: the index " +
+            "stores quantized rows only, so the exact re-rank must " +
+            "be handed the f32 corpus (frame, idCol, vecCol)")
+      }
     }
 
-    /** Panel search, top-k per q_id — no driver loop either form. */
+    /** Single-query search. Score column: `sim` (F32) / `dot`
+      * (Int8) — with `refine`, ALWAYS `sim` (the exact f32 cosine of
+      * the re-ranked short list; see [[Refine]]). */
+    def search(form: IvfForm, spark: org.apache.spark.sql.SparkSession,
+               dir: String, query: DataFrame, queryVecCol: String,
+               nprobe: Int, k: Int,
+               refine: Option[Refine] = None): DataFrame =
+      refine match {
+        case None => form match {
+          case IvfF32 => searchIvfIndex(spark, dir, query, queryVecCol,
+            nprobe, k)
+          case IvfInt8 => searchInt8IvfIndex(spark, dir, query,
+            queryVecCol, nprobe, k)
+        }
+        case Some(r) =>
+          require(r.overfetch >= k,
+            s"overfetch=${r.overfetch} must be >= k=$k")
+          val cands = search(form, spark, dir, query, queryVecCol,
+            nprobe, r.overfetch)
+          val (vdf, vid, vvec) = exactVectors(form, spark, dir, r)
+          refineTopK(
+              cands.withColumn("__rq", lit(0L)), "id",
+              query.select(lit(0L).as("__rqk"),
+                col(queryVecCol).as("__rqv")),
+              "__rqk", "__rqv", vdf, vid, vvec, k,
+              candQIdCol = "__rq")
+            .select(col("id"), col("sim"))
+            .orderBy(col("sim").desc, col("id").asc)
+      }
+
+    /** Panel search, top-k per q_id — no driver loop either form.
+      * With `refine`, the score column is the exact f32 cosine `sim`
+      * of the re-ranked short list (see [[Refine]]). */
     def searchBatch(form: IvfForm,
                     spark: org.apache.spark.sql.SparkSession,
                     dir: String, queries: DataFrame, qIdCol: String,
-                    qVecCol: String, nprobe: Int,
-                    k: Int): DataFrame = form match {
-      case IvfF32 => searchIvfIndexBatch(spark, dir, queries, qIdCol,
-        qVecCol, nprobe, k)
-      case IvfInt8 => searchInt8IvfIndexBatch(spark, dir, queries,
-        qIdCol, qVecCol, nprobe, k)
+                    qVecCol: String, nprobe: Int, k: Int,
+                    refine: Option[Refine] = None): DataFrame =
+      refine match {
+        case None => form match {
+          case IvfF32 => searchIvfIndexBatch(spark, dir, queries,
+            qIdCol, qVecCol, nprobe, k)
+          case IvfInt8 => searchInt8IvfIndexBatch(spark, dir, queries,
+            qIdCol, qVecCol, nprobe, k)
+        }
+        case Some(r) =>
+          require(r.overfetch >= k,
+            s"overfetch=${r.overfetch} must be >= k=$k")
+          val cands = searchBatch(form, spark, dir, queries, qIdCol,
+            qVecCol, nprobe, r.overfetch)
+          val (vdf, vid, vvec) = exactVectors(form, spark, dir, r)
+          refineTopK(cands, "id", queries, qIdCol, qVecCol,
+            vdf, vid, vvec, k)
+      }
+
+    /** The append transform (assignment by the index's OWN persisted
+      * quantizer) WITHOUT the write — shared by [[append]]'s blind
+      * parquet append and [[ingestBatch]]'s staged exactly-once
+      * promote, so the two ingest pathways cannot drift on placement
+      * or quantization. */
+    private def ingestRows(form: IvfForm,
+                           spark: org.apache.spark.sql.SparkSession,
+                           dir: String, df: DataFrame, idCol: String,
+                           vecCol: String): DataFrame = form match {
+      case IvfF32 =>
+        assignToCentroids(df, idCol, vecCol,
+            prepCent(spark.read.parquet(s"$dir/centroids"),
+              "cid", "cv"))
+          .select(col(idCol).as("id"), col(vecCol).as("vec"),
+            col("__n").as("norm"), col("__cid").as("cid"))
+      case IvfInt8 =>
+        int8IvfIndex(df, idCol, vecCol,
+            spark.read.parquet(s"$dir/centroids"), "cid", "cv")
+          .select(col(idCol).as("id"), col("pos"), col("q"),
+            col("cid"))
     }
+
+    /** EXACTLY-ONCE ingest of one micro-batch — the helper the
+      * [[appendToInt8IvfIndex]] contract demands instead of merely
+      * documenting (an at-least-once foreachBatch replay through the
+      * blind append duplicates (id, pos) rows, and the int8 per-id
+      * dot then silently DOUBLE-COUNTS — corrupted scores, not just
+      * duplicate result rows). A committed-batchId ledger lives
+      * beside the index (`dir/_ingest/committed-<batchId>`, the
+      * durable-marker shape of the reference's failed-export retry
+      * dir, STEP-BY-STEP.md:446-459), and the append itself is a
+      * stage-then-promote with DETERMINISTIC file names so every
+      * crash window replays idempotently:
+      *
+      *  1. marker exists → the batch already committed: skip (and
+      *     sweep any staging leftover). Replays cost one FS stat.
+      *  2. stage the assigned+quantized rows to
+      *     `_ingest/staged-<batchId>` with mode OVERWRITE — a replay
+      *     of a half-written stage rewrites it whole;
+      *  3. promote each staged `cid=` partition's files into
+      *     `lists/cid=.../ingest-<batchId>-<k>.parquet` by rename,
+      *     after DELETING any `ingest-<batchId>-*` leftovers there —
+      *     a crash mid-promote replays to the exact same names, so a
+      *     half-promoted batch can never double;
+      *  4. create the marker, then drop the staging dir.
+      *
+      * A crash between promote and marker (the window a blind append
+      * cannot survive) re-runs 2–3 on replay and lands byte-identical
+      * file names — exactly-once, spec'd against the union-built
+      * index with the blind-append control proving the corruption the
+      * ledger prevents. Batch replays must re-deliver the same rows
+      * (the Structured Streaming source contract). Returns true iff
+      * the batch was applied (false = replay skipped). */
+    def ingestBatch(form: IvfForm,
+                    spark: org.apache.spark.sql.SparkSession,
+                    dir: String, batch: DataFrame, batchId: Long,
+                    idCol: String, vecCol: String): Boolean = {
+      import org.apache.hadoop.fs.Path
+      val conf = spark.sparkContext.hadoopConfiguration
+      val ledger = new Path(s"$dir/_ingest")
+      val fs = ledger.getFileSystem(conf)
+      val marker = new Path(ledger, s"committed-$batchId")
+      val staged = new Path(ledger, s"staged-$batchId")
+      if (fs.exists(marker)) {
+        if (fs.exists(staged)) fs.delete(staged, true) // crashed after
+        return false                                   // marker: sweep
+      }
+      ingestRows(form, spark, dir, batch, idCol, vecCol)
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(staged.toString)
+      val lists = new Path(s"$dir/lists")
+      fs.listStatus(staged)
+        .filter(st => st.isDirectory && st.getPath.getName
+          .startsWith("cid="))
+        .foreach { st =>
+          val dst = new Path(lists, st.getPath.getName)
+          fs.mkdirs(dst)
+          fs.listStatus(dst)
+            .filter(_.getPath.getName.startsWith(s"ingest-$batchId-"))
+            .foreach(p => fs.delete(p.getPath, false))
+          fs.listStatus(st.getPath).map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet") &&
+              !p.getName.startsWith("_") && !p.getName.startsWith("."))
+            .sortBy(_.getName)
+            .zipWithIndex.foreach { case (p, k) =>
+              val to = new Path(dst, s"ingest-$batchId-$k.parquet")
+              if (!fs.rename(p, to))
+                sys.error(s"ingest promote failed renaming $p to $to")
+            }
+        }
+      fs.create(marker, true).close()
+      fs.delete(staged, true)
+      true
+    }
+
+    /** [[ingestBatch]] curried as a foreachBatch sink — the
+      * streaming-ingest pathway in one line:
+      * {{{
+      * feed.writeStream.foreachBatch(
+      *   IvfLifecycle.streamIngest(IvfInt8, spark, dir,
+      *     "vec_id", "embedding")).start()
+      * }}}
+      * Exactly-once under at-least-once replays and every crash
+      * window — see [[ingestBatch]]. */
+    def streamIngest(form: IvfForm,
+                     spark: org.apache.spark.sql.SparkSession,
+                     dir: String, idCol: String, vecCol: String)
+        : (DataFrame, Long) => Unit =
+      (batch, batchId) => {
+        ingestBatch(form, spark, dir, batch, batchId, idCol, vecCol)
+        ()
+      }
   }
 
   /** All-pairs near-duplicates by embedding cosine ≥ threshold, blocked

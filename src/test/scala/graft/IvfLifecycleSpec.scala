@@ -155,5 +155,146 @@ class IvfLifecycleSpec extends SparkTest {
         s"streamed=${search(form, inc, query)} " +
           s"full=${search(form, full, query)}")
     }
+
+    test(s"$form: refine = over-fetch by the coarse score + exact " +
+      "f32 re-rank of exactly that candidate set") {
+      val dir = tmp(s"ivf${form}refine")
+      val qIds = Seq(1L, 2L, 3L)
+      val data = emb.filter(!col("vec_id").isin(qIds: _*))
+      val panel = emb.filter(col("vec_id").isin(qIds: _*))
+      Similarity.IvfLifecycle.build(form, data, "vec_id", "embedding",
+        cents, "cid", "cv", dir.getAbsolutePath)
+      val refined = Similarity.IvfLifecycle.searchBatch(form, spark,
+          dir.getAbsolutePath, panel, "vec_id", "embedding",
+          nprobe = 2, k = 3,
+          refine = Some(Similarity.Refine(overfetch = 7,
+            vectors = Some((data, "vec_id", "embedding")))))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // the contract, by hand: the same search's top-7 candidate set,
+      // re-ranked by exact f32 cosine, cut to 3
+      val want = qIds.map { qid =>
+        val cands = Similarity.IvfLifecycle.searchBatch(form, spark,
+            dir.getAbsolutePath,
+            emb.filter(col("vec_id") === qid), "vec_id", "embedding",
+            nprobe = 2, k = 7)
+          .collect().map(_.getLong(1)).toSeq
+        qid -> Similarity.topK(
+            data.filter(col("vec_id").isin(cands: _*)), "vec_id",
+            "embedding", emb.filter(col("vec_id") === qid),
+            "embedding", 3)
+          .collect().map(_.getLong(0)).toSet
+      }.toMap
+      assert(refined == want, s"refined=$refined want=$want")
+      // single-query form agrees with the batch form
+      val single = Similarity.IvfLifecycle.search(form, spark,
+          dir.getAbsolutePath, emb.filter(col("vec_id") === 1),
+          "embedding", nprobe = 2, k = 3,
+          refine = Some(Similarity.Refine(overfetch = 7,
+            vectors = Some((data, "vec_id", "embedding")))))
+        .collect().map(_.getLong(0)).toSet
+      assert(single == want(1L), s"single=$single want=${want(1L)}")
+      form match {
+        case Similarity.IvfF32 =>
+          // f32 defaults to the index's own stored vectors — and since
+          // the plain f32 search ALREADY ranks by exact cosine,
+          // refining it is an identity on the top-k
+          val plain = Similarity.IvfLifecycle.search(form, spark,
+              dir.getAbsolutePath, emb.filter(col("vec_id") === 1),
+              "embedding", nprobe = 2, k = 3)
+            .collect().map(_.getLong(0)).toSeq
+          val refl = Similarity.IvfLifecycle.search(form, spark,
+              dir.getAbsolutePath, emb.filter(col("vec_id") === 1),
+              "embedding", nprobe = 2, k = 3,
+              refine = Some(Similarity.Refine(overfetch = 7)))
+            .collect().map(_.getLong(0)).toSeq
+          assert(refl == plain, s"refined-f32=$refl plain=$plain")
+        case Similarity.IvfInt8 =>
+          // int8 lists are quantized: no default exact source exists
+          assertThrows[IllegalArgumentException] {
+            Similarity.IvfLifecycle.search(form, spark,
+              dir.getAbsolutePath, emb.filter(col("vec_id") === 1),
+              "embedding", nprobe = 2, k = 3,
+              refine = Some(Similarity.Refine(overfetch = 7)))
+          }
+      }
+    }
+
+    test(s"$form: ingestBatch is exactly-once — a replayed batchId " +
+      "is skipped and search equals union-built; the blind-append " +
+      "control proves the ledger is load-bearing") {
+      val query = emb.filter(col("vec_id") === 1)
+      val data = emb.filter(col("vec_id") =!= 1)
+      val seed = data.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val arriving = data.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val h1 = arriving.filter(pmod(col("vec_id"), lit(4)) === 1)
+      val h2 = arriving.filter(pmod(col("vec_id"), lit(4)) === 3)
+      val full = tmp(s"ivf${form}xofull")
+      Similarity.IvfLifecycle.build(form, data, "vec_id", "embedding",
+        cents, "cid", "cv", full.getAbsolutePath)
+
+      // ledgered path: batch 0 delivered TWICE (at-least-once replay)
+      val inc = tmp(s"ivf${form}xoinc")
+      Similarity.IvfLifecycle.build(form, seed, "vec_id", "embedding",
+        cents, "cid", "cv", inc.getAbsolutePath)
+      assert(Similarity.IvfLifecycle.ingestBatch(form, spark,
+        inc.getAbsolutePath, h1, 0L, "vec_id", "embedding"))
+      assert(!Similarity.IvfLifecycle.ingestBatch(form, spark,
+        inc.getAbsolutePath, h1, 0L, "vec_id", "embedding"),
+        "replayed batchId must be skipped")
+      assert(Similarity.IvfLifecycle.ingestBatch(form, spark,
+        inc.getAbsolutePath, h2, 1L, "vec_id", "embedding"))
+      assert(search(form, inc, query) == search(form, full, query),
+        s"ledgered=${search(form, inc, query)} " +
+          s"full=${search(form, full, query)}")
+      // the ledger is on disk beside the index
+      val markers = new java.io.File(inc, "_ingest").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+      assert(markers == Seq("committed-0", "committed-1"), s"$markers")
+
+      // control: the SAME replay through the blind append corrupts —
+      // duplicated rows double int8 dots / duplicate f32 result rows,
+      // so search no longer matches union-built (what the ledger is
+      // FOR; if this ever passes, the exactly-once test above proves
+      // nothing)
+      val blind = tmp(s"ivf${form}xoblind")
+      Similarity.IvfLifecycle.build(form, seed, "vec_id", "embedding",
+        cents, "cid", "cv", blind.getAbsolutePath)
+      Similarity.IvfLifecycle.append(form, spark,
+        blind.getAbsolutePath, h1, "vec_id", "embedding")
+      Similarity.IvfLifecycle.append(form, spark,
+        blind.getAbsolutePath, h1, "vec_id", "embedding") // the replay
+      Similarity.IvfLifecycle.append(form, spark,
+        blind.getAbsolutePath, h2, "vec_id", "embedding")
+      assert(search(form, blind, query) != search(form, full, query),
+        "blind-append replay should corrupt the search — the ledger " +
+          "would be dead weight otherwise")
+    }
+
+    test(s"$form: ingestBatch replays idempotently across the " +
+      "promote-then-crash window (marker missing, files promoted)") {
+      val query = emb.filter(col("vec_id") === 1)
+      val data = emb.filter(col("vec_id") =!= 1)
+      val seed = data.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = data.filter(pmod(col("vec_id"), lit(2)) =!= 0)
+      val full = tmp(s"ivf${form}crfull")
+      val inc = tmp(s"ivf${form}crinc")
+      Similarity.IvfLifecycle.build(form, data, "vec_id", "embedding",
+        cents, "cid", "cv", full.getAbsolutePath)
+      Similarity.IvfLifecycle.build(form, seed, "vec_id", "embedding",
+        cents, "cid", "cv", inc.getAbsolutePath)
+      assert(Similarity.IvfLifecycle.ingestBatch(form, spark,
+        inc.getAbsolutePath, batch, 7L, "vec_id", "embedding"))
+      // simulate the crash window: promote completed (files live under
+      // lists/), marker never written — the replay must re-apply to
+      // the SAME deterministic names, never double
+      assert(new java.io.File(inc, "_ingest/committed-7").delete())
+      assert(Similarity.IvfLifecycle.ingestBatch(form, spark,
+        inc.getAbsolutePath, batch, 7L, "vec_id", "embedding"),
+        "replay across the crash window must re-apply")
+      assert(search(form, inc, query) == search(form, full, query),
+        s"crash-replayed=${search(form, inc, query)} " +
+          s"full=${search(form, full, query)}")
+    }
   }
 }
