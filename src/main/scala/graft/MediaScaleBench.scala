@@ -28,20 +28,27 @@ import org.apache.spark.sql.functions._
   *   measured here as the control.
   *
   * args: replica counts (default: 10 100 1000; 18 images each). env
-  * SPARK_GRAFT_CPUS, SPARK_GRAFT_RUNS as the other bench mains. */
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_RUNS as the other bench mains;
+  * SPARK_GRAFT_MEDIA_DIMSCALE (default 16) multiplies the generator
+  * image dimensions — at the default the corpus is 128–256 × 80–240
+  * px, so the 16×16-grid wide hash averages ≥40 pixels per cell and
+  * its precision is measured above the ≤16×15-px thumbnail-collision
+  * floor r19 measured at (SCALE.md; dimScale 1 reproduces the r19
+  * thumbnail table). */
 object MediaScaleBench {
 
   private val srcs = Seq(4L, 10L, 16L, 22L, 34L, 40L, 46L, 52L, 58L)
 
-  /** R replicas of the q131-shaped corpus (replica 0 IS q131's, id
-    * space r*1000+{i, i+100}). Payload generation (not a pipeline
-    * stage) is excluded from timing via localCheckpoint. */
-  def corpus(s: SparkSession, replicas: Long): DataFrame = {
+  /** R replicas of the q131-shaped corpus (id space r*1000+{i,
+    * i+100}; replica 0 at dimScale 1 IS q131's). Payload generation
+    * (not a pipeline stage) is excluded from timing via
+    * localCheckpoint. */
+  def corpus(s: SparkSession, replicas: Long, dimScale: Int): DataFrame = {
     import s.implicits._
     s.range(0L, replicas).as[Long]
       .flatMap { r =>
         srcs.flatMap { i =>
-          val p = Multimodal.encodeTestImage(i + 61L * r)
+          val p = Multimodal.encodeTestImage(i + 61L * r, dimScale)
           Seq((r * 1000L + i, p), (r * 1000L + i + 100L, p))
         }
       }
@@ -53,6 +60,9 @@ object MediaScaleBench {
   def main(args: Array[String]): Unit = {
     val scales =
       if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(10L, 100L, 1000L)
+    val dimScale = sys.env.get("SPARK_GRAFT_MEDIA_DIMSCALE")
+      .flatMap(_.toIntOption).filter(s => s >= 1 && s <= 64)
+      .getOrElse(16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.get("SPARK_GRAFT_RUNS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
@@ -74,7 +84,7 @@ object MediaScaleBench {
       math.rint(xs.sorted.apply(xs.length / 2) * 1000) / 1000
 
     val rows = scales.map { r =>
-      val imgs = corpus(spark, r)
+      val imgs = corpus(spark, r, dimScale)
       val n = imgs.count()
 
       // stage 1: decode + aHash (the per-image data-bound term)
@@ -158,14 +168,23 @@ object MediaScaleBench {
           s""""survivors":${survivors.head},"hot_buckets":$hot}"""
       }
 
-      s"""{"replicas":$r,"images":$n,"hash_sec":$hashSec,""" +
+      // planted ground truth: every DECODABLE source contributes
+      // exactly one exact duplicate that must drop (corrupt seeds —
+      // (i+61r) % 7 == 0 — hash NULL on both copies, so both survive
+      // by contract); survivors − ideal is the PRECISION reading
+      // (over-merge mass), 0 = perfect
+      val planted = (0L until r).map(rep =>
+        srcs.count(i => (i + 61L * rep) % 7 != 0).toLong).sum
+      s"""{"replicas":$r,"images":$n,"ideal_survivors":${n - planted},""" +
+        s""""hash_sec":$hashSec,""" +
         (Seq(block("d6_pairs", 6, edgesOp = false),
           block("d6_edges", 6, edgesOp = true),
           block("d3_pairs", 3, edgesOp = false)) :+
           wideBlock(6) :+ wideBlock(3))
           .mkString(",") + "}"
     }
-    println(s"""{"mode":"media_scale","runs":$runs,"rows":[""" +
+    println(s"""{"mode":"media_scale","runs":$runs,""" +
+      s""""dim_scale":$dimScale,"rows":[""" +
       rows.mkString(",") + "]}")
     spark.stop()
   }

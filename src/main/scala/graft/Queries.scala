@@ -5232,14 +5232,15 @@ object Queries {
   private val q131 = Q(
     "q131_media_pipeline",
     (s, dir) => {
-      import graft.operators.{ConnectedComponents, Curation, Dedup,
-        Multimodal}
+      import graft.operators.{Curation, Multimodal}
       val imgs = imageDedupCorpus(s)
-      val pairs = Dedup.hammingEdges(
-        Multimodal.withAHash(imgs, "payload"), "img_id", "ahash",
-        bits = 64, maxDist = 6, maxBucket = mediaMaxBucket)
-      val survivors = ConnectedComponents.resolve(
-        imgs, "img_id", pairs, "a", "b")
+      // the composition is PARAMETERIZED by signature family since
+      // r20 (Multimodal.perceptualDedup) — q131 pins the narrow
+      // 64-bit form it has always oracled (thumbnail-scale corpus);
+      // q142 runs the same shape through the wide scale default
+      val survivors = Multimodal.perceptualDedup(imgs, "img_id",
+        "payload", maxDist = 6, maxBucket = mediaMaxBucket,
+        family = Multimodal.SigNarrow64)
       Curation.shuffleShards(survivors.select(col("img_id")),
           "img_id", seed = 7L, shards = 4)
         .select(col("img_id"), col("shard"), col("seq"))
@@ -5617,7 +5618,18 @@ object Queries {
           "img_id", "ahash_w", bits = 256, maxDist = 6)
         .orderBy(col("a").asc, col("b").asc)
     },
-    Some(s"""WITH srcs AS (
+    Some(s"""WITH $imageHashWideCtes
+      SELECT a, b, dist FROM dists WHERE dist <= 6
+      ORDER BY a ASC, b ASC"""))
+
+  /** Shared oracle CTE chain for q138/q142: recompute every WIDE
+    * (16×16) aHash from the generator pixel formula as 16 per-row
+    * 16-bit values (never assembling a signed 64-bit word), then
+    * brute-force all-pairs distances as Σ of row-wise XOR popcounts.
+    * Exposes `imgs(img_id, src)` and `dists(a, b, dist)` — the wide
+    * counterpart of [[imageHashCtes]]. */
+  private lazy val imageHashWideCtes: String =
+    """srcs AS (
         SELECT i, 8 + i % 9 AS w, 5 + (i * 3) % 11 AS h
         FROM (VALUES (4), (10), (16), (22), (34), (40), (46), (52),
           (58)) t(i)),
@@ -5650,14 +5662,53 @@ object Queries {
       allp AS (SELECT a.img_id AS a, b.img_id AS b,
           a.src AS sa, b.src AS sb
         FROM imgs a JOIN imgs b ON a.img_id < b.img_id),
-      d AS (SELECT p.a, p.b,
+      dists AS (SELECT p.a, p.b,
           CAST(SUM(bit_count(xor(ra.rv, rb.rv))) AS BIGINT) AS dist
         FROM allp p
         JOIN rowvals ra ON ra.i = p.sa
         JOIN rowvals rb ON rb.i = p.sb AND rb.gv = ra.gv
-        GROUP BY p.a, p.b)
-      SELECT a, b, dist FROM d WHERE dist <= 6
-      ORDER BY a ASC, b ASC"""))
+        GROUP BY p.a, p.b)"""
+
+  /** q142: the composed media pipeline on the WIDE signature family —
+    * q131's exact shape (hash → connectivity-equivalent Hamming edges
+    * → star-contraction CC → keep smallest id → deterministic
+    * reshard) through [[graft.operators.Multimodal.perceptualDedup]]'s
+    * SCALE DEFAULT ([[graft.operators.Multimodal.SigWide256]], the
+    * r19 measurement wired into the production composition): 256-bit
+    * 16×16 aHash, `hammingEdgesWide` at the measured precision budget
+    * d≤3, the q131 skew cap. The DuckDB oracle replays the whole
+    * chain — wide hashes from the pixel formula, brute-force
+    * all-pairs distances, recursive-CTE closure, md5 reshard — so the
+    * edge set's connectivity equivalence is proven against all-pairs
+    * on the wide family exactly as q131's oracle proves it on the
+    * narrow. */
+  private val q142 = Q(
+    "q142_media_pipeline_wide",
+    (s, dir) => {
+      import graft.operators.{Curation, Multimodal}
+      val imgs = imageDedupCorpus(s)
+      val survivors = Multimodal.perceptualDedup(imgs, "img_id",
+        "payload", maxDist = 3, maxBucket = mediaMaxBucket)
+      Curation.shuffleShards(survivors.select(col("img_id")),
+          "img_id", seed = 17L, shards = 4)
+        .select(col("img_id"), col("shard"), col("seq"))
+        .orderBy(col("shard").asc, col("seq").asc)
+    },
+    Some(s"""WITH RECURSIVE $imageHashWideCtes,
+      mpairs AS (SELECT a, b FROM dists WHERE dist <= 3),
+      ${OracleSql.closureCtes("mpairs")}
+      , surv AS (SELECT img_id FROM imgs
+        WHERE img_id NOT IN (SELECT id FROM cc WHERE component <> id)),
+      k AS (SELECT img_id,
+        md5(concat('17', ':', CAST(img_id AS VARCHAR))) AS key
+        FROM surv),
+      sh AS (SELECT img_id, key,
+        CAST(CAST('0x' || substr(key, 1, 12) AS BIGINT) % 4 AS BIGINT)
+          AS shard FROM k)
+      SELECT img_id, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+          ORDER BY key ASC, img_id ASC) AS BIGINT) AS seq
+      FROM sh ORDER BY shard ASC, seq ASC"""))
 
   /** Shared q139/q140 oracle CTE chain — train the bigram counts on
     * the even ids, emit per-occurrence surprisal bits for the odd ids
@@ -5810,14 +5861,21 @@ object Queries {
       SELECT q_id, vec_id, dot FROM r WHERE rn <= 5
       ORDER BY q_id ASC, dot DESC, vec_id ASC"""
 
-  /** Shared q135/q141/q144 CTE chain — the panel's per-(q_id, vec_id)
-    * integer dots over the probed int8 lists. Exposes `qs(q_id, qv)`
-    * and `d(q_id, vec_id, dot)`. */
-  private lazy val int8IvfPanelDotsCtes: String = {
-    def cos(a: String, b: String) =
-      s"${OracleSql.dotSql(a, b, 64)} / " +
-        s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
-        s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
+  /** Exact cosine over DuckDB list columns (shared by the panel-probe
+    * oracle chains). */
+  private def cosSql(a: String, b: String): String =
+    s"${OracleSql.dotSql(a, b, 64)} / " +
+      s"(sqrt(${OracleSql.dotSql(a, a, 64)}) * " +
+      s"sqrt(${OracleSql.dotSql(b, b, 64)}))"
+
+  /** Shared q135/q141/q144/q145 CTE chain — the panel's per-(q_id,
+    * vec_id) integer dots over the probed int8 lists, with the PROBE
+    * SELECTION pluggable (flat top-nprobe for q135/q141/q144,
+    * two-level for q145). `probesCte` must define
+    * `probes(q_id, cid)`; the chain exposes `qs(q_id, qv)` and
+    * `d(q_id, vec_id, dot)`. */
+  private def int8IvfPanelDots(probesCte: String): String = {
+    def cos(a: String, b: String) = cosSql(a, b)
     s"""cent AS (SELECT vec_id AS cid, embedding AS cv
              FROM embeddings WHERE vec_id % 100 = 0),
       qs AS (SELECT vec_id AS q_id, embedding AS qv
@@ -5828,12 +5886,7 @@ object Queries {
                  ORDER BY ${cos("e.embedding", "c.cv")} DESC NULLS LAST,
                           c.cid ASC) AS rn
         FROM embeddings e, cent c WHERE e.vec_id > 3) WHERE rn = 1),
-      probes AS (SELECT q_id, cid FROM (
-        SELECT q.q_id, c.cid,
-               row_number() OVER (PARTITION BY q.q_id
-                 ORDER BY ${cos("q.qv", "c.cv")} DESC NULLS LAST,
-                          c.cid ASC) AS rn
-        FROM qs q, cent c) WHERE rn <= 2),
+      $probesCte,
       cn AS (SELECT vec_id, embedding, cid,
                sqrt(${OracleSql.dotSql("embedding", "embedding", 64)})
                  AS nrm FROM asg),
@@ -5857,6 +5910,178 @@ object Queries {
         WHERE c.q IS NOT NULL AND z.q IS NOT NULL
         GROUP BY p.q_id, c.vec_id)"""
   }
+
+  /** The FLAT probe selection (q135/q141/q144): per-query top-nprobe
+    * over ALL centroids. */
+  private lazy val int8IvfPanelDotsCtes: String =
+    int8IvfPanelDots(s"""probes AS (SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("q.qv", "c.cv")} DESC NULLS LAST,
+                          c.cid ASC) AS rn
+        FROM qs q, cent c) WHERE rn <= 2)""")
+
+  /** q145: TWO-LEVEL probe assignment for the in-flight panel search
+    * ([[graft.operators.Similarity.int8IvfSearchBatchTwoLevel]]) —
+    * the answer to the flat form's |panel|·|centroids| probe stage
+    * (r19 "What's wrong" #2): each CENTROID is assigned once to its
+    * nearest coarse cell (query-independent), a query ranks only the
+    * ~√|centroids| coarse cells, and the final top-nprobe centroid
+    * pick ranks only the centroids inside the probed cells. Probing
+    * is APPROXIMATE by design (a top centroid in an unprobed cell is
+    * missed — IVF's own trade, one level up); the oracle replays the
+    * exact two-level selection, so the approximation itself is the
+    * pinned contract. Downstream (panel broadcast, inner-join prune,
+    * map-side dots, window top-k) is q141's verbatim. */
+  private val q145 = Q(
+    "q145_int8_ivf_two_level",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      Similarity.int8IvfSearchBatchTwoLevel(
+          Similarity.int8IvfIndex(emb.filter(col("vec_id") > 3),
+            "vec_id", "embedding",
+            emb.filter(col("vec_id") % 100 === 0), "vec_id",
+            "embedding"),
+          "vec_id",
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 400 === 0), "vec_id", "embedding",
+          nprobeCoarse = 2, nprobe = 2,
+          emb.filter(col("vec_id") <= 3), "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("vec_id"), col("dot"))
+        .orderBy(col("q_id").asc, col("dot").desc, col("vec_id").asc)
+    },
+    Some(s"""WITH ${int8IvfPanelDots(s"""
+      co AS (SELECT vec_id AS gid, embedding AS gv
+             FROM embeddings WHERE vec_id % 400 = 0),
+      cellof AS (SELECT cid, gid FROM (
+        SELECT c.cid, g.gid,
+               row_number() OVER (PARTITION BY c.cid
+                 ORDER BY ${cosSql("c.cv", "g.gv")} DESC NULLS LAST,
+                          g.gid ASC) AS rn
+        FROM cent c, co g) WHERE rn = 1),
+      qcells AS (SELECT q_id, gid FROM (
+        SELECT q.q_id, g.gid,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("q.qv", "g.gv")} DESC NULLS LAST,
+                          g.gid ASC) AS rn
+        FROM qs q, co g) WHERE rn <= 2),
+      probes AS (SELECT q_id, cid FROM (
+        SELECT qc.q_id, cf.cid,
+               row_number() OVER (PARTITION BY qc.q_id
+                 ORDER BY ${cosSql("q.qv", "c.cv")} DESC NULLS LAST,
+                          cf.cid ASC) AS rn
+        FROM qcells qc
+        JOIN cellof cf ON cf.gid = qc.gid
+        JOIN qs q ON q.q_id = qc.q_id
+        JOIN cent c ON c.cid = cf.cid) WHERE rn <= 2)""")},
+      r AS (SELECT q_id, vec_id, dot, row_number() OVER (
+          PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rn
+        FROM d)
+      SELECT q_id, vec_id, dot FROM r WHERE rn <= 5
+      ORDER BY q_id ASC, dot DESC, vec_id ASC"""))
+
+  /** q143: PER-LANGUAGE CCNet — the deployment shape Wenzek et al.
+    * 2020 actually run (one LM per language, each doc scored against
+    * its OWN language's model, the perplexity cut taken WITHIN
+    * language): q19's langId expression slices the corpus, the q139
+    * bigram LM trains per slice (trainBigramLm keyCols — still ONE
+    * map-side-combined aggregation, shuffle bounded by Σ per-language
+    * vocabulary), each pool doc joins its language's model/prefix
+    * tables on (lang, gram) keys (planner-chosen, never
+    * hint-broadcast), and the exact 2/3-quantile cut runs per
+    * language (quantilesByValue keyed — the threshold table is
+    * ≤ |languages| rows, broadcast by the planner into one final
+    * filter join). Output: the kept docs with their language and
+    * score. The DuckDB oracle replays the WHOLE chain partitioned by
+    * the langId CASE expression — training counts, integer-exact
+    * floor-log2 bits, per-language cumulative-count quantile,
+    * final cut. */
+  private val q143 = Q(
+    "q143_ccnet_perlang",
+    (s, dir) => {
+      import graft.operators.{Sketches, TextAnalysis}
+      val docs = t(s, dir, "documents")
+        .withColumn("pred", TextAnalysis.langId(col("text")))
+      val lm = TextAnalysis.trainBigramLm(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        keyCols = Seq("pred"))
+      val scores = TextAnalysis.bigramSurprisal(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lm,
+          keyCols = Seq("pred"))
+        .filter(col("n_bigrams") > 0)
+      val cuts = Sketches.quantilesByValue(scores, Seq("pred"),
+          "mean_cb", Seq(6666))
+        .select(col("pred"), col("q_value").as("__t2"))
+      scores.join(cuts, Seq("pred"))
+        .filter(col("mean_cb") <= col("__t2"))
+        .select(col("doc_id"), col("pred").as("lang_pred"),
+          col("mean_cb"))
+        .orderBy(col("doc_id").asc)
+    }, {
+      import graft.operators.TextAnalysis
+      val ordered = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+      val withCols = ordered.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(lower(text), ' '), " +
+          s"w -> w IN ($inList))) AS c_$lang"
+      }.mkString(", ")
+      val best = "greatest(" + ordered.map(l => s"c_${l._1}")
+        .mkString(", ") + ")"
+      val predCase = ordered.map { case (l, _) =>
+        s"WHEN c_$l = __best AND __best > 0 THEN '$l'"
+      }.mkString(" ")
+      Some(s"""WITH lc AS (SELECT doc_id, text, $withCols
+          FROM documents),
+        lb AS (SELECT *, $best AS __best FROM lc),
+        ldocs AS (SELECT doc_id, text,
+          CASE $predCase ELSE 'und' END AS pred FROM lb),
+        tr AS (SELECT pred,
+            unnest(${OracleSql.shinglesSql("lower(text)", 2)}) AS g
+          FROM ldocs WHERE doc_id % 2 = 0),
+        cnts AS (SELECT pred, string_split(g, ' ')[1] AS w1,
+            string_split(g, ' ')[2] AS w2, COUNT(*) AS c
+          FROM tr GROUP BY 1, 2, 3),
+        pfx AS (SELECT pred, w1, SUM(c) AS c1 FROM cnts GROUP BY 1, 2),
+        voc AS (SELECT pred, COUNT(DISTINCT w2) AS v FROM cnts
+          GROUP BY 1),
+        te AS (SELECT doc_id, pred,
+            unnest(${OracleSql.shinglesSql("lower(text)", 2)}) AS g
+          FROM ldocs WHERE doc_id % 2 = 1),
+        occ AS (SELECT doc_id, pred, string_split(g, ' ')[1] AS w1,
+            string_split(g, ' ')[2] AS w2 FROM te),
+        sc AS (SELECT o.doc_id, o.pred,
+            COALESCE(p.c1, 0) + COALESCE(v.v, 0) AS a,
+            COALESCE(c.c, 0) + 1 AS b
+          FROM occ o
+          LEFT JOIN cnts c ON c.pred = o.pred AND c.w1 = o.w1
+            AND c.w2 = o.w2
+          LEFT JOIN pfx p ON p.pred = o.pred AND p.w1 = o.w1
+          LEFT JOIN voc v ON v.pred = o.pred),
+        bits AS (SELECT doc_id, pred,
+            (length(bin(a)) - 1) - (length(bin(b)) - 1)
+              - (CASE WHEN (a >> ((length(bin(a)) - 1)
+                  - (length(bin(b)) - 1))) < b THEN 1 ELSE 0 END) AS bt
+          FROM sc),
+        scores AS (SELECT doc_id, pred,
+            CAST(FLOOR(100 * SUM(bt) / COUNT(*)) AS BIGINT) AS mean_cb
+          FROM bits GROUP BY doc_id, pred),
+        qc AS (SELECT pred, mean_cb, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM scores GROUP BY 1, 2),
+        qw AS (SELECT pred, mean_cb, cnt,
+            CAST(SUM(cnt) OVER (PARTITION BY pred ORDER BY mean_cb ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+            CAST(SUM(cnt) OVER (PARTITION BY pred) AS BIGINT) AS total
+          FROM qc),
+        t2 AS (SELECT pred, MIN(mean_cb) AS t2 FROM qw
+          WHERE cum >= ((6666 * (total - 1)) // 10000) + 1
+          GROUP BY pred)
+        SELECT s.doc_id, s.pred AS lang_pred, s.mean_cb
+        FROM scores s JOIN t2 ON t2.pred = s.pred
+        WHERE s.mean_cb <= t2.t2
+        ORDER BY s.doc_id ASC""")
+    })
 
   /** q144: over-fetch + exact f32 re-rank THROUGH THE API — the
     * measured compensation for int8 thin-margin rank inversions
@@ -5928,7 +6153,8 @@ object Queries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141, q144)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
+    q144, q145)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -208,18 +208,26 @@ object ScaleDemo {
     dir.delete()
   }
 
-  /** Connected-components round-count measurement. */
+  /** Connected-components round-count measurement, plus the
+    * barrier-rebuild differential (ADVICE r19 #4): the same graphs
+    * through the production barrier (localCheckpoint + bare-RDD
+    * rebuild — the per-iteration InternalRow→Row→InternalRow
+    * conversion) and the plain-localCheckpoint control, so the
+    * conversion tax is a recorded number instead of an argument
+    * (SCALE.md). */
   private def ccDemo(spark: SparkSession): Unit = {
-    def run(name: String, edges: org.apache.spark.sql.DataFrame): String = {
+    def run(name: String, edges: org.apache.spark.sql.DataFrame,
+            rebuild: Boolean): String = {
       val t0 = System.nanoTime()
-      val (res, rounds) = ConnectedComponents.runWithStats(edges, "a", "b")
+      val (res, rounds) = ConnectedComponents.runWithStats(edges,
+        "a", "b", rebuildBarrier = rebuild)
       val comps = res.select("component").distinct().count()
       val nodes = res.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(
-        f"$name: $rounds rounds, $comps comps, $nodes nodes, $sec%.1f s")
-      s""""$name":{"rounds":$rounds,"components":$comps,""" +
-        s""""nodes":$nodes,"sec":$sec}"""
+      System.err.println(f"$name(rebuild=$rebuild): $rounds rounds, " +
+        f"$comps comps, $nodes nodes, $sec%.1f s")
+      s""""${name}_rebuild_$rebuild":{"rounds":$rounds,""" +
+        s""""components":$comps,"nodes":$nodes,"sec":$sec}"""
     }
     // worst case: one 2^20-node path — min-label propagation would need
     // 2^20 rounds; star contraction must stay logarithmic
@@ -232,7 +240,16 @@ object ScaleDemo {
     val rand = spark.range(2L * n)
       .select(pmod(hash(col("id")), lit(n)).cast("long").as("a"),
         pmod(hash(col("id") * 31 + 7), lit(n)).cast("long").as("b"))
-    println("{" + run("chain_2^20", chain) + "," +
-      run("random_2M_edges", rand) + "}")
+    // warm both paths once (JIT + codegen), then measure each twice
+    // in alternation so page-cache/GC drift hits both arms equally
+    run("warm", rand, rebuild = true)
+    val parts = Seq(
+      run("chain_2^20", chain, rebuild = true),
+      run("chain_2^20", chain, rebuild = false),
+      run("random_2M_edges", rand, rebuild = true),
+      run("random_2M_edges", rand, rebuild = false),
+      run("random_2M_edges_b", rand, rebuild = true),
+      run("random_2M_edges_b", rand, rebuild = false))
+    println("{" + parts.mkString(",") + "}")
   }
 }

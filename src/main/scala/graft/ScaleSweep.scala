@@ -131,7 +131,16 @@ object ScaleSweep {
     // the quantile keeps ~2/3 of scored docs BY CONSTRUCTION at any
     // scale, so survivors (and shard rows) scale ~10x and the slope
     // measures score + threshold + gate + digest-dedup + reshard
-    "q140_ccnet_pipeline")
+    "q140_ccnet_pipeline",
+    // r20: q143 composes langId → per-language LM → per-language
+    // quantile cut. The replica word tags flip replicas 1-9 to 'und'
+    // (tagged stopwords no longer match any list), so the sweep
+    // exercises exactly the skew a per-language cut must survive: one
+    // 9x-mass 'und' slice beside replica-0's real languages. Scored
+    // rows scale 10x; survivors stay ~2/3 per slice by construction.
+    // (q142 generates the fixed media corpus — not swept, like
+    // q136-q138; its replicated-corpus story is MediaScaleBench's.)
+    "q143_ccnet_perlang")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
   def replicate(spark: SparkSession, srcDir: String, dstDir: String,

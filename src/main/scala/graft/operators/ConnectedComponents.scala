@@ -34,10 +34,21 @@ object ConnectedComponents {
     * union-shaped edge inputs (hammingEdges). A bare-scan plan
     * carries no constraints, so the loop is immune to whatever plan
     * produced its input. Identity on data; same eager materialization
-    * localCheckpoint always had. */
-  private def ckptBarrier(df: DataFrame): DataFrame = {
+    * localCheckpoint always had.
+    *
+    * Cost: the rebuild routes every edge row through an
+    * InternalRow→Row→InternalRow conversion per iteration (Dataset
+    * .rdd deserializes, createDataFrame re-encodes) — a per-iteration
+    * tax plain localCheckpoint did not pay. MEASURED (ScaleDemo `cc`
+    * barrier differential, SCALE.md r20): the loop is shuffle-bound,
+    * conversion is noise. `rebuild = false` (ScaleDemo's control)
+    * keeps the pre-r19 plain-localCheckpoint barrier for the
+    * measurement; production stays on the rebuild — correctness on
+    * union-shaped inputs beats an unmeasurable constant. */
+  private def ckptBarrier(df: DataFrame,
+                          rebuild: Boolean = true): DataFrame = {
     val c = df.localCheckpoint()
-    c.sparkSession.createDataFrame(c.rdd, c.schema)
+    if (rebuild) c.sparkSession.createDataFrame(c.rdd, c.schema) else c
   }
 
   /** Star step shared shape: emit (v, m(u)) for the chosen neighbor set.
@@ -84,20 +95,25 @@ object ConnectedComponents {
     runWithStats(edges, aCol, bCol, maxIter)._1
 
   /** [[run]] plus the number of star-contraction rounds executed —
-    * the O(log n) claim is measurable (ScaleDemo `cc` mode). */
+    * the O(log n) claim is measurable (ScaleDemo `cc` mode).
+    * `rebuildBarrier = false` is ScaleDemo's measurement control for
+    * the barrier-rebuild conversion cost (see [[ckptBarrier]]) — NOT
+    * for production use (plain localCheckpoint crashes on
+    * union-shaped edge inputs). */
   def runWithStats(edges: DataFrame, aCol: String, bCol: String,
-                   maxIter: Int = 30): (DataFrame, Int) = {
+                   maxIter: Int = 30,
+                   rebuildBarrier: Boolean = true): (DataFrame, Int) = {
     var e = ckptBarrier(edges
       .select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct())
+      .distinct(), rebuildBarrier)
     var stable = false
     var it = 0
     var prevCount = e.count()
     while (!stable && it < maxIter) {
-      val next = ckptBarrier(smallStar(largeStar(e)))
+      val next = ckptBarrier(smallStar(largeStar(e)), rebuildBarrier)
       val nextCount = next.count()
       // both sides are distinct sets: equal count + empty one-sided
       // difference ⇒ set equality ⇒ fixed point reached

@@ -213,12 +213,22 @@ object Multimodal {
     *   - i % 3 == 0 → grayscale (1 channel); 1 → RGB (3); 2 → ARGB (4)
     *   - ARGB is always PNG (JPEG has no alpha); otherwise PNG for even
     *     i, JPEG for odd
-    *   - width = 8 + i % 9, height = 5 + (i*3) % 11
-    */
-  def encodeTestImage(i: Long): Array[Byte] = {
+    *   - width = (8 + i % 9)·dimScale, height = (5 + (i*3) % 11)·dimScale
+    *
+    * `dimScale` (default 1, the oracled thumbnail corpus) multiplies
+    * both dimensions — at 1 the images are ≤16×15 px, so a 16×16-grid
+    * wide hash maps ≲1 pixel per cell and DISTINCT images collide
+    * within a few bits (the r19 thumbnail-collision floor:
+    * wide-signature precision was measured at the corpus's floor, not
+    * the operator's). MediaScaleBench runs dimScale 16 (128–256 ×
+    * 80–240 px) so each grid cell averages ≥40 pixels and the
+    * precision reading is the signature family's own. */
+  def encodeTestImage(i: Long, dimScale: Int = 1): Array[Byte] = {
+    require(dimScale >= 1 && dimScale <= 64,
+      s"dimScale=$dimScale out of [1,64]")
     if (i % 7 == 0) return Array[Byte](0x42, 0x41, 0x44, 0x21)
-    val w = (8 + i % 9).toInt
-    val h = (5 + (i * 3) % 11).toInt
+    val w = (8 + i % 9).toInt * dimScale
+    val h = (5 + (i * 3) % 11).toInt * dimScale
     import java.awt.image.BufferedImage
     val (imgType, fmt) = (i % 3) match {
       case 0 => (BufferedImage.TYPE_BYTE_GRAY,
@@ -1048,6 +1058,84 @@ object Multimodal {
         Row.fromSeq(row.toSeq :+ hv)
       }
     }(enc)
+  }
+
+  /** Perceptual-signature FAMILY for the composed media-dedup
+    * pipelines — which hash + Hamming-edge operator pair the
+    * composition runs. Parameterizing the composition is the r19
+    * measurement's conclusion made API: the two families share every
+    * contract (integer-exact hash, connectivity-equivalent edge set,
+    * skew cap) and differ only in signature entropy, so the pipeline
+    * shape must not hard-code one of them.
+    *
+    * [[SigWide256]] is the SCALE DEFAULT: MediaScaleBench (SCALE.md)
+    * measured the 64-bit family's band space saturating at O(10³)
+    * structured images — low-entropy near-matches percolate through
+    * the CC closure and over-merge (4,101 survivors vs 10,286 planted
+    * truth at 18K images), while the 256-bit family's ~37-bit bands
+    * stay sparse at equal wall time. [[SigNarrow64]] remains for
+    * thumbnail-scale corpora and for callers pinned to the narrow
+    * hash's artifact compatibility. */
+  sealed trait SigFamily {
+    /** Signature width in bits. */
+    def bits: Int
+    /** Column the family's `withSig` attaches. */
+    def sigCol: String
+    /** Attach the family's signature column to `df`. */
+    def withSig(df: DataFrame, binCol: String): DataFrame
+    /** The family's connectivity-equivalent Hamming edge set. */
+    def edges(sig: DataFrame, idCol: String, maxDist: Int,
+              maxBucket: Option[Long]): DataFrame
+  }
+
+  /** 64-bit aHash (8×8 grid) + [[graft.operators.Dedup.hammingEdges]].
+    * Saturates at O(10³) structured images (measured) — prefer
+    * [[SigWide256]] beyond thumbnail-corpus scale. */
+  case object SigNarrow64 extends SigFamily {
+    val bits = 64
+    val sigCol = "ahash"
+    def withSig(df: DataFrame, binCol: String): DataFrame =
+      withAHash(df, binCol)
+    def edges(sig: DataFrame, idCol: String, maxDist: Int,
+              maxBucket: Option[Long]): DataFrame =
+      Dedup.hammingEdges(sig, idCol, sigCol, bits, maxDist, maxBucket)
+  }
+
+  /** 256-bit wide aHash (16×16 grid, 4 packed words) +
+    * [[graft.operators.Dedup.hammingEdgesWide]] — the measured scale
+    * default. */
+  case object SigWide256 extends SigFamily {
+    val bits = 256
+    val sigCol = "ahash_w"
+    def withSig(df: DataFrame, binCol: String): DataFrame =
+      withAHashWide(df, binCol)
+    def edges(sig: DataFrame, idCol: String, maxDist: Int,
+              maxBucket: Option[Long]): DataFrame =
+      Dedup.hammingEdgesWide(sig, idCol, sigCol, bits, maxDist,
+        maxBucket)
+  }
+
+  /** The COMPOSED perceptual media-dedup pipeline, parameterized by
+    * signature family: hash the payloads, build the family's
+    * connectivity-equivalent Hamming edge set, star-contraction
+    * connected components, keep each duplicate cluster's smallest id
+    * (plus everything never paired). Returns the surviving rows of
+    * `imgs` unchanged — compose reshard / downstream curation on top.
+    *
+    * `family` defaults to [[SigWide256]] (the measured scale default;
+    * see [[SigFamily]]). `maxDist` is the family's Hamming budget —
+    * the wide family spends ~4× the bits, so a narrow d≤6 corresponds
+    * to roughly wide d≤24 on pure bit-rate, but the measured
+    * precision ladder (SCALE.md) favors TIGHTER wide budgets (d≤3):
+    * the extra entropy exists to separate near-identical-looking
+    * images, not to re-admit them. */
+  def perceptualDedup(imgs: DataFrame, idCol: String, binCol: String,
+                      maxDist: Int,
+                      maxBucket: Option[Long] = None,
+                      family: SigFamily = SigWide256): DataFrame = {
+    val e = family.edges(family.withSig(imgs, binCol), idCol, maxDist,
+      maxBucket)
+    ConnectedComponents.resolve(imgs, idCol, e, "a", "b")
   }
 
   /** Audio fingerprint — [[imageAHash]]'s design applied to sound:

@@ -1012,6 +1012,16 @@ object Similarity {
       .withColumn("__rn", row_number().over(pw))
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("__cid").as("cid"))
+    int8PanelRank(lists, idCol, probes, q, k)
+  }
+
+  /** Shared downstream of the in-flight panel searches: broadcast the
+    * quantized panel + the (q_id, cid) probe pairs, inner-join-prune
+    * the lists, map-side-collapse the integer dots, window top-k per
+    * query. `q` = (q_id, __qv); `probes` = (q_id, cid). */
+  private def int8PanelRank(lists: DataFrame, idCol: String,
+                            probes: DataFrame, q: DataFrame,
+                            k: Int): DataFrame = {
     val panel = broadcast(quantizeInt8(q, "q_id", "__qv")
       .where(col("q").isNotNull)
       .groupBy(col("q_id").as("__pq"), col("pos").as("__qp"))
@@ -1035,6 +1045,84 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** TWO-LEVEL probe assignment for the in-flight panel search — the
+    * answer to the flat form's one remaining scale wall: [[
+    * int8IvfSearchBatch]] scores every query against EVERY centroid
+    * before its window cut (|panel|·|centroids| rows), which is right
+    * up to ~2¹⁶ lists but dominates the plan at web-index scale
+    * (2²⁰ lists × a 10⁶ panel = 10¹² probe rows). The standard fix
+    * (IMI/two-level IVF): quantize the CENTROID SET itself through a
+    * coarse quantizer — each centroid is assigned once to its nearest
+    * coarse cell (query-independent: |centroids|·|coarse| rows, reuse
+    * it across panels), a query scores only the |coarse| ≈
+    * √|centroids| cells (top-`nprobeCoarse` by the same cosine), and
+    * the final top-`nprobe` centroid selection ranks only the
+    * centroids INSIDE the probed cells (≈ nprobeCoarse·|centroids|/
+    * |coarse| rows per query). Probe-stage cost per query drops from
+    * |centroids| to |coarse| + nprobeCoarse·|centroids|/|coarse| —
+    * at 2²⁰ lists with 2¹⁰ coarse cells, ~3·10³ vs 10⁶.
+    *
+    * APPROXIMATE by design: a true top-nprobe centroid hiding in an
+    * unprobed coarse cell is missed (the classic IVF recall trade one
+    * level up); raise `nprobeCoarse` to trade cost for probe recall.
+    * Downstream is [[int8PanelRank]] — identical pruning, dots and
+    * ranking; results equal the flat form whenever the two-level
+    * selection picks the same probes (spec'd: exhaustive nprobeCoarse
+    * ≡ flat). */
+  def int8IvfSearchBatchTwoLevel(lists: DataFrame, idCol: String,
+                                 centroids: DataFrame,
+                                 centIdCol: String, centVecCol: String,
+                                 coarse: DataFrame, coarseIdCol: String,
+                                 coarseVecCol: String,
+                                 nprobeCoarse: Int, nprobe: Int,
+                                 queries: DataFrame, qIdCol: String,
+                                 qVecCol: String, k: Int): DataFrame = {
+    require(nprobeCoarse >= 1,
+      s"nprobeCoarse=$nprobeCoarse out of [1,∞)")
+    require(nprobe >= 1, s"nprobe=$nprobe out of [1,∞)")
+    require(k >= 1, s"k=$k out of [1,∞)")
+    val co = prepCent(coarse, coarseIdCol, coarseVecCol)
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).as("__qv"))
+    // level 0 (query-independent): every centroid → its nearest
+    // coarse cell, via the same map-side-collapsed argmin the corpus
+    // assignment uses (a window here would SHUFFLE the full
+    // |centroids|·|coarse| cross product; the struct-min collapses it
+    // to |centroids| rows before the exchange). Ties on equal cosine
+    // go to the smaller cell id — identical to the flat form's
+    // ordering, so the oracle replays it as a window.
+    val cellOf = assignToCentroids(
+        centroids.select(col(centIdCol).as("__pcid"),
+          col(centVecCol).as("__pcv")), "__pcid", "__pcv", co)
+      .select(col("__pcid"), col("__pcv"), col("__n").as("__pcn"),
+        col("__cid").as("__gid"))
+    // level 1: per query, top-nprobeCoarse coarse cells (window over
+    // |panel|·|coarse| rows — |coarse| ≈ √|centroids| is exactly the
+    // factor this form exists to shrink)
+    val gw = Window.partitionBy(col("q_id"))
+      .orderBy(col("__gs").desc, col("__cid").asc)
+    val qcells = q
+      .withColumn("__qn", norm2(col("__qv")))
+      .join(co)
+      .withColumn("__gs",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("__rn", row_number().over(gw))
+      .filter(col("__rn") <= nprobeCoarse)
+      .select(col("q_id"), col("__qv"), col("__qn"),
+        col("__cid").as("__gid"))
+    // level 2: rank only the centroids inside the probed cells
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cs").desc, col("__pcid").asc)
+    val probes = qcells
+      .join(cellOf, "__gid")
+      .withColumn("__cs",
+        cosinePre(col("__qv"), col("__pcv"), col("__qn"), col("__pcn")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("__pcid").as("cid"))
+    int8PanelRank(lists, idCol, probes, q, k)
   }
 
   /** [[int8IvfTopK]]'s panel form: build the in-flight int8 index and

@@ -528,12 +528,23 @@ object TextAnalysis {
     *
     * Scale: one explode + one map-side-combined groupBy — at most
     * |bigram vocabulary| rows ever shuffle, regardless of reference
-    * size. */
-  def trainBigramLm(ref: DataFrame, textCol: String): DataFrame =
-    ref.select(explode(Dedup.shingles(lower(col(textCol)), 2)).as("g"))
-      .select(element_at(split(col("g"), " ", 2), 1).as("w1"),
-        element_at(split(col("g"), " ", 2), 2).as("w2"))
-      .groupBy(col("w1"), col("w2"))
+    * size.
+    *
+    * `keyCols` slices the model: one independent LM per distinct key
+    * (CCNet is deployed PER LANGUAGE — Wenzek et al. 2020 bucket each
+    * language against its own Wikipedia LM; pass the langId column as
+    * the key and [[bigramSurprisal]] the same key to score each doc
+    * against its own slice's model). The key columns ride the same
+    * single aggregation, so the shuffle stays bounded by
+    * Σ per-key |bigram vocabulary|. */
+  def trainBigramLm(ref: DataFrame, textCol: String,
+                    keyCols: Seq[String] = Nil): DataFrame =
+    ref.select((keyCols.map(col) :+
+        explode(Dedup.shingles(lower(col(textCol)), 2)).as("g")): _*)
+      .select((keyCols.map(col) :+
+        element_at(split(col("g"), " ", 2), 1).as("w1") :+
+        element_at(split(col("g"), " ", 2), 2).as("w2")): _*)
+      .groupBy((keyCols.map(col) :+ col("w1") :+ col("w2")): _*)
       .agg(count(lit(1)).as("c"))
 
   /** Score documents by mean bigram SURPRISAL in whole bits — the
@@ -549,7 +560,8 @@ object TextAnalysis {
     * weights by fractional bits; the floor keeps ordering within one
     * bit per token, which is what a bucket cut consumes.
     *
-    * Output: (idCol, n_bigrams, sum_bits, mean_cb) where mean_cb =
+    * Output: (idCol, keyCols…, n_bigrams, sum_bits, mean_cb) where
+    * mean_cb =
     * floor(100·sum_bits/n_bigrams) (0 for bigram-less docs — shorter
     * than 2 tokens; CCNet routes those to a length rule, not the LM).
     * The model must hold at least one bigram (V ≥ 1 keeps the
@@ -558,38 +570,56 @@ object TextAnalysis {
     * occurrence rather than an error (the plan is lazy; both engines
     * agree on the degenerate value, so even that cannot drift).
     *
-    * Scale: explode + one join keyed (w1, w2) against the model and
-    * one keyed w1 against the prefix table — both planner-chosen
-    * (broadcast when they fit, shuffle join at web-corpus vocabulary
-    * scale; neither is hint-forced, so a 10⁸-unigram vocabulary never
-    * OOMs the driver), a 1-row V broadcast, one per-doc aggregation.
-    * Exactness bound: sums stay under 2⁵³ (bits ≤ 63 per occurrence ⇒
-    * ~10¹¹ bigrams per doc). */
+    * Scale: explode + one join keyed (keys, w1, w2) against the model
+    * and one keyed (keys, w1) against the prefix table — both
+    * planner-chosen (broadcast when they fit, shuffle join at
+    * web-corpus vocabulary scale; neither is hint-forced, so a
+    * 10⁸-unigram vocabulary never OOMs the driver), a per-key V table
+    * (1 hint-broadcast row when un-keyed; ≤ |keys| planner-chosen
+    * rows otherwise), one per-doc aggregation. Exactness bound: sums
+    * stay under 2⁵³ (bits ≤ 63 per occurrence ⇒ ~10¹¹ bigrams per
+    * doc).
+    *
+    * `keyCols` must exist under the SAME NAMES in `df` and `lm`
+    * (train with [[trainBigramLm]]'s matching keyCols): each doc is
+    * scored against its own key slice's model — the per-language
+    * CCNet deployment. A doc whose key has NO model slice takes the
+    * same degenerate −1-bits-per-occurrence path as scoring against
+    * an empty model (documented above): route unknown-language docs
+    * out first if that is not wanted. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
-                      lm: DataFrame): DataFrame = {
+                      lm: DataFrame,
+                      keyCols: Seq[String] = Nil): DataFrame = {
     def fl2(x: Column): Column = (length(bin(x)) - 1).cast(LongType)
-    val pfx = lm.groupBy(col("w1").as("__p1"))
+    val pfx = lm.groupBy((keyCols.map(col) :+ col("w1").as("__w1")): _*)
       .agg(sum(col("c")).as("__c1"))
-    val vocab = lm.agg(
-      count_distinct(col("w2")).cast(LongType).as("__v"))
-    val occ = df.select(col(idCol),
-        explode(Dedup.shingles(lower(col(textCol)), 2)).as("g"))
-      .select(col(idCol),
-        element_at(split(col("g"), " ", 2), 1).as("__w1"),
-        element_at(split(col("g"), " ", 2), 2).as("__w2"))
+    val occ = df.select((col(idCol) +: keyCols.map(col) :+
+        explode(Dedup.shingles(lower(col(textCol)), 2)).as("g")): _*)
+      .select((col(idCol) +: keyCols.map(col) :+
+        element_at(split(col("g"), " ", 2), 1).as("__w1") :+
+        element_at(split(col("g"), " ", 2), 2).as("__w2")): _*)
     // NO broadcast hint on the model or prefix joins: both tables are
     // vocabulary-sized (a web corpus holds 10⁸+ unigrams — a forced
     // broadcast would OOM the driver at exactly the scale this
     // operator targets); the planner broadcasts them when they fit
-    // and shuffles on the gram key when they don't. Only the 1-row V
-    // is hint-broadcast.
-    val scored = occ
-      .join(lm.select(col("w1").as("__w1"), col("w2").as("__w2"),
-        col("c").as("__c12")), Seq("__w1", "__w2"), "left")
-      .join(pfx, col("__w1") === col("__p1"), "left")
-      .crossJoin(broadcast(vocab))
+    // and shuffles on the gram key when they don't. Only the un-keyed
+    // 1-row V is hint-broadcast.
+    val withV =
+      if (keyCols.isEmpty)
+        occ.crossJoin(broadcast(
+          lm.agg(count_distinct(col("w2")).cast(LongType).as("__v"))))
+      else
+        occ.join(lm.groupBy(keyCols.map(col): _*)
+            .agg(count_distinct(col("w2")).cast(LongType).as("__v")),
+          keyCols, "left")
+    val scored = withV
+      .join(lm.select((keyCols.map(col) :+ col("w1").as("__w1") :+
+        col("w2").as("__w2") :+ col("c").as("__c12")): _*),
+        keyCols ++ Seq("__w1", "__w2"), "left")
+      .join(pfx, keyCols :+ "__w1", "left")
       .select(col(idCol),
-        (coalesce(col("__c1"), lit(0L)) + col("__v")).as("__a"),
+        (coalesce(col("__c1"), lit(0L)) +
+          coalesce(col("__v"), lit(0L))).as("__a"),
         (coalesce(col("__c12"), lit(0L)) + 1L).as("__b"))
       // floor(log2(a/b)) for integers 1 ≤ b ≤ a: d = fl2(a) − fl2(b),
       // minus one iff floor(a / 2^d) < b (shiftright's second operand
@@ -602,12 +632,13 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__bits")).as("sum_bits"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+    df.select((col(idCol) +: keyCols.map(col)): _*)
+      .join(scored, Seq(idCol), "left")
+      .select((col(idCol) +: keyCols.map(col) :+
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams") :+
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits") :+
         coalesce(floor(lit(100L) * col("sum_bits") / col("n_bigrams")),
-          lit(0L)).cast(LongType).as("mean_cb"))
+          lit(0L)).cast(LongType).as("mean_cb")): _*)
   }
 
   /** Repetition / boilerplate metrics per document over word n-grams —

@@ -44,4 +44,33 @@ class BenchSamplingSpec extends AnyFunSuite {
     assert(Bench.spreadExceeds(Seq(1.0, 1.6)))
     assert(!Bench.spreadExceeds(Seq(0.0, 9.0))) // zero min: undefined ratio
   }
+
+  test("vsPrevFlags: flags 3x+ jumps over the previous round, ignores " +
+    "new queries, errored medians, and sub-floor noise") {
+    val prev = Map("q61" -> 0.94, "q06" -> 0.10, "q88" -> 4.0,
+      "qz" -> 0.0)
+    val cur = Seq(
+      "q61" -> 18.4,  // the r19 contention case: must flag
+      "q06" -> 0.40,  // 4x but +0.3 s absolute — jitter, no flag
+      "q88" -> 7.9,   // <3x — no flag
+      "q99" -> 9.0,   // new this round — no prev, no flag
+      "qz" -> 9.0,    // prev recorded 0/errored — no flag
+      "q61b" -> -1.0) // errored now — no flag
+    assert(Bench.vsPrevFlags(prev, cur) == Seq(("q61", 0.94, 18.4)))
+    // boundary: exactly 3x is NOT a flag (strictly greater)
+    assert(Bench.vsPrevFlags(Map("a" -> 1.0), Seq("a" -> 3.0)).isEmpty)
+    assert(Bench.vsPrevFlags(Map("a" -> 1.0), Seq("a" -> 3.01)).nonEmpty)
+  }
+
+  test("parsePrevQueries: reads the queries map; shape surprises and " +
+    "junk yield empty instead of failing the bench") {
+    val json = """{"metric":"total_query_seconds","value":1.0,
+      "queries":{"q01_fwm_agg":0.5,"q02":1.25,"bad":"x"},
+      "total_sec":1.0}"""
+    assert(Bench.parsePrevQueries(json) ==
+      Map("q01_fwm_agg" -> 0.5, "q02" -> 1.25))
+    assert(Bench.parsePrevQueries("not json").isEmpty)
+    assert(Bench.parsePrevQueries("""{"queries":[1,2]}""").isEmpty)
+    assert(Bench.parsePrevQueries("""{"value":3}""").isEmpty)
+  }
 }

@@ -176,6 +176,46 @@ class ContaminationSpec extends SparkTest {
       (2L, 0L, 0L, 0L), (3L, 0L, 0L, 0L)), s"got $got")
   }
 
+  test("bigramSurprisal keyed: each doc scores against its OWN key " +
+    "slice's model (per-language CCNet); a keyless doc takes the " +
+    "documented degenerate -1-bits path") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val lm = TextAnalysis.trainBigramLm(
+      Seq(("en", "a b"), ("en", "a b"), ("en", "a c"), ("xx", "p q"))
+        .toDF("lang", "text"), "text", keyCols = Seq("lang"))
+    // slices are independent: en = {(a,b):2,(a,c):1}, xx = {(p,q):1}
+    assert(lm.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet ==
+      Set(("en", "a", "b", 2L), ("en", "a", "c", 1L),
+        ("xx", "p", "q", 1L)))
+    val got = TextAnalysis.bigramSurprisal(
+        Seq((1L, "en", "a b a z"),  // en slice: V=2, pfx a=3
+          (2L, "xx", "p q"),        // xx slice: V=1, pfx p=1
+          (3L, "zz", "m n"))        // NO slice → a=0, b=1 → -1/occ
+          .toDF("doc_id", "lang", "text"),
+        "doc_id", "text", lm, keyCols = Seq("lang"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // doc 1: (a,b) fl2(5/3)=0; (b,a) unseen prefix fl2(2/1)=1;
+    //        (a,z) fl2(5/1)=2 → n=3 sum=3 mean 100
+    // doc 2: (p,q) fl2(2/2)=0 → n=1 sum=0 mean 0 — scored against xx
+    //        ONLY (pooled with en it would see V=3 → fl2(4/2)=1)
+    // doc 3: one occurrence at the degenerate -1 → mean_cb -100
+    assert(got == Seq((1L, "en", 3L, 3L, 100L),
+      (2L, "xx", 1L, 0L, 0L), (3L, "zz", 1L, -1L, -100L)), s"got $got")
+    // and the un-keyed form over the pooled reference CHANGES doc 2's
+    // bits (V=3 across slices) — the slicing is load-bearing
+    val pooled = TextAnalysis.bigramSurprisal(
+        Seq((2L, "p q")).toDF("doc_id", "text"),
+        "doc_id", "text",
+        TextAnalysis.trainBigramLm(
+          Seq("a b", "a b", "a c", "p q").toDF("text"), "text"))
+      .collect().head.getLong(2)
+    assert(pooled == 1L, s"pooled sum_bits $pooled")
+  }
+
   test("hashedOddsWeights + scoreByHashedWeights: disjoint vocabularies " +
     "separate perfectly; prior centering keeps shared-vocab docs " +
     "near zero under 9:1 class imbalance") {

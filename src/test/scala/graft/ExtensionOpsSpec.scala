@@ -717,6 +717,60 @@ class ExtensionOpsSpec extends SparkTest {
     assert(none.count() == 0)
   }
 
+  test("two-level panel probing: exhaustive coarse probing equals the " +
+    "flat batch search; coarse=centroids is the identity") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2).localCheckpoint()
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 3, iters = 2).localCheckpoint()
+      .select(col("cid").as("gid"), col("cv").as("gv"))
+    val qIds = Seq(1L, 2L, 3L)
+    val data = emb.filter(!col("vec_id").isin(qIds: _*))
+    val panel = emb.filter(col("vec_id").isin(qIds: _*))
+    val lists = Similarity.int8IvfIndex(data, "vec_id", "embedding",
+      cents, "cid", "cv").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    val flat = rows(Similarity.int8IvfSearchBatch(lists, "vec_id",
+      cents, "cid", "cv", nprobe = 2, panel, "vec_id", "embedding",
+      k = 10))
+    assert(flat.nonEmpty)
+    // exhaustive coarse probing (nprobeCoarse = |coarse|): every cell
+    // probed → level-2 ranks ALL centroids → probes ≡ flat's
+    val exhaustive = rows(Similarity.int8IvfSearchBatchTwoLevel(lists,
+      "vec_id", cents, "cid", "cv", coarse, "gid", "gv",
+      nprobeCoarse = 3, nprobe = 2, panel, "vec_id", "embedding",
+      k = 10))
+    assert(exhaustive == flat, s"exhaustive=$exhaustive flat=$flat")
+    // coarse = the centroid set itself: each centroid is its own
+    // nearest cell (cos = 1, min-id tie-break can't lose to a
+    // distinct vector), so probing nprobeCoarse = nprobe cells IS
+    // probing the top-nprobe centroids — identical to flat again
+    val identity = rows(Similarity.int8IvfSearchBatchTwoLevel(lists,
+      "vec_id", cents, "cid", "cv",
+      cents.select(col("cid").as("gid"), col("cv").as("gv")),
+      "gid", "gv", nprobeCoarse = 2, nprobe = 2, panel, "vec_id",
+      "embedding", k = 10))
+    assert(identity == flat, s"identity=$identity flat=$flat")
+    // restrictive coarse probing stays a VALID per-query top-k over a
+    // probe subset: per query at most k rows, each (q_id, id) dot
+    // matching the flat form's dot for ids both returned
+    val narrow = rows(Similarity.int8IvfSearchBatchTwoLevel(lists,
+      "vec_id", cents, "cid", "cv", coarse, "gid", "gv",
+      nprobeCoarse = 1, nprobe = 2, panel, "vec_id", "embedding",
+      k = 10))
+    val flatDots = flat.map(t => (t._1, t._2) -> t._3).toMap
+    narrow.foreach { case (q, id, dot) =>
+      flatDots.get((q, id)).foreach(fd => assert(fd == dot,
+        s"dot drift at ($q,$id): narrow $dot vs flat $fd"))
+    }
+    assert(narrow.groupBy(_._1).values.forall(_.size <= 10))
+  }
+
   test("persisted int8 IVF index: search equals the in-flight " +
     "int8IvfTopK, probes prune to their partitions on disk") {
     import graft.operators.Similarity

@@ -280,4 +280,42 @@ class SkewSpec extends SparkTest {
         Multimodal.imageAHash(p, grid = 8), s"grid-8 drift at $i")
     }
   }
+
+  test("perceptualDedup: both signature families drop every planted " +
+    "exact re-ingest duplicate and keep every original; the narrow " +
+    "family is exactly the hand-built hash→edges→resolve chain") {
+    import graft.operators.{ConnectedComponents, Dedup, Multimodal}
+    import spark.implicits._
+    // the q131 corpus shape: decodable sources + an exact duplicate of
+    // each under id+100 (srcs avoid i%7==0 corrupt payloads)
+    val srcs = Seq(4L, 10L, 16L, 22L, 34L, 40L, 46L, 52L, 58L)
+    val imgs = (srcs.map(i => (i, Multimodal.encodeTestImage(i))) ++
+      srcs.map(i => (i + 100L, Multimodal.encodeTestImage(i))))
+      .toDF("img_id", "payload")
+    for ((family, maxDist) <- Seq(
+        (Multimodal.SigWide256: Multimodal.SigFamily) -> 3,
+        (Multimodal.SigNarrow64: Multimodal.SigFamily) -> 6)) {
+      val surv = Multimodal.perceptualDedup(imgs, "img_id", "payload",
+          maxDist = maxDist, maxBucket = Some(8L), family = family)
+        .select("img_id").collect().map(_.getLong(0)).toSet
+      // every planted duplicate (id+100) drops — structurally (star
+      // contraction), independent of banding luck in either family
+      assert(srcs.forall(i => !surv.contains(i + 100L)),
+        s"$family kept a planted duplicate: $surv")
+      assert(srcs.toSet.subsetOf(surv),
+        s"$family dropped an original: $surv")
+    }
+    // parameterization is pure routing: the narrow family's output is
+    // bit-identical to composing the operators by hand (q131's chain)
+    val byHand = ConnectedComponents.resolve(imgs, "img_id",
+        Dedup.hammingEdges(Multimodal.withAHash(imgs, "payload"),
+          "img_id", "ahash", bits = 64, maxDist = 6,
+          maxBucket = Some(8L)), "a", "b")
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    val viaApi = Multimodal.perceptualDedup(imgs, "img_id", "payload",
+        maxDist = 6, maxBucket = Some(8L),
+        family = Multimodal.SigNarrow64)
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    assert(byHand == viaApi)
+  }
 }
