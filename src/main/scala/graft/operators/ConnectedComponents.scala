@@ -36,20 +36,23 @@ object ConnectedComponents {
     * produced its input. Identity on data; same eager materialization
     * localCheckpoint always had.
     *
-    * Cost: the rebuild routes every edge row through an
-    * InternalRow→Row→InternalRow conversion per iteration (Dataset
-    * .rdd deserializes, createDataFrame re-encodes) — a per-iteration
-    * tax plain localCheckpoint did not pay. MEASURED (ScaleDemo `cc`
-    * barrier differential, SCALE.md r20): the loop is shuffle-bound,
-    * conversion is noise. `rebuild = false` (ScaleDemo's control)
-    * keeps the pre-r19 plain-localCheckpoint barrier for the
-    * measurement; production stays on the rebuild — correctness on
-    * union-shaped inputs beats an unmeasurable constant. */
+    * Cost history (ADVICE r19 #4, measured in ScaleDemo `cc`,
+    * SCALE.md r20): the r19 rebuild went through the PUBLIC
+    * `createDataFrame(c.rdd, schema)`, paying an InternalRow→Row→
+    * InternalRow conversion over every edge row every iteration —
+    * measured +24% on a 21-round 2²⁰-node chain and +10% on a
+    * 2M-edge random graph vs plain localCheckpoint. The barrier now
+    * checkpoints at the InternalRow layer
+    * ([[org.apache.spark.sql.GraftBridge.bareLocalCheckpoint]] —
+    * Dataset.localCheckpoint's own internals, minus the LogicalRDD
+    * origin-constraint attachment that caused the Union crash), so
+    * the constraint immunity is conversion-free. `rebuild = false`
+    * (ScaleDemo's measurement control only) keeps the pre-r19 plain
+    * localCheckpoint — it crashes on union-shaped inputs. */
   private def ckptBarrier(df: DataFrame,
-                          rebuild: Boolean = true): DataFrame = {
-    val c = df.localCheckpoint()
-    if (rebuild) c.sparkSession.createDataFrame(c.rdd, c.schema) else c
-  }
+                          rebuild: Boolean = true): DataFrame =
+    if (rebuild) org.apache.spark.sql.GraftBridge.bareLocalCheckpoint(df)
+    else df.localCheckpoint()
 
   /** Star step shared shape: emit (v, m(u)) for the chosen neighbor set.
     * largeStar: over the SYMMETRIZED edges, m(u) = min(Γ(u) ∪ {u}),

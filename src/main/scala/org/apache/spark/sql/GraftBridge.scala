@@ -27,6 +27,44 @@ object GraftBridge {
   def lower(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Eager local checkpoint that REBUILDS the frame as a bare scan
+    * with FRESH attributes and NO carried constraints — at the
+    * InternalRow layer, so no per-row InternalRow→Row→InternalRow
+    * conversion (the cost of the public `createDataFrame(c.rdd, …)`
+    * rebuild: measured +10–24% per CC iteration, SCALE.md r20).
+    * Mirrors Dataset.localCheckpoint's own internals (toRdd +
+    * defensive copy + RDD.localCheckpoint + eager count) but builds
+    * the result through internalCreateDataFrame, which attaches no
+    * origin stats/constraints — the LogicalRDD constraint carry-over
+    * is exactly what trips Spark's Union constraint rewrite on
+    * union-shaped inputs (ConnectedComponents.ckptBarrier). */
+  def bareLocalCheckpoint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val qe = df.queryExecution
+    // unsafe rows are buffer-reused per partition iterator — copy
+    // before pinning, same as Dataset.checkpoint's own toRdd map
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count() // eager, matching Dataset.localCheckpoint()
+    // Dataset.checkpoint attaches the physical plan's partitioning +
+    // ordering, originStats AND originConstraints to the rebuilt
+    // LogicalRDD. Keep partitioning/ordering (losing them costs an
+    // Exchange per downstream shuffle consumer) and stats (losing
+    // them degrades join estimates to defaultSizeInBytes) — drop ONLY
+    // the constraints, the one piece that trips the Union rewrite.
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      Partitioning, PartitioningCollection}
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case other                     => other
+    }
+    val physical = qe.executedPlan // resolved post-count (AQE final)
+    val logical = execution.LogicalRDD(qe.analyzed.output, rdd,
+      firstLeaf(physical.outputPartitioning), physical.outputOrdering)(
+      spark, Some(qe.optimizedPlan.stats), None)
+    classic.Dataset.ofRows(spark, logical)
+  }
+
   /** Optimize a frame's ANALYZED plan with the session optimizer,
     * without QueryExecution's batch-execution gate — the only way to
     * inspect optimizer placement (e.g. a Filter vs EventTimeWatermark)
