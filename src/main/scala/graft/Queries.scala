@@ -5951,7 +5951,13 @@ object Queries {
         .select(col("q_id"), col("vec_id"), col("dot"))
         .orderBy(col("q_id").asc, col("dot").desc, col("vec_id").asc)
     },
-    Some(s"""WITH ${int8IvfPanelDots(s"""
+    Some(int8IvfTwoLevelOracle))
+
+  /** The q145/q146 oracle — int8IvfBatchOracle's chain with the
+    * TWO-LEVEL probe selection (in-flight and persisted two-level
+    * search are DEFINED to rank identically, q135/q141's relation). */
+  private lazy val int8IvfTwoLevelOracle: String =
+    s"""WITH ${int8IvfPanelDots(s"""
       co AS (SELECT vec_id AS gid, embedding AS gv
              FROM embeddings WHERE vec_id % 400 = 0),
       cellof AS (SELECT cid, gid FROM (
@@ -5979,7 +5985,41 @@ object Queries {
           PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS rn
         FROM d)
       SELECT q_id, vec_id, dot FROM r WHERE rn <= 5
-      ORDER BY q_id ASC, dot DESC, vec_id ASC"""))
+      ORDER BY q_id ASC, dot DESC, vec_id ASC"""
+
+  /** q146: TWO-LEVEL batch search over the PERSISTED int8 index —
+    * q145's artifact form (q132's relation to q130, for two-level
+    * probing), completing the {flat, two-level} × {in-flight,
+    * persisted} probe matrix: the coarse quantizer and the
+    * centroid→cell assignment live IN the index
+    * ([[graft.operators.Similarity.addCoarseLevel]] — the assignment
+    * is query-independent, so build time pays it once for every panel
+    * the index ever serves), and the search's probe-union literal
+    * still prunes list partitions at the parquet scan. Ranking
+    * defined identical to q145's — one oracle for both. */
+  private val q146 = Q(
+    "q146_int8_ivf_two_level_idx",
+    (s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val idxDir = tmpWorkDir(
+        s"graft_q146_i8tl_${ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      if (!new java.io.File(idxDir, "lists/_SUCCESS").exists())
+        Similarity.buildInt8IvfIndex(emb.filter(col("vec_id") > 3),
+          "vec_id", "embedding",
+          emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          idxDir.getAbsolutePath)
+      if (!new java.io.File(idxDir, "cellof/_SUCCESS").exists())
+        Similarity.addCoarseLevel(s, idxDir.getAbsolutePath,
+          emb.filter(col("vec_id") % 400 === 0), "vec_id", "embedding")
+      Similarity.searchInt8IvfIndexBatchTwoLevel(s,
+          idxDir.getAbsolutePath, emb.filter(col("vec_id") <= 3),
+          "vec_id", "embedding", nprobeCoarse = 2, nprobe = 2, k = 5)
+        .select(col("q_id"), col("id").as("vec_id"), col("dot"))
+        .orderBy(col("q_id").asc, col("dot").desc, col("vec_id").asc)
+    },
+    Some(int8IvfTwoLevelOracle))
 
   /** q143: PER-LANGUAGE CCNet — the deployment shape Wenzek et al.
     * 2020 actually run (one LM per language, each doc scored against
@@ -6154,7 +6194,7 @@ object Queries {
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145)
+    q144, q145, q146)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1256,12 +1256,23 @@ object Similarity {
       .withColumn("__rn", row_number().over(pw))
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("__cid").as("cid"))
-      // materialize ONCE (bounded: |panel| × nprobe rows) — the
-      // searchIvfIndexBatch rationale: the probe plan feeds both the
-      // cids collect and the candidate join, and re-executing it over
-      // a nondeterministic panel would let a probed cid vanish from
-      // the literal filter, silently dropping its whole list
-      .localCheckpoint()
+    int8PersistedPanelRank(spark, dir, probes, q, k)
+  }
+
+  /** Shared downstream of the persisted panel searches: checkpoint
+    * the (q_id, cid) probe pairs, collect the probe UNION as the
+    * literal `cid` partition filter, broadcast the quantized panel,
+    * rank the probed lists map-side. `probes` must be bounded by
+    * |panel|·nprobe rows. */
+  private def int8PersistedPanelRank(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes0: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    // materialize ONCE (bounded: |panel| × nprobe rows) — the
+    // searchIvfIndexBatch rationale: the probe plan feeds both the
+    // cids collect and the candidate join, and re-executing it over
+    // a nondeterministic panel would let a probed cid vanish from
+    // the literal filter, silently dropping its whole list
+    val probes = probes0.localCheckpoint()
     val cids = probes.select(col("cid")).distinct()
       .collect().map(_.get(0)).toSeq
     val lists = spark.read.parquet(s"$dir/lists")
@@ -1304,6 +1315,82 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+  }
+
+  /** Attach a COARSE LEVEL to a persisted int8 IVF index — the
+    * build-time half of [[searchInt8IvfIndexBatchTwoLevel]]: persists
+    * `dir/coarse` (gid, gv — the coarse quantizer over the CENTROID
+    * set) and `dir/cellof` (cid, gid — every centroid assigned once
+    * to its nearest cell, the same map-side-collapsed argmin the
+    * corpus assignment uses). The assignment is query-independent, so
+    * computing it at build time amortizes it across every panel the
+    * index ever serves; re-run after appends only if the centroid set
+    * itself changed (appends reuse the stored quantizer, so normally
+    * it has not). Idempotent overwrite. */
+  def addCoarseLevel(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, coarse: DataFrame, gIdCol: String,
+                     gVecCol: String): Unit = {
+    coarse.select(col(gIdCol).as("gid"), col(gVecCol).as("gv"))
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    val co = prepCent(spark.read.parquet(s"$dir/coarse"), "gid", "gv")
+    assignToCentroids(
+        spark.read.parquet(s"$dir/centroids")
+          .select(col("cid"), col("cv")), "cid", "cv", co)
+      .select(col("cid"), col("__cid").as("gid"))
+      .write.mode("overwrite").parquet(s"$dir/cellof")
+  }
+
+  /** TWO-LEVEL batch search over a persisted int8 IVF index —
+    * [[int8IvfSearchBatchTwoLevel]]'s artifact form, completing the
+    * {flat, two-level} × {in-flight, persisted} probe matrix: the
+    * per-query probe stage costs |coarse| + nprobeCoarse·|centroids|/
+    * |coarse| instead of the flat form's |centroids| (the wall at
+    * 2²⁰-list web indexes), with the centroid→cell assignment READ
+    * from the artifact ([[addCoarseLevel]] — computed once at build,
+    * never per panel). Downstream is [[searchInt8IvfIndexBatch]]'s
+    * verbatim: probe-union literal partition filter (still bounded by
+    * |centroids| for any panel size), broadcast panel, map-side
+    * integer dots. Same approximation contract as the in-flight form
+    * (a top centroid in an unprobed cell is missed); results are
+    * DEFINED identical to [[int8IvfSearchBatchTwoLevel]] over the
+    * same index (spec'd). */
+  def searchInt8IvfIndexBatchTwoLevel(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      nprobeCoarse: Int, nprobe: Int, k: Int): DataFrame = {
+    require(nprobeCoarse >= 1,
+      s"nprobeCoarse=$nprobeCoarse out of [1,∞)")
+    require(nprobe >= 1, s"nprobe=$nprobe out of [1,∞)")
+    require(k >= 1, s"k=$k out of [1,∞)")
+    val co = prepCent(spark.read.parquet(s"$dir/coarse"), "gid", "gv")
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val cellOf = spark.read.parquet(s"$dir/cellof")
+      .select(col("cid"), col("gid").as("__gid"))
+      .join(cent.select(col("cid"), col("cv"),
+        norm2(col("cv")).as("__pcn")), "cid")
+    val q = queries.select(col(qIdCol).as("q_id"),
+      col(qVecCol).as("__qv"))
+    val gw = Window.partitionBy(col("q_id"))
+      .orderBy(col("__gs").desc, col("__cid").asc)
+    val qcells = q
+      .withColumn("__qn", norm2(col("__qv")))
+      .join(co)
+      .withColumn("__gs",
+        cosinePre(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+      .withColumn("__rn", row_number().over(gw))
+      .filter(col("__rn") <= nprobeCoarse)
+      .select(col("q_id"), col("__qv"), col("__qn"),
+        col("__cid").as("__gid"))
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("__cs").desc, col("cid").asc)
+    val probes = qcells
+      .join(cellOf, "__gid")
+      .withColumn("__cs",
+        cosinePre(col("__qv"), col("cv"), col("__qn"), col("__pcn")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("cid"))
+    int8PersistedPanelRank(spark, dir, probes, q, k)
   }
 
   /** Storage form of a persisted IVF index — the ONE parameter the

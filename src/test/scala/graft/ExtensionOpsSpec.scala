@@ -769,6 +769,25 @@ class ExtensionOpsSpec extends SparkTest {
         s"dot drift at ($q,$id): narrow $dot vs flat $fd"))
     }
     assert(narrow.groupBy(_._1).values.forall(_.size <= 10))
+
+    // persisted two-level ≡ in-flight two-level over the same index
+    // (the coarse level + centroid→cell assignment live IN the
+    // artifact), and the probe-union literal still prunes list
+    // partitions at the parquet scan
+    val dir = java.nio.file.Files.createTempDirectory("i8tl").toFile
+    dir.deleteOnExit()
+    Similarity.buildInt8IvfIndex(data, "vec_id", "embedding", cents,
+      "cid", "cv", dir.getAbsolutePath)
+    Similarity.addCoarseLevel(spark, dir.getAbsolutePath, coarse,
+      "gid", "gv")
+    val viaIndex = Similarity.searchInt8IvfIndexBatchTwoLevel(spark,
+      dir.getAbsolutePath, panel, "vec_id", "embedding",
+      nprobeCoarse = 1, nprobe = 2, k = 10)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"no partition pruning:\n$plan")
+    assert(rows(viaIndex.select(col("q_id"), col("id"), col("dot")))
+      == narrow, "persisted two-level drifted from in-flight")
   }
 
   test("persisted int8 IVF index: search equals the in-flight " +
