@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Similarity
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batched persisted-int8-IVF search (q135's
@@ -64,6 +64,66 @@ object Int8IvfBatchBench {
     }
     println(s"""{"mode":"int8_ivf_batch","sf":"$sfDir","nprobe":4,""" +
       s""""k":10,"runs":$runs,"rows":[${rows.mkString(",")}]}""")
+
+    // ---- the PROBE-STAGE wall: flat vs two-level at many centroids.
+    // The flat batch form scores |panel|·|centroids| (query, centroid)
+    // cosines before its window cut. Two honest findings shape this
+    // bench: (1) WindowGroupLimit + the centroid broadcast make that
+    // stage COMPUTE-bound map-side (top-nprobe collapses per map
+    // partition before the shuffle), so the wall is the dot-product
+    // count, not shuffled rows — it only dominates once
+    // |panel|·|centroids| reaches ~10⁸; (2) on UNSTRUCTURED (uniform
+    // random) vectors coarse cells carry no information and two-level
+    // agreement collapses — IVF's own worst case, one level up. So
+    // the bench uses CLUSTERED vectors (64 true centers + jitter, the
+    // shape real embeddings have) and a 16,384-centroid index:
+    // flat scores 8192·16384 ≈ 1.3·10⁸ pairs; two-level scores
+    // 8192·64 cells + ~8192·8·256 in-cell candidates (~8× fewer).
+    // `agree` = fraction of flat top-k pairs the two-level search
+    // also returns (the probe-approximation cost, measured).
+    def center(cNum: Column, j: Int) =
+      (pmod(hash(cNum * 7919 + lit(j * 104729)), lit(1000))
+        .cast("double") / 500.0) - 1.0
+    def synthClustered(n: Long, base: Long, jitter: Double) =
+      spark.range(n).select(col("id") + base as "vec_id",
+        array((0 until 64).map(j =>
+          (center(col("id") % 64, j) + lit(jitter) *
+            ((pmod(hash(col("id") * 31 + lit(j * 1000003 + base)),
+              lit(1000)).cast("double") / 500.0) - 1.0))
+            .cast("float")): _*).as("embedding"))
+    val corpus2 = synthClustered(20000, 1000000, 0.15).localCheckpoint()
+    val cents2 = synthClustered(16384, 2000000, 0.15)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .localCheckpoint()
+    val coarse2 = synthClustered(64, 0, 0.0) // the true centers
+      .select(col("vec_id").as("gid"), col("embedding").as("gv"))
+      .localCheckpoint()
+    val panel2 = synthClustered(8192, 4000000, 0.15).localCheckpoint()
+    val dir2 = java.nio.file.Files.createTempDirectory("i8tlb").toFile
+    dir2.deleteOnExit()
+    Similarity.buildInt8IvfIndex(corpus2, "vec_id", "embedding",
+      cents2, "cid", "cv", dir2.getAbsolutePath)
+    Similarity.addCoarseLevel(spark, dir2.getAbsolutePath, coarse2,
+      "gid", "gv")
+    def flat2() = Similarity.searchInt8IvfIndexBatch(spark,
+      dir2.getAbsolutePath, panel2, "vec_id", "embedding",
+      nprobe = 4, k = 10)
+    def two2() = Similarity.searchInt8IvfIndexBatchTwoLevel(spark,
+      dir2.getAbsolutePath, panel2, "vec_id", "embedding",
+      nprobeCoarse = 8, nprobe = 4, k = 10)
+    flat2().count(); two2().count() // warm
+    val fb = median((1 to runs).map(_ => timed { flat2().count(); () }))
+    val tb = median((1 to runs).map(_ => timed { two2().count(); () }))
+    val flatSet = flat2().select("q_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoSet = two2().select("q_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = math.rint(10000.0 * (flatSet & twoSet).size /
+      flatSet.size) / 10000
+    println(s"""{"mode":"int8_ivf_two_level_probe","centroids":16384,""" +
+      s""""coarse":64,"panel":8192,"nprobe_coarse":8,"nprobe":4,""" +
+      s""""k":10,"runs":$runs,"flat_sec":$fb,"two_level_sec":$tb,""" +
+      s""""agree":$agree}""")
     spark.stop()
   }
 }
