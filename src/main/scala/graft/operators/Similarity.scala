@@ -1573,6 +1573,55 @@ object Similarity {
             vdf, vid, vvec, k)
       }
 
+    /** Attach the coarse level to a persisted index
+      * ([[addCoarseLevel]]). Int8-only for now — the two-level probe
+      * path exists for web-index list counts, where int8 is the
+      * storage you would be running (the f32 lists are 4× the bytes
+      * before the probe stage even matters); an F32 form fails fast
+      * here rather than silently probing flat. */
+    def addCoarse(form: IvfForm,
+                  spark: org.apache.spark.sql.SparkSession,
+                  dir: String, coarse: DataFrame, gIdCol: String,
+                  gVecCol: String): Unit = form match {
+      case IvfInt8 => addCoarseLevel(spark, dir, coarse, gIdCol,
+        gVecCol)
+      case IvfF32 => throw new IllegalArgumentException(
+        "two-level probing is implemented for the int8 form (the " +
+          "storage used at the list counts where the probe stage " +
+          "dominates); build the index as IvfInt8")
+    }
+
+    /** Two-level panel search over a [[addCoarse]]-equipped index
+      * ([[searchInt8IvfIndexBatchTwoLevel]]) — probe cost |coarse| +
+      * nprobeCoarse·|centroids|/|coarse| per query instead of
+      * [[searchBatch]]'s |centroids|. `refine` composes exactly as on
+      * [[searchBatch]] (over-fetch by the integer dot, exact f32
+      * re-rank; score column becomes `sim`). */
+    def searchBatchTwoLevel(form: IvfForm,
+                            spark: org.apache.spark.sql.SparkSession,
+                            dir: String, queries: DataFrame,
+                            qIdCol: String, qVecCol: String,
+                            nprobeCoarse: Int, nprobe: Int, k: Int,
+                            refine: Option[Refine] = None): DataFrame =
+      form match {
+        case IvfInt8 => refine match {
+          case None => searchInt8IvfIndexBatchTwoLevel(spark, dir,
+            queries, qIdCol, qVecCol, nprobeCoarse, nprobe, k)
+          case Some(r) =>
+            require(r.overfetch >= k,
+              s"overfetch=${r.overfetch} must be >= k=$k")
+            val cands = searchInt8IvfIndexBatchTwoLevel(spark, dir,
+              queries, qIdCol, qVecCol, nprobeCoarse, nprobe,
+              r.overfetch)
+            val (vdf, vid, vvec) = exactVectors(form, spark, dir, r)
+            refineTopK(cands, "id", queries, qIdCol, qVecCol,
+              vdf, vid, vvec, k)
+        }
+        case IvfF32 => throw new IllegalArgumentException(
+          "two-level probing is implemented for the int8 form; " +
+            "build the index as IvfInt8")
+      }
+
     /** The append transform (assignment by the index's OWN persisted
       * quantizer) WITHOUT the write — shared by [[append]]'s blind
       * parquet append and [[ingestBatch]]'s staged exactly-once

@@ -297,4 +297,51 @@ class IvfLifecycleSpec extends SparkTest {
           s"full=${search(form, full, query)}")
     }
   }
+
+  test("two-level verbs: facade routes to the standalone operators " +
+    "(int8); refine composes; F32 fails fast instead of probing flat") {
+    val qIds = Seq(1L, 2L)
+    val data = emb.filter(!col("vec_id").isin(qIds: _*))
+    val panel = emb.filter(col("vec_id").isin(qIds: _*))
+    val coarse = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .select(col("cid").as("gid"), col("cv").as("gv"))
+      .localCheckpoint()
+    val dir = tmp("ivf2lf")
+    Similarity.IvfLifecycle.build(IvfInt8, data, "vec_id", "embedding",
+      cents, "cid", "cv", dir.getAbsolutePath)
+    Similarity.IvfLifecycle.addCoarse(IvfInt8, spark,
+      dir.getAbsolutePath, coarse, "gid", "gv")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
+    val viaFacade = rows(Similarity.IvfLifecycle.searchBatchTwoLevel(
+      IvfInt8, spark, dir.getAbsolutePath, panel, "vec_id",
+      "embedding", nprobeCoarse = 1, nprobe = 2, k = 5))
+    val standalone = rows(Similarity.searchInt8IvfIndexBatchTwoLevel(
+      spark, dir.getAbsolutePath, panel, "vec_id", "embedding",
+      nprobeCoarse = 1, nprobe = 2, k = 5)
+      .select(col("q_id"), col("id"), col("dot")))
+    assert(viaFacade == standalone)
+    // refine: the re-ranked short list carries the exact cosine and
+    // stays within the over-fetched candidate set
+    val refined = Similarity.IvfLifecycle.searchBatchTwoLevel(IvfInt8,
+      spark, dir.getAbsolutePath, panel, "vec_id", "embedding",
+      nprobeCoarse = 1, nprobe = 2, k = 3,
+      refine = Some(Similarity.Refine(overfetch = 5,
+        vectors = Some((data, "vec_id", "embedding")))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val candSet = standalone.map(t => (t._1, t._2)).toSet
+    assert(refined.nonEmpty &&
+      refined.forall(t => candSet.contains((t._1, t._2))),
+      s"refined=$refined not within candidates $candSet")
+    assert(refined.groupBy(_._1).values.forall(_.size <= 3))
+    intercept[IllegalArgumentException] {
+      Similarity.IvfLifecycle.addCoarse(IvfF32, spark,
+        dir.getAbsolutePath, coarse, "gid", "gv")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.IvfLifecycle.searchBatchTwoLevel(IvfF32, spark,
+        dir.getAbsolutePath, panel, "vec_id", "embedding", 1, 2, 5)
+    }
+  }
 }
