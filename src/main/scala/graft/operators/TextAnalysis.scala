@@ -538,7 +538,9 @@ object TextAnalysis {
     * single aggregation, so the shuffle stays bounded by
     * Σ per-key |bigram vocabulary|. */
   def trainBigramLm(ref: DataFrame, textCol: String,
-                    keyCols: Seq[String] = Nil): DataFrame =
+                    keyCols: Seq[String] = Nil): DataFrame = {
+    require(!keyCols.exists(Set("g", "w1", "w2", "c")),
+      s"keyCols collide with the model's output columns: $keyCols")
     ref.select((keyCols.map(col) :+
         explode(Dedup.shingles(lower(col(textCol)), 2)).as("g")): _*)
       .select((keyCols.map(col) :+
@@ -546,6 +548,7 @@ object TextAnalysis {
         element_at(split(col("g"), " ", 2), 2).as("w2")): _*)
       .groupBy((keyCols.map(col) :+ col("w1") :+ col("w2")): _*)
       .agg(count(lit(1)).as("c"))
+  }
 
   /** Score documents by mean bigram SURPRISAL in whole bits — the
     * engine-exact perplexity surrogate: for each bigram occurrence,
@@ -590,6 +593,10 @@ object TextAnalysis {
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
                       lm: DataFrame,
                       keyCols: Seq[String] = Nil): DataFrame = {
+    require(!(keyCols :+ idCol).exists(Set("g", "w1", "w2", "c",
+      "n_bigrams", "sum_bits", "mean_cb")),
+      s"keyCols/idCol collide with the scorer's working or output " +
+        s"columns: $keyCols/$idCol")
     def fl2(x: Column): Column = (length(bin(x)) - 1).cast(LongType)
     val pfx = lm.groupBy((keyCols.map(col) :+ col("w1").as("__w1")): _*)
       .agg(sum(col("c")).as("__c1"))
