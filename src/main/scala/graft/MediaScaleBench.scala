@@ -175,12 +175,42 @@ object MediaScaleBench {
       // (over-merge mass), 0 = perfect
       val planted = (0L until r).map(rep =>
         srcs.count(i => (i + 61L * rep) % 7 != 0).toLong).sum
+      // the VERIFIED wide pipeline (q147's composition): digest stars
+      // (byte-identity) → banded pairs over digest reps → pixel-level
+      // luma-grid verify → CC → reshard. The verify kills the hash's
+      // ~10⁻⁵/pair near-collisions on distinct images; its ground
+      // truth is ideal_survivors_byteid (byte-identical payloads ARE
+      // duplicates under this contract — the generator's corrupt stub
+      // is ONE payload shared by every corrupt seed, so those images
+      // correctly collapse to one survivor, unlike the hash contract
+      // where NULL signatures never pair)
+      def verifiedBlock(maxDist: Int): String = {
+        val (fullSecs, survivors) = (0 to runs).map { _ =>
+          timed {
+            val surv = Multimodal.perceptualDedup(imgs, "img_id",
+              "payload", maxDist = maxDist, maxBucket = Some(8L),
+              verifyMaxAvgDiff = Some(8L))
+            Curation.shuffleShards(surv.select(col("img_id")),
+              "img_id", seed = 7L, shards = 4).count()
+          }
+        }.tail.unzip
+        s""""d${maxDist}_wide_verified":{"full_sec":${median(fullSecs)},""" +
+          s""""survivors":${survivors.head}}"""
+      }
+
+      // byte-identity contract ideal: corrupt seeds all emit the SAME
+      // 4-byte stub payload — 2 images per corrupt src-instance, one
+      // shared digest group across ALL of them → 1 survivor
+      val corruptImgs = 2L * (9L * r - planted)
+      val idealByteId = (n - planted) -
+        (if (corruptImgs > 0) corruptImgs - 1 else 0)
       s"""{"replicas":$r,"images":$n,"ideal_survivors":${n - planted},""" +
+        s""""ideal_survivors_byteid":$idealByteId,""" +
         s""""hash_sec":$hashSec,""" +
         (Seq(block("d6_pairs", 6, edgesOp = false),
           block("d6_edges", 6, edgesOp = true),
           block("d3_pairs", 3, edgesOp = false)) :+
-          wideBlock(6) :+ wideBlock(3))
+          wideBlock(6) :+ wideBlock(3) :+ verifiedBlock(3))
           .mkString(",") + "}"
     }
     println(s"""{"mode":"media_scale","runs":$runs,""" +

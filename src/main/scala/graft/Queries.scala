@@ -6021,6 +6021,62 @@ object Queries {
     },
     Some(int8IvfTwoLevelOracle))
 
+  /** q147: the composed wide media pipeline WITH the pixel-level
+    * VERIFY stage — q142 plus
+    * [[graft.operators.Multimodal.verifyPairsByLumaGrid]] between the
+    * edge set and the closure (the candidates→verify split every
+    * text-dedup family here uses, built because SCALE.md r20 MEASURED
+    * the need: the 256-bit hash near-collides on genuinely different
+    * images at ~10⁻⁵ per pair, and at a quadratic pair budget CC
+    * transitivity turns that into an ~8% survivor shortfall at 18K
+    * images; with verify the precision is corpus-size-independent —
+    * MediaScaleBench's verify column lands EXACTLY on the planted
+    * ground truth). The oracle replays the verify arithmetic
+    * bit-for-bit: quantized cell lumas floor(256·cs/cn) (0 for
+    * uncovered cells), per-pair L1 over the 16×16 grid, budget
+    * 8·256. */
+  private val q147 = Q(
+    "q147_media_pipeline_verified",
+    (s, dir) => {
+      import graft.operators.{Curation, Multimodal}
+      val imgs = imageDedupCorpus(s)
+      val survivors = Multimodal.perceptualDedup(imgs, "img_id",
+        "payload", maxDist = 3, maxBucket = mediaMaxBucket,
+        verifyMaxAvgDiff = Some(8L))
+      Curation.shuffleShards(survivors.select(col("img_id")),
+          "img_id", seed = 19L, shards = 4)
+        .select(col("img_id"), col("shard"), col("seq"))
+        .orderBy(col("shard").asc, col("seq").asc)
+    },
+    Some(s"""WITH RECURSIVE $imageHashWideCtes,
+      glq AS (SELECT t.i, g.gu, g.gv,
+          COALESCE((256 * l.cs) // l.cn, 0) AS ql
+        FROM tot t CROSS JOIN grid g
+        LEFT JOIN lum l ON l.i = t.i AND l.cu = g.gu AND l.cv = g.gv),
+      pl1 AS (SELECT p.a, p.b,
+          CAST(SUM(ABS(qa.ql - qb.ql)) AS BIGINT) AS l1
+        FROM allp p
+        JOIN glq qa ON qa.i = p.sa
+        JOIN glq qb ON qb.i = p.sb AND qb.gu = qa.gu
+          AND qb.gv = qa.gv
+        GROUP BY p.a, p.b),
+      mpairs AS (SELECT d.a, d.b FROM dists d
+        JOIN pl1 ON pl1.a = d.a AND pl1.b = d.b
+        WHERE d.dist <= 3 AND pl1.l1 <= 8 * 256),
+      ${OracleSql.closureCtes("mpairs")}
+      , surv AS (SELECT img_id FROM imgs
+        WHERE img_id NOT IN (SELECT id FROM cc WHERE component <> id)),
+      k AS (SELECT img_id,
+        md5(concat('19', ':', CAST(img_id AS VARCHAR))) AS key
+        FROM surv),
+      sh AS (SELECT img_id, key,
+        CAST(CAST('0x' || substr(key, 1, 12) AS BIGINT) % 4 AS BIGINT)
+          AS shard FROM k)
+      SELECT img_id, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard
+          ORDER BY key ASC, img_id ASC) AS BIGINT) AS seq
+      FROM sh ORDER BY shard ASC, seq ASC"""))
+
   /** q143: PER-LANGUAGE CCNet — the deployment shape Wenzek et al.
     * 2020 actually run (one LM per language, each doc scored against
     * its OWN language's model, the perplexity cut taken WITHIN
@@ -6194,7 +6250,7 @@ object Queries {
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146)
+    q144, q145, q146, q147)
 
   val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1041,6 +1041,115 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Quantized cell-luma grid — the VERIFY-stage feature for media
+    * candidate pairs: grid² values of floor(256·cellLumaSum/cellCount)
+    * (0 for cells the image doesn't cover), row-major (cell c =
+    * cv·grid+cu). Where the aHash keeps one BIT per cell (above/below
+    * the image mean — scale/offset invariant, collision-possible),
+    * this keeps the quantized mean itself, so a pair of genuinely
+    * different images that near-collides in hash space separates by
+    * actual luma distance. Exact integer arithmetic (positive floor
+    * division), so a DuckDB oracle replays every value. NULL for
+    * undecodable payloads. */
+  def imageLumaGrid(bytes: Array[Byte],
+                    grid: Int = 16): Option[Array[Long]] = {
+    require(grid >= 1 && grid <= 32, s"grid=$grid out of [1,32]")
+    if (bytes == null || bytes.length < 8 ||
+        !pixelDecodable(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = Array.ofDim[Long](grid * grid)
+      val cellN = Array.ofDim[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val v0 = y * grid / h
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val luma = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          val c = v0 * grid + x * grid / w
+          cellSum(c) += luma
+          cellN(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some(Array.tabulate(grid * grid)(c =>
+        if (cellN(c) == 0) 0L else 256L * cellSum(c) / cellN(c)))
+    } catch { case _: Exception => None }
+  }
+
+  /** Attach the quantized cell-luma grid (`lgrid` array<long>, NULL
+    * for undecodable payloads), partition-batched. */
+  def withLumaGrid(df: DataFrame, binCol: String,
+                   grid: Int = 16): DataFrame = {
+    require(!df.columns.contains("lgrid"),
+      "withLumaGrid output column 'lgrid' already exists")
+    val outSchema = StructType(df.schema.fields :+
+      StructField("lgrid", ArrayType(LongType, false), true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val g = imageLumaGrid(row.getAs[Array[Byte]](binIdx), grid)
+          .map(_.toSeq).orNull
+        Row.fromSeq(row.toSeq :+ g)
+      }
+    }(enc)
+  }
+
+  /** PIXEL-LEVEL verify for media candidate pairs — the
+    * candidates→verify split every text-dedup family here already
+    * uses (jaccardVerify after LSH), built because SCALE.md r20
+    * MEASURED the need: on an 18K-image corpus the 256-bit hash
+    * near-collides on genuinely different images at ~10⁻⁵ per pair,
+    * and a quadratic pair budget × a fixed collision rate ×
+    * CC transitivity costs ~8% of survivors. Keeps the pairs whose
+    * MEAN absolute quantized cell-luma difference is ≤ `maxAvgDiff`
+    * (per-cell scale 0..765; exact dups score 0, distinct generator
+    * images score ≥≈100): Σ_cells |ga−gb| ≤ maxAvgDiff·grid².
+    * Undecodable payloads (NULL grid) fail verification — a pair you
+    * cannot confirm is not a duplicate you may delete.
+    *
+    * Scale shape: the feature is computed ONLY for ids that appear in
+    * a candidate pair (left-semi prune of the corpus — candidates are
+    * band-bounded, so this is the same cost class as the verify scan
+    * of [[graft.operators.Dedup.jaccardVerify]]); the L1 distance is
+    * one codegen'd zip_with/aggregate per pair, no shuffle beyond the
+    * two feature joins. Output: the input pair rows (all columns)
+    * that pass, plus `l1` (the summed distance). */
+  def verifyPairsByLumaGrid(pairs: DataFrame, aCol: String,
+                            bCol: String, imgs: DataFrame,
+                            idCol: String, binCol: String,
+                            maxAvgDiff: Long,
+                            grid: Int = 16): DataFrame = {
+    require(maxAvgDiff >= 0, s"maxAvgDiff=$maxAvgDiff out of [0,∞)")
+    val ids = pairs.select(col(aCol).as("__vid"))
+      .union(pairs.select(col(bCol).as("__vid"))).distinct()
+    val feats = withLumaGrid(
+        imgs.join(ids, col(idCol) === col("__vid"), "left_semi")
+          .select(col(idCol), col(binCol)),
+        binCol, grid)
+      .select(col(idCol).as("__fid"), col("lgrid"))
+    val l1 = aggregate(
+      zip_with(col("__ga"), col("__gb"), (x, y) => abs(x - y)),
+      lit(0L), (acc, v) => acc + v)
+    pairs
+      .join(feats.select(col("__fid"), col("lgrid").as("__ga")),
+        col(aCol) === col("__fid"))
+      .drop("__fid")
+      .join(feats.select(col("__fid"), col("lgrid").as("__gb")),
+        col(bCol) === col("__fid"))
+      .drop("__fid")
+      .where(col("__ga").isNotNull && col("__gb").isNotNull)
+      .withColumn("l1", l1)
+      .filter(col("l1") <= maxAvgDiff * grid * grid)
+      .drop("__ga", "__gb")
+  }
+
   /** Attach the wide aHash (`ahash_w` array<long>, NULL for
     * undecodable payloads), partition-batched. */
   def withAHashWide(df: DataFrame, binCol: String,
@@ -1086,6 +1195,13 @@ object Multimodal {
     /** The family's connectivity-equivalent Hamming edge set. */
     def edges(sig: DataFrame, idCol: String, maxDist: Int,
               maxBucket: Option[Long]): DataFrame
+    /** The family's ALL-PAIRS-equivalent banded pair set — the form a
+      * downstream per-pair VERIFY stage needs (the edge set is a
+      * spanning structure whose connectivity equals all-pairs ONLY if
+      * no edge is removed afterward; filtering it breaks transitive
+      * links through a failed representative). */
+    def pairs(sig: DataFrame, idCol: String, maxDist: Int,
+              maxBucket: Option[Long]): DataFrame
   }
 
   /** 64-bit aHash (8×8 grid) + [[graft.operators.Dedup.hammingEdges]].
@@ -1099,6 +1215,9 @@ object Multimodal {
     def edges(sig: DataFrame, idCol: String, maxDist: Int,
               maxBucket: Option[Long]): DataFrame =
       Dedup.hammingEdges(sig, idCol, sigCol, bits, maxDist, maxBucket)
+    def pairs(sig: DataFrame, idCol: String, maxDist: Int,
+              maxBucket: Option[Long]): DataFrame =
+      Dedup.hammingPairs(sig, idCol, sigCol, bits, maxDist, maxBucket)
   }
 
   /** 256-bit wide aHash (16×16 grid, 4 packed words) +
@@ -1112,6 +1231,10 @@ object Multimodal {
     def edges(sig: DataFrame, idCol: String, maxDist: Int,
               maxBucket: Option[Long]): DataFrame =
       Dedup.hammingEdgesWide(sig, idCol, sigCol, bits, maxDist,
+        maxBucket)
+    def pairs(sig: DataFrame, idCol: String, maxDist: Int,
+              maxBucket: Option[Long]): DataFrame =
+      Dedup.hammingPairsWide(sig, idCol, sigCol, bits, maxDist,
         maxBucket)
   }
 
@@ -1128,13 +1251,65 @@ object Multimodal {
     * to roughly wide d≤24 on pure bit-rate, but the measured
     * precision ladder (SCALE.md) favors TIGHTER wide budgets (d≤3):
     * the extra entropy exists to separate near-identical-looking
-    * images, not to re-admit them. */
+    * images, not to re-admit them.
+    *
+    * `verifyMaxAvgDiff` adds the pixel-level VERIFY stage
+    * ([[verifyPairsByLumaGrid]]). SCALE.md r20 measured why a growing
+    * corpus needs it: the signature near-collides on genuinely
+    * different images at a fixed ~10⁻⁵/pair rate, the pair budget is
+    * quadratic in corpus size, and CC transitivity amplifies every
+    * collision. The verified composition is structurally DIFFERENT
+    * from the unverified one — measured in-round (MediaScaleBench
+    * first cut): naively filtering the hammingEdges output
+    * under-merges, because the edge set is a spanning structure whose
+    * connectivity equals all-pairs only if no edge is removed (a
+    * byte-identical pair connected THROUGH a pixel-different
+    * same-signature representative loses both its star edges to the
+    * verify). So with verify on, the pipeline (1) star-contracts
+    * byte-identical payloads FIRST by digest — exact duplicates are
+    * duplicates by definition, no pixel pass, recall structural
+    * (exactly the text side's exactByDigest-before-near-dup shape) —
+    * then (2) runs the family's ALL-PAIRS-equivalent banded pair set
+    * over the digest representatives and verifies each pair. Every
+    * surviving edge is either byte-identity or a pixel-confirmed
+    * near-match; connectivity over them equals the verified all-pairs
+    * closure (a verified pair's digest reps share its signature AND
+    * its luma grid, so the rep pair verifies whenever the member pair
+    * does). */
   def perceptualDedup(imgs: DataFrame, idCol: String, binCol: String,
                       maxDist: Int,
                       maxBucket: Option[Long] = None,
-                      family: SigFamily = SigWide256): DataFrame = {
-    val e = family.edges(family.withSig(imgs, binCol), idCol, maxDist,
-      maxBucket)
+                      family: SigFamily = SigWide256,
+                      verifyMaxAvgDiff: Option[Long] = None)
+      : DataFrame = {
+    val e = verifyMaxAvgDiff match {
+      case None =>
+        family.edges(family.withSig(imgs, binCol), idCol, maxDist,
+          maxBucket)
+      case Some(budget) =>
+        // byte-identical star contraction (digest = md5 of the raw
+        // payload; the narrow (id, digest) projection feeds the rep
+        // aggregation AND the star join — materialize once, the
+        // hammingEdges materializeSlim rationale)
+        val slim = imgs
+          .select(col(idCol), md5(col(binCol)).as("__dg"))
+          .localCheckpoint()
+        val reps = slim.groupBy(col("__dg"))
+          .agg(min(col(idCol)).as("__rep"))
+        val stars = slim.join(reps, "__dg")
+          .where(col(idCol) =!= col("__rep"))
+          .select(col("__rep").as("a"), col(idCol).as("b"),
+            lit(0L).as("dist"))
+        val repImgs = imgs.join(
+          reps.select(col("__rep")),
+          col(idCol) === col("__rep"), "left_semi")
+        val verified = verifyPairsByLumaGrid(
+            family.pairs(family.withSig(repImgs, binCol), idCol,
+              maxDist, maxBucket),
+            "a", "b", repImgs, idCol, binCol, budget)
+          .select(col("a"), col("b"), col("dist"))
+        stars.unionByName(verified)
+    }
     ConnectedComponents.resolve(imgs, idCol, e, "a", "b")
   }
 

@@ -318,4 +318,37 @@ class SkewSpec extends SparkTest {
       .select("img_id").collect().map(_.getLong(0)).toSet
     assert(byHand == viaApi)
   }
+
+  test("perceptualDedup with pixel verify: digest stars collapse " +
+    "byte-identical payloads the hash contract never pairs; planted " +
+    "dups still drop; a near-collision edge cannot survive the verify") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val srcs = Seq(4L, 10L, 16L, 22L, 34L)
+    // harness corpus + THREE byte-identical corrupt stubs (seeds
+    // %7==0 all emit the same 4-byte payload) — NULL signatures, so
+    // the hash contract keeps all three; byte-identity keeps one
+    val imgs = (srcs.map(i => (i, Multimodal.encodeTestImage(i))) ++
+      srcs.map(i => (i + 100L, Multimodal.encodeTestImage(i))) ++
+      Seq(7L, 14L, 21L).map(i =>
+        (i + 900L, Multimodal.encodeTestImage(i))))
+      .toDF("img_id", "payload")
+    val noVerify = Multimodal.perceptualDedup(imgs, "img_id",
+        "payload", maxDist = 3, maxBucket = Some(8L))
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    val verified = Multimodal.perceptualDedup(imgs, "img_id",
+        "payload", maxDist = 3, maxBucket = Some(8L),
+        verifyMaxAvgDiff = Some(8L))
+      .select("img_id").collect().map(_.getLong(0)).toSet
+    // hash contract: all three corrupt stubs survive (never pair)
+    assert(Set(907L, 914L, 921L).subsetOf(noVerify))
+    // byte-identity contract: they collapse to the min id
+    assert(verified.contains(907L) && !verified.contains(914L) &&
+      !verified.contains(921L), s"corrupt-group collapse: $verified")
+    // planted exact dups drop under BOTH; originals survive both
+    assert(srcs.forall(i => !noVerify.contains(i + 100L) &&
+      !verified.contains(i + 100L)))
+    assert(srcs.forall(i => noVerify.contains(i) &&
+      verified.contains(i)))
+  }
 }
