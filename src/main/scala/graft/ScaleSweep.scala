@@ -138,8 +138,9 @@ object ScaleSweep {
     // exercises exactly the skew a per-language cut must survive: one
     // 9x-mass 'und' slice beside replica-0's real languages. Scored
     // rows scale 10x; survivors stay ~2/3 per slice by construction.
-    // (q142 generates the fixed media corpus — not swept, like
-    // q136-q138; its replicated-corpus story is MediaScaleBench's.)
+    // (q142/q147 generate the fixed media corpus — not swept, like
+    // q136-q138; their replicated-corpus story, including q147's
+    // exact-at-every-scale verified column, is MediaScaleBench's.)
     "q143_ccnet_perlang")
 
   /** Build the 10-universe replica set under dstDir (idempotent). */
