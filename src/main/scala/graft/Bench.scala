@@ -65,42 +65,83 @@ object Bench {
         (n, prev(n), now)
     }
 
-  /** Parse the `"queries":{...}` map out of a prior round's bench
-    * JSON (BENCH_r{N}.json / bench.json — one JSON object). Returns
-    * empty on any shape surprise: the cross-round flag is an
+  /** Parse the per-query medians out of a prior round's bench JSON.
+    * Two shapes exist in the wild (VERDICT r20 "What's wrong" #1):
+    *  - the full format Bench itself writes (bench.json): a root-level
+    *    `"queries":{...}` object;
+    *  - the DRIVER's checked-in BENCH_r{N}.json WRAPPER:
+    *    `{n, rc, cpus, sf, tail, parsed}` where `parsed` holds the full
+    *    object when the driver could parse it (read `parsed.queries`),
+    *    and otherwise the stdout contract line survives — head-truncated
+    *    — inside the `tail` string (regex the `"qNN_…":<num>` pairs out
+    *    of it; a partial first pair self-excludes).
+    * Returns empty on any shape surprise: the cross-round flag is an
     * instrument, never a reason for the bench to fail. */
   def parsePrevQueries(json: String): Map[String, Double] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(json)
-      val qs = root.get("queries")
-      if (qs == null || !qs.isObject) Map.empty
-      else {
-        val it = qs.fields()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      def fromObj(qs: com.fasterxml.jackson.databind.JsonNode)
+          : Map[String, Double] =
+        if (qs == null || !qs.isObject) Map.empty
+        else {
+          val it = qs.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber)
+              b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
         }
-        b.result()
+      val direct = fromObj(root.get("queries"))
+      if (direct.nonEmpty) direct
+      else {
+        val parsed = root.get("parsed")
+        val viaParsed =
+          if (parsed != null && parsed.isObject)
+            fromObj(parsed.get("queries"))
+          else Map.empty[String, Double]
+        if (viaParsed.nonEmpty) viaParsed
+        else {
+          val tail = root.get("tail")
+          if (tail == null || !tail.isTextual) Map.empty
+          else {
+            val re = "\"(q\\d+[A-Za-z0-9_]*)\":(-?\\d+(?:\\.\\d+)?)".r
+            re.findAllMatchIn(tail.asText())
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
       }
     } catch { case _: Exception => Map.empty }
 
   /** Locate the previous round's bench JSON: SPARK_GRAFT_PREV_BENCH
     * if set, else the highest-numbered BENCH_r*.json in the working
-    * directory (the driver checks them in at round end). */
+    * directory (the driver checks them in at round end). When
+    * SPARK_GRAFT_ROUND is set, files at or above that round are
+    * excluded so a re-run inside a round never compares against its
+    * own checked-in artifact (ADVICE r20). */
   def findPrevBench(): Option[java.io.File] =
     sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
       .filter(_.isFile)
       .orElse {
-        val re = "BENCH_r(\\d+)\\.json".r
-        Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .flatMap(f => f.getName match {
-            case re(n) => Some((n.toInt, f))
-            case _     => None
-          })
-          .sortBy(-_._1).headOption.map(_._2)
+        val below = sys.env.get("SPARK_GRAFT_ROUND")
+          .flatMap(_.toIntOption).getOrElse(Int.MaxValue)
+        pickPrevBench(
+          Option(new java.io.File(".").listFiles()).toSeq.flatten,
+          below)
       }
+
+  /** Highest-round BENCH_r{N}.json strictly below `below` — the pure
+    * selection half of [[findPrevBench]], factored for the spec. */
+  def pickPrevBench(files: Seq[java.io.File],
+                    below: Int): Option[java.io.File] = {
+    val re = "BENCH_r(\\d+)\\.json".r
+    files.flatMap(f => f.getName match {
+      case re(n) => Some((n.toInt, f)).filter(_._1 < below)
+      case _     => None
+    }).sortBy(-_._1).headOption.map(_._2)
+  }
   /** The dispersion population: samples 2..n. Takes the RAW run
     * sequence and drops the cold run BY INDEX (always `raw(0)`)
     * BEFORE filtering out errored (-1) runs — filtering first would,
@@ -291,6 +332,13 @@ object Bench {
     val prevQueries = prevBench.map(f => parsePrevQueries(
       try java.nio.file.Files.readString(f.toPath)
       catch { case _: Exception => "" })).getOrElse(Map.empty)
+    // zero parsed queries = instrument INACTIVE (bad/missing prev file),
+    // mechanically distinguishable from "active, no flags" via
+    // vs_prev_parsed_n (VERDICT r20 #1: the wrapper-format BENCH_r19
+    // parsed to zero and read as a silent all-clear)
+    System.err.println(s"BENCH vs_prev source: " +
+      prevBench.map(_.getName).getOrElse("none") +
+      s" (parsed ${prevQueries.size} queries)")
     val vsPrev = vsPrevFlags(prevQueries, results)
     if (vsPrev.nonEmpty)
       System.err.println("BENCH vs_prev flags (3x+ over " +
@@ -311,6 +359,7 @@ object Bench {
       s""""flagship_scaled_flows_per_sec":${r3(scaledFps)},""" +
       s""""n_queries":${results.size},""" +
       s""""dispersion_flagged_n":${dispersionFlagged.size},""" +
+      s""""vs_prev_parsed_n":${prevQueries.size},""" +
       s""""vs_prev_flagged_n":${vsPrev.size},""" +
       s""""queries":$qs,""" +
       s""""total_sec":$total,""" +

@@ -62,6 +62,63 @@ class BenchSamplingSpec extends AnyFunSuite {
     assert(Bench.vsPrevFlags(Map("a" -> 1.0), Seq("a" -> 3.01)).nonEmpty)
   }
 
+  test("parsePrevQueries: reads the DRIVER wrapper format — queries " +
+    "escaped inside the truncated tail string (VERDICT r20 #1)") {
+    // verbatim structural copy of the driver's BENCH_r{N}.json: a
+    // wrapper {n, rc, cpus, sf, tail, parsed} whose tail is the
+    // HEAD-TRUNCATED stdout line (first pair partial) and parsed is
+    // null. The old parser returned empty here, so the vs_prev
+    // instrument silently no-op'd against every driver artifact.
+    val wrapper = """{
+      "n": 19,
+      "rc": 0,
+      "cpus": 32,
+      "sf": 0.1,
+      "tail": "k\":0.157,\"q24_multimodal_meta\":0.199,\"q40_decode_netflow_v9\":0.187,\"q41_decode_pipeline\":0.268,\"q45_dup_clusters\":2.858},\"total_sec\":221.7,\"scaled_flows_per_sec_tail\":1468859.1}\n[success] Total time: 686 s\n",
+      "parsed": null
+    }"""
+    val prev = Bench.parsePrevQueries(wrapper)
+    // the truncated first pair (k":0.157) self-excludes; total_sec and
+    // the flagship scalars don't match the qNN_ key shape
+    assert(prev == Map(
+      "q24_multimodal_meta" -> 0.199,
+      "q40_decode_netflow_v9" -> 0.187,
+      "q41_decode_pipeline" -> 0.268,
+      "q45_dup_clusters" -> 2.858))
+    // the r20 driver case the instrument missed: q41 0.268 -> 1.387
+    // (5.2x, +1.1 s — past both thresholds) must flag
+    assert(Bench.vsPrevFlags(prev, Seq("q41_decode_pipeline" -> 1.387))
+      == Seq(("q41_decode_pipeline", 0.268, 1.387)))
+    // wrapper with parsed NON-null: parsed.queries wins over the tail
+    val wrapped2 = """{"n":19,"tail":"\"q01\":9.9",
+      "parsed":{"queries":{"q01_fwm_agg":0.5}}}"""
+    assert(Bench.parsePrevQueries(wrapped2) == Map("q01_fwm_agg" -> 0.5))
+  }
+
+  test("parsePrevQueries: the real checked-in driver artifact parses " +
+    "to a full query map (instrument active against it)") {
+    val f = new java.io.File("BENCH_r19.json")
+    assume(f.isFile, "BENCH_r19.json not in cwd")
+    val prev = Bench.parsePrevQueries(
+      java.nio.file.Files.readString(f.toPath))
+    assert(prev.size > 50, s"parsed only ${prev.size} queries")
+    assert(prev.get("q41_decode_pipeline").contains(0.268))
+  }
+
+  test("pickPrevBench: SPARK_GRAFT_ROUND excludes the current round's " +
+    "own checked-in file (ADVICE r20)") {
+    val fs = Seq("BENCH_r19.json", "BENCH_r20.json", "BENCH_r21.json",
+      "CORRECTNESS_r21.json", "bench.json").map(new java.io.File(_))
+    // unbounded: picks the highest round present (r21 — possibly the
+    // round being benched, the ADVICE r20 trap)
+    assert(Bench.pickPrevBench(fs, Int.MaxValue)
+      .map(_.getName).contains("BENCH_r21.json"))
+    // bounded by the bench's own round: r21 is excluded, r20 wins
+    assert(Bench.pickPrevBench(fs, 21)
+      .map(_.getName).contains("BENCH_r20.json"))
+    assert(Bench.pickPrevBench(fs, 19).isEmpty)
+  }
+
   test("parsePrevQueries: reads the queries map; shape surprises and " +
     "junk yield empty instead of failing the bench") {
     val json = """{"metric":"total_query_seconds","value":1.0,
