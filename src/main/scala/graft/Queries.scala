@@ -2700,6 +2700,28 @@ object Queries {
     finally s.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  /** Streaming-harness state sizing (q113's measured fix, r21 applied
+    * to every streaming oracle): a stateful query fixes its state
+    * partition count from `spark.sql.shuffle.partitions` at FIRST
+    * start, and every micro-batch then pays one state-store instance
+    * load + commit PER PARTITION per stateful operator (RocksDB init
+    * alone was ~5 s/batch at 32 shards in q113; q109 measured 13.6 s
+    * at 32 shards vs 8.3 s at 8). These harness streams carry tens to
+    * hundreds of keys, so 32 shards is pure constant overhead — state
+    * partitioning never changes WHAT a stateful operator emits, only
+    * where keys live. Scoped + restored around the stream run; batch
+    * work outside streams keeps the session's setting. Deployments
+    * size this to key cardinality × throughput —
+    * SPARK_GRAFT_STREAM_PARTS overrides (≥ 1) for scale runs. */
+  private def withStreamParts[A](s: SparkSession)(body: => A): A = {
+    val n = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(8)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def runStreamToMemory(s: SparkSession, sinkName: String,
       ckptDir: java.io.File, outputMode: String = "append")(
       plan: DataFrame): DataFrame = {
@@ -2742,9 +2764,10 @@ object Queries {
         .filter(pred)
         .withColumn("ts", timestamp_seconds(col("ts_sec")))
       try {
-        val sunk = runStreamToMemory(s, s"q81_sink_$run",
+        val sunk = withStreamParts(s)(runStreamToMemory(s,
+          s"q81_sink_$run",
           new java.io.File(base, s"ckpt-$run"))(
-          Fwm.stream(flows, env, conf, tsColName = "ts"))
+          Fwm.stream(flows, env, conf, tsColName = "ts")))
         // the OUTPUT assertion: numInputRows alone passed even when
         // the watermark flush never ran and the sink stayed empty
         // (r10's 0-rows-vs-21 red). The spool is authored above, so
@@ -3080,7 +3103,7 @@ object Queries {
       spool.mkdirs()
       linkIntoSpool(spool, s"$dir/documents.parquet", copies = 1)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      withRocksDb(s) {
+      withStreamParts(s) { withRocksDb(s) {
         val docs = s.readStream.schema(schema)
           .parquet(spool.getAbsolutePath)
         runStreamToMemory(s, sinkName,
@@ -3091,7 +3114,7 @@ object Queries {
             greatest(col("a"), col("b")).as("b"))
           .distinct()
           .orderBy(col("a").asc, col("b").asc)
-      }
+      } }
     },
     Some(s"""WITH ${OracleSql.minhashPairsCtes}
       SELECT a, b FROM pairs ORDER BY a ASC, b ASC"""))
@@ -3451,7 +3474,7 @@ object Queries {
       val nParts = linkIntoSpool(spool, s"$dir/events.parquet",
         copies = 2)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      withRocksDb(s) {
+      withStreamParts(s) { withRocksDb(s) {
         // cap per-trigger files at one COPY of the input: at least two
         // micro-batches however the listing splits, without one-batch-
         // per-file overhead on many-part directories
@@ -3467,7 +3490,7 @@ object Queries {
           .agg(max(col("rho")).as("rho"))
         Sketches.estimateFromRegisters(regs, Seq("dst_as"), 8)
           .orderBy(col("dst_as").asc)
-      }
+      } }
     },
     Some(s"""WITH $F,
       hsrc AS (SELECT dst_as, ip4_src_addr AS hv FROM flow),
@@ -3540,9 +3563,10 @@ object Queries {
         .parquet(s"${spool.getAbsolutePath}/half-*")
       val grid = Sketches.cmsSketch(TestFlowView.fromEvents(events),
         "l4_dst_port", 4, 1024)
-      val sunk = runStreamToMemory(s, s"q101_sink_$run",
+      val sunk = withStreamParts(s)(runStreamToMemory(s,
+        s"q101_sink_$run",
         new java.io.File(base, s"ckpt-$run"), outputMode = "update")(
-        grid)
+        grid))
       val finalGrid = sunk.groupBy(col("j"), col("c"))
         .agg(max(col("cnt")).as("cnt"))
       val flow = TestFlowView.load(s, dir)
@@ -3780,8 +3804,9 @@ object Queries {
             sum(col("in_bytes") * col("rate")).as("octets"))
           .select(unix_timestamp(col("w.start")).as("win"), col("rate"),
             col("n"), col("octets").cast(LongType).as("octets"))
-        val sunk = runStreamToMemory(s, s"q107_sink_$run",
-          new java.io.File(base, s"ckpt-$run"))(agged)
+        val sunk = withStreamParts(s)(runStreamToMemory(s,
+          s"q107_sink_$run",
+          new java.io.File(base, s"ckpt-$run"))(agged))
         val frozen = sunk.filter(col("win") < 1700000100L)
         val cnt = frozen.count()
         require(cnt == 4,
@@ -3892,7 +3917,8 @@ object Queries {
       // exactly that), so events land in a driver buffer via
       // foreachBatch — bounded: the buffer holds timeline EVENTS (the
       // q82 output, hundreds of rows), never series data
-      def phase(): Seq[org.apache.spark.sql.Row] = withRocksDb(s) {
+      def phase(): Seq[org.apache.spark.sql.Row] =
+        withStreamParts(s) { withRocksDb(s) {
         import s.implicits._
         val input = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -3934,7 +3960,7 @@ object Queries {
           "q109 phase must execute through the micro-batch engine")
         scala.jdk.CollectionConverters.CollectionHasAsScala(got)
           .asScala.toSeq
-      }
+      } }
       val p1 = phase()
       require(p1.nonEmpty,
         "q109 phase 1 emitted no events — the event-time timer chain " +
@@ -4117,8 +4143,9 @@ object Queries {
         require(groups.size == 1 && groups.head.sections.size == 3,
           s"q112: expected one 3-section group, got " +
             groups.map(g => g.timeSec -> g.sections.size).toString)
-        val sunk = runStreamToMemory(s, s"q112_sink_$run",
-          new java.io.File(base, s"ckpt-$run"))(groups.head.combined)
+        val sunk = withStreamParts(s)(runStreamToMemory(s,
+          s"q112_sink_$run",
+          new java.io.File(base, s"ckpt-$run"))(groups.head.combined))
         // sentinel window defensively excluded (never emitted anyway)
         val frozen = sunk.filter(col("time") < 1700000100L)
         val cnt = frozen.count()
@@ -5165,7 +5192,7 @@ object Queries {
       spool.mkdirs()
       linkIntoSpool(spool, s"$dir/documents.parquet", copies = 1)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      withRocksDb(s) {
+      withStreamParts(s) { withRocksDb(s) {
         val docs = s.readStream.schema(schema)
           .parquet(spool.getAbsolutePath)
         val marks = runStreamToMemory(s, sinkName,
@@ -5176,7 +5203,7 @@ object Queries {
             marks.select(col("id").as("doc_id"), col("pos")),
             "doc_id", "pos", minTokens = 8)
           .orderBy(col("doc_id").asc, col("start_tok").asc)
-      }
+      } }
     },
     Some(s"""WITH ${spanCtes(8)}
       SELECT doc_id, start_tok, end_tok FROM sspans
@@ -6106,6 +6133,15 @@ object Queries {
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lm,
           keyCols = Seq("pred"))
         .filter(col("n_bigrams") > 0)
+        // pred-keyed exchange as the shared root: the scoring chain
+        // (langId + three LM joins) feeds BOTH the quantile cut and
+        // the final filter join — without a common exchange each
+        // consumer re-derives it (r21 measured the whole chain twice
+        // in the plan). hash(pred) satisfies the cut's groupBy
+        // (pred, mean_cb) clustering and its per-pred window, and the
+        // cuts join broadcasts, so this is the ONLY exchange the fan-
+        // out needs and ReuseExchange computes the chain once.
+        .repartition(col("pred"))
       val cuts = Sketches.quantilesByValue(scores, Seq("pred"),
           "mean_cb", Seq(6666))
         .select(col("pred"), col("q_value").as("__t2"))

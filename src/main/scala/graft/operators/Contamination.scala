@@ -86,7 +86,8 @@ object Contamination {
     * construction; the DuckDB oracle replays it bit-for-bit. */
   def bloomContamination(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, n: Int,
-                         k: Int, m: Int): DataFrame = {
+                         k: Int, m: Int,
+                         materializeProbe: Boolean = true): DataFrame = {
     require(k >= 1 && k <= 8, s"k=$k out of [1,8]")
     require(m >= 64, s"m=$m too small")
     require(m % 64 == 0, s"m=$m must be a multiple of 64")
@@ -126,7 +127,19 @@ object Contamination {
       .select(transform(sequence(lit(0L), lit(nWords - 1L)),
         w => coalesce(try_element_at(col("__m"), w), lit(0L)))
         .as("__bits"))
-    val probed = dg.crossJoin(broadcast(bitsRow))
+    // `probed` fans out to the per-doc counts AND the exact-verify
+    // semi join. An exchange-reuse root does NOT survive here:
+    // PushDownLeftSemiAntiJoin rewrites the verify branch by pushing
+    // the bg semi join below the gram distinct, so the two subtrees
+    // stop being plan-identical and each consumer re-ran the whole
+    // explode → distinct → md5 probe chain (r21 final-plan evidence:
+    // two REPARTITION_BY_COL exchanges over twin scan→probe chains).
+    // Materialize the narrow (id, g, maybe) projection once instead —
+    // the q121/hammingPairs convention, the in-process stand-in for
+    // the parquet write/read a 100 TB deployment puts between a
+    // probe pass and its consumers. materializeProbe=false keeps the
+    // pure lazy plan (streaming inputs, self-managed caching).
+    val probed0 = dg.crossJoin(broadcast(bitsRow))
       .withColumn("__maybe", (0 until k)
         .map { j =>
           val gp = cell(j) + lit(j.toLong * m)
@@ -136,6 +149,8 @@ object Contamination {
         }
         .reduce(_ && _))
       .select(col(idCol), col("g"), col("__maybe"))
+    val probed = if (materializeProbe) probed0.localCheckpoint()
+                 else probed0
     val per = probed.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_distinct_grams"),
       sum(when(col("__maybe"), 1L).otherwise(0L)).as("n_maybe"))
@@ -167,7 +182,13 @@ object Contamination {
     */
   def vocabOverlapMatrix(df: DataFrame, groupCol: String, textCol: String,
                          n: Int): DataFrame = {
-    val sg = df.select(col(groupCol).as("grp"),
+    // NULL groups never survive the grp_a < grp_b equi-join, so drop
+    // them before the gram pipeline — and (r21, the q18 lesson) the
+    // join branches carry an inferred isnotnull(grp) that the sizes
+    // branch otherwise lacks, which breaks the three-consumer
+    // ReuseExchange of the distinct and re-runs the shingle scan.
+    val sg = df.where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
         explode(Dedup.shingles(col(textCol), n)).as("g"))
       .distinct()
     val sizes = sg.groupBy(col("grp")).agg(count(lit(1)).as("v"))

@@ -593,7 +593,18 @@ object Dedup {
     // collision in BOTH hashes (~2⁻¹²⁸ per gram pair — below any
     // corpus's bit-flip noise floor). exactGrams=true keeps string
     // grams for strict set semantics.
-    val raw = df.select(
+    // drop NULL block keys BEFORE the gram pipeline: the equi-join on
+    // blk already drops them from every pair, so their gram/size rows
+    // are dead weight — and, load-bearing for reuse, the join branches
+    // carry an INFERRED isnotnull(block) filter that the sizes branch
+    // otherwise lacks, making the three consumers' subtrees differ so
+    // the distinct exchange is computed twice (r21 final-plan
+    // evidence: the sizes side re-ran the whole scan→shingle→xxhash64
+    // →distinct chain). With the explicit filter all three consumers
+    // are plan-identical and ReuseExchange computes the grams once.
+    val blocked = blockCol.map(c => df.where(col(c).isNotNull))
+      .getOrElse(df)
+    val raw = blocked.select(
       (col(idCol).as("id") +:
         blockCol.map(col).toSeq :+
         explode(array_distinct(shingles(col(textCol), n))).as("__g")): _*)

@@ -559,13 +559,67 @@ object Similarity {
                        dim: Int, m: Int, k: Int, iters: Int,
                        scale: Long = 1000000L): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    import org.apache.spark.sql.types.LongType
     val sub = dim / m
-    (0 until m).map { j =>
-      kmeansArrays(df.select(col(idCol),
-          slice(col(vecCol), j * sub + 1, sub).as("__subv")),
-        idCol, "__subv", k, iters, scale)
-        .select(lit(j).as("sub"), col("cid"), col("cv"))
-    }.reduce(_ unionAll _)
+    // ONE keyed Lloyd loop over all m subspaces instead of m
+    // independent loops (r21): the per-subspace recurrences are
+    // completely independent, so keying every stage by `sub` runs them
+    // inside ONE assignment join + ONE update aggregation per
+    // iteration — m× fewer jobs, broadcasts, plan compiles and
+    // checkpoints per iteration, and the broadcast join is an equi on
+    // `sub` instead of m separate k-row cross joins. Bit-identical to
+    // the per-subspace form: seeds are the same k ids for every
+    // subspace (md5(id) ordering is slice-independent), quantize∘slice
+    // = slice∘quantize elementwise, and the (dist, cid) argmin and
+    // floor-div means never mix subspaces (every aggregation is keyed
+    // by sub) — the q89/q90/q110 oracles replay the training
+    // bit-for-bit and stay green across this rewrite.
+    val vq = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => floor(x * lit(scale.toDouble))
+        .cast(LongType)).as("v"))
+    val slices = vq.select(col("id"),
+      explode(array((0 until m).map(j =>
+        struct(lit(j).cast(LongType).as("sub"),
+          slice(col("v"), j * sub + 1, sub).as("sv"))): _*)).as("s"))
+      .select(col("s.sub").as("sub"), col("id"), col("s.sv").as("sv"))
+    val wSeed = Window.orderBy(col("__h").asc, col("id").asc)
+    val seedIds = vq
+      .withColumn("__h", md5(col("id").cast("string")))
+      .orderBy(col("__h").asc, col("id").asc).limit(k)
+      .withColumn("cid", row_number().over(wSeed).cast(LongType) - 1)
+      .select(col("id"), col("cid"))
+    var cents = slices.join(broadcast(seedIds), Seq("id"))
+      .select(col("sub"), col("cid"), col("sv").as("cv"))
+      .localCheckpoint(eager = false)
+    def sq(a: Column, b: Column) = GraftBridge.toColumn(
+      graft.functions.VecSqDistLongExpr(
+        GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+    for (_ <- 0 until iters) {
+      val asg = slices.join(broadcast(cents), Seq("sub"))
+        .withColumn("dist", sq(col("sv"), col("cv")))
+        .groupBy(col("sub"), col("id"))
+        .agg(min(struct(col("dist"), col("cid"), col("sv"))).as("m"))
+        .select(col("sub"), col("m.cid").as("cid"), col("m.sv").as("sv"))
+      val upd = asg
+        .select(col("sub"), col("cid"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          floor(col("s").cast("double") / col("n")).cast(LongType)
+            .as("cx")))).as("ps"))
+        .select(col("sub"), col("cid"),
+          transform(col("ps"), p => p.getField("cx")).as("cvNew"))
+      // lazy checkpoint per iteration: same lineage-truncation
+      // tradeoff as kmeansArrays (see that loop's comment)
+      cents = cents.join(upd, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("cvNew"), col("cv")).as("cv"))
+        .localCheckpoint(eager = false)
+    }
+    cents.select(col("sub").cast("int").as("sub"), col("cid"),
+      col("cv"))
   }
 
   /** Encode every vector as its per-subspace nearest-centroid ids:

@@ -186,10 +186,98 @@ object TextAnalysis {
     * buys longer batches, never different answers. */
   private val BpeTopK = 1024
 
+  /** Driver-path gate: word-table row bound and a work bound
+    * (numMerges × Σ|syms| driver operations) — both must hold. */
+  private val BpeLocalMaxWords = 4096L
+  private val BpeLocalMaxWork = 200L * 1000 * 1000
+
+  /** Spark's string ordering is UTF8String BINARY order (unsigned
+    * UTF-8 bytes), which differs from java.lang.String#compareTo for
+    * supplementary characters — the driver-local winner tie-break
+    * must match the distributed orderBy exactly. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Strict-sequential BPE over a COLLECTED word table — the
+    * driver-local fast path for driver-sized vocabularies (r21).
+    * The distributed trainer's driver loop already runs one snapshot
+    * job per round (~0.1 s of scheduler/plan constants each; q108's
+    * 31-word corpus takes 55 rounds ⇒ ~6 s of pure round overhead),
+    * while the whole word table is a few KB. Below
+    * [[BpeLocalMaxWords]] words (and a numMerges × Σ|syms| work
+    * bound) the table is collected once and the strict one-merge-at-
+    * a-time algorithm runs in memory — the SAME sequence by
+    * definition: the batched path is provably equal to strict
+    * sequential (BpeSpec's refBpe differential), and this IS strict
+    * sequential with the distributed tie-break (UTF-8 binary string
+    * order, [[utf8Lt]]). Corpus-scale vocabularies (the real
+    * tokenizer case) stay on the batched distributed path. */
+  private def bpeLocal(rows: Array[(Long, Array[String])],
+      numMerges: Int): (Seq[(Int, String, String, Long)],
+        Array[(Long, Array[String])]) = {
+    var words = rows
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // winner: cnt DESC, l ASC, r ASC in UTF-8 binary order —
+        // exactly the distributed snapshot's orderBy
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((l, r), cnt) = best
+        out += ((step, l, r, cnt))
+        step += 1
+        // leftmost non-overlapping rewrite (the fold's semantics)
+        words = words.map { case (f, syms) =>
+          val b = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l &&
+                syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (f, b.result())
+        }
+      }
+    }
+    (out.result(), words)
+  }
+
   /** The batched trainer (scaladoc on [[bpeMerges]]); also returns the
-    * ROUND count — the jobs-per-merge evidence BpeSpec pins. */
+    * ROUND count — the jobs-per-merge evidence BpeSpec pins (0 on the
+    * driver-local fast path; pass forceDistributed = true to pin the
+    * batched distributed path regardless of corpus size). */
   private[graft] def bpeCoreRounds(df: DataFrame, textCol: String,
-      numMerges: Int): (DataFrame, DataFrame, Int) = {
+      numMerges: Int,
+      forceDistributed: Boolean = false): (DataFrame, DataFrame, Int) = {
     require(numMerges >= 1 && numMerges <= 100000,
       s"numMerges=$numMerges out of [1,100000]")
     val spark = df.sparkSession
@@ -200,6 +288,26 @@ object TextAnalysis {
         sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))))
     var cur = words.select(col("freq"), col("syms")).localCheckpoint()
+    // driver-local fast path (scaladoc on [[bpeLocal]]): the word
+    // table is already materialized — one count decides; the bounded
+    // collect is ≤ BpeLocalMaxWords rows of (freq, symbol array)
+    if (!forceDistributed && cur.count() <= BpeLocalMaxWords) {
+      val rows = cur.collect().map(r =>
+        (r.getLong(0),
+          r.getSeq[String](1).toArray))
+      val work = rows.iterator.map(_._2.length.toLong).sum
+      if (numMerges.toLong * work <= BpeLocalMaxWork) {
+        val (ms, finalWords) = bpeLocal(rows, numMerges)
+        import spark.implicits._
+        val mergesDf = ms.toDF("step", "left", "right", "cnt")
+          .select(col("step").cast(LongType).as("step"), col("left"),
+            col("right"), col("cnt"))
+        val wordsDf = finalWords.toSeq
+          .map { case (f, syms) => (f, syms.toSeq) }
+          .toDF("freq", "syms")
+        return (mergesDf, wordsDf, 0)
+      }
+    }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var rounds = 0

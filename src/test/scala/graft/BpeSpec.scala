@@ -128,7 +128,8 @@ class BpeSpec extends SparkTest {
     val words = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op",
       "qr", "st").zipWithIndex.map { case (w, i) => w -> (20L - i) }
     val (merges, _, rounds) = TextAnalysis.bpeCoreRounds(
-      docs(1L -> corpusText(words)), "text", 10)
+      docs(1L -> corpusText(words)), "text", 10,
+      forceDistributed = true)
     val got = merges.orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == words.map { case (w, f) =>
@@ -162,7 +163,8 @@ class BpeSpec extends SparkTest {
     // point of batching — one snapshot job covers many merges)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val (merges, _, rounds) =
-      TextAnalysis.bpeCoreRounds(docs, "text", 256)
+      TextAnalysis.bpeCoreRounds(docs, "text", 256,
+        forceDistributed = true)
     val n = merges.count()
     info(s"merges=$n rounds=$rounds")
     assert(n > 64) // past the old demonstrator cap
@@ -172,6 +174,36 @@ class BpeSpec extends SparkTest {
     // corpora batch far wider (the disjoint-pairs test: 10 in 1)
     assert(rounds * 3 <= n * 2,
       s"batching regressed: $rounds rounds for $n merges")
+  }
+
+  test("driver-local fast path == batched distributed path (merges " +
+    "AND final word table), r21") {
+    // the small-vocabulary fast path (bpeCoreRounds collects the word
+    // table and runs strict sequential on the driver) must produce
+    // the identical merge sequence and identical final word table as
+    // the distributed batched trainer; rounds = 0 marks the local path
+    val rnd = new scala.util.Random(99)
+    val letters = "abcdefgh"
+    val words = (0 until 40).map { _ =>
+      (0 until (2 + rnd.nextInt(6)))
+        .map(_ => letters(rnd.nextInt(letters.length))).mkString
+    }.distinct.map(w => w -> (1L + rnd.nextInt(25)))
+    val d = docs(1L -> corpusText(words))
+    val (mLoc, wLoc, rLoc) =
+      TextAnalysis.bpeCoreRounds(d, "text", 120)
+    val (mDist, wDist, rDist) =
+      TextAnalysis.bpeCoreRounds(d, "text", 120,
+        forceDistributed = true)
+    assert(rLoc == 0 && rDist > 0)
+    def seq(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("step")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    assert(seq(mLoc) == seq(mDist))
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[String](1).toList)).sortBy(_.toString).toSeq
+    assert(tbl(wLoc) == tbl(wDist))
   }
 
   test("bpeVocab: the encoded-corpus histogram after the merges") {
