@@ -5815,6 +5815,14 @@ object Queries {
       val scores = TextAnalysis.bigramSurprisal(
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", lm)
         .filter(col("n_bigrams") > 0)
+        // stage materialization (r21, the q121 convention): the
+        // scoring chain (LM train + three joins) feeds BOTH the
+        // global quantile cut and the kept-docs filter join; the
+        // un-keyed cut needs (mean_cb) clustering while the join
+        // needs doc_id, so no single exchange can be the shared root
+        // (q143's trick) — checkpoint the two-column projection once
+        .select(col("doc_id"), col("mean_cb"))
+        .localCheckpoint()
       val t2 = Sketches.quantilesByValue(scores, Nil, "mean_cb",
           Seq(6666))
         .agg(min(col("q_value")).as("__t2"))

@@ -306,6 +306,63 @@ object Dedup {
     }
   }
 
+  /** Signature-contracted ALL-PAIRS form shared by the UNCAPPED
+    * [[hammingPairs]]/[[hammingPairsWide]] paths (r21). Hamming
+    * distance is a function of the signatures alone, so the banded
+    * join only ever needs DISTINCT signatures: group ids per
+    * signature once, band-join the signature table, dedup + dist-
+    * filter at the SIGNATURE level, and only then expand the
+    * qualifying signature pairs back to id pairs (plus the dist-0
+    * within-group pairs). Output is bit-identical to the row-level
+    * banded join: a same-sig doc pair is a within-group pair (dist 0
+    * ≤ maxDist always); a cross-sig doc pair qualifies iff its sig
+    * pair does; the sig-level distinct plays the old pair-level
+    * distinct's role (a sig pair matches once per shared band).
+    * Measured motivation (q54 at sf0.1): 5000 docs share 1763
+    * signatures, so the row-level join emitted 5.1M candidate pairs
+    * into a 5.1M-row distinct — contracted, the join sees ≤ 1763
+    * rows/side and the expansion emits exactly the output pairs.
+    * NOT used for the capped path: maxBucket counts signature
+    * INSTANCES (docs) per bucket, a semantic the contraction would
+    * change. */
+  private def contractedPairs(slim: DataFrame, idCol: String,
+      sigCol: String, bandColsOf: Column => Seq[Column],
+      distOf: (Column, Column) => Column, maxDist: Int): DataFrame = {
+    val groups = slim.groupBy(col(sigCol).as("__sig"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+    // within-group pairs: the sorted id list's (i < j) combinations
+    val sameSig = groups
+      .where(size(col("__ids")) >= 2)
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        lit(0L).as("dist"))
+    val banded = groups.select(col("__sig"),
+      posexplode(array(bandColsOf(col("__sig")): _*))
+        .as(Seq("band", "bv")))
+    val l = banded.select(col("__sig").as("__s1"), col("band"),
+      col("bv"))
+    val r = banded.select(col("__sig").as("__s2"), col("band"),
+      col("bv"))
+    val sigPairs = l.join(r, Seq("band", "bv"))
+      .where(col("__s1") < col("__s2"))
+      .select(col("__s1"), col("__s2"),
+        distOf(col("__s1"), col("__s2")).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+    val ga = groups.select(col("__sig").as("__s1"),
+      col("__ids").as("__ia"))
+    val gb = groups.select(col("__sig").as("__s2"),
+      col("__ids").as("__ib"))
+    val cross = sigPairs.join(ga, "__s1").join(gb, "__s2")
+      .select(explode(col("__ia")).as("x"), col("__ib"), col("dist"))
+      .select(col("x"), explode(col("__ib")).as("y"), col("dist"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("dist"))
+    sameSig.unionByName(cross)
+  }
+
   /** Pigeonhole-banded Hamming pairs over ANY ≤64-bit integer
     * signature column (see [[simhashPairs]] for the recall argument —
     * this is that join, factored so other signature families reuse it:
@@ -342,12 +399,20 @@ object Dedup {
     val bandCols = bandColumns(col(sigCol), bits, maxDist)
     maxBucket.foreach(cap =>
       require(cap >= 2, s"maxBucket=$cap out of [2,∞)"))
+    // uncapped: exact semantics via the signature-contracted form
+    // (scaladoc on [[contractedPairs]]) — the banded join runs over
+    // DISTINCT signatures, never signature instances
+    if (maxBucket.isEmpty)
+      return contractedPairs(
+        sig.select(col(idCol), col(sigCol))
+          .where(col(sigCol).isNotNull),
+        idCol, sigCol, s => bandColumns(s, bits, maxDist),
+        (a, b) => bit_count(a.bitwiseXOR(b)).cast(LongType), maxDist)
     // capped mode consumes the signature lineage three times
     // (histogram + both join sides) — materialize the NARROW (id, sig)
     // projection once so a decode-heavy upstream (withAHash over
     // binary payloads) never re-runs; ~16 bytes/row, the cheapest
-    // thing in the plan. Uncapped keeps pure lineage (two consumers,
-    // same as the banding join has always had). The caller opts out
+    // thing in the plan. The caller opts out
     // via materializeSlim=false (streaming inputs, self-managed
     // caching).
     val slim = maxBucket match {
@@ -451,6 +516,15 @@ object Dedup {
     val bandCols = bandColumnsWide(col(sigCol), bits, maxDist)
     maxBucket.foreach(cap =>
       require(cap >= 2, s"maxBucket=$cap out of [2,∞)"))
+    // uncapped: signature-contracted exact form (see [[hammingPairs]]
+    // and [[contractedPairs]]); array<long> signatures group and
+    // order fine as keys
+    if (maxBucket.isEmpty)
+      return contractedPairs(
+        sig.select(col(idCol), col(sigCol))
+          .where(col(sigCol).isNotNull),
+        idCol, sigCol, s => bandColumnsWide(s, bits, maxDist),
+        (a, b) => wideDist(a, b, words), maxDist)
     val slim = maxBucket match {
       case Some(_) if materializeSlim =>
         sig.select(col(idCol), col(sigCol))
