@@ -788,10 +788,17 @@ object Similarity {
       .groupBy(col("id"))
       .agg(min(struct(col("dist"), col("cid"), col("v"))).as("a"))
       .select(col("id"), col("a.cid").as("ccid"), col("a.v").as("v"))
+    // lazy checkpoint (r21): resid feeds BOTH the codebook training
+    // and the probed-list candidate prune — without it the coarse
+    // assignment join + argmin aggregation re-runs for each consumer.
+    // At deployment this is the materialized assignment table
+    // (buildIvfIndex's artifact); same eager-on-first-use tradeoff as
+    // kmeansArrays' iteration checkpoint.
     val resid = assigned.join(broadcast(coarse),
         col("ccid") === col("cid"))
       .select(col("id"), col("ccid"),
         zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+      .localCheckpoint(eager = false)
     // shared residual codebook: the SAME exact Lloyd as the raw path,
     // identity-quantized (scale 1) over the integer residuals
     val residF = resid.select(col("id"), col("ccid"),
@@ -1137,6 +1144,12 @@ object Similarity {
       s"nprobeCoarse=$nprobeCoarse out of [1,∞)")
     require(nprobe >= 1, s"nprobe=$nprobe out of [1,∞)")
     require(k >= 1, s"k=$k out of [1,∞)")
+    // an empty coarse set would make qcells an empty join and every
+    // query silently return zero rows — fail fast like the nprobe/k
+    // requires (ADVICE r20; the frame is √|centroids|-sized, so the
+    // probe is one cheap job at plan-build time)
+    require(!coarse.isEmpty,
+      "int8IvfSearchBatchTwoLevel: empty coarse set")
     val co = prepCent(coarse, coarseIdCol, coarseVecCol)
     val q = queries.select(col(qIdCol).as("q_id"),
       col(qVecCol).as("__qv"))
@@ -1384,6 +1397,10 @@ object Similarity {
   def addCoarseLevel(spark: org.apache.spark.sql.SparkSession,
                      dir: String, coarse: DataFrame, gIdCol: String,
                      gVecCol: String): Unit = {
+    // a coarse artifact written from an empty frame would make every
+    // later two-level search silently return zero rows — reject at
+    // write time (ADVICE r20)
+    require(!coarse.isEmpty, "addCoarseLevel: empty coarse set")
     coarse.select(col(gIdCol).as("gid"), col(gVecCol).as("gv"))
       .write.mode("overwrite").parquet(s"$dir/coarse")
     val co = prepCent(spark.read.parquet(s"$dir/coarse"), "gid", "gv")

@@ -28,10 +28,17 @@ object GraftBridge {
     classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Eager local checkpoint that REBUILDS the frame as a bare scan
-    * with FRESH attributes and NO carried constraints — at the
-    * InternalRow layer, so no per-row InternalRow→Row→InternalRow
-    * conversion (the cost of the public `createDataFrame(c.rdd, …)`
-    * rebuild: measured +10–24% per CC iteration, SCALE.md r20).
+    * with NO carried constraints — at the InternalRow layer, so no
+    * per-row InternalRow→Row→InternalRow conversion (the cost of the
+    * public `createDataFrame(c.rdd, …)` rebuild: measured +10–24% per
+    * CC iteration, SCALE.md r20). NOTE (ADVICE r20): attributes are
+    * SHARED with the source plan (qe.analyzed.output is reused, unlike
+    * the old public rebuild which minted new ones) — dropping the
+    * origin constraints is what fixes the Union rewrite crash. A
+    * caller that self-joins the checkpointed frame against its OWN
+    * pre-checkpoint source must dedup/alias as for any self-join; the
+    * CC loop never does (each iteration consumes only the previous
+    * barrier's output).
     * Mirrors Dataset.localCheckpoint's own internals (toRdd +
     * defensive copy + RDD.localCheckpoint + eager count) but builds
     * the result through internalCreateDataFrame, which attaches no
