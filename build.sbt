@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." epilogue: the driver captures sbt's
+// stdout and parses the LAST line as the bench's one-line JSON contract
+// — sbt's epilogue printed after the program exits has shadowed that
+// line in every round so far (BENCH_r01..r21 all carry "parsed": null
+// with the JSON visibly intact one line above the epilogue). Exit codes
+// are unaffected; "All tests passed." / error lines still print.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -116,31 +116,43 @@ object Bench {
     } catch { case _: Exception => Map.empty }
 
   /** Locate the previous round's bench JSON: SPARK_GRAFT_PREV_BENCH
-    * if set, else the highest-numbered BENCH_r*.json in the working
-    * directory (the driver checks them in at round end). When
-    * SPARK_GRAFT_ROUND is set, files at or above that round are
-    * excluded so a re-run inside a round never compares against its
-    * own checked-in artifact (ADVICE r20). */
+    * if set, else the highest-numbered bench artifact among the
+    * driver's wrapper files (`BENCH_r{N}.json`, cwd) and the
+    * checked-in FULL per-round copies (`plans/r{N}/bench_r{N}_full.json`
+    * — the repo commits the closing bench.json there each round since
+    * r22, because the driver wrapper keeps only a 2000-char stdout
+    * tail that truncates ~half the per-query map; VERDICT r21 #1).
+    * On a round tie the full copy wins. When SPARK_GRAFT_ROUND is
+    * set, files at or above that round are excluded so a re-run
+    * inside a round never compares against its own checked-in
+    * artifact (ADVICE r20). */
   def findPrevBench(): Option[java.io.File] =
     sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
       .filter(_.isFile)
       .orElse {
         val below = sys.env.get("SPARK_GRAFT_ROUND")
           .flatMap(_.toIntOption).getOrElse(Int.MaxValue)
-        pickPrevBench(
-          Option(new java.io.File(".").listFiles()).toSeq.flatten,
-          below)
+        val cwd = Option(new java.io.File(".").listFiles())
+          .toSeq.flatten
+        val planCopies = Option(new java.io.File("plans").listFiles())
+          .toSeq.flatten.filter(_.isDirectory)
+          .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        pickPrevBench(cwd ++ planCopies, below)
       }
 
-  /** Highest-round BENCH_r{N}.json strictly below `below` — the pure
-    * selection half of [[findPrevBench]], factored for the spec. */
+  /** Highest-round bench artifact strictly below `below`; full copies
+    * (`bench_r{N}_full.json`) beat same-round driver wrappers
+    * (`BENCH_r{N}.json`) — the pure selection half of
+    * [[findPrevBench]], factored for the spec. */
   def pickPrevBench(files: Seq[java.io.File],
                     below: Int): Option[java.io.File] = {
-    val re = "BENCH_r(\\d+)\\.json".r
+    val wrapper = "BENCH_r(\\d+)\\.json".r
+    val full = "bench_r(\\d+)_full\\.json".r
     files.flatMap(f => f.getName match {
-      case re(n) => Some((n.toInt, f)).filter(_._1 < below)
-      case _     => None
-    }).sortBy(-_._1).headOption.map(_._2)
+      case wrapper(n) => Some((n.toInt, 0, f)).filter(_._1 < below)
+      case full(n)    => Some((n.toInt, 1, f)).filter(_._1 < below)
+      case _          => None
+    }).sortBy(t => (-t._1, -t._2)).headOption.map(_._3)
   }
   /** The dispersion population: samples 2..n. Takes the RAW run
     * sequence and drops the cold run BY INDEX (always `raw(0)`)
@@ -392,8 +404,16 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"BENCH: bench.json write failed: $e") }
     spark.stop()
-    // ...then the contract line LAST on stdout, after every possible
-    // source of interleaved output (including Spark shutdown) is done
+    // ...then the totals on stdout, after every possible source of
+    // interleaved output (including Spark shutdown) is done. Two lines
+    // (VERDICT r21 #1): a compact BENCH_TOTALS summary that survives
+    // ANY tail-capture window first, then the full contract line LAST
+    // (the driver parses the final stdout line; build.sbt suppresses
+    // sbt's "[success]" epilogue so nothing prints after it).
+    println(s"""BENCH_TOTALS {"total_sec":$total,""" +
+      s""""n_queries":${results.size},""" +
+      s""""harness_heavy_sec":$harnessSec,""" +
+      s""""flagship_scaled_flows_per_sec":${r3(scaledFps)}}""")
     println(json)
     System.out.flush()
   }

@@ -1683,14 +1683,35 @@ object Queries {
   // the aggregation independently. Byte-level decode correctness is
   // covered by DecoderSpec goldens; this closes the driver's hash gate.
 
-  /** Per-process scratch dir under tmpdir, recursively deleted at JVM
-    * exit (File.deleteOnExit cannot remove non-empty directories —
-    * without this, every driver process would leak one fixture dir per
+  /** Scratch base for the self-generating harness fixtures (spools,
+    * streaming checkpoints, CSV staging): the fastest writable local
+    * volume — tmpfs (/dev/shm) when present, else java.io.tmpdir.
+    * Guide §6: a streaming micro-batch pays offset-log + commit-log +
+    * state-checkpoint WRITES per batch; on a disk-backed /tmp those
+    * fsync-ish constants were the dominant residual of the streaming
+    * oracles (q109: 18 batches × 2 phases; q113: one commit per 100 ms
+    * trigger). Everything written here is per-run scratch deleted at
+    * JVM exit — a deployment's checkpoints live on reliable storage
+    * sized for recovery, not in this harness path. The fixtures are KB
+    * to low-MB at bench scale; SPARK_GRAFT_SCRATCH overrides (point it
+    * at a disk path for fixture sets that must not consume RAM). */
+  private lazy val scratchBase: String =
+    sys.env.get("SPARK_GRAFT_SCRATCH").filter { p =>
+      val f = new java.io.File(p); f.isDirectory && f.canWrite
+    }.orElse {
+      Option(new java.io.File("/dev/shm"))
+        .filter(f => f.isDirectory && f.canWrite)
+        .map(_.getAbsolutePath)
+    }.getOrElse(sys.props("java.io.tmpdir"))
+
+  /** Per-process scratch dir under [[scratchBase]], recursively deleted
+    * at JVM exit (File.deleteOnExit cannot remove non-empty directories
+    * — without this, every driver process would leak one fixture dir per
     * self-generating query). Hook registered once per dir. */
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def tmpWorkDir(name: String): java.io.File = {
-    val d = new java.io.File(sys.props("java.io.tmpdir"), name)
+    val d = new java.io.File(scratchBase, name)
     d.mkdirs()
     if (cleanupRegistered.add(d.getAbsolutePath))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -2721,6 +2742,21 @@ object Queries {
     try body
     finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Ad-hoc micro-batch breakdown (SPARK_GRAFT_STREAM_DEBUG=1): one
+    * stderr line per progress event — batch id, total batch duration
+    * and the engine's phase durations — so "where do the streaming
+    * oracles' seconds go" is measurable without the (disabled) UI.
+    * Inert unless the env var is set (TimeQueries-style instrument,
+    * never part of the recorded bench). */
+  private def dumpStreamProgress(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      label: String): Unit =
+    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+      q.recentProgress.foreach { p =>
+        System.err.println(s"STREAMDBG $label batch=${p.batchId} " +
+          s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+      }
 
   private def runStreamToMemory(s: SparkSession, sinkName: String,
       ckptDir: java.io.File, outputMode: String = "append")(
@@ -3911,7 +3947,36 @@ object Queries {
       }
       def chunkDf(c: Int): DataFrame =
         series.filter(col("idx") >= c * 30L && col("idx") < (c + 1) * 30L)
-      (0 until 4).foreach(c => author(c, chunkDf(c)))
+      // authoring constant (r22, guide §1.2): one partitioned write
+      // job per PHASE instead of one coalesce(1) job per chunk — the
+      // 8 chunk jobs were ~0.1 s of scheduler/commit constants each
+      // around a few KB of data. A single task (coalesce(1)) writes
+      // every __chunk=c directory, so each chunk still lands as
+      // exactly one part file; the partition column is not written,
+      // so file schema/content are byte-compatible with the per-chunk
+      // author. An EMPTY chunk writes no directory — the per-chunk
+      // author is the fallback for that case (it writes the
+      // schema-only file the old path always produced), so spool
+      // contents stay identical at any scale factor.
+      def authorRange(lo: Int, hi: Int): Unit = {
+        val tmp = new java.io.File(base, s"stage-$run-$lo-$hi")
+        series.filter(col("idx") >= lo * 30L && col("idx") < hi * 30L)
+          .withColumn("__chunk", expr("CAST(idx DIV 30 AS INT)"))
+          .coalesce(1).write.mode("overwrite").partitionBy("__chunk")
+          .parquet(tmp.getAbsolutePath)
+        for (c <- lo until hi) {
+          val dir = new java.io.File(tmp, s"__chunk=$c")
+          Option(dir.listFiles()).toSeq.flatten
+            .find(_.getName.endsWith(".parquet")) match {
+            case Some(part) =>
+              val dst = new java.io.File(spool, f"chunk-$c%03d.parquet")
+              java.nio.file.Files.move(part.toPath, dst.toPath)
+              dst.setLastModified(1_700_000_000_000L + c * 60_000L)
+            case None => author(c, chunkDf(c)) // empty chunk at tiny SF
+          }
+        }
+      }
+      authorRange(0, 4)
       val schema = s.read.parquet(spool.getAbsolutePath).schema
       // the memory sink cannot RECOVER from a checkpoint (phase 2 is
       // exactly that), so events land in a driver buffer via
@@ -3956,6 +4021,7 @@ object Queries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        dumpStreamProgress(q, "q109")
         require(q.recentProgress.exists(_.numInputRows > 0),
           "q109 phase must execute through the micro-batch engine")
         scala.jdk.CollectionConverters.CollectionHasAsScala(got)
@@ -3968,7 +4034,7 @@ object Queries {
           "or timer regression?)")
       // mid-trace restart: the grid's second half + the sentinel exist
       // only AFTER the first query stopped
-      (4 until 8).foreach(c => author(c, chunkDf(c)))
+      authorRange(4, 8)
       author(8, s.range(1).select(
         timestamp_seconds(lit(epoch0 + 241L)).as("ts"),
         lit(-1L).as("key"), lit(241L).as("idx"),
@@ -4294,7 +4360,7 @@ object Queries {
             i += 1
           }
           snap = got.asScala.toSeq
-        } finally q.stop()
+        } finally { dumpStreamProgress(q, "q113"); q.stop() }
         require(snap.exists(r =>
             r.getString(0) == "quiet" && r.getString(2) == "start"),
           "q113: the silent key's underlimit alert never started — " +
@@ -4658,12 +4724,18 @@ object Queries {
       val keep = TextAnalysis.gopherRules(col("text"), minWords = 20,
         minStopHits = 1).toMap.apply("keep")
       val gated = corpus.filter(keep).select(col("doc_id"), col("text"))
-      // stage checkpoint (the deployment shape the plan note below
+      // stage checkpoints (the deployment shape the plan note below
       // describes): span dedup consumes its input in several sibling
       // branches — materializing the small gated+deduped survivor set
       // once stops each branch re-running the gate scan + dedup
       // (measured: q121 8.1 s → ~half with the checkpoint; at 100 TB
-      // this is the parquet write/read between pipeline stages)
+      // this is the parquet write/read between pipeline stages).
+      // EAGER is load-bearing (r22 measured): lazy (eager=false, the
+      // q110 pattern) let the decontam's SIBLING stages race on the
+      // un-materialized RDD — concurrent stages each recompute a
+      // persisted-but-not-yet-populated partition — and q121 ran
+      // 4.3 → 5.4 s; the eager job serializes materialization BEFORE
+      // the consumers, which is the point
       val deduped = Dedup.exactByDigest(gated, "doc_id", "text")
         .localCheckpoint()
       val spanned = SpanDedup.removeSpans(deduped, "doc_id", "text",

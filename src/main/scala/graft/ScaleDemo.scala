@@ -31,6 +31,9 @@ object ScaleDemo {
     if (args.contains("cc")) { ccDemo(spark); spark.stop(); return }
     if (args.contains("ivf")) { ivfDemo(spark, sfDir); spark.stop(); return }
     if (args.contains("lsh")) { lshDemo(spark); spark.stop(); return }
+    if (args.contains("ppjoin")) {
+      ppjoinDemo(spark, sfDir); spark.stop(); return
+    }
     if (args.contains("pktdump")) {
       pktdumpDemo(spark); spark.stop(); return
     }
@@ -215,6 +218,42 @@ object ScaleDemo {
     * conversion) and the plain-localCheckpoint control, so the
     * conversion tax is a recorded number instead of an argument
     * (SCALE.md). */
+  /** PPJoin prefix-filter A/B (r22, VERDICT r21 #6): exact n-gram
+    * Jaccard at a HIGH similarity threshold (minBp 9500 — the
+    * incremental-admit / near-exact-rerun regime) with and without the
+    * prefix pruner, on the real documents corpus. Asserts the two
+    * row sets are identical (the pruner's contract), prints one JSON
+    * line with both timings. At minBp 9500 the prefix is ~5% of each
+    * gram set, so the quadratic self-join sees ~1/400th the candidate
+    * pairs; at q18's minBp 2000 the prefix is ~80% of the set and the
+    * knob correctly stays off there. */
+  private def ppjoinDemo(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count() // warm the scan
+    def run(pf: Boolean): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2,
+        blockCol = Some("lang"), minBp = 9500L,
+        prefixFilter = pf).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    run(pf = false) // warm both codegen paths
+    run(pf = true)
+    val samples = (1 to 3).map(_ => (run(pf = false), run(pf = true)))
+    val (offS, onS) = (samples.map(_._1._1).sorted, samples.map(_._2._1).sorted)
+    val (nOff, nOn) = (samples.head._1._2, samples.head._2._2)
+    val eq = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2,
+        Some("lang"), 9500L, prefixFilter = true)
+      .exceptAll(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2,
+        Some("lang"), 9500L)).isEmpty
+    require(nOff == nOn && eq,
+      s"prefixFilter diverged: $nOff vs $nOn rows, exceptAll empty=$eq")
+    println(s"""{"sf":"$sfDir","minBp":9500,""" +
+      s""""prefix_off_med_sec":${offS(1)},""" +
+      s""""prefix_on_med_sec":${onS(1)},"pairs":$nOff,""" +
+      s""""identical":true}""")
+  }
+
   private def ccDemo(spark: SparkSession): Unit = {
     def run(name: String, edges: org.apache.spark.sql.DataFrame,
             rebuild: Boolean): String = {

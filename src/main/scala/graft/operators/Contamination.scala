@@ -83,7 +83,19 @@ object Contamination {
     * Kirsch–Mitzenmacher double hashing — ONE md5 per gram yields
     * (h1, h2) from disjoint 40-bit digest slices and row j probes
     * (h1 + j·h2) mod m (h2 forced odd), the standard k-from-2
-    * construction; the DuckDB oracle replays it bit-for-bit. */
+    * construction; the DuckDB oracle replays it bit-for-bit.
+    *
+    * `materializeProbe` (default true): the probed gram projection
+    * feeds two consumers whose subtrees can never be plan-identical
+    * (PushDownLeftSemiAntiJoin rewrites the verify branch), so it is
+    * localCheckpoint'ed EAGERLY — building (or even explain()ing) the
+    * returned frame runs the whole gram-probe job at plan-construction
+    * time and pins the materialized RDD in executor storage for the
+    * session; streaming inputs are unsupported. (Eager is deliberate:
+    * a lazy checkpoint lets the two consumer stages race and
+    * recompute the probe chain — measured r22.) Pass false for a pure
+    * lazy plan (streaming inputs, self-managed caching — the probe
+    * chain then re-runs once per consumer). */
   def bloomContamination(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, n: Int,
                          k: Int, m: Int,
@@ -137,8 +149,13 @@ object Contamination {
     // Materialize the narrow (id, g, maybe) projection once instead —
     // the q121/hammingPairs convention, the in-process stand-in for
     // the parquet write/read a 100 TB deployment puts between a
-    // probe pass and its consumers. materializeProbe=false keeps the
-    // pure lazy plan (streaming inputs, self-managed caching).
+    // probe pass and its consumers. EAGER deliberately (r22 re-check):
+    // a lazy checkpoint lets the two consumer stages race on the
+    // un-materialized RDD and recompute the probe chain concurrently
+    // (measured on q121's sibling-stage shape: eager 4.3 s vs lazy
+    // 5.4 s); the blocking job IS the serialization point.
+    // materializeProbe=false keeps the pure lazy plan (streaming
+    // inputs, self-managed caching).
     val probed0 = dg.crossJoin(broadcast(bitsRow))
       .withColumn("__maybe", (0 until k)
         .map { j =>

@@ -324,12 +324,23 @@ object Dedup {
     * rows/side and the expansion emits exactly the output pairs.
     * NOT used for the capped path: maxBucket counts signature
     * INSTANCES (docs) per bucket, a semantic the contraction would
-    * change. */
+    * change.
+    *
+    * PRECONDITION (ADVICE r21): `idCol` is unique — one (id, sig) row
+    * per document (true of every sane corpus; the same contract
+    * [[exactByDigest]] documents). Duplicate (id, sig) ROWS are
+    * tolerated defensively (ids are de-dup'ed per group and self-pairs
+    * filtered below, at zero extra exchanges), but an id carrying TWO
+    * DIFFERENT signatures is ill-defined input: the old row-level join
+    * deduplicated (a, b, dist) triples after the fact, while the
+    * contracted form can emit the same (a, b) under two distances —
+    * re-key or dedup such a frame first. */
   private def contractedPairs(slim: DataFrame, idCol: String,
       sigCol: String, bandColsOf: Column => Seq[Column],
       distOf: (Column, Column) => Column, maxDist: Int): DataFrame = {
     val groups = slim.groupBy(col(sigCol).as("__sig"))
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .agg(array_distinct(sort_array(collect_list(col(idCol))))
+        .as("__ids"))
     // within-group pairs: the sorted id list's (i < j) combinations
     val sameSig = groups
       .where(size(col("__ids")) >= 2)
@@ -358,6 +369,10 @@ object Dedup {
     val cross = sigPairs.join(ga, "__s1").join(gb, "__s2")
       .select(explode(col("__ia")).as("x"), col("__ib"), col("dist"))
       .select(col("x"), explode(col("__ib")).as("y"), col("dist"))
+      // x =!= y guards the duplicate-ROW tolerance (scaladoc): an id
+      // present in both groups would otherwise self-pair via
+      // least/greatest. Free — a codegen filter on the expansion.
+      .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"), col("dist"))
     sameSig.unionByName(cross)
@@ -386,7 +401,10 @@ object Dedup {
     * the narrow (id, sig) projection is localCheckpoint'ed — an EAGER
     * materialization (runs a Spark job at plan-construction time,
     * pins executor storage for the session, unusable on streaming
-    * inputs). Pass false to keep a pure lazy plan and manage
+    * inputs). Eager is deliberate: a lazy checkpoint lets the three
+    * consumer stages race and recompute the decode lineage
+    * concurrently (r22 measured the race on q121's sibling-stage
+    * shape). Pass false to keep a pure lazy plan and manage
     * materialization yourself (persist/checkpoint the signature frame
     * upstream, or accept the decode re-run). */
   def hammingPairs(sig: DataFrame, idCol: String, sigCol: String,
@@ -652,11 +670,31 @@ object Dedup {
     * stop-word n-gram in a web-scale corpus is quadratic — the standard
     * mitigation drops grams appearing in more than maxDf documents from
     * BOTH the intersection and the set sizes (Jaccard over the pruned
-    * gram sets). Default off: exact semantics, oracle-matched. */
+    * gram sets). Default off: exact semantics, oracle-matched.
+    *
+    * `prefixFilter` (r22, VERDICT r21 #6): PPJoin-class prefix
+    * pruning — RESULT-IDENTICAL at any threshold (spec'd
+    * differentially), but only WORTH turning on at high minBp. Under
+    * any global total order on grams (here: the gram key ascending),
+    * a pair with floor(10000·|A∩B| / |A∪B|) ≥ minBp must share a gram
+    * inside each side's first |S| − ceil(minBp·|S| / 10000) + 1 grams
+    * (Bayardo et al., WWW'07 prefix-filtering principle: the
+    * intersection is ≥ ceil(minBp·|S|/10000) elements of S, and a
+    * longer-than-required prefix is always safe). So only the PREFIX
+    * rows enter the quadratic self-join — at minBp 9500 that is ~5%
+    * of gram rows per side (~1/400th the candidate pairs of a hot
+    * block); at minBp 2000 the prefix is ~80% of the set and the
+    * extra verify join costs more than the pruning saves (measured —
+    * q18's exact path keeps it off). Candidates are then verified
+    * with the full gram sets, so emitted (a, b, j_bp) rows are
+    * bit-identical to the unpruned join. Composes with `maxDf`
+    * (prefixes of the pruned sets) and `exactGrams` (string order
+    * replaces hash order — any total order is valid). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, blockCol: Option[String],
                         minBp: Long, maxDf: Option[Long] = None,
-                        exactGrams: Boolean = false): DataFrame = {
+                        exactGrams: Boolean = false,
+                        prefixFilter: Boolean = false): DataFrame = {
     // gram identity defaults to the 128-bit (xxhash64,
     // salted-xxhash64) pair — the SpanDedup convention: the distinct
     // exchange and the self-join carry 16 FIXED bytes per gram
@@ -707,18 +745,53 @@ object Dedup {
       case None => gramsAll
     }
     val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val l = grams.select((col("id").as("a") +:
+    // the self-join's input: every gram row, or — prefixFilter — only
+    // each document's prefix under the canonical gram order (see
+    // scaladoc; candidates are re-verified on the FULL sets below, so
+    // recall is structural, not probabilistic)
+    val joinSide =
+      if (!prefixFilter) grams
+      else {
+        val w = Window.partitionBy(col("id"))
+          .orderBy(gramKeys.map(col(_).asc): _*)
+        grams
+          .withColumn("__rk", row_number().over(w))
+          .withColumn("__psz",
+            count(lit(1)).over(Window.partitionBy(col("id"))))
+          // prefix length |S| − ceil(minBp·|S|/10000) + 1, exact
+          // integer arithmetic (div floors; +9999 makes it a ceil)
+          .where(col("__rk") <= col("__psz") -
+            expr(s"(($minBp * __psz + 9999) div 10000)") + 1)
+          .drop("__rk", "__psz")
+      }
+    val l = joinSide.select((col("id").as("a") +:
       gramKeys.map(gk => col(gk).as(s"${gk}_a"))) ++
       blockCol.map(c => col(c).as("blk")).toSeq: _*)
-    val r = grams.select((col("id").as("b") +:
+    val r = joinSide.select((col("id").as("b") +:
       gramKeys.map(gk => col(gk).as(s"${gk}_b"))) ++
       blockCol.map(c => col(c).as("blk2")).toSeq: _*)
     val joinCond = gramKeys.map(gk => col(s"${gk}_a") === col(s"${gk}_b"))
       .reduce(_ && _) &&
       blockCol.map(_ => col("blk") === col("blk2")).getOrElse(lit(true)) &&
       (col("a") < col("b"))
-    val inter = l.join(r, joinCond)
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val inter =
+      if (!prefixFilter)
+        l.join(r, joinCond)
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      else {
+        // candidates from the prefix join, intersection from the full
+        // gram sets ([[jaccardVerify]]'s shape — Catalyst folds the
+        // ga = gb filter into the second join's keys)
+        val cands = l.join(r, joinCond).select("a", "b").distinct()
+        cands
+          .join(grams.select((col("id").as("a") +:
+            gramKeys.map(gk => col(gk).as(s"${gk}_a"))): _*), "a")
+          .join(grams.select((col("id").as("b") +:
+            gramKeys.map(gk => col(gk).as(s"${gk}_b"))): _*), Seq("b"))
+          .filter(gramKeys.map(gk =>
+            col(s"${gk}_a") === col(s"${gk}_b")).reduce(_ && _))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizes.withColumnRenamed("id", "a")
         .withColumnRenamed("sz", "sza"), "a")

@@ -1146,11 +1146,16 @@ object Similarity {
     require(k >= 1, s"k=$k out of [1,∞)")
     // an empty coarse set would make qcells an empty join and every
     // query silently return zero rows — fail fast like the nprobe/k
-    // requires (ADVICE r20; the frame is √|centroids|-sized, so the
-    // probe is one cheap job at plan-build time)
-    require(!coarse.isEmpty,
+    // requires (ADVICE r20). The √|centroids|-sized projection is
+    // lazily checkpointed FIRST so the guard's job is also the frame
+    // every downstream join reads: an uncached expensive coarse
+    // derivation is computed once, not once for the guard and again
+    // per consumer (ADVICE r21).
+    val coSlim = coarse.select(col(coarseIdCol).as("__cid"),
+      col(coarseVecCol).as("__cv")).localCheckpoint(false)
+    require(!coSlim.isEmpty,
       "int8IvfSearchBatchTwoLevel: empty coarse set")
-    val co = prepCent(coarse, coarseIdCol, coarseVecCol)
+    val co = prepCent(coSlim, "__cid", "__cv")
     val q = queries.select(col(qIdCol).as("q_id"),
       col(qVecCol).as("__qv"))
     // level 0 (query-independent): every centroid → its nearest
@@ -1399,10 +1404,13 @@ object Similarity {
                      gVecCol: String): Unit = {
     // a coarse artifact written from an empty frame would make every
     // later two-level search silently return zero rows — reject at
-    // write time (ADVICE r20)
-    require(!coarse.isEmpty, "addCoarseLevel: empty coarse set")
-    coarse.select(col(gIdCol).as("gid"), col(gVecCol).as("gv"))
-      .write.mode("overwrite").parquet(s"$dir/coarse")
+    // write time (ADVICE r20). Lazily checkpoint the projection first
+    // so the guard and the write share ONE evaluation of the coarse
+    // lineage instead of paying it twice (ADVICE r21).
+    val coSlim = coarse.select(col(gIdCol).as("gid"),
+      col(gVecCol).as("gv")).localCheckpoint(false)
+    require(!coSlim.isEmpty, "addCoarseLevel: empty coarse set")
+    coSlim.write.mode("overwrite").parquet(s"$dir/coarse")
     val co = prepCent(spark.read.parquet(s"$dir/coarse"), "gid", "gv")
     assignToCentroids(
         spark.read.parquet(s"$dir/centroids")

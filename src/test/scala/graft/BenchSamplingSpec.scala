@@ -119,6 +119,24 @@ class BenchSamplingSpec extends AnyFunSuite {
     assert(Bench.pickPrevBench(fs, 19).isEmpty)
   }
 
+  test("pickPrevBench: a checked-in FULL per-round copy beats the " +
+    "driver's tail-truncated wrapper of the same round (VERDICT r21 #1)") {
+    val fs = Seq("BENCH_r21.json", "BENCH_r22.json",
+      "bench_r22_full.json", "bench.json").map(new java.io.File(_))
+    // same round both shapes present: the full copy (145-query map)
+    // wins over the wrapper (2000-char tail, ~76 queries survive)
+    assert(Bench.pickPrevBench(fs, Int.MaxValue)
+      .map(_.getName).contains("bench_r22_full.json"))
+    // the round bound applies to full copies too
+    assert(Bench.pickPrevBench(fs, 22)
+      .map(_.getName).contains("BENCH_r21.json"))
+    // a full copy alone is picked when no wrapper exists for its round
+    val only = Seq("BENCH_r21.json", "bench_r23_full.json")
+      .map(new java.io.File(_))
+    assert(Bench.pickPrevBench(only, Int.MaxValue)
+      .map(_.getName).contains("bench_r23_full.json"))
+  }
+
   test("parsePrevQueries: reads the queries map; shape surprises and " +
     "junk yield empty instead of failing the bench") {
     val json = """{"metric":"total_query_seconds","value":1.0,

@@ -219,6 +219,55 @@ class ExtensionOpsSpec extends SparkTest {
     assert(capped == Set((1L, 2L)), s"got $capped")
   }
 
+  test("ngramJaccardPairs prefixFilter is result-identical at any " +
+    "threshold (PPJoin prefix-filtering principle, r22)") {
+    // pseudo-random corpus with real near-dup structure: clusters of
+    // small perturbations (high-J pairs), cross-cluster noise (low-J),
+    // plus exact duplicates (j_bp = 10000 — the prefix must catch the
+    // boundary case inter = union)
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+    val rows = (1L to 60L).map { i =>
+      val base = (0 until 14)
+        .map(j => words((((i % 6) * 7 + j * 13) % words.size).toInt))
+      val mut = if (i % 3 == 0) base.updated((i % 14).toInt,
+        words(((i * 11) % words.size).toInt)) else base
+      i -> mut.mkString(" ")
+    }
+    val df = docs(rows: _*)
+    def runs(minBp: Long, blockOf: Option[String], maxDf: Option[Long],
+             exact: Boolean): (Set[(Long, Long, Long)],
+                               Set[(Long, Long, Long)]) = {
+      val base = blockOf.map(c => df.withColumn(c,
+        (col("doc_id") % 2).cast("string"))).getOrElse(df)
+      def run(pf: Boolean) = Dedup.ngramJaccardPairs(base, "doc_id",
+          "text", 2, blockOf, minBp, maxDf, exactGrams = exact,
+          prefixFilter = pf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (run(false), run(true))
+    }
+    // the intended regime (high minBp), the q18 regime (low minBp),
+    // admit-everything (minBp 0 → prefix = whole set, degenerate),
+    // and composition with block / maxDf / exactGrams
+    for ((bp, blk, cap, ex) <- Seq(
+        (9000L, None, None, false),
+        (5000L, None, None, false),
+        (2000L, None, None, false),
+        (0L, None, None, false),
+        (9000L, Some("blk"), None, false),
+        (5000L, None, Some(10L), false),
+        (9000L, None, None, true))) {
+      val (off, on) = runs(bp, blk, cap, ex)
+      assert(on == off,
+        s"prefixFilter diverged at minBp=$bp block=$blk maxDf=$cap " +
+          s"exactGrams=$ex: ${on.diff(off)} extra, ${off.diff(on)} lost")
+    }
+    // the fixture must actually exercise both regimes
+    val (all, _) = runs(5000L, None, None, false)
+    assert(all.exists(_._3 >= 9000L) && all.exists(_._3 < 9000L),
+      s"fixture too uniform: $all")
+  }
+
   test("jaccardVerify matches ngramJaccardPairs on candidate pairs") {
     import graft.operators.Dedup
     import spark.implicits._
