@@ -49,10 +49,17 @@ object ConnectedComponents {
     * the constraint immunity is conversion-free. `rebuild = false`
     * (ScaleDemo's measurement control only) keeps the pre-r19 plain
     * localCheckpoint — it crashes on union-shaped inputs. */
+  /** Barrier plus the row count its materialization job already
+    * computed — the convergence loop's count would otherwise be a
+    * second job per round over the just-pinned blocks (r22). */
   private def ckptBarrier(df: DataFrame,
-                          rebuild: Boolean = true): DataFrame =
-    if (rebuild) org.apache.spark.sql.GraftBridge.bareLocalCheckpoint(df)
-    else df.localCheckpoint()
+                          rebuild: Boolean = true): (DataFrame, Long) =
+    if (rebuild)
+      org.apache.spark.sql.GraftBridge.bareLocalCheckpointWithCount(df)
+    else {
+      val c = df.localCheckpoint()
+      (c, c.count())
+    }
 
   /** Star step shared shape: emit (v, m(u)) for the chosen neighbor set.
     * largeStar: over the SYMMETRIZED edges, m(u) = min(Γ(u) ∪ {u}),
@@ -106,7 +113,7 @@ object ConnectedComponents {
   def runWithStats(edges: DataFrame, aCol: String, bCol: String,
                    maxIter: Int = 30,
                    rebuildBarrier: Boolean = true): (DataFrame, Int) = {
-    var e = ckptBarrier(edges
+    var (e, prevCount) = ckptBarrier(edges
       .select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -114,10 +121,9 @@ object ConnectedComponents {
       .distinct(), rebuildBarrier)
     var stable = false
     var it = 0
-    var prevCount = e.count()
     while (!stable && it < maxIter) {
-      val next = ckptBarrier(smallStar(largeStar(e)), rebuildBarrier)
-      val nextCount = next.count()
+      val (next, nextCount) =
+        ckptBarrier(smallStar(largeStar(e)), rebuildBarrier)
       // both sides are distinct sets: equal count + empty one-sided
       // difference ⇒ set equality ⇒ fixed point reached
       stable = nextCount == prevCount && next.except(e).isEmpty

@@ -45,14 +45,22 @@ object GraftBridge {
     * origin stats/constraints — the LogicalRDD constraint carry-over
     * is exactly what trips Spark's Union constraint rewrite on
     * union-shaped inputs (ConnectedComponents.ckptBarrier). */
-  def bareLocalCheckpoint(df: DataFrame): DataFrame = {
+  def bareLocalCheckpoint(df: DataFrame): DataFrame =
+    bareLocalCheckpointWithCount(df)._1
+
+  /** [[bareLocalCheckpoint]] plus the row count its eager
+    * materialization job already computes — iterative callers
+    * (ConnectedComponents' convergence loop) otherwise pay a second
+    * count job per round over the just-pinned blocks (r22, guide
+    * §1.2: one job per round, not two). */
+  def bareLocalCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
     val qe = df.queryExecution
     // unsafe rows are buffer-reused per partition iterator — copy
     // before pinning, same as Dataset.checkpoint's own toRdd map
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count() // eager, matching Dataset.localCheckpoint()
+    val n = rdd.count() // eager, matching Dataset.localCheckpoint()
     // Dataset.checkpoint attaches the physical plan's partitioning +
     // ordering, originStats AND originConstraints to the rebuilt
     // LogicalRDD. Keep partitioning/ordering (losing them costs an
@@ -69,7 +77,7 @@ object GraftBridge {
     val logical = execution.LogicalRDD(qe.analyzed.output, rdd,
       firstLeaf(physical.outputPartitioning), physical.outputOrdering)(
       spark, Some(qe.optimizedPlan.stats), None)
-    classic.Dataset.ofRows(spark, logical)
+    (classic.Dataset.ofRows(spark, logical), n)
   }
 
   /** Optimize a frame's ANALYZED plan with the session optimizer,
