@@ -2770,6 +2770,7 @@ object Queries {
       .start()
     try {
       query.awaitTermination()
+      dumpStreamProgress(query, sinkName)
       require(query.recentProgress.exists(_.numInputRows > 0),
         s"$sinkName must execute through the micro-batch engine " +
           "(no progress with input rows recorded)")
