@@ -4734,9 +4734,10 @@ object Queries {
       // EAGER is load-bearing (r22 measured): lazy (eager=false, the
       // q110 pattern) let the decontam's SIBLING stages race on the
       // un-materialized RDD — concurrent stages each recompute a
-      // persisted-but-not-yet-populated partition — and q121 ran
-      // 4.3 → 5.4 s; the eager job serializes materialization BEFORE
-      // the consumers, which is the point
+      // persisted-but-not-yet-populated partition — q121 lazy 5.8 vs
+      // eager 5.3 median in the same box window (warm minima 5.3 vs
+      // 4.9); the eager job serializes materialization BEFORE the
+      // consumers, which is the point
       val deduped = Dedup.exactByDigest(gated, "doc_id", "text")
         .localCheckpoint()
       val spanned = SpanDedup.removeSpans(deduped, "doc_id", "text",

@@ -152,8 +152,9 @@ object Contamination {
     // probe pass and its consumers. EAGER deliberately (r22 re-check):
     // a lazy checkpoint lets the two consumer stages race on the
     // un-materialized RDD and recompute the probe chain concurrently
-    // (measured on q121's sibling-stage shape: eager 4.3 s vs lazy
-    // 5.4 s); the blocking job IS the serialization point.
+    // (measured on q121's sibling-stage shape: lazy ~10% over eager
+    // in the same window, medians 5.8 vs 5.3); the blocking job IS
+    // the serialization point.
     // materializeProbe=false keeps the pure lazy plan (streaming
     // inputs, self-managed caching).
     val probed0 = dg.crossJoin(broadcast(bitsRow))
