@@ -11,13 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// No "[success] Total time: ..." epilogue: the driver captures sbt's
-// stdout and parses the LAST line as the bench's one-line JSON contract
-// — sbt's epilogue printed after the program exits has shadowed that
-// line in every round so far (BENCH_r01..r21 all carry "parsed": null
-// with the JSON visibly intact one line above the epilogue). Exit codes
-// are unaffected; "All tests passed." / error lines still print.
-Global / showSuccess := false
+// No "[success] Total time: ..." epilogue on BENCH-shaped invocations:
+// the driver captures sbt's stdout and parses the LAST line as the
+// bench's one-line JSON contract — sbt's epilogue printed after the
+// program exits has shadowed that line in every round so far
+// (BENCH_r01..r21 all carry "parsed": null with the JSON visibly
+// intact one line above the epilogue). Scoped to SPARK_GRAFT_SF_DIR
+// being set (the bench contract's env) so plain `sbt compile` /
+// `sbt test` keep their epilogue — in case any wrapper greps for it
+// rather than using exit codes. "All tests passed." / error lines
+// print either way.
+Global / showSuccess := !sys.env.contains("SPARK_GRAFT_SF_DIR")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
